@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Relational operator coverage mapped from SURVEY.md §2: every shape the
+  * reference topology wires (filter/project, aggregation, top-K global and
+  * per-key, count-windowed moving average, recency merge, unions,
+  * broadcast/semi/anti joins, time bucketing, status CASE mapping), expressed
+  * as deterministic Spark plans over the driver's TPC-H-ish tables, each with
+  * a DuckDB oracle.
+  *
+  * Numeric-parity rules (so the driver's value-hash compare is exact):
+  *  - money/quantity doubles are cast per-row to DECIMAL(18,2), summed
+  *    exactly, and the exact sum cast to DOUBLE;
+  *  - averages of doubles are rounded to 4 decimals;
+  *  - timestamps are surfaced as epoch milliseconds (unix_millis /
+  *    epoch_ms), never as raw timestamp columns;
+  *  - every ranking has a total-order tie-break.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(spark, dir)
+    else Tables.table(spark, dir, name)
+
+  private val dec = DecimalType(18, 2)
+
+  /** L3 ValidUrlsFilter shape: predicate + projection, pushed to the scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast(dec).cast("double").as("price"))
+
+  /** G2 score-sum merge shape (TPC-H Q1 style aggregation). */
+  def aggSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+        count(lit(1)).as("n"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+
+  /** U2 FetchQueue: continuous global top-K by score (TakeOrderedAndProject). */
+  def topKGlobal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(dec).cast("double").as("score"))
+      .orderBy(col("score").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** §2.8 outlink top-50-per-page shape: ranked window, K per key. */
+  def topKPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(
+        col("l_extendedprice").desc,
+        col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(
+        col("l_returnflag"),
+        col("rn"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_extendedprice").cast(dec).cast("double").as("price"))
+  }
+
+  /** G1 MovingAverageFunction: per-key running average of the last 10
+    * values (count-based sliding window), emitted per input row.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-9, 0)
+    // exact decimal window sum / count -> one deterministic IEEE division
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        (sum(col("value").cast(dec)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mavg"))
+  }
+
+  /** U3 DefaultUrlStateMerger recency rule: latest record per key wins
+    * (max statusTime, deterministic tie-break).
+    */
+  def mergeRecency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("status_time_ms"),
+        col("o_orderstatus"))
+  }
+
+  /** SO1/SO2 union + dedup (closing the crawl-DB loop). */
+  def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders").select(col("o_custkey").as("key"))
+    val b = t(spark, dir, "customer")
+      .select(col("c_custkey").cast(LongType).as("key"))
+    a.unionByName(b).distinct()
+  }
+
+  /** J1 co-partitioned join with a small dimension: broadcast hash join. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(
+        broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+
+  /** Multi-way star join: fact large, dims broadcast; revenue by nation. */
+  def joinMultiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left-semi join (EXISTS): orders having any heavy line item. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(
+        t(spark, dir, "lineitem").filter(col("l_quantity") > 45.0),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** G4 TimedCounter shape: event rate per time bucket (1 h) per type. */
+  def eventRate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        expr("unix_timestamp(ts) div 3600").as("bucket"),
+        col("event_type"),
+        col("value"))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+
+  /** ExceptionUtils HTTP-status CASE mapping shape. */
+  def caseStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        when(col("event_type") === "error", "HTTP_SERVER_ERROR")
+          .when(col("event_type") === "purchase", "FETCHED")
+          .when(col("event_type") === "signup", "UNFETCHED")
+          .otherwise("SKIPPED_DEFERRED")
+          .as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Queries + DuckDB oracles, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (filterProject _),
+    "q02_agg_sum" -> (aggSum _),
+    "q03_topk_global" -> (topKGlobal _),
+    "q04_topk_per_key" -> (topKPerKey _),
+    "q05_moving_avg" -> (movingAvg _),
+    "q06_merge_recency" -> (mergeRecency _),
+    "q07_union_dedup" -> (unionDedup _),
+    "q08_join_broadcast" -> (joinBroadcast _),
+    "q09_join_multi_revenue" -> (joinMultiRevenue _),
+    "q10_semi_join" -> (semiJoin _),
+    "q11_anti_join" -> (antiJoin _),
+    "q12_event_rate" -> (eventRate _),
+    "q13_case_status" -> (caseStatus _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0""".stripMargin,
+    "q02_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_topk_global" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS score
+        |FROM orders ORDER BY score DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q04_topk_per_key" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_returnflag,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rn,
+        |    l_orderkey, l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM lineitem) WHERE rn <= 5""".stripMargin,
+    "q05_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q06_merge_recency" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS status_time_ms, o_orderstatus
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q07_union_dedup" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer)""".stripMargin,
+    "q08_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q09_join_multi_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q12_event_rate" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_case_status" ->
+      """SELECT CASE event_type
+        |    WHEN 'error' THEN 'HTTP_SERVER_ERROR'
+        |    WHEN 'purchase' THEN 'FETCHED'
+        |    WHEN 'signup' THEN 'UNFETCHED'
+        |    ELSE 'SKIPPED_DEFERRED' END AS status,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
