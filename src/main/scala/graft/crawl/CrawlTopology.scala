@@ -1,0 +1,269 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.UrlFunctions
+import graft.operators.UrlStateMerger
+import graft.schema.{CrawlStateUrl, FetchStatus => FS}
+
+/** Crawl configuration (defaults mirror the reference's knobs:
+  * …/flinkcrawler/topology/CrawlTopologyBuilder.java:87-98,
+  * …/functions/UrlDBFunction.java:54-58, CheckUrlWithRobotsFunction.java:49).
+  */
+final case class CrawlConfig(
+    maxRounds: Int = 50,
+    maxUrlsPerDomainPerRound: Int = 1, // politeness: fetches per PLD per round
+    maxQueueSize: Int = 10000,         // global FetchQueue capacity per round
+    minFetchScore: Float = 0.0f,
+    maxOutlinksPerPage: Int = 50,
+    defaultCrawlDelayMs: Long = 0L,
+    roundTickMs: Long = 1000L,         // logical clock advance per round
+    deferBlockedMs: Long = 100000000L, // reference: now + 100_000 s
+    singleDomain: Option[String] = None)
+
+final case class CrawlResult(
+    frontier: DataFrame,   // CrawlStateUrl columns
+    parsed: DataFrame,     // url, pld, title, text, score
+    journal: DataFrame,    // round, stage, url, status
+    rounds: Int)
+
+/** The crawl dataflow re-expressed for Spark's acyclic execution model
+  * (SURVEY.md §2.12): the reference's two `IterativeStream` feedback loops
+  * (…/flinkcrawler/topology/CrawlTopologyBuilder.java:271-284,419-437)
+  * become a driver-side micro-batch recurrence over a persisted frontier
+  * table. Each round:
+  *
+  *   frontier ── schedule (per-PLD + global top-K) ── robots gate
+  *     ── fetch (mapPartitions, pluggable Fetcher) ── parse
+  *     ── derive {statusUpdates, outlinks, sitemapUrls}
+  *     ── clean new URLs ── merge back into the frontier (UrlStateMerger)
+  *
+  * Scale notes: the per-round working set is bounded by `maxQueueSize`
+  * regardless of frontier size; the frontier itself only ever passes
+  * through hash aggregation on `url` (shuffle on the frontier key — the
+  * same partitioning every round, so AQE/locality reuse applies) and is
+  * lineage-truncated with localCheckpoint each round. At cluster scale the
+  * frontier would live as a parquet/Delta table bucketed by pld; the merge
+  * is the same `mergeFrontier` plan either way.
+  */
+final case class Candidate(url: String, pld: String, score: Float)
+final case class FetchOutcome(
+    url: String, pld: String, status: String, score: Float,
+    crawlDelay: Long, content: String, contentType: String,
+    redirectedTo: String)
+final case class RobotsVerdict(
+    url: String, pld: String, score: Float,
+    verdict: String, // ALLOWED | BLOCKED
+    crawlDelay: Long, sitemaps: Seq[String])
+
+object CrawlTopology {
+
+  /** Normalize/validate raw URLs into UNFETCHED frontier rows
+    * (the reference's cleanUrls() chain: LengthenUrls — not needed for the
+    * mocked fetchers — then NormalizeUrls then ValidUrlsFilter;
+    * CrawlTopologyBuilder.java:475-484).
+    */
+  def cleanUrls(
+      spark: SparkSession,
+      urls: Dataset[(String, Float)],
+      now: Long,
+      cfg: CrawlConfig): Dataset[CrawlStateUrl] = {
+    import spark.implicits._
+    val domainOk = cfg.singleDomain match {
+      case Some(d) => (u: String) => UrlFunctions.isUrlWithinDomain(u, d)
+      case None => (_: String) => true
+    }
+    urls
+      .map { case (u, s) => (UrlFunctions.normalizeUrl(u), s) }
+      .filter(t => UrlFunctions.isValidUrl(t._1) && domainOk(t._1))
+      .map { case (u, s) =>
+        CrawlStateUrl(u, UrlFunctions.extractPld(u), FS.UNFETCHED, now, s, 0L)
+      }
+  }
+
+  def run(
+      spark: SparkSession,
+      seeds: Seq[(String, Float)],
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      cfg: CrawlConfig = CrawlConfig()): CrawlResult = {
+    import spark.implicits._
+
+    val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val parsedBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def journal(round: Int, stage: String, rows: DataFrame): Unit =
+      journalBatches += rows
+        .withColumn("round", lit(round))
+        .withColumn("stage", lit(stage))
+        .select("round", "stage", "url", "status")
+
+    var frontier: DataFrame =
+      UrlStateMerger
+        .mergeFrontier(cleanUrls(spark, seeds.toDS(), 0L, cfg).toDF())
+        .localCheckpoint(true)
+    journal(0, "seed", frontier.select(col("url"), col("status")))
+
+    var round = 0
+    var active = true
+    while (active && round < cfg.maxRounds) {
+      round += 1
+      val now = round * cfg.roundTickMs
+
+      // --- schedule: FetchQueue semantics (per-domain fairness + global
+      // top-K by score with min-score gate; UrlDBFunction/FetchQueue)
+      val eligible = frontier
+        .filter(col("status") === FS.UNFETCHED &&
+          col("nextFetchTime") <= now && col("score") >= cfg.minFetchScore)
+      val perDomain = Window
+        .partitionBy(col("pld"))
+        .orderBy(col("score").desc, col("url").asc)
+      val candidates = eligible
+        .withColumn("rn", row_number().over(perDomain))
+        .filter(col("rn") <= cfg.maxUrlsPerDomainPerRound)
+        .orderBy(col("score").desc, col("url").asc)
+        .limit(cfg.maxQueueSize)
+        .select(col("url"), col("pld"), col("score"))
+        .as[Candidate]
+        .localCheckpoint(true)
+
+      if (candidates.isEmpty) {
+        active = false
+      } else {
+        // --- robots gate (CheckUrlWithRobotsFunction): per-partition rules
+        // cache so each robots.txt is fetched once per partition per round
+        val rf = robotsFetcher
+        val verdicts = candidates
+          .repartition(col("pld"))
+          .mapPartitions { it =>
+            val cache = scala.collection.mutable.Map.empty[String, RobotsRules]
+            it.map { c =>
+              val rUrl = UrlFunctions.robotsUrl(c.url)
+              val rules = cache.getOrElseUpdate(rUrl, {
+                val page = rf.fetch(rUrl)
+                if (page.statusCode == 200) RobotsRules.parse(page.content)
+                else RobotsRules.allowAll
+              })
+              val path = {
+                val u = new java.net.URL(c.url)
+                Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+              }
+              if (!rules.isAllowed(path))
+                RobotsVerdict(c.url, c.pld, c.score, "BLOCKED", 0L, rules.sitemaps)
+              else
+                RobotsVerdict(c.url, c.pld, c.score, "ALLOWED",
+                  rules.crawlDelayMs.getOrElse(cfg.defaultCrawlDelayMs),
+                  rules.sitemaps)
+            }
+          }
+          .localCheckpoint(true)
+
+        val blocked = verdicts
+          .filter(_.verdict == "BLOCKED")
+          .map(v => CrawlStateUrl(v.url, v.pld, FS.SKIPPED_BLOCKED, now,
+            v.score, now + cfg.deferBlockedMs))
+          .toDF()
+        journal(round, "robots", blocked.select(col("url"), col("status")))
+
+        // --- sitemap discovery: fetch+parse each newly seen sitemap once
+        val pf = pageFetcher
+        val sitemapLinks = verdicts
+          .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
+          .distinct()
+          .mapPartitions { it =>
+            it.flatMap { case (_, sitemapUrl) =>
+              val page = pf.fetch(sitemapUrl)
+              if (page.statusCode == 200)
+                HtmlParser.parseSitemap(page.content).map(u => (u, 1.0f))
+              else Seq.empty
+            }
+          }
+
+        // --- fetch (FetchUrlsFunction): politeness is already enforced by
+        // the per-domain schedule cap; redirects surface as HTTP_MOVED with
+        // the target re-entering the loop as a new URL
+        val fetched = verdicts
+          .filter(_.verdict == "ALLOWED")
+          .mapPartitions { it =>
+            it.map { v =>
+              val page = pf.fetch(v.url)
+              val status = FS.fromHttpStatus(page.statusCode)
+              FetchOutcome(v.url, v.pld, status, v.score, v.crawlDelay,
+                if (status == FS.FETCHED) page.content else "",
+                page.contentType, page.redirectedTo.getOrElse(""))
+            }
+          }
+          .localCheckpoint(true)
+        journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
+
+        val statusUpdates = fetched
+          .map(f => CrawlStateUrl(f.url, f.pld, f.status, now, f.score,
+            now + math.max(f.crawlDelay, cfg.defaultCrawlDelayMs)))
+          .toDF()
+
+        // --- parse (ParseFunction): title/text/outlinks; outlink top-K per
+        // page by score (ParseFunction.java:104-126)
+        val parsedPages = fetched
+          .filter(f => f.status == FS.FETCHED && f.contentType.contains("html"))
+          .map { f =>
+            val p = HtmlParser.parse(f.url, f.content, f.score)
+            (f.url, f.pld, p.title, p.text, f.score,
+              p.outlinks.map(o => (o.url, o.anchorText, o.relAttributes, o.score)))
+          }
+          .toDF("url", "pld", "title", "text", "score", "outlinks")
+          .localCheckpoint(true)
+
+        val parsedOut = parsedPages
+          .filter(col("score") > 0.0f)
+          .select(col("url"), col("pld"), col("title"), col("text"), col("score"))
+        parsedBatches += parsedOut
+        journal(round, "parse",
+          parsedOut.select(col("url"), lit(FS.FETCHED).as("status")))
+
+        val outlinkWindow = Window
+          .partitionBy(col("srcUrl"))
+          .orderBy(col("linkScore").desc, col("link").asc)
+        val outlinks = parsedPages
+          .select(col("url").as("srcUrl"),
+            explode_outer(col("outlinks")).as("o"))
+          .filter(col("o").isNotNull)
+          .select(col("srcUrl"), col("o._1").as("link"), col("o._4").as("linkScore"))
+          .withColumn("rn", row_number().over(outlinkWindow))
+          .filter(col("rn") <= cfg.maxOutlinksPerPage)
+          .select(col("link"), col("linkScore").cast("float"))
+          .as[(String, Float)]
+
+        val redirectTargets = fetched
+          .filter(f => f.redirectedTo.nonEmpty)
+          .map(f => (f.redirectedTo, f.score))
+
+        // --- close the loop: clean new URLs, merge everything
+        // (the 4-way union at CrawlTopologyBuilder.java:433-437)
+        val newUrls = cleanUrls(
+          spark,
+          outlinks.union(sitemapLinks).union(redirectTargets),
+          now, cfg).toDF()
+
+        val nextFrontier = UrlStateMerger
+          .mergeFrontier(
+            frontier
+              .unionByName(blocked)
+              .unionByName(statusUpdates)
+              .unionByName(newUrls))
+          .localCheckpoint(true)
+        frontier = nextFrontier
+      }
+    }
+
+    val emptyParsed = Seq.empty[(String, String, String, String, Float)]
+      .toDF("url", "pld", "title", "text", "score")
+    val emptyJournal = Seq.empty[(Int, String, String, String)]
+      .toDF("round", "stage", "url", "status")
+    CrawlResult(
+      frontier,
+      parsedBatches.foldLeft(emptyParsed)(_ unionByName _),
+      journalBatches.foldLeft(emptyJournal)(_ unionByName _),
+      round)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.crawl
+
+/** A fetched page: HTTP-ish status, body, content type, optional redirect
+  * target (reference: crawler-commons FetchedResult as used by the
+  * …/flinkcrawler/fetcher package; the engine only depends on this shape).
+  */
+final case class FetchedPage(
+    statusCode: Int,
+    content: String,
+    contentType: String,
+    redirectedTo: Option[String] = None)
+
+/** Pluggable page source. Implementations must be serializable: instances
+  * are shipped to executors and invoked inside `mapPartitions`, one call per
+  * URL, so an HTTP implementation can pool connections per partition while
+  * test implementations stay pure.
+  */
+trait Fetcher extends Serializable {
+  def fetch(url: String): FetchedPage
+}
+
+/** Mocked web over an adjacency-list web graph (reference test fixture
+  * src/test/java/…/fetcher/WebGraphFetcher.java:20-75): every known page
+  * renders as synthetic HTML with one anchor per outlink; unknown pages are
+  * 404s; redirect map support mirrors the URL-lengthener fixtures.
+  */
+final class WebGraphFetcher(
+    graph: WebGraph,
+    redirects: Map[String, String] = Map.empty)
+  extends Fetcher {
+
+  override def fetch(url: String): FetchedPage = {
+    redirects.get(url) match {
+      case Some(target) =>
+        return FetchedPage(301, "", "text/plain", redirectedTo = Some(target))
+      case None =>
+    }
+    graph.page(url) match {
+      case Some(page) =>
+        val links = page.outlinks.zipWithIndex
+          .map { case (l, i) => s"""<li><a href="$l">outlink $i</a></li>""" }
+          .mkString("\n")
+        val html =
+          s"""<html><head><title>Synthetic page - score = ${page.score}</title></head>
+             |<body><ul>
+             |$links
+             |</ul></body></html>""".stripMargin
+        FetchedPage(200, html, "text/html")
+      case None => FetchedPage(404, "", "text/plain")
+    }
+  }
+}
+
+/** Robots bodies keyed by normalized robots.txt URL; unmapped domains 404
+  * (no rules). Reference test fixture src/test/java/…/fetcher/
+  * MockRobotsFetcher.java:17.
+  */
+final class MapRobotsFetcher(bodies: Map[String, String]) extends Fetcher {
+  override def fetch(url: String): FetchedPage =
+    bodies.get(url) match {
+      case Some(body) => FetchedPage(200, body, "text/plain")
+      case None => FetchedPage(404, "", "text/plain")
+    }
+}

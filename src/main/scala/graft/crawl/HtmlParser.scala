@@ -1,0 +1,96 @@
+package graft.crawl
+
+import graft.schema.ExtractedUrl
+
+/** Dependency-light HTML extraction (title, text, outlinks, meta-robots)
+  * covering what the reference pulls out of Tika + its SAX link extractor
+  * (reference …/flinkcrawler/parser/SimplePageParser.java:158-213,
+  * BaseLinkExtractor.java:18-148, SimpleLinkExtractor.java:12-82): anchors
+  * with href/rel/anchor-text, `<meta name=robots content=nofollow|none>`
+  * suppression, and whitespace-collapsed body text.
+  */
+object HtmlParser {
+
+  final case class ParseResult(
+      title: String,
+      text: String,
+      outlinks: Seq[ExtractedUrl],
+      noFollow: Boolean)
+
+  private val TitleRe =
+    "(?is)<title[^>]*>(.*?)</title>".r
+  private val MetaRobotsRe =
+    "(?is)<meta\\s+[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>".r
+  private val ContentAttrRe =
+    "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']".r
+  private val AnchorRe =
+    "(?is)<a\\s+([^>]*?)>(.*?)</a>".r
+  private val HrefRe =
+    "(?is)href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']".r
+  private val RelRe =
+    "(?is)rel\\s*=\\s*[\"']([^\"']*)[\"']".r
+  private val TagRe = "(?s)<[^>]*>".r
+  private val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</\\1>".r
+
+  /** Resolve a possibly relative href against the page URL. */
+  private def resolve(pageUrl: String, href: String): Option[String] =
+    try {
+      val abs = new java.net.URL(new java.net.URL(pageUrl), href).toExternalForm
+      Some(abs)
+    } catch { case _: Exception => None }
+
+  /** Parse a page. `pageScore` is spread equally across outlinks
+    * (reference SimplePageParser.java:192-199: outlink score =
+    * pageScore / numOutlinks).
+    */
+  def parse(pageUrl: String, html: String, pageScore: Float): ParseResult = {
+    val title = TitleRe.findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
+    val noFollow = MetaRobotsRe
+      .findFirstIn(html)
+      .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
+      .exists { c =>
+        val lc = c.toLowerCase(java.util.Locale.ROOT)
+        lc.contains("nofollow") || lc.contains("none")
+      }
+
+    val rawLinks =
+      if (noFollow) Seq.empty
+      else
+        AnchorRe.findAllMatchIn(html).flatMap { m =>
+          val attrs = m.group(1)
+          val anchor = TagRe.replaceAllIn(m.group(2), " ").trim
+          for {
+            href <- HrefRe.findFirstMatchIn(attrs).map(_.group(1))
+            rel = RelRe.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("")
+            if !rel.toLowerCase(java.util.Locale.ROOT).contains("nofollow")
+            abs <- resolve(pageUrl, href)
+          } yield (abs, anchor, rel)
+        }.toSeq
+
+    val linkScore =
+      if (rawLinks.isEmpty) 0.0f else pageScore / rawLinks.size
+    val outlinks = rawLinks.map { case (u, anchor, rel) =>
+      ExtractedUrl(u, anchor, rel, linkScore)
+    }
+
+    val text = TagRe
+      .replaceAllIn(ScriptStyleRe.replaceAllIn(html, " "), " ")
+      .replaceAll("\\s+", " ")
+      .trim
+    ParseResult(title, text, outlinks, noFollow)
+  }
+
+  /** Sitemap parsing: XML `<loc>` entries or plain-text URL lines
+    * (reference …/flinkcrawler/parser/SimpleSiteMapParser.java:48-76).
+    */
+  def parseSitemap(body: String): Seq[String] = {
+    val locs = "(?is)<loc>\\s*(.*?)\\s*</loc>".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    if (locs.nonEmpty) locs
+    else
+      body.linesIterator
+        .map(_.trim)
+        .filter(l => l.startsWith("http://") || l.startsWith("https://"))
+        .toSeq
+  }
+}

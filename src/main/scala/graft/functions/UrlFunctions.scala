@@ -1,0 +1,293 @@
+package graft.functions
+
+import java.net.{URI, URL}
+import java.nio.charset.StandardCharsets
+
+/** URL scalar functions of the crawl pipeline: normalization, validation,
+  * paid-level-domain extraction, stable hashing.
+  *
+  * Semantics follow the reference's "clean URLs" stage (reference:
+  * src/main/java/com/scaleunlimited/flinkcrawler/urls/SimpleUrlNormalizer
+  * .java:266-365, SimpleUrlValidator.java:54-80, pojos/ValidUrl.java:55-170)
+  * re-expressed as pure Scala functions so they can run as Spark UDFs, be
+  * registered for SQL, and be unit-tested without a SparkSession.
+  */
+object UrlFunctions {
+
+  // ---------------------------------------------------------------- normalize
+
+  private val SessionParamPattern =
+    "(?i)^(jsessionid|phpsessid|sessionid|sid|aspsessionid[a-z]*|cfid|cftoken|zenid)$".r
+
+  private val DefaultPages = Set(
+    "index.html", "index.htm", "index.php", "index.asp", "index.jsp",
+    "default.html", "default.htm", "default.asp")
+
+  /** Characters that stay unescaped in paths/queries; everything else is
+    * percent-encoded. Matches RFC 3986 unreserved + common sub-delims kept
+    * by crawler normalizers.
+    */
+  private def isSafeChar(c: Char, inQuery: Boolean): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') ||
+      "-_.~!$&'()*+,;:@/".indexOf(c) >= 0 ||
+      (inQuery && (c == '=' || c == '?'))
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Percent-decode with bad-% repair: a '%' not followed by two hex digits
+    * is kept literally (and later re-encoded) instead of throwing.
+    */
+  private[functions] def percentDecode(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream(4)
+    var i = 0
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      out.append(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hexVal(s.charAt(i + 1)) >= 0 &&
+          hexVal(s.charAt(i + 2)) >= 0) {
+        bytes.write(hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2)))
+        i += 3
+      } else {
+        flushBytes()
+        out.append(c)
+        i += 1
+      }
+    }
+    flushBytes()
+    out.toString
+  }
+
+  private def percentEncode(s: String, inQuery: Boolean): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (isSafeChar(c, inQuery) || c == '%') out.append(c)
+      else {
+        c.toString.getBytes(StandardCharsets.UTF_8).foreach { b =>
+          out.append('%').append(f"${b & 0xff}%02X")
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Decode-then-encode a path or query so equivalent escapings compare
+    * equal: unreserved characters end up literal, unsafe ones end up as
+    * uppercase %XX.
+    */
+  private def normalizeEscaping(s: String, inQuery: Boolean): String =
+    percentEncode(percentDecode(s), inQuery)
+
+  /** Resolve `.` and `..` segments without touching the filesystem. */
+  private[functions] def normalizePathSegments(path: String): String = {
+    val segs = path.split("/", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    segs.foreach {
+      case "." => // drop
+      case ".." => if (out.nonEmpty && out.last.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    val joined = out.mkString("/")
+    val withLead = if (path.startsWith("/") && !joined.startsWith("/")) "/" + joined else joined
+    val res =
+      if ((path.endsWith("/.") || path.endsWith("/..")) && !withLead.endsWith("/"))
+        withLead + "/"
+      else withLead
+    if (res.isEmpty) "/" else res
+  }
+
+  private def normalizeHostname(host: String): String = {
+    var h = host.toLowerCase(java.util.Locale.ROOT)
+    while (h.endsWith(".")) h = h.substring(0, h.length - 1)
+    h
+  }
+
+  private def stripSessionParams(query: String): String =
+    query
+      .split("&", -1)
+      .filter { kv =>
+        val key = kv.indexOf('=') match {
+          case -1 => kv
+          case i => kv.substring(0, i)
+        }
+        SessionParamPattern.findFirstIn(key).isEmpty
+      }
+      .mkString("&")
+
+  /** Canonicalize a URL (default protocol, lowercase host, default-port and
+    * default-page removal, dot-segment resolution, session-param stripping,
+    * percent-escaping normalization, fragment removal). Never throws; input
+    * that cannot be parsed is returned trimmed.
+    */
+  def normalizeUrl(rawUrl: String): String = {
+    if (rawUrl == null) return null
+    var url = rawUrl.trim.replaceAll("[\\t\\r\\n]", "")
+    if (url.isEmpty) return url
+    // default protocol
+    if (!url.matches("(?i)^[a-z][a-z0-9+.-]*:.*") || url.matches("(?i)^[a-z0-9.-]+:\\d+.*"))
+      url = "http://" + url
+    val parsed =
+      try new URL(url)
+      catch { case _: Exception => return url }
+
+    val protocol = parsed.getProtocol.toLowerCase(java.util.Locale.ROOT)
+    val host = normalizeHostname(Option(parsed.getHost).getOrElse(""))
+    val defaultPort = if (protocol == "https") 443 else 80
+    val port = parsed.getPort match {
+      case -1 => -1
+      case p if p == defaultPort => -1
+      case p => p
+    }
+
+    // path: strip ;jsessionid matrix param, resolve dots, drop default page,
+    // normalize escaping
+    var path = Option(parsed.getPath).getOrElse("")
+    path = path.replaceAll("(?i);jsessionid=[^?#;]*", "")
+    path = normalizePathSegments(if (path.isEmpty) "/" else path)
+    val lastSeg = path.substring(path.lastIndexOf('/') + 1)
+    if (DefaultPages.contains(lastSeg.toLowerCase(java.util.Locale.ROOT)))
+      path = path.substring(0, path.lastIndexOf('/') + 1)
+    path = normalizeEscaping(path, inQuery = false)
+
+    var query = Option(parsed.getQuery).getOrElse("")
+    if (query.nonEmpty) {
+      query = stripSessionParams(query)
+      query = normalizeEscaping(query, inQuery = true)
+    }
+
+    val sb = new java.lang.StringBuilder(url.length)
+    sb.append(protocol).append("://").append(host)
+    if (port != -1) sb.append(':').append(port)
+    sb.append(path)
+    if (query.nonEmpty) sb.append('?').append(query)
+    sb.toString
+  }
+
+  // ----------------------------------------------------------------- validate
+
+  private val HostnamePattern =
+    "^([a-z0-9]([a-z0-9-]*[a-z0-9])?\\.)+[a-z]{2,}$".r
+  private val Ipv4Pattern = "^\\d{1,3}(\\.\\d{1,3}){3}$".r
+
+  /** http(s) scheme, parseable by both URL and URI, host is a dotted name
+    * or IPv4 literal (reference SimpleUrlValidator.java:54-80).
+    */
+  def isValidUrl(url: String): Boolean = {
+    if (url == null || url.isEmpty) return false
+    try {
+      val u = new URL(url)
+      val proto = u.getProtocol
+      if (proto != "http" && proto != "https") return false
+      new URI(url) // must also be a valid URI
+      val host = Option(u.getHost).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+      HostnamePattern.matches(host) || Ipv4Pattern.matches(host)
+    } catch {
+      case _: Exception => false
+    }
+  }
+
+  /** Is `url`'s host within `domain` (equal or a subdomain)? Reference
+    * SingleDomainUrlValidator.java:54-60.
+    */
+  def isUrlWithinDomain(url: String, domain: String): Boolean = {
+    val host =
+      try new URL(url).getHost.toLowerCase(java.util.Locale.ROOT)
+      catch { case _: Exception => return false }
+    val d = domain.toLowerCase(java.util.Locale.ROOT)
+    host == d || host.endsWith("." + d)
+  }
+
+  // ---------------------------------------------------------------------- pld
+
+  /** Multi-label public suffixes (beyond plain TLDs) for paid-level-domain
+    * extraction. A compact curated subset of the public-suffix list — the
+    * reference embeds the full Mozilla list via crawler-commons
+    * EffectiveTldFinder (reference pojos/ValidUrl.java:161-170).
+    */
+  private val MultiLabelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.za", "net.za", "org.za", "gov.za",
+    "com.mx", "net.mx", "org.mx",
+    "com.ar", "net.ar", "org.ar",
+    "com.tr", "net.tr", "org.tr",
+    "co.kr", "ne.kr", "or.kr", "go.kr",
+    "com.sg", "net.sg", "org.sg", "edu.sg",
+    "com.hk", "net.hk", "org.hk",
+    "com.tw", "net.tw", "org.tw",
+    "co.il", "net.il", "org.il",
+    "com.ru", "net.ru", "org.ru")
+
+  /** Paid-level domain: the registrable domain one label below the public
+    * suffix ("www.foo.co.uk" -> "foo.co.uk"; "a.b.example.com" ->
+    * "example.com"). IP literals and single-label hosts return unchanged.
+    */
+  def extractPldFromHost(hostRaw: String): String = {
+    if (hostRaw == null || hostRaw.isEmpty) return hostRaw
+    val host = normalizeHostname(hostRaw)
+    if (Ipv4Pattern.matches(host)) return host
+    val labels = host.split("\\.")
+    if (labels.length <= 2) return host
+    val lastTwo = labels.takeRight(2).mkString(".")
+    if (MultiLabelSuffixes.contains(lastTwo) && labels.length >= 3)
+      labels.takeRight(3).mkString(".")
+    else lastTwo
+  }
+
+  /** PLD of a full URL; empty string when the URL has no parseable host. */
+  def extractPld(url: String): String =
+    try extractPldFromHost(new URL(url).getHost)
+    catch { case _: Exception => "" }
+
+  /** protocol://host[:port] (reference ValidUrl.java:128-135). */
+  def urlWithoutPath(url: String): String =
+    try {
+      val u = new URL(url)
+      val port = if (u.getPort == -1) "" else ":" + u.getPort
+      s"${u.getProtocol}://${u.getHost.toLowerCase(java.util.Locale.ROOT)}$port"
+    } catch { case _: Exception => url }
+
+  def robotsUrl(url: String): String = urlWithoutPath(url) + "/robots.txt"
+
+  // --------------------------------------------------------------------- hash
+
+  /** Stable 64-bit FNV-1a hash of a string's UTF-8 bytes. The engine only
+    * needs internal consistency for frontier keys (reference uses JOAAT,
+    * utils/HashUtils.java:7-10 — any well-mixed 64-bit hash is equivalent).
+    */
+  def urlHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  // ------------------------------------------------------------ registration
+
+  /** Register all scalar functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("normalize_url", (s: String) => normalizeUrl(s))
+    spark.udf.register("is_valid_url", (s: String) => isValidUrl(s))
+    spark.udf.register("extract_pld", (s: String) => extractPld(s))
+    spark.udf.register("url_without_path", (s: String) => urlWithoutPath(s))
+    spark.udf.register("url_hash64", (s: String) => urlHash64(s))
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.UrlFunctions
+import graft.operators.UrlStateMerger
+import graft.schema.{FetchStatus => FS}
+
+/** Crawler-domain operators exercised over the driver's tables by
+  * synthesizing deterministic URL/crawl-state columns from TPC-H keys, so
+  * every piece of the crawl pipeline (URL parsing, normalization, the
+  * frontier merge UDAF, the FetchQueue scheduler) has a DuckDB oracle.
+  */
+object Crawler {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  private val dec = DecimalType(18, 2)
+
+  /** Deterministic crawl-state rows synthesized from orders: colliding URLs
+    * (o_custkey%20 x o_orderkey%40) with mixed lifecycle/terminal statuses.
+    */
+  private def syntheticFrontier(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      concat(lit("http://d"), col("o_custkey") % 20, lit(".com/p"),
+        col("o_orderkey") % 40).as("url"),
+      concat(lit("d"), col("o_custkey") % 20, lit(".com")).as("pld"),
+      when(col("o_orderstatus") === "F" && col("o_orderpriority").startsWith("1"),
+        FS.HTTP_NOTFOUND)
+        .when(col("o_orderstatus") === "F", FS.FETCHED)
+        .when(col("o_orderstatus") === "O", FS.UNFETCHED)
+        .otherwise(FS.QUEUED).as("status"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("statusTime"),
+      col("o_totalprice").cast(dec).as("score"),
+      (unix_millis(col("o_orderdate").cast("timestamp")) + 1000L)
+        .as("nextFetchTime"))
+
+  private val syntheticFrontierSql =
+    """SELECT
+      |  'http://d' || (o_custkey % 20) || '.com/p' || (o_orderkey % 40) AS url,
+      |  'd' || (o_custkey % 20) || '.com' AS pld,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderpriority LIKE '1%' THEN 'HTTP_NOTFOUND'
+      |       WHEN o_orderstatus = 'F' THEN 'FETCHED'
+      |       WHEN o_orderstatus = 'O' THEN 'UNFETCHED'
+      |       ELSE 'QUEUED' END AS status,
+      |  epoch_ms(o_orderdate) AS statusTime,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+      |  epoch_ms(o_orderdate) + 1000 AS nextFetchTime
+      |FROM orders""".stripMargin
+
+  /** L2/L3 clean-URLs shape: normalize messy synthesized URLs via the
+    * normalize_url UDF; the oracle pins the exact expected canonical form.
+    */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    UrlFunctions.registerAll(spark)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("HTTP://WWW.Example.COM:80/a/../orders/"), col("o_orderkey"),
+            lit("/index.html")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("www.example.com/orders/"), col("o_orderkey"),
+              lit(";jsessionid=ABC123?q=1&sid=zz")))
+          .otherwise(
+            concat(lit("https://shop.example.co.uk/%7Eorders/"), col("o_orderkey"),
+              lit("#section")))
+          .as("raw_url"))
+      .select(
+        col("o_orderkey"),
+        expr("normalize_url(raw_url)").as("url"),
+        expr("extract_pld(normalize_url(raw_url))").as("pld"))
+  }
+
+  val urlNormalizeSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0
+      |         THEN 'http://www.example.com/orders/' || o_orderkey || '/'
+      |       WHEN o_orderkey % 3 = 1
+      |         THEN 'http://www.example.com/orders/' || o_orderkey || '?q=1'
+      |       ELSE 'https://shop.example.co.uk/~orders/' || o_orderkey END AS url,
+      |  CASE WHEN o_orderkey % 3 = 2 THEN 'example.co.uk' ELSE 'example.com' END AS pld
+      |FROM orders""".stripMargin
+
+  /** ValidUrl parse shape (protocol/host/path split + PLD grouping). */
+  def urlParse(spark: SparkSession, dir: String): DataFrame = {
+    val urls = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        concat(lit("http://www.c"), col("c_custkey"), lit(".shop.com/order/"),
+          col("o_orderkey"), lit("?seg="), lower(col("c_mktsegment"))).as("url"))
+    urls.select(
+      regexp_extract(col("url"), "^(https?)://", 1).as("protocol"),
+      regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"),
+      regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1).as("path"))
+      .select(col("protocol"),
+        regexp_replace(col("host"), "^www\\.", "").as("host_nw"),
+        col("path"))
+      .groupBy(col("protocol"),
+        regexp_extract(col("host_nw"), "([^.]+\\.[^.]+)$", 1).as("pld"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_paths"))
+  }
+
+  val urlParseSql: String =
+    """WITH urls AS (
+      |  SELECT 'http://www.c' || c_custkey || '.shop.com/order/' || o_orderkey
+      |         || '?seg=' || lower(c_mktsegment) AS url
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |parsed AS (
+      |  SELECT regexp_extract(url, '^(https?)://', 1) AS protocol,
+      |    regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+      |      '^www\.', '') AS host_nw,
+      |    regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path
+      |  FROM urls)
+      |SELECT protocol, regexp_extract(host_nw, '([^.]+\.[^.]+)$', 1) AS pld,
+      |  COUNT(*) AS n_urls, COUNT(DISTINCT path) AS n_paths
+      |FROM parsed GROUP BY 1, 2""".stripMargin
+
+  /** U3 frontier merge on colliding synthesized crawl states — the batch
+    * form of the crawl-DB upsert (UrlStateMerger.mergeFrontier).
+    */
+  def frontierMerge(spark: SparkSession, dir: String): DataFrame =
+    UrlStateMerger
+      .mergeFrontier(syntheticFrontier(spark, dir))
+      .select(col("url"), col("pld"), col("status"),
+        col("statusTime"), col("score"), col("nextFetchTime"))
+
+  val frontierMergeSql: String =
+    s"""WITH f AS ($syntheticFrontierSql),
+       |t AS (SELECT *,
+       |  status NOT IN ('UNFETCHED','QUEUED','FETCHING') AS term,
+       |  CASE status WHEN 'UNFETCHED' THEN 0 WHEN 'QUEUED' THEN 10
+       |    WHEN 'FETCHING' THEN 10 WHEN 'FETCHED' THEN 25 ELSE 50 END AS prio
+       |  FROM f),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, term ORDER BY
+       |    CASE WHEN term THEN statusTime ELSE prio END DESC,
+       |    CASE WHEN term THEN prio ELSE statusTime END DESC,
+       |    status DESC, score DESC, nextFetchTime DESC) AS rn
+       |  FROM t),
+       |agg AS (SELECT url,
+       |    MAX(CASE WHEN NOT term THEN statusTime END) AS lifeMaxTime,
+       |    MIN(CASE WHEN NOT term THEN nextFetchTime END) AS lifeMinNext,
+       |    CAST(SUM(CASE WHEN status = 'UNFETCHED' THEN score ELSE 0 END)
+       |      AS DECIMAL(18,2)) AS sumUnfetched,
+       |    BOOL_OR(term) AS hasTerm
+       |  FROM t GROUP BY url),
+       |tw AS (SELECT * FROM ranked WHERE term AND rn = 1),
+       |lw AS (SELECT * FROM ranked WHERE NOT term AND rn = 1)
+       |SELECT a.url,
+       |  COALESCE(tw.pld, lw.pld) AS pld,
+       |  CASE WHEN a.hasTerm THEN tw.status ELSE lw.status END AS status,
+       |  CASE WHEN a.hasTerm THEN tw.statusTime ELSE a.lifeMaxTime END AS statusTime,
+       |  CASE WHEN a.hasTerm THEN tw.score
+       |       WHEN lw.status = 'UNFETCHED' THEN a.sumUnfetched
+       |       ELSE lw.score END AS score,
+       |  CASE WHEN a.hasTerm THEN tw.nextFetchTime ELSE a.lifeMinNext END
+       |    AS nextFetchTime
+       |FROM agg a
+       |LEFT JOIN tw ON a.url = tw.url
+       |LEFT JOIN lw ON a.url = lw.url""".stripMargin
+
+  /** FetchQueue scheduler: eligibility gates (ready nextFetchTime,
+    * min-score), per-PLD fairness cap (2), global capacity 50 by score —
+    * over a collision-free UNFETCHED frontier so the query is
+    * non-degenerate at every scale factor.
+    */
+  def scheduleTopK(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = t(spark, dir, "orders").select(
+      concat(lit("http://d"), col("o_custkey") % 20, lit(".com/o"),
+        col("o_orderkey")).as("url"),
+      concat(lit("d"), col("o_custkey") % 20, lit(".com")).as("pld"),
+      col("o_totalprice").cast(dec).as("score"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("nextFetchTime"))
+    val perDomain = Window.partitionBy(col("pld"))
+      .orderBy(col("score").desc, col("url").asc)
+    frontier
+      .filter(col("nextFetchTime") <= lit(915148800000L) && // 1999-01-01
+        col("score") >= 100000.0)
+      .withColumn("rn", row_number().over(perDomain).cast("bigint"))
+      .filter(col("rn") <= 2)
+      .orderBy(col("score").desc, col("url").asc)
+      .limit(50)
+      .select(col("url"), col("pld"), col("score"), col("rn"))
+  }
+
+  val scheduleTopKSql: String =
+    """WITH frontier AS (
+      |  SELECT 'http://d' || (o_custkey % 20) || '.com/o' || o_orderkey AS url,
+      |    'd' || (o_custkey % 20) || '.com' AS pld,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+      |    epoch_ms(o_orderdate) AS nextFetchTime
+      |  FROM orders),
+      |gated AS (SELECT url, pld, score FROM frontier
+      |  WHERE nextFetchTime <= 915148800000 AND score >= 100000.0),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pld
+      |    ORDER BY score DESC, url ASC) AS rn FROM gated)
+      |SELECT url, pld, score, rn FROM ranked WHERE rn <= 2
+      |ORDER BY score DESC, url ASC LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_url_normalize" -> (urlNormalize _),
+    "q15_url_parse" -> (urlParse _),
+    "q16_frontier_merge" -> (frontierMerge _),
+    "q17_schedule_topk" -> (scheduleTopK _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q14_url_normalize" -> urlNormalizeSql,
+    "q15_url_parse" -> urlParseSql,
+    "q16_frontier_merge" -> frontierMergeSql,
+    "q17_schedule_topk" -> scheduleTopKSql
+  )
+}

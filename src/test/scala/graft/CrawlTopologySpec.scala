@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl._
+import graft.schema.{FetchStatus => FS}
+
+/** End-to-end crawl over a mocked web graph, asserting the same facts as the
+  * reference's flagship test (src/test/java/…/topology/CrawlTopologyTest
+  * .java:150-307 testBroadCrawl): robots-blocked pages are never fetched,
+  * 404s are recorded, sitemap URLs are discovered and crawled, redirects
+  * surface their targets, and every reachable page ends FETCHED.
+  */
+class CrawlTopologySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val graph = WebGraph(
+    "domain1.com" -> Seq(
+      "domain1.com/page1", "domain1.com/page2",
+      "domain1.com/blocked", "domain1.com/short"),
+    "domain1.com/page1" -> Seq.empty,
+    "domain1.com/page2" -> Seq("domain2.com", "domain1.com", "domain1.com/page1"),
+    "domain1.com/blocked" -> Seq.empty,
+    "domain1.com/rtarget" -> Seq.empty,
+    "domain1.com/sitemapped" -> Seq.empty,
+    "domain2.com" -> Seq("domain2.com/page1"),
+    "domain2.com/page1" -> Seq("domain2.com/missing"))
+
+  private val sitemapUrl = "http://domain1.com/sitemap.xml"
+  private val sitemapBody =
+    """<?xml version="1.0"?><urlset>
+      |<url><loc>http://domain1.com/sitemapped</loc></url>
+      |</urlset>""".stripMargin
+
+  private val pageFetcher: Fetcher = {
+    val base = new WebGraphFetcher(
+      graph,
+      redirects = Map("http://domain1.com/short" -> "http://domain1.com/rtarget"))
+    val smUrl = sitemapUrl
+    val smBody = sitemapBody
+    new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url == smUrl) FetchedPage(200, smBody, "application/xml")
+        else base.fetch(url)
+    }
+  }
+
+  private val robotsFetcher = new MapRobotsFetcher(Map(
+    "http://domain1.com/robots.txt" ->
+      s"""User-agent: *
+         |Disallow: /blocked
+         |Sitemap: $sitemapUrl
+         |""".stripMargin))
+
+  private lazy val result = CrawlTopology.run(
+    spark,
+    seeds = Seq(("domain1.com", 1.0f)),
+    pageFetcher = pageFetcher,
+    robotsFetcher = robotsFetcher,
+    cfg = CrawlConfig(maxRounds = 30))
+
+  private def statusOf(url: String): Seq[String] =
+    result.frontier.filter(col("url") === url)
+      .select("status").collect().map(_.getString(0)).toSeq
+
+  test("crawl terminates before the round cap") {
+    assert(result.rounds < 30)
+  }
+
+  test("robots-blocked page is skipped and never fetched") {
+    assert(statusOf("http://domain1.com/blocked") == Seq(FS.SKIPPED_BLOCKED))
+    val fetchedBlocked = result.journal
+      .filter(col("stage") === "fetch" && col("url") === "http://domain1.com/blocked")
+      .count()
+    assert(fetchedBlocked == 0)
+  }
+
+  test("missing page is recorded as HTTP_NOTFOUND") {
+    assert(statusOf("http://domain2.com/missing") == Seq(FS.HTTP_NOTFOUND))
+  }
+
+  test("sitemap URL is discovered and crawled") {
+    assert(statusOf("http://domain1.com/sitemapped") == Seq(FS.FETCHED))
+  }
+
+  test("redirect records HTTP_MOVED and target gets fetched") {
+    assert(statusOf("http://domain1.com/short") == Seq(FS.HTTP_MOVED))
+    assert(statusOf("http://domain1.com/rtarget") == Seq(FS.FETCHED))
+  }
+
+  test("every reachable unblocked page ends FETCHED") {
+    val want = Seq(
+      "http://domain1.com/", "http://domain1.com/page1",
+      "http://domain1.com/page2", "http://domain2.com/",
+      "http://domain2.com/page1")
+    want.foreach(u => assert(statusOf(u) == Seq(FS.FETCHED), s"url $u"))
+  }
+
+  test("frontier has exactly one row per url") {
+    val dup = result.frontier.groupBy("url").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("journal never shows a fetch before its robots round") {
+    // a URL's first fetch round must be >= its first appearance round
+    val firstSeen = result.journal.groupBy("url")
+      .agg(min(col("round")).as("seen"))
+    val firstFetch = result.journal.filter(col("stage") === "fetch")
+      .groupBy("url").agg(min(col("round")).as("fetched"))
+    val bad = firstFetch.join(firstSeen, "url")
+      .filter(col("fetched") < col("seen")).count()
+    assert(bad == 0)
+  }
+
+  test("focused crawl: low-score outlinks below threshold are never fetched") {
+    // root spreads score 1.0 over 4 outlinks -> 0.25 each, below 0.3 gate
+    val g = WebGraph(
+      "focused.com" -> Seq("focused.com/a", "focused.com/b",
+        "focused.com/c", "focused.com/d"),
+      "focused.com/a" -> Seq.empty, "focused.com/b" -> Seq.empty,
+      "focused.com/c" -> Seq.empty, "focused.com/d" -> Seq.empty)
+    val r = CrawlTopology.run(
+      spark, Seq(("focused.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 10, minFetchScore = 0.3f))
+    val fetched = r.journal.filter(col("stage") === "fetch")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(fetched == Set("http://focused.com/"))
+    // the outlinks sit in the frontier as UNFETCHED link mass
+    val unfetched = r.frontier.filter(col("status") === FS.UNFETCHED).count()
+    assert(unfetched == 4)
+  }
+
+  test("link mass accumulates: two parents sum onto a shared target") {
+    val g = WebGraph(
+      "mass.com" -> Seq("mass.com/p1", "mass.com/p2"),
+      "mass.com/p1" -> Seq("mass.com/shared"),
+      "mass.com/p2" -> Seq("mass.com/shared"),
+      "mass.com/shared" -> Seq.empty)
+    val r = CrawlTopology.run(
+      spark, Seq(("mass.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 4, minFetchScore = 0.9f))
+    // p1,p2 get 0.5 each -> below gate; shared accumulates 0.5+0.5 = 1.0
+    // only after both parents are parsed, which the gate prevents — so
+    // instead run without gate and check the frontier math via journal
+    val r2 = CrawlTopology.run(
+      spark, Seq(("mass.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 10))
+    val shared = r2.frontier.filter(col("url") === "http://mass.com/shared")
+      .select("score").collect().map(_.getFloat(0))
+    assert(shared.length == 1)
+    assert(math.abs(shared(0) - 1.0f) < 1e-6, s"score ${shared(0)}")
+    assert(r.frontier.filter(col("url") === "http://mass.com/shared").count() == 0)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.UrlFunctions._
+
+/** Golden normalization/validation cases modeled on the behavior the
+  * reference pins down in its SimpleUrlNormalizerTest / SimpleUrlValidatorTest
+  * suites (semantics, not code).
+  */
+class UrlFunctionsSpec extends AnyFunSuite {
+
+  test("default protocol is added") {
+    assert(normalizeUrl("www.example.com") == "http://www.example.com/")
+    assert(normalizeUrl("example.com/path") == "http://example.com/path")
+  }
+
+  test("host is lowercased and trailing dots stripped") {
+    assert(normalizeUrl("http://WWW.Example.COM/Path") == "http://www.example.com/Path")
+    assert(normalizeUrl("http://example.com./a") == "http://example.com/a")
+  }
+
+  test("default port is dropped, explicit port kept") {
+    assert(normalizeUrl("http://example.com:80/a") == "http://example.com/a")
+    assert(normalizeUrl("https://example.com:443/a") == "https://example.com/a")
+    assert(normalizeUrl("http://example.com:8080/a") == "http://example.com:8080/a")
+  }
+
+  test("fragment is removed") {
+    assert(normalizeUrl("http://example.com/a#frag") == "http://example.com/a")
+  }
+
+  test("session ids are stripped from path and query") {
+    assert(normalizeUrl("http://example.com/a;jsessionid=1E6FEC0D14D044541DD84D2D013D29ED") ==
+      "http://example.com/a")
+    assert(normalizeUrl("http://example.com/a?jsessionid=abc&x=1") ==
+      "http://example.com/a?x=1")
+    assert(normalizeUrl("http://example.com/a?PHPSESSID=abc") ==
+      "http://example.com/a")
+  }
+
+  test("relative path segments are resolved") {
+    assert(normalizeUrl("http://example.com/a/b/../c") == "http://example.com/a/c")
+    assert(normalizeUrl("http://example.com/a/./b") == "http://example.com/a/b")
+    assert(normalizeUrl("http://example.com/a/b/..") == "http://example.com/a/")
+  }
+
+  test("default pages are dropped") {
+    assert(normalizeUrl("http://example.com/index.html") == "http://example.com/")
+    assert(normalizeUrl("http://example.com/a/index.php") == "http://example.com/a/")
+    assert(normalizeUrl("http://example.com/indexhtml") == "http://example.com/indexhtml")
+  }
+
+  test("percent escaping is normalized") {
+    // unreserved chars decoded
+    assert(normalizeUrl("http://example.com/%7Euser") == "http://example.com/~user")
+    // unsafe chars encoded uppercase
+    assert(normalizeUrl("http://example.com/a b") == "http://example.com/a%20b")
+    // broken escape repaired (kept literal, re-encoded)
+    assert(normalizeUrl("http://example.com/a%zzb") == "http://example.com/a%zzb")
+  }
+
+  test("whitespace and control chars trimmed/scrubbed") {
+    assert(normalizeUrl("  http://example.com/a\t ") == "http://example.com/a")
+  }
+
+  test("validation accepts http(s) with dotted host, rejects others") {
+    assert(isValidUrl("http://example.com/a"))
+    assert(isValidUrl("https://sub.example.co.uk/"))
+    assert(isValidUrl("http://192.168.0.1/x"))
+    assert(!isValidUrl("ftp://example.com/"))
+    assert(!isValidUrl("http://localhost/"))   // no dot
+    assert(!isValidUrl("mailto:a@b.com"))
+    assert(!isValidUrl(""))
+    assert(!isValidUrl("http://"))
+  }
+
+  test("domain restriction walks subdomains") {
+    assert(isUrlWithinDomain("http://a.example.com/x", "example.com"))
+    assert(isUrlWithinDomain("http://example.com/x", "example.com"))
+    assert(!isUrlWithinDomain("http://badexample.com/x", "example.com"))
+  }
+
+  test("pld extraction honors multi-label public suffixes") {
+    assert(extractPld("http://www.example.com/a") == "example.com")
+    assert(extractPld("http://a.b.example.com/") == "example.com")
+    assert(extractPld("http://www.foo.co.uk/") == "foo.co.uk")
+    assert(extractPld("http://example.com/") == "example.com")
+    assert(extractPld("http://192.168.0.1/") == "192.168.0.1")
+    assert(extractPld("not a url") == "")
+  }
+
+  test("urlWithoutPath keeps protocol, host, explicit port") {
+    assert(urlWithoutPath("http://example.com/a/b?c=1") == "http://example.com")
+    assert(urlWithoutPath("https://example.com:8443/a") == "https://example.com:8443")
+    assert(robotsUrl("http://example.com/deep/page") == "http://example.com/robots.txt")
+  }
+
+  test("urlHash64 is stable and well-spread") {
+    assert(urlHash64("http://example.com/") == urlHash64("http://example.com/"))
+    assert(urlHash64("http://example.com/a") != urlHash64("http://example.com/b"))
+  }
+
+  test("normalization is idempotent") {
+    val cases = Seq(
+      "www.example.com", "http://WWW.Example.COM:80/a/../b;jsessionid=x?sid=1&q=2#f",
+      "http://example.com/%7Euser/index.html", "http://example.com/a b/c")
+    cases.foreach { c =>
+      val once = normalizeUrl(c)
+      assert(normalizeUrl(once) == once, s"not idempotent for $c -> $once")
+    }
+  }
+}
