@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines. Everything here is built from native Catalyst expressions
+  * (transform/aggregate lambdas, md5, window ranking) — no Scala UDFs — so
+  * the whole pipeline stays inside whole-stage codegen and the semantics
+  * are expressible 1:1 in any SQL engine (the DuckDB oracles mirror these
+  * formulas).
+  *
+  * Scale design: every op is a per-row projection followed by (at most) one
+  * hash shuffle on a derived key (fingerprint, shingle, band, bucket), so
+  * each parallelizes linearly: no driver-side state, no cross-partition
+  * iteration. Self-joins are always on a pre-exploded bounded-fan-out key.
+  *
+  * Expression builders are SQL strings parameterized by the input column
+  * name, so composed expressions stay parseable and identical between the
+  * Spark plan and the oracle.
+  */
+object TextOps {
+
+  // ------------------------------------------------------- expression SQL
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokensSql(c: String): String = s"split(trim($c), '\\\\s+')"
+
+  /** Distinct word k-shingles ("a b c") of a text column. */
+  def shinglesSql(c: String, k: Int): String =
+    s"""CASE WHEN size(${tokensSql(c)}) >= $k THEN
+       | array_distinct(transform(sequence(0, size(${tokensSql(c)}) - $k),
+       |   i -> concat_ws(' ', slice(${tokensSql(c)}, i + 1, $k))))
+       | ELSE cast(array() as array<string>) END"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** Stable 32-bit-range hash of a string expression (first 8 hex chars of
+    * its md5) — identical arithmetic exists in any engine with md5.
+    */
+  def hash32Sql(s: String): String =
+    s"cast(conv(substr(md5($s), 1, 8), 16, 10) as bigint)"
+
+  /** Array of 32-bit hashes of the distinct k-shingles. */
+  def hashedShinglesSql(c: String, k: Int): String =
+    s"transform(${shinglesSql(c, k)}, s -> ${hash32Sql("s")})"
+
+  /** Array of 32-bit hashes of the distinct tokens. */
+  def hashedTokensSql(c: String): String =
+    s"transform(array_distinct(${tokensSql(c)}), s -> ${hash32Sql("s")})"
+
+  /** MinHash signature (K permutations) over an array expression of 32-bit
+    * hashes: h_j(x) = ((j*2654435761 + 1) mod p) * x + j*97 + 13 mod p,
+    * p = 1e9+7. All intermediates stay below 2^63 (ANSI-overflow-safe).
+    */
+  def minhashSigSql(hashesSql: String, k: Int): String =
+    s"""transform(sequence(0, ${k - 1}), j ->
+       | array_min(transform($hashesSql, h ->
+       |   (((j * 2654435761 + 1) % 1000000007) * h + j * 97 + 13) % 1000000007)))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** 32-bit SimHash over an array expression of 32-bit token hashes:
+    * per-bit majority vote of ±1 contributions.
+    */
+  def simhash32Sql(hashesSql: String): String =
+    s"""aggregate(transform(sequence(0, 31), b ->
+       | CASE WHEN aggregate($hashesSql, 0L, (acc, h) ->
+       |     acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |   THEN shiftleft(1L, b) ELSE 0L END),
+       | 0L, (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+
+  // --------------------------------------------------------- deduplication
+
+  /** Exact duplicate clusters by content fingerprint: one row per distinct
+    * fingerprint with the representative (min id) and cluster size.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("representative"),
+        count(lit(1)).as("cluster_size"))
+
+  /** Canonical-text fingerprint (lowercase, alphanumeric only) — catches
+    * formatting-only duplicates that exact md5 misses.
+    */
+  def canonicalFingerprintSql(c: String): String =
+    s"md5(regexp_replace(lower($c), '[^a-z0-9]', ''))"
+
+  /** Verified near-duplicate pairs by word-k-shingle Jaccard >= threshold.
+    * One shuffle on the shingle key, one aggregation per candidate pair;
+    * fan-out is bounded by document length, so no skew hotspots.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      expr(shinglesSql(textCol, k)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** Per-document MinHash signatures. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      expr(minhashSigSql(hashedShinglesSql(textCol, shingleK), numHashes))
+        .as("sig"))
+
+  /** MinHash+LSH candidate pairs: signatures split into bands of
+    * `bandSize`; docs sharing any band bucket become candidates. The scale
+    * path for near-dup at 100 TB: per-row cost is O(shingles x K), then one
+    * shuffle on (band, key) whose buckets are tiny by construction.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val bands = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${numBands - 1}), b ->
+             | concat_ws('-', b,
+             |   concat_ws(',', slice(sig, b * $bandSize + 1, $bandSize))))"""
+            .stripMargin.replaceAll("\n", " "))).as("band_key"))
+      .distinct()
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Per-document 32-bit SimHash over distinct token hashes. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      expr(simhash32Sql(hashedTokensSql(textCol))).as("simhash"))
+
+  // -------------------------------------------------------- text analysis
+
+  private def lexiconHitsSql(c: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(trim(lower($c)), '\\\\s+'), x -> x IN ($lst)))"
+  }
+
+  val enWords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  val deWords: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein")
+  val frWords: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
+  val esWords: Seq[String] = Seq("el", "los", "las", "y", "es", "por", "un", "una")
+
+  /** Language-ID by stopword-lexicon hits: per-language counts + argmax
+    * with deterministic tie order en > de > fr > es.
+    */
+  def langIdFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      expr(lexiconHitsSql(textCol, enWords)).cast("long").as("en_hits"),
+      expr(lexiconHitsSql(textCol, deWords)).cast("long").as("de_hits"),
+      expr(lexiconHitsSql(textCol, frWords)).cast("long").as("fr_hits"),
+      expr(lexiconHitsSql(textCol, esWords)).cast("long").as("es_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+
+  /** Quality features: char/token counts, mean token length, alpha and
+    * stopword ratios — the usual pre-training quality gates. Ratios are
+    * exact-integer divisions, so they are engine-portable bit-for-bit.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nTokens = size(expr(tokensSql(textCol))).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (length(regexp_replace(col(textCol), "\\s", "")).cast("long") / nTokens)
+        .as("mean_token_len"),
+      (length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long") / nChars)
+        .as("alpha_ratio"),
+      (expr(lexiconHitsSql(textCol, enWords)).cast("long") / nTokens)
+        .as("stopword_ratio"))
+  }
+
+  /** Per-key top-K by a score column with total-order tie-break. */
+  def topKPerKey(df: DataFrame, key: String, score: Column, tieBreak: Column,
+      k: Int): DataFrame =
+    df.withColumn("rn",
+      row_number().over(Window.partitionBy(col(key))
+        .orderBy(score.desc, tieBreak.asc)))
+      .filter(col("rn") <= k)
+}

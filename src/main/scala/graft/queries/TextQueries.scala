@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextOps}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search (brute-force cosine, hyperplane-LSH ANN),
+  * and text analysis (tokens, quality, language-ID, fingerprints), each
+  * with a value-exact DuckDB oracle mirroring the same arithmetic.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+
+  // DuckDB-dialect builders mirroring TextOps/Similarity formulas
+  private val dTokens = """string_split_regex(trim(text), '\s+')"""
+  private val dShingles =
+    s"""CASE WHEN len($dTokens) >= 3 THEN
+       | list_distinct(list_transform(range(0, len($dTokens) - 2),
+       |   i -> array_to_string(($dTokens)[i+1:i+3], ' ')))
+       | ELSE [] END""".stripMargin.replaceAll("\n", " ")
+  private def dHash32(s: String) =
+    s"CAST(CONCAT('0x', substr(md5($s), 1, 8)) AS BIGINT)"
+  private val dHashedShingles =
+    s"list_transform($dShingles, s -> ${dHash32("s")})"
+  private val dHashedTokens =
+    s"list_transform(list_distinct($dTokens), s -> ${dHash32("s")})"
+  private def dMinhash(hs: String, k: Int) =
+    s"""list_transform(range(0, $k), j ->
+       | list_min(list_transform($hs, h ->
+       |   (((j * 2654435761 + 1) % 1000000007) * h + j * 97 + 13) % 1000000007)))"""
+      .stripMargin.replaceAll("\n", " ")
+  private def dDot(a: String, b: String) =
+    s"""list_reduce(list_transform(range(0, 64), d ->
+       | CAST($a[d+1] AS DOUBLE) * CAST($b[d+1] AS DOUBLE)), (x, y) -> x + y)"""
+      .stripMargin.replaceAll("\n", " ")
+  private def dCos(a: String, b: String) =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+  private val dBucket =
+    s"""list_reduce(list_transform(range(0, 16), j ->
+       | CASE WHEN list_reduce(list_transform(range(0, 64), d ->
+       |     CAST(v[d+1] AS DOUBLE) * (((j * 31 + d * 17) % 7) - 3)),
+       |     (x, y) -> x + y) > 0
+       |   THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+       | (x, y) -> x + y)""".stripMargin.replaceAll("\n", " ")
+  private def dLexHits(words: Seq[String]) = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"""CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       | x -> x IN ($lst))) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_dedup_exact" -> ((s, d) =>
+      TextOps.exactDedup(docs(s, d), "doc_id", "text")),
+    "q19_ngram_jaccard" -> ((s, d) =>
+      TextOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3,
+        threshold = 0.5)),
+    "q20_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(expr(TextOps.tokensSql("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"))),
+    "q21_quality_score" -> ((s, d) =>
+      TextOps.qualityFeatures(docs(s, d), "doc_id", "text")),
+    "q22_lang_id" -> ((s, d) =>
+      TextOps.langIdFeatures(docs(s, d), "doc_id", "text")),
+    "q23_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        expr(TextOps.canonicalFingerprintSql("text")).as("fingerprint"))),
+    "q24_minhash_sig" -> ((s, d) =>
+      TextOps.minhashSignatures(docs(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 16)),
+    "q25_minhash_lsh_pairs" -> ((s, d) =>
+      TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bandSize = 4)),
+    "q26_simhash" -> ((s, d) =>
+      TextOps.simhashes(docs(s, d), "doc_id", "text")),
+    "q27_cosine_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.cosineTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", dim = 64, k = 5)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    }),
+    "q28_ann_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.annTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", dim = 64, numPlanes = 16, k = 3)
+        .select("query_id", "neighbor_id", "bucket", "cos", "rn")
+    }),
+    "q29_embed_stats" -> ((s, d) =>
+      embs(s, d)
+        .select(col("label"),
+          expr(Similarity.normSql("embedding", 64)).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))),
+    "q30_multimodal_meta" -> ((s, d) =>
+      // binary-column plumbing: opaque bytes + deterministic fake "decode"
+      docs(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(
+          col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          (length(col("content")).cast("long") % 640).as("width"),
+          (length(col("content")).cast("long") % 480).as("height"),
+          substring(md5(col("content")), 1, 6).as("format_tag")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS representative,
+        |  COUNT(*) AS cluster_size
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $dShingles AS sh FROM documents),
+         |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         |    COUNT(*) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, inter, n_a, n_b, jaccard FROM (
+         |  SELECT *, inter / (n_a + n_b - inter) AS jaccard FROM p)
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "q20_token_count" ->
+      s"""SELECT doc_id, CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_text
+         |FROM documents""".stripMargin,
+    "q21_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |    / CAST(len($dTokens) AS BIGINT) AS mean_token_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         |    / CAST(length(text) AS BIGINT) AS alpha_ratio,
+         |  ${dLexHits(TextOps.enWords)} / CAST(len($dTokens) AS BIGINT)
+         |    AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "q22_lang_id" ->
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |       WHEN fr_hits >= es_hits THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  ${dLexHits(TextOps.enWords)} AS en_hits,
+         |  ${dLexHits(TextOps.deWords)} AS de_hits,
+         |  ${dLexHits(TextOps.frWords)} AS fr_hits,
+         |  ${dLexHits(TextOps.esWords)} AS es_hits
+         |FROM documents)""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q24_minhash_sig" ->
+      s"""SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |FROM documents""".stripMargin,
+    "q25_minhash_lsh_pairs" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM sigs)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
+    "q26_simhash" ->
+      s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+         |  CASE WHEN list_sum(list_transform($dHashedTokens, h ->
+         |      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |FROM documents""".stripMargin,
+    "q27_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q28_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    (SELECT $dBucket FROM (SELECT qv0 AS v)) AS bucket
+         |  FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings
+         |        WHERE vec_id % 50 = 0)),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |    (SELECT $dBucket FROM (SELECT cv0 AS v)) AS bucket
+         |  FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings)),
+         |j AS (SELECT query_id, neighbor_id, q.bucket AS bucket,
+         |    ${dCos("qv", "cv")} AS cos
+         |  FROM q JOIN c ON q.bucket = c.bucket
+         |  WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, bucket, cos, rn FROM r
+         |WHERE rn <= 3""".stripMargin,
+    "q29_embed_stats" ->
+      s"""SELECT label, COUNT(*) AS n,
+         |  MIN(sqrt(${dDot("embedding", "embedding")})) AS min_norm,
+         |  MAX(sqrt(${dDot("embedding", "embedding")})) AS max_norm
+         |FROM embeddings GROUP BY label""".stripMargin,
+    "q30_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) AS BIGINT) % 640 AS width,
+        |  CAST(length(text) AS BIGINT) % 480 AS height,
+        |  substr(md5(text), 1, 6) AS format_tag
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters identical texts") {
+    val clusters = TextOps.exactDedup(docs, "doc_id", "text").collect()
+    assert(clusters.length == 4) // 1&4 collapse
+    val dup = clusters.find(_.getAs[Long]("cluster_size") == 2).get
+    assert(dup.getAs[Long]("representative") == 1L)
+  }
+
+  test("ngram jaccard finds near-dup pair but not unrelated docs") {
+    val pairs = TextOps
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L))) // one word differs -> high jaccard
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash candidates include true near-dups") {
+    val cand = TextOps
+      .minhashCandidates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bandSize = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .toSet
+    assert(cand.contains((1L, 4L))) // identical docs always collide
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = TextOps.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    assert(sh(1L) == sh(4L))
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("langId predicts lexicon language") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et la maison est une chose")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langIdFeatures(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("cosine topK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      dim = 4, k = 2).collect()
+    assert(top.length == 2)
+    assert(top.find(_.getAs[Long]("rn") == 1L).get.getAs[Long]("neighbor_id") == 1L)
+    assert(top.find(_.getAs[Long]("rn") == 2L).get.getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("lsh buckets put identical vectors together and ANN finds them") {
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 2.0f, -1.0f, 0.5f)
+      else Array(-1.0f, -2.0f, 1.0f, -0.5f)
+      (i, base.map(_ * (1.0f + (i % 5) * 0.01f)))
+    }.toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(vecs, "vec_id", "embedding", 4, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(2L)) // same direction, same signs
+    assert(buckets(0L) != buckets(1L)) // opposite direction differs
+    val ann = Similarity.annTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+      dim = 4, numPlanes = 8, k = 3).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => r.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
+  test("multimodal decode plumbing: stub decoder metadata + frame sampling") {
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+    val decoded = Multimodal.decodeMeta(
+      Multimodal.balanceBySize(media, "doc_id", "content", 4),
+      "doc_id", "content", new Multimodal.StubDecoder)
+    val rows = decoded.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.width == (r.nBytes % 640).toInt)
+      assert(r.nFrames >= 1)
+    }
+    val frames = Multimodal.sampleFrames(decoded, every = 2).collect()
+    val expected = rows.map(r => (r.nFrames + 1) / 2).sum
+    assert(frames.length == expected)
+  }
+}
