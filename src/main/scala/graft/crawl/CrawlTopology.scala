@@ -88,7 +88,8 @@ object CrawlTopology {
       seeds: Seq[(String, Float)],
       pageFetcher: Fetcher,
       robotsFetcher: Fetcher,
-      cfg: CrawlConfig = CrawlConfig()): CrawlResult = {
+      cfg: CrawlConfig = CrawlConfig(),
+      initialFrontier: Option[DataFrame] = None): CrawlResult = {
     import spark.implicits._
 
     val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -99,9 +100,11 @@ object CrawlTopology {
         .withColumn("stage", lit(stage))
         .select("round", "stage", "url", "status")
 
+    val seedRows = cleanUrls(spark, seeds.toDS(), 0L, cfg).toDF()
     var frontier: DataFrame =
       UrlStateMerger
-        .mergeFrontier(cleanUrls(spark, seeds.toDS(), 0L, cfg).toDF())
+        .mergeFrontier(
+          initialFrontier.fold(seedRows)(f => f.unionByName(seedRows)))
         .localCheckpoint(true)
     journal(0, "seed", frontier.select(col("url"), col("status")))
 

@@ -54,17 +54,20 @@ object Similarity {
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
+    // norms are per-vector, so compute them once per side, not per pair
     val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      expr(normSql(vecCol, dim)).as("qn"))
     val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      expr(normSql(vecCol, dim)).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        expr(cosineSql("qv", "cv", dim)).as("cos"))
+        (expr(dotSql("qv", "cv", dim)) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }
@@ -86,9 +89,11 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
+      expr(normSql(vecCol, dim)).as("qn"),
       expr(bucketSql(vecCol, dim, numPlanes)).as("bucket"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      expr(normSql(vecCol, dim)).as("cn"),
       expr(bucketSql(vecCol, dim, numPlanes)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -96,7 +101,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"), col("bucket"),
-        expr(cosineSql("qv", "cv", dim)).as("cos"))
+        (expr(dotSql("qv", "cv", dim)) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }

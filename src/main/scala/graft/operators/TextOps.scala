@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 
 /** Text-analysis and deduplication operators for large-scale training-data
   * pipelines. Everything here is built from native Catalyst expressions
@@ -27,13 +27,34 @@ object TextOps {
   /** Whitespace tokens of a trimmed text column. */
   def tokensSql(c: String): String = s"split(trim($c), '\\\\s+')"
 
-  /** Distinct word k-shingles ("a b c") of a text column. */
-  def shinglesSql(c: String, k: Int): String =
-    s"""CASE WHEN size(${tokensSql(c)}) >= $k THEN
-       | array_distinct(transform(sequence(0, size(${tokensSql(c)}) - $k),
-       |   i -> concat_ws(' ', slice(${tokensSql(c)}, i + 1, $k))))
+  /** Distinct word k-shingles ("a b c") from an already-tokenized array
+    * column. Keeping the token array a materialized column matters: inlined
+    * into a lambda it would be re-split once per shingle position (O(L^2)
+    * per document).
+    */
+  def shinglesFromToksSql(toksCol: String, k: Int): String =
+    s"""CASE WHEN size($toksCol) >= $k THEN
+       | array_distinct(transform(sequence(0, size($toksCol) - $k),
+       |   i -> concat_ws(' ', slice($toksCol, i + 1, $k))))
        | ELSE cast(array() as array<string>) END"""
       .stripMargin.replaceAll("\n", " ")
+
+  /** Distinct word k-shingles of a raw text column (oracle-shaped single
+    * expression; operators stage through [[shingleUdf]] instead).
+    */
+  def shinglesSql(c: String, k: Int): String =
+    shinglesFromToksSql(tokensSql(c), k)
+
+  /** Distinct word k-shingles as a Scala UDF. Higher-order-function shingle
+    * construction is interpreted (HOFs have no codegen) and was the
+    * pipeline bottleneck (~5x slower); this is value-identical: same
+    * whitespace tokens, same first-occurrence distinct order.
+    */
+  def shingleUdf(k: Int): UserDefinedFunction = udf { (text: String) =>
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) Array.empty[String]
+    else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
+  }
 
   /** Stable 32-bit-range hash of a string expression (first 8 hex chars of
     * its md5) — identical arithmetic exists in any engine with md5.
@@ -41,13 +62,9 @@ object TextOps {
   def hash32Sql(s: String): String =
     s"cast(conv(substr(md5($s), 1, 8), 16, 10) as bigint)"
 
-  /** Array of 32-bit hashes of the distinct k-shingles. */
-  def hashedShinglesSql(c: String, k: Int): String =
-    s"transform(${shinglesSql(c, k)}, s -> ${hash32Sql("s")})"
-
-  /** Array of 32-bit hashes of the distinct tokens. */
-  def hashedTokensSql(c: String): String =
-    s"transform(array_distinct(${tokensSql(c)}), s -> ${hash32Sql("s")})"
+  /** Array of 32-bit hashes of the elements of an array column. */
+  def hashArraySql(arrCol: String): String =
+    s"transform($arrCol, s -> ${hash32Sql("s")})"
 
   /** MinHash signature (K permutations) over an array expression of 32-bit
     * hashes: h_j(x) = ((j*2654435761 + 1) mod p) * x + j*97 + 13 mod p,
@@ -92,10 +109,10 @@ object TextOps {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("doc_id"),
-      expr(shinglesSql(textCol, k)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val sh = df
+      .select(col(idCol).as("doc_id"), shingleUdf(k)(col(textCol)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -109,14 +126,17 @@ object TextOps {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
-  /** Per-document MinHash signatures. */
+  /** Per-document MinHash signatures. Each stage is a materialized column
+    * so tokenization, shingling, and hashing run once per document, not
+    * once per (element x permutation) lambda evaluation.
+    */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      expr(minhashSigSql(hashedShinglesSql(textCol, shingleK), numHashes))
-        .as("sig"))
+    df.select(col(idCol).as("doc_id"),
+      shingleUdf(shingleK)(col(textCol)).as("sh"))
+      .select(col("doc_id"), expr(hashArraySql("sh")).as("hs"))
+      .select(col("doc_id"), expr(minhashSigSql("hs", numHashes)).as("sig"))
 
   /** MinHash+LSH candidate pairs: signatures split into bands of
     * `bandSize`; docs sharing any band bucket become candidates. The scale
@@ -145,17 +165,24 @@ object TextOps {
       .distinct()
   }
 
-  /** Per-document 32-bit SimHash over distinct token hashes. */
+  /** Per-document 32-bit SimHash over distinct token hashes (staged). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      expr(simhash32Sql(hashedTokensSql(textCol))).as("simhash"))
+    df.select(col(idCol).as("doc_id"),
+      expr(s"array_distinct(${tokensSql(textCol)})").as("toks"))
+      .select(col("doc_id"), expr(hashArraySql("toks")).as("hs"))
+      .select(col("doc_id"), expr(simhash32Sql("hs")).as("simhash"))
 
   // -------------------------------------------------------- text analysis
 
   private def lexiconHitsSql(c: String, words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(split(trim(lower($c)), '\\\\s+'), x -> x IN ($lst)))"
+  }
+
+  /** Same hits counter over an already-tokenized lowercase array column. */
+  private def lexiconHitsFromToksSql(toksCol: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($toksCol, x -> x IN ($lst)))"
   }
 
   val enWords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
@@ -167,12 +194,14 @@ object TextOps {
     * with deterministic tie order en > de > fr > es.
     */
   def langIdFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      expr(lexiconHitsSql(textCol, enWords)).cast("long").as("en_hits"),
-      expr(lexiconHitsSql(textCol, deWords)).cast("long").as("de_hits"),
-      expr(lexiconHitsSql(textCol, frWords)).cast("long").as("fr_hits"),
-      expr(lexiconHitsSql(textCol, esWords)).cast("long").as("es_hits"))
+    df.select(col(idCol),
+      expr(s"split(trim(lower($textCol)), '\\\\s+')").as("ltoks"))
+      .select(
+        col(idCol),
+        expr(lexiconHitsFromToksSql("ltoks", enWords)).cast("long").as("en_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", deWords)).cast("long").as("de_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", frWords)).cast("long").as("fr_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", esWords)).cast("long").as("es_hits"))
       .withColumn("pred_lang",
         when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
           .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")

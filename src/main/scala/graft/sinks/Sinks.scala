@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Output sinks mirroring the reference's two writers (SURVEY.md §2.13):
+  * WARC archive records (W1) and tab-separated parsed text (W2), plus the
+  * analytics-native parquet content sink.
+  */
+object Sinks {
+
+  /** ISO-8601 date used in WARC headers (reference
+    * …/flinkcrawler/warc/CreateWARCWritableFunction.java:23).
+    */
+  private val WarcDate = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  /** Render one WARC/1.0 `resource` record per fetched page as a column
+    * expression (reference WARCRecord.java:35, CreateWARCWritableFunction
+    * .java:87-110). Expects columns: url, contentType, content (string),
+    * fetchTimeMs (long).
+    */
+  def warcRecordCol = {
+    val body = col("content")
+    val len = length(body).cast("string")
+    concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: resource\r\n"),
+      concat(lit("WARC-Target-URI: "), col("url"), lit("\r\n")),
+      concat(lit("WARC-Date: "),
+        date_format(timestamp_millis(col("fetchTimeMs")), WarcDate),
+        lit("\r\n")),
+      concat(lit("Content-Type: "), col("contentType"), lit("\r\n")),
+      concat(lit("Content-Length: "), len, lit("\r\n")),
+      lit("\r\n"),
+      body, lit("\r\n\r\n"))
+  }
+
+  /** One-time warcinfo header record (reference
+    * CreateWARCWritableFunction.java:55-86).
+    */
+  def warcInfoRecord(crawler: String, timeMs: Long): String = {
+    val date = java.time.Instant.ofEpochMilli(timeMs).toString
+    val fields = s"software: $crawler\r\nformat: WARC file version 1.0\r\n"
+    s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: $date\r\n" +
+      s"Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${fields.length}\r\n\r\n$fields\r\n\r\n"
+  }
+
+  /** Write fetched pages as rolling WARC text segments (the reference
+    * rotates ~1 GB segments, WARCFileWriter.java:96-170; here segment size
+    * is bounded via maxRecordsPerFile and optional gzip via codec).
+    */
+  def writeWarc(
+      fetched: DataFrame, path: String,
+      maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
+    val writer = fetched
+      .select(warcRecordCol.as("value"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
+  }
+
+  /** Tab-separated `url<TAB>text` lines with tabs/newlines scrubbed
+    * (reference CrawlTopologyBuilder.java:441-453, scrub regex :81).
+    */
+  def parsedTextTsv(parsed: DataFrame): DataFrame =
+    parsed.select(concat_ws("\t",
+      col("url"),
+      regexp_replace(col("text"), "[\\t\\r\\n]", " ")).as("value"))
+
+  def writeParsedTsv(parsed: DataFrame, path: String): Unit =
+    parsedTextTsv(parsed).write.mode("overwrite").text(path)
+
+  /** The analytics-engine content sink: pages as parquet partitioned by
+    * pld bucket so frontier joins prune partitions.
+    */
+  def writeContentParquet(fetched: DataFrame, path: String,
+      buckets: Int = 64): Unit =
+    fetched
+      .withColumn("pld_bucket", pmod(hash(col("pld")), lit(buckets)))
+      .write.mode("overwrite")
+      .partitionBy("pld_bucket")
+      .parquet(path)
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.crawl.{CrawlConfig, CrawlResult, CrawlTopology, Fetcher}
+
+/** The crawl as a Structured Streaming query (SURVEY.md §2.12): seed URLs
+  * arrive as a stream (file drop directory, rate-limited source, or
+  * MemoryStream in tests — the reference's slow-drip SeedUrlSource);
+  * `foreachBatch` merges each seed micro-batch into the persistent
+  * frontier and crawls to quiescence with the batch topology. The frontier
+  * folds across micro-batches, so re-seeded URLs hit the merge semantics
+  * (already-FETCHED pages are not refetched) instead of restarting.
+  */
+object StreamingCrawl {
+
+  /** Start the streaming crawl. `seedStream` must be a streaming DataFrame
+    * with columns (url string, score float). `onBatch` observes each
+    * micro-batch's CrawlResult (journal/parsed/frontier).
+    */
+  def start(
+      spark: SparkSession,
+      seedStream: DataFrame,
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      cfg: CrawlConfig = CrawlConfig(),
+      onBatch: CrawlResult => Unit = _ => ()): StreamingQuery = {
+
+    @volatile var frontier: Option[DataFrame] = None
+    seedStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // seed lists are tiny relative to the frontier; collecting them on
+        // the driver mirrors the reference's parallelism-1 seed source
+        val seeds = batch
+          .select("url", "score")
+          .collect()
+          .map(r => (r.getString(0), r.getFloat(1)))
+          .toSeq
+        val result = CrawlTopology.run(
+          spark, seeds, pageFetcher, robotsFetcher, cfg,
+          initialFrontier = frontier)
+        frontier = Some(result.frontier)
+        onBatch(result)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.schema.{DomainScore, FetchUrl}
+
+/** Keyed stateful streaming operators (SURVEY.md §2.15 "Stateful"): the
+  * reference's timer/state constructs re-expressed with
+  * `flatMapGroupsWithState` so they run identically under Structured
+  * Streaming micro-batches and in batch tests via MemoryStream.
+  */
+object StreamingOps {
+
+  // ----------------------------------------------------- moving average G1
+
+  final case class ScoreEvent(pld: String, score: Float, seq: Long)
+  final case class AvgState(window: List[Float])
+  final case class AvgOut(pld: String, avgScore: Float, nSamples: Int)
+
+  val MovingWindowSize = 10
+
+  /** Per-PLD running average of the last 10 scores, emitted on every input
+    * (reference …/flinkcrawler/functions/MovingAverageFunction.java:14-51:
+    * count-based sliding window in keyed state).
+    */
+  def movingAverage(
+      events: Dataset[ScoreEvent]): Dataset[AvgOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.pld)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (pld: String, it: Iterator[ScoreEvent], state: GroupState[AvgState]) => {
+          var window = state.getOption.map(_.window).getOrElse(Nil)
+          val out = it.toSeq.sortBy(_.seq).map { e =>
+            window = (e.score :: window).take(MovingWindowSize)
+            AvgOut(pld, window.sum / window.size, window.size)
+          }
+          state.update(AvgState(window))
+          out.iterator
+        })
+  }
+
+  // ---------------------------------------------------- politeness gate A2
+
+  final case class GateState(nextFetchTime: Long)
+  final case class GateOut(
+      url: String, pld: String, score: Float, crawlDelay: Long,
+      ready: Boolean, notBefore: Long)
+
+  /** Per-domain politeness gate (reference …/flinkcrawler/functions/
+    * FetchUrlsFunction.java:88-97): a URL arriving before the domain's
+    * next-allowed fetch time is emitted as not-ready carrying that time;
+    * otherwise it is released and the domain clock advances by its crawl
+    * delay. `eventTime` supplies the logical clock (deterministic tests).
+    */
+  def politenessGate(
+      urls: Dataset[FetchUrl], eventTime: Long): Dataset[GateOut] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls
+      .groupByKey(_.pld)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (pld: String, it: Iterator[FetchUrl], state: GroupState[GateState]) => {
+          var next = state.getOption.map(_.nextFetchTime).getOrElse(0L)
+          // deterministic order: best score first, then url
+          val out = it.toSeq.sortBy(u => (-u.score, u.url)).map { u =>
+            if (eventTime >= next) {
+              next = eventTime + u.crawlDelay
+              GateOut(u.url, pld, u.score, u.crawlDelay, ready = true, 0L)
+            } else
+              GateOut(u.url, pld, u.score, u.crawlDelay, ready = false, next)
+          }
+          state.update(GateState(next))
+          out.iterator
+        })
+  }
+
+  // ------------------------------------------------- domain-score smoother
+
+  /** Streamed domain-score averaging (the score feedback loop's stateful
+    * half, reference UrlDBFunction.processElement2 :560-581): maintains
+    * the per-domain moving average and the running global mean.
+    */
+  def domainScores(
+      scores: Dataset[ScoreEvent]): Dataset[DomainScore] = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    movingAverage(scores).map(a => DomainScore(a.pld, a.avgScore))
+  }
+
+  // -------------------------------------------------- event-rate window G4
+
+  /** Sliding event-rate over a timestamped stream (reference TimedCounter,
+    * FetchUrlsFunction.java:169-224): counts per 30 s window sliding by
+    * 10 s, with a watermark bounding state.
+    */
+  def eventRate(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame, // cols: ts timestamp, pld string
+      window30s: String = "30 seconds",
+      slide: String = "10 seconds") =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), window30s, slide), col("pld"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.schema.FetchUrl
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{AvgOut, ScoreEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("moving average over a MemoryStream keeps the last-10 window per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScoreEvent]
+    val query = StreamingOps
+      .movingAverage(input.toDS())
+      .writeStream.format("memory").queryName("mavg")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 12).map(i => ScoreEvent("d1.com", i.toFloat, i.toLong)))
+      input.addData(Seq(ScoreEvent("d2.com", 100f, 1L)))
+      query.processAllAvailable()
+      val rows = spark.table("mavg").as[AvgOut].collect()
+      val d1 = rows.filter(_.pld == "d1.com").sortBy(_.nSamples)
+      // first emission avg=1, tenth avg=(1..10)/10=5.5
+      assert(d1.head.avgScore == 1.0f)
+      assert(d1.exists(r => r.nSamples == 10 && math.abs(r.avgScore - 5.5f) < 1e-5))
+      // 12th emission: window 3..12 -> avg 7.5
+      assert(math.abs(d1.last.avgScore - 7.5f) < 1e-5)
+      assert(rows.filter(_.pld == "d2.com").head.avgScore == 100f)
+    } finally query.stop()
+  }
+
+  test("moving average state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScoreEvent]
+    val query = StreamingOps
+      .movingAverage(input.toDS())
+      .writeStream.format("memory").queryName("mavg2")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ScoreEvent("d.com", 2f, 1L)))
+      query.processAllAvailable()
+      input.addData(Seq(ScoreEvent("d.com", 4f, 2L)))
+      query.processAllAvailable()
+      val rows = spark.table("mavg2").as[AvgOut].collect().sortBy(_.nSamples)
+      assert(rows.map(_.avgScore).toSeq == Seq(2.0f, 3.0f)) // (2), (2+4)/2
+    } finally query.stop()
+  }
+
+  test("politeness gate releases one URL per domain per delay window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FetchUrl]
+    val query = StreamingOps
+      .politenessGate(input.toDS(), eventTime = 1000L)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        FetchUrl("http://d.com/a", "d.com", 2.0f, 500L),
+        FetchUrl("http://d.com/b", "d.com", 1.0f, 500L),
+        FetchUrl("http://e.com/x", "e.com", 1.0f, 500L)))
+      query.processAllAvailable()
+      val rows = spark.table("gate").collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Boolean]("ready")).toMap
+      assert(rows("http://d.com/a")) // best score released first
+      assert(!rows("http://d.com/b")) // same domain, inside delay window
+      assert(rows("http://e.com/x")) // other domain unaffected
+    } finally query.stop()
+  }
+
+  test("windowed event rate with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "pld")
+    val query = StreamingOps.eventRate(spark, df)
+      .writeStream.format("memory").queryName("rate")
+      .outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+      input.addData(Seq((at(1), "d.com"), (at(5), "d.com"), (at(15), "d.com")))
+      // advance watermark far enough to close the early windows
+      input.addData(Seq((at(600), "d.com")))
+      query.processAllAvailable()
+      val rows = spark.table("rate")
+        .select(col("window.start").cast("long").as("s"), col("n")).collect()
+      assert(rows.nonEmpty)
+      // the window covering 0-30s (starting at 1704067200 - slide offsets)
+      // must have counted all three early events in some 30s window
+      assert(rows.map(_.getAs[Long]("n")).max == 3)
+    } finally query.stop()
+  }
+
+  test("warc + tsv sinks round-trip") {
+    import spark.implicits._
+    val fetched = Seq(
+      ("http://d.com/a", "text/html", "<html>hello</html>", 1700000000000L),
+      ("http://d.com/b", "text/html", "<html>world</html>", 1700000001000L)
+    ).toDF("url", "contentType", "content", "fetchTimeMs")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    graft.sinks.Sinks.writeWarc(fetched, s"$dir/warc")
+    val back = spark.read.text(s"$dir/warc").collect().map(_.getString(0))
+    assert(back.count(_.startsWith("WARC/1.0")) == 2)
+    assert(back.count(_.startsWith("WARC-Target-URI: ")) == 2)
+    assert(back.exists(_ == "Content-Length: 18"))
+
+    val parsed = Seq(("http://d.com/a", "line1\twith\ttabs\nand newline"))
+      .toDF("url", "text")
+    graft.sinks.Sinks.writeParsedTsv(parsed, s"$dir/tsv")
+    val tsv = spark.read.text(s"$dir/tsv").collect().map(_.getString(0))
+    assert(tsv.length == 1)
+    assert(tsv.head == "http://d.com/a\tline1 with tabs and newline")
+  }
+}
+class StreamingCrawlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming crawl folds the frontier across seed micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val graph = graft.crawl.WebGraph(
+      "d1.com" -> Seq("d1.com/a"), "d1.com/a" -> Seq.empty,
+      "d2.com" -> Seq("d2.com/b"), "d2.com/b" -> Seq.empty)
+    val fetcher = new graft.crawl.WebGraphFetcher(graph)
+    val robots = new graft.crawl.MapRobotsFetcher(Map.empty)
+    val results = scala.collection.mutable.ArrayBuffer.empty[graft.crawl.CrawlResult]
+
+    val input = MemoryStream[(String, Float)]
+    val query = graft.streaming.StreamingCrawl.start(
+      spark, input.toDF().toDF("url", "score"), fetcher, robots,
+      graft.crawl.CrawlConfig(maxRounds = 10),
+      r => results.synchronized { results += r })
+    try {
+      input.addData(Seq(("d1.com", 1.0f)))
+      query.processAllAvailable()
+      input.addData(Seq(("d2.com", 1.0f), ("d1.com", 1.0f)))
+      query.processAllAvailable()
+      val frontier = results.last.frontier.collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+      assert(frontier("http://d1.com/") == "FETCHED")
+      assert(frontier("http://d2.com/") == "FETCHED")
+      assert(frontier("http://d2.com/b") == "FETCHED")
+      // second batch must not refetch d1 pages (already FETCHED in frontier)
+      val refetched = results.last.journal
+        .filter(col("stage") === "fetch" && col("url").startsWith("http://d1.com"))
+        .count()
+      assert(refetched == 0, "frontier state leaked between micro-batches")
+    } finally query.stop()
+  }
+}
