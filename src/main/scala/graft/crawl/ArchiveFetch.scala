@@ -1,0 +1,85 @@
+package graft.crawl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{FetchStatus => FS}
+
+/** Batch page source: "fetching" against a stored page-archive snapshot
+  * instead of the live web — the Spark-native equivalent of the reference's
+  * CommonCrawl fetcher (…/flinkcrawler/fetcher/commoncrawl/
+  * CommonCrawlFetcher.java:50-135: CDX secondary-index binary search +
+  * WARC byte-range reads + segment LRU cache).
+  *
+  * In Spark the whole index-lookup machinery collapses into one equi-join:
+  * the archive is a parquet table keyed by normalized URL, candidates join
+  * against it, misses are 404s. Catalyst picks broadcast vs shuffle join by
+  * size; at 100 TB the archive side is bucketed by url so the join is
+  * co-partitioned with no cache tier to manage — the block manager and
+  * parquet footer pruning replace SegmentCache.
+  *
+  * Archive schema: url (normalized), statusCode int, content string,
+  * contentType string, redirectedTo string (nullable).
+  */
+object ArchiveFetch {
+
+  /** Columnar HTTP-status -> FetchStatus mapping (reference
+    * ExceptionUtils.java:19-61), the CASE-expression form of
+    * [[graft.schema.FetchStatus.fromHttpStatus]].
+    */
+  def httpStatusToFetchStatusCol(code: Column): Column =
+    when(code.isNull, FS.HTTP_NOTFOUND)
+      .when(code.between(200, 299), FS.FETCHED)
+      .when(code.isin(301, 308), FS.HTTP_MOVED)
+      .when(code.isin(302, 303, 307), FS.HTTP_REDIRECTED)
+      .when(code === 401, FS.HTTP_UNAUTHORIZED)
+      .when(code === 403, FS.HTTP_FORBIDDEN)
+      .when(code === 404, FS.HTTP_NOTFOUND)
+      .when(code === 410, FS.HTTP_GONE)
+      .when(code === 429, FS.HTTP_TOO_MANY_REQUESTS)
+      .when(code >= 500, FS.HTTP_SERVER_ERROR)
+      .otherwise(FS.ERROR_IOEXCEPTION)
+
+  /** Fetch stage backed by an archive table: one left equi-join on url.
+    * Returns the same FetchOutcome rows the live mapPartitions fetcher
+    * produces, so the topology is source-agnostic.
+    */
+  def stage(archive: DataFrame)(
+      allowed: Dataset[RobotsVerdict]): Dataset[FetchOutcome] = {
+    val spark = allowed.sparkSession
+    import spark.implicits._
+    val status = httpStatusToFetchStatusCol(col("statusCode"))
+    allowed.toDF()
+      .join(
+        archive.select(
+          col("url"), col("statusCode"), col("content"),
+          col("contentType"), col("redirectedTo")),
+        Seq("url"), "left")
+      .select(
+        col("url"), col("pld"),
+        status.as("status"),
+        col("score"),
+        col("crawlDelay"),
+        when(status === FS.FETCHED, coalesce(col("content"), lit("")))
+          .otherwise(lit("")).as("content"),
+        coalesce(col("contentType"), lit("text/plain")).as("contentType"),
+        coalesce(col("redirectedTo"), lit("")).as("redirectedTo"))
+      .as[FetchOutcome]
+  }
+
+  /** Materialize a WebGraph fixture as an archive table — lets tests prove
+    * live-fetch and archive-fetch topologies produce identical frontiers.
+    */
+  def archiveFromGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      graph: WebGraph,
+      redirects: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val fetcher = new WebGraphFetcher(graph, redirects)
+    val rows = (graph.allUrls ++ redirects.keys).distinct.map { url =>
+      val p = fetcher.fetch(url)
+      (url, p.statusCode, p.content, p.contentType, p.redirectedTo.orNull)
+    }
+    rows.toDF("url", "statusCode", "content", "contentType", "redirectedTo")
+  }
+}

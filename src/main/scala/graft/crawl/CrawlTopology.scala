@@ -21,7 +21,14 @@ final case class CrawlConfig(
     defaultCrawlDelayMs: Long = 0L,
     roundTickMs: Long = 1000L,         // logical clock advance per round
     deferBlockedMs: Long = 100000000L, // reference: now + 100_000 s
-    singleDomain: Option[String] = None)
+    singleDomain: Option[String] = None,
+    // focused crawling: scale each domain's per-round fetch quota by its
+    // moving-average page score relative to the global mean (the reference's
+    // score-proportional timer cadence, UrlDBFunction.checkIntervalForDomain
+    // :333-351 clamped to [1ms, 1000ms] around a 200ms base)
+    scoreAdaptive: Boolean = true,
+    scoreWindow: Int = 10,             // MovingAverageFunction window (G1)
+    maxQuotaBoost: Int = 5)            // quota clamp: [1, boost x base]
 
 final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
@@ -89,7 +96,11 @@ object CrawlTopology {
       pageFetcher: Fetcher,
       robotsFetcher: Fetcher,
       cfg: CrawlConfig = CrawlConfig(),
-      initialFrontier: Option[DataFrame] = None): CrawlResult = {
+      initialFrontier: Option[DataFrame] = None,
+      // pluggable fetch stage (e.g. ArchiveFetch.stage for snapshot joins);
+      // defaults to per-URL mapPartitions calls through `pageFetcher`
+      fetchStage: Option[Dataset[RobotsVerdict] => Dataset[FetchOutcome]] = None)
+      : CrawlResult = {
     import spark.implicits._
 
     val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -108,11 +119,41 @@ object CrawlTopology {
         .localCheckpoint(true)
     journal(0, "seed", frontier.select(col("url"), col("status")))
 
+    // page-score history feeding the focused-crawl feedback loop (the
+    // reference's DomainScore iteration, CrawlTopologyBuilder.java:419-423)
+    var scoreHistory: DataFrame = Seq.empty[(String, Float, Int)]
+      .toDF("pld", "pageScore", "scoreRound")
+
     var round = 0
     var active = true
     while (active && round < cfg.maxRounds) {
       round += 1
       val now = round * cfg.roundTickMs
+
+      // --- domain quotas: moving average of the last `scoreWindow` page
+      // scores per PLD (G1), scaled against the global mean into a fetch
+      // quota — score-proportional scheduling, clamp [1, boost x base]
+      val quotas: Option[DataFrame] =
+        if (!cfg.scoreAdaptive) None
+        else {
+          val recency = Window.partitionBy(col("pld"))
+            .orderBy(col("scoreRound").desc, col("pageScore").desc)
+          val pldAvg = scoreHistory
+            .withColumn("sr", row_number().over(recency))
+            .filter(col("sr") <= cfg.scoreWindow)
+            .groupBy(col("pld"))
+            .agg(avg(col("pageScore")).as("pldAvg"))
+          val withGlobal = pldAvg.withColumn(
+            "gavg", avg(col("pldAvg")).over(Window.partitionBy()))
+          Some(withGlobal.select(
+            col("pld"),
+            greatest(lit(1), least(
+              lit(cfg.maxQuotaBoost * cfg.maxUrlsPerDomainPerRound),
+              org.apache.spark.sql.functions.round(
+                lit(cfg.maxUrlsPerDomainPerRound) *
+                  col("pldAvg") / greatest(col("gavg"), lit(0.01)))
+                .cast("int"))).as("quota")))
+        }
 
       // --- schedule: FetchQueue semantics (per-domain fairness + global
       // top-K by score with min-score gate; UrlDBFunction/FetchQueue)
@@ -122,9 +163,17 @@ object CrawlTopology {
       val perDomain = Window
         .partitionBy(col("pld"))
         .orderBy(col("score").desc, col("url").asc)
-      val candidates = eligible
+      val withQuota = quotas match {
+        case Some(q) => eligible
+          .join(broadcast(q), Seq("pld"), "left")
+          .withColumn("quota",
+            coalesce(col("quota"), lit(cfg.maxUrlsPerDomainPerRound)))
+        case None => eligible
+          .withColumn("quota", lit(cfg.maxUrlsPerDomainPerRound))
+      }
+      val candidates = withQuota
         .withColumn("rn", row_number().over(perDomain))
-        .filter(col("rn") <= cfg.maxUrlsPerDomainPerRound)
+        .filter(col("rn") <= col("quota"))
         .orderBy(col("score").desc, col("url").asc)
         .limit(cfg.maxQueueSize)
         .select(col("url"), col("pld"), col("score"))
@@ -186,9 +235,8 @@ object CrawlTopology {
         // --- fetch (FetchUrlsFunction): politeness is already enforced by
         // the per-domain schedule cap; redirects surface as HTTP_MOVED with
         // the target re-entering the loop as a new URL
-        val fetched = verdicts
-          .filter(_.verdict == "ALLOWED")
-          .mapPartitions { it =>
+        val liveFetch: Dataset[RobotsVerdict] => Dataset[FetchOutcome] =
+          allowed => allowed.mapPartitions { it =>
             it.map { v =>
               val page = pf.fetch(v.url)
               val status = FS.fromHttpStatus(page.statusCode)
@@ -197,6 +245,8 @@ object CrawlTopology {
                 page.contentType, page.redirectedTo.getOrElse(""))
             }
           }
+        val fetched = fetchStage.getOrElse(liveFetch)(
+          verdicts.filter(_.verdict == "ALLOWED"))
           .localCheckpoint(true)
         journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
 
@@ -223,6 +273,16 @@ object CrawlTopology {
         parsedBatches += parsedOut
         journal(round, "parse",
           parsedOut.select(col("url"), lit(FS.FETCHED).as("status")))
+
+        // feed the score loop (ParseFunction's score side output :102)
+        if (cfg.scoreAdaptive) {
+          scoreHistory = scoreHistory
+            .unionByName(parsedOut.select(
+              col("pld"),
+              col("score").cast("float").as("pageScore"),
+              lit(round).as("scoreRound")))
+            .localCheckpoint(true)
+        }
 
         val outlinkWindow = Window
           .partitionBy(col("srcUrl"))

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.UrlFunctions
+
+/** Static helpers referenced from generated Java code (must be a plain
+  * object with JVM-static-reachable methods).
+  */
+object UrlCodegen {
+  /** FNV-1a over the UTF8String's bytes without copying to a String. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def normalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlFunctions.normalizeUrl(s.toString))
+
+  def extractPld(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlFunctions.extractPld(s.toString))
+}
+
+/** Native 64-bit URL hash with whole-stage codegen: the frontier key
+  * function (SURVEY §2.14 urlHash64) as a first-class Catalyst expression —
+  * no UDF boxing, works on UTF8String bytes directly.
+  */
+case class UrlHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "url_hash64_native"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCodegen.fnv1a64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.UrlCodegen.fnv1a64($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlHash64 =
+    copy(child = newChild)
+}
+
+/** URL normalization as a Catalyst expression (CodegenFallback: the
+  * algorithm is branchy string work with no profitable codegen form, but
+  * as an Expression it still avoids UDF null-handling wrappers and is
+  * registrable for SQL).
+  */
+case class NormalizeUrl(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_url_native"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCodegen.normalize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUrl =
+    copy(child = newChild)
+}
+
+/** Paid-level-domain extraction as a Catalyst expression. */
+case class ExtractPld(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_pld_native"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCodegen.extractPld(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ExtractPld =
+    copy(child = newChild)
+}
+
+object UrlExpressions {
+
+  def url_hash64(c: Column): Column =
+    ColumnBridge.column(UrlHash64(ColumnBridge.expression(c)))
+  def normalize_url(c: Column): Column =
+    ColumnBridge.column(NormalizeUrl(ColumnBridge.expression(c)))
+  def extract_pld(c: Column): Column =
+    ColumnBridge.column(ExtractPld(ColumnBridge.expression(c)))
+
+  /** Runtime registration for SQL use (no session restart needed). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "url_hash64_native", exprs => UrlHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "normalize_url_native", exprs => NormalizeUrl(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "extract_pld_native", exprs => ExtractPld(exprs.head), "scala_udf")
+  }
+}
+
+/** Session-extension wiring: `--conf spark.sql.extensions=
+  * graft.plans.GraftExtensions` makes the native URL functions available
+  * in every session of the cluster without runtime registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("url_hash64_native"),
+      new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64_native"),
+      (exprs: Seq[Expression]) => UrlHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_url_native"),
+      new ExpressionInfo(classOf[NormalizeUrl].getName, "normalize_url_native"),
+      (exprs: Seq[Expression]) => NormalizeUrl(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("extract_pld_native"),
+      new ExpressionInfo(classOf[ExtractPld].getName, "extract_pld_native"),
+      (exprs: Seq[Expression]) => ExtractPld(exprs.head)))
+  }
+}

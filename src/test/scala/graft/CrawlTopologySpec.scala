@@ -157,3 +157,41 @@ class CrawlTopologySpec extends AnyFunSuite {
     assert(r.frontier.filter(col("url") === "http://mass.com/shared").count() == 0)
   }
 }
+
+class FocusedSchedulingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("score-adaptive quotas: high-score domain gets more fetches per round") {
+    // two stars (root -> 10 leaves); domain A seeded with 6x the score of
+    // domain B, so A's backlog drains faster under score-scaled quotas
+    // (mirrors UrlDBFunctionTest: high-scoring domain fetches >= 2x/interval)
+    def star(d: String, n: Int): Seq[(String, Seq[String])] =
+      (d -> (0 until n).map(i => s"$d/leaf$i")) +:
+        (0 until n).map(i => s"$d/leaf$i" -> Seq.empty[String])
+    val g = WebGraph((star("hi.com", 10) ++ star("lo.com", 10)): _*)
+    val r = CrawlTopology.run(
+      spark,
+      Seq(("hi.com", 6.0f), ("lo.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 6, scoreAdaptive = true))
+    val perRound = r.journal
+      .filter(col("stage") === "fetch")
+      .groupBy("round")
+      .agg(
+        sum(when(col("url").startsWith("http://hi.com"), 1).otherwise(0)).as("hi"),
+        sum(when(col("url").startsWith("http://lo.com"), 1).otherwise(0)).as("lo"))
+      .collect()
+      .map(row => (row.getAs[Long]("hi"), row.getAs[Long]("lo")))
+    // after the first round's scores arrive, hi.com must out-fetch lo.com
+    assert(perRound.exists { case (hi, _) => hi >= 2 },
+      s"hi.com never got a boosted quota: ${perRound.toSeq}")
+    assert(perRound.forall { case (_, lo) => lo <= 1 },
+      s"lo.com exceeded base quota: ${perRound.toSeq}")
+    // chains only advance one hop per fetch, so hi must be deeper overall
+    val fetchedHi = r.journal.filter(col("stage") === "fetch" &&
+      col("url").startsWith("http://hi.com")).count()
+    val fetchedLo = r.journal.filter(col("stage") === "fetch" &&
+      col("url").startsWith("http://lo.com")).count()
+    assert(fetchedHi > fetchedLo, s"hi=$fetchedHi lo=$fetchedLo")
+  }
+}
