@@ -34,7 +34,16 @@ final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
     parsed: DataFrame,     // url, pld, title, text, score
     journal: DataFrame,    // round, stage, url, status
-    rounds: Int)
+    rounds: Int) {
+
+  /** G5 metric counters (reference …/flinkcrawler/metrics/CrawlerMetrics
+    * .java:3-13 gauges) derived from the journal: "stage.STATUS" -> count.
+    */
+  def metrics: Map[String, Long] =
+    journal.groupBy("stage", "status").count().collect()
+      .map(r => s"${r.getString(0)}.${r.getString(1)}" -> r.getLong(2))
+      .toMap
+}
 
 /** The crawl dataflow re-expressed for Spark's acyclic execution model
   * (SURVEY.md §2.12): the reference's two `IterativeStream` feedback loops
@@ -76,13 +85,14 @@ object CrawlTopology {
       spark: SparkSession,
       urls: Dataset[(String, Float)],
       now: Long,
-      cfg: CrawlConfig): Dataset[CrawlStateUrl] = {
+      cfg: CrawlConfig,
+      lengthener: Option[UrlLengthener] = None): Dataset[CrawlStateUrl] = {
     import spark.implicits._
     val domainOk = cfg.singleDomain match {
       case Some(d) => (u: String) => UrlFunctions.isUrlWithinDomain(u, d)
       case None => (_: String) => true
     }
-    urls
+    lengthener.fold(urls)(l => l(urls))
       .map { case (u, s) => (UrlFunctions.normalizeUrl(u), s) }
       .filter(t => UrlFunctions.isValidUrl(t._1) && domainOk(t._1))
       .map { case (u, s) =>
@@ -99,8 +109,8 @@ object CrawlTopology {
       initialFrontier: Option[DataFrame] = None,
       // pluggable fetch stage (e.g. ArchiveFetch.stage for snapshot joins);
       // defaults to per-URL mapPartitions calls through `pageFetcher`
-      fetchStage: Option[Dataset[RobotsVerdict] => Dataset[FetchOutcome]] = None)
-      : CrawlResult = {
+      fetchStage: Option[Dataset[RobotsVerdict] => Dataset[FetchOutcome]] = None,
+      lengthener: Option[UrlLengthener] = None): CrawlResult = {
     import spark.implicits._
 
     val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -111,7 +121,7 @@ object CrawlTopology {
         .withColumn("stage", lit(stage))
         .select("round", "stage", "url", "status")
 
-    val seedRows = cleanUrls(spark, seeds.toDS(), 0L, cfg).toDF()
+    val seedRows = cleanUrls(spark, seeds.toDS(), 0L, cfg, lengthener).toDF()
     var frontier: DataFrame =
       UrlStateMerger
         .mergeFrontier(
@@ -306,7 +316,7 @@ object CrawlTopology {
         val newUrls = cleanUrls(
           spark,
           outlinks.union(sitemapLinks).union(redirectTargets),
-          now, cfg).toDF()
+          now, cfg, lengthener).toDF()
 
         val nextFrontier = UrlStateMerger
           .mergeFrontier(

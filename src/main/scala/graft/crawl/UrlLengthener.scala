@@ -1,0 +1,67 @@
+package graft.crawl
+
+import org.apache.spark.sql.Dataset
+
+import graft.functions.UrlFunctions
+
+/** Async URL un-shortening stage (reference …/flinkcrawler/functions/
+  * LengthenUrlsFunction.java:16-50 + urls/SimpleUrlLengthener.java:73-169):
+  * URLs whose host is a known shortener are resolved one redirect hop via
+  * the fetcher (redirects disabled, read the Location header — here the
+  * `redirectedTo` field); everything else passes through. A per-partition
+  * LRU memo (reference: 10k entries) bounds repeat lookups; partitions map
+  * independently, so this scales with executors and the cache cost is
+  * per-executor-core, not global.
+  */
+final class UrlLengthener(
+    fetcher: Fetcher,
+    shortenerHosts: Set[String] = UrlLengthener.DefaultShorteners,
+    cacheSize: Int = 10000) extends Serializable {
+
+  private def isShortened(url: String): Boolean = {
+    val host =
+      try new java.net.URL(UrlFunctions.normalizeUrl(url)).getHost
+      catch { case _: Exception => return false }
+    shortenerHosts.contains(host.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** One redirect hop for shortener URLs; identity otherwise. */
+  def lengthen(url: String, memo: java.util.LinkedHashMap[String, String]): String =
+    if (!isShortened(url)) url
+    else {
+      val cached = memo.get(url)
+      if (cached != null) cached
+      else {
+        val page = fetcher.fetch(UrlFunctions.normalizeUrl(url))
+        val target = page.redirectedTo.getOrElse(url)
+        memo.put(url, target)
+        target
+      }
+    }
+
+  /** Distributed form over (url, score) rows. */
+  def apply(urls: Dataset[(String, Float)]): Dataset[(String, Float)] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val self = this
+    val size = cacheSize
+    urls.mapPartitions { it =>
+      val memo = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean = this.size() > size
+      }
+      it.map { case (u, s) => (self.lengthen(u, memo), s) }
+    }
+  }
+}
+
+object UrlLengthener {
+  /** Shortener-domain list (reference resource url-shorteners.txt — a
+    * representative public subset).
+    */
+  val DefaultShorteners: Set[String] = Set(
+    "bit.ly", "t.co", "goo.gl", "tinyurl.com", "ow.ly", "is.gd",
+    "buff.ly", "j.mp", "dlvr.it", "tiny.cc", "lnkd.in", "db.tt",
+    "qr.ae", "adf.ly", "bitly.com", "cur.lv", "ity.im", "q.gs",
+    "po.st", "bc.vc", "su.pr", "twurl.nl")
+}

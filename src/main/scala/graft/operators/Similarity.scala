@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.plans.VectorExpressions
+
 /** Similarity search over an embedding column (array<float>).
   *
   * Two paths, as a 100 TB pipeline needs:
@@ -57,17 +59,18 @@ object Similarity {
     // norms are per-vector, so compute them once per side, not per pair
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      expr(normSql(vecCol, dim)).as("qn"))
+      VectorExpressions.norm(col(vecCol)).as("qn"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      expr(normSql(vecCol, dim)).as("cn"))
+      VectorExpressions.norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q)
       .join(c, col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"),
-        (expr(dotSql("qv", "cv", dim)) / (col("qn") * col("cn"))).as("cos"))
+        (VectorExpressions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }
@@ -78,7 +81,7 @@ object Similarity {
       dim: Int, numPlanes: Int): DataFrame =
     df.select(
       col(idCol),
-      expr(bucketSql(vecCol, dim, numPlanes)).as("bucket"))
+      VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
 
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
@@ -89,19 +92,20 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      expr(normSql(vecCol, dim)).as("qn"),
-      expr(bucketSql(vecCol, dim, numPlanes)).as("bucket"))
+      VectorExpressions.norm(col(vecCol)).as("qn"),
+      VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      expr(normSql(vecCol, dim)).as("cn"),
-      expr(bucketSql(vecCol, dim, numPlanes)).as("bucket"))
+      VectorExpressions.norm(col(vecCol)).as("cn"),
+      VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"), col("bucket"),
-        (expr(dotSql("qv", "cv", dim)) / (col("qn") * col("cn"))).as("cos"))
+        (VectorExpressions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }

@@ -108,11 +108,27 @@ object TextOps {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    val sh = df
+      k: Int, threshold: Double,
+      // skew guard for web-scale corpora: drop shingles appearing in more
+      // than this fraction of documents before the join (stop-phrases are
+      // the classic hotspot key). None = exact Jaccard over all shingles.
+      maxDocFrequency: Option[Double] = None): DataFrame = {
+    val exploded = df
       .select(col(idCol).as("doc_id"), shingleUdf(k)(col(textCol)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
+    val sh = maxDocFrequency match {
+      case None => exploded
+      case Some(ratio) =>
+        val cap = (df.count() * ratio).toLong
+        val frequent = exploded.groupBy("s").count()
+          .filter(col("count") > cap).select("s")
+        // Jaccard is then over the filtered shingle sets, so set sizes are
+        // recomputed post-filter
+        exploded.join(broadcast(frequent), Seq("s"), "left_anti")
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    }
     sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -99,7 +99,7 @@ object TextQueries {
     "q29_embed_stats" -> ((s, d) =>
       embs(s, d)
         .select(col("label"),
-          expr(Similarity.normSql("embedding", 64)).as("norm"))
+          graft.plans.VectorExpressions.norm(col("embedding")).as("norm"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           min(col("norm")).as("min_norm"),

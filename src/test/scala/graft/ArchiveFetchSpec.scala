@@ -48,3 +48,49 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 }
+
+class UrlLengthenerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("shortener URLs resolve one hop; others pass through; memo caches") {
+    import spark.implicits._
+    var fetches = 0
+    val fetcher = new Fetcher {
+      override def fetch(url: String): FetchedPage = {
+        fetches += 1
+        FetchedPage(301, "", "text/plain",
+          redirectedTo = Some("http://real.example.com/article"))
+      }
+    }
+    val l = new UrlLengthener(fetcher)
+    val memo = new java.util.LinkedHashMap[String, String]()
+    assert(l.lengthen("http://bit.ly/abc", memo) == "http://real.example.com/article")
+    assert(l.lengthen("http://bit.ly/abc", memo) == "http://real.example.com/article")
+    assert(fetches == 1, "memo cache did not prevent a refetch")
+    assert(l.lengthen("http://example.com/x", memo) == "http://example.com/x")
+    assert(fetches == 1)
+  }
+
+  test("lengthener wired into the crawl resolves shortened outlinks") {
+    val graph = WebGraph(
+      "d.com" -> Seq("bit.ly/abc"),
+      "d.com/target" -> Seq.empty)
+    val redirecting = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url.startsWith("http://bit.ly"))
+          FetchedPage(301, "", "text/plain", Some("http://d.com/target"))
+        else new WebGraphFetcher(graph).fetch(url)
+    }
+    val r = CrawlTopology.run(
+      spark, Seq(("d.com", 1.0f)),
+      redirecting, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 6),
+      lengthener = Some(new UrlLengthener(redirecting)))
+    val statuses = r.frontier.select("url", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(statuses.get("http://d.com/target").contains("FETCHED"))
+    assert(!statuses.contains("http://bit.ly/abc"),
+      "shortened form leaked into the frontier")
+    assert(r.metrics.getOrElse("fetch.FETCHED", 0L) == 2L)
+  }
+}

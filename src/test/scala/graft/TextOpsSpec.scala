@@ -115,3 +115,77 @@ class TextOpsSpec extends AnyFunSuite {
     assert(frames.length == expected)
   }
 }
+
+class FrontierStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("versioned merge-persist-read cycle preserves merge semantics") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-frontier").toString
+    val v0 = Seq(
+      CrawlStateUrl("http://a.com/x", "a.com", "UNFETCHED", 100L, 1.0f, 0L),
+      CrawlStateUrl("http://b.com/y", "b.com", "UNFETCHED", 100L, 2.0f, 0L)
+    ).toDF()
+    graft.crawl.FrontierStore.mergeInto(spark, root, v0, buckets = 4)
+    assert(graft.crawl.FrontierStore.latestVersion(spark, root).contains(0))
+    // second sighting of a.com/x sums score; b.com/y gets fetched
+    val updates = Seq(
+      CrawlStateUrl("http://a.com/x", "a.com", "UNFETCHED", 200L, 0.5f, 0L),
+      CrawlStateUrl("http://b.com/y", "b.com", "FETCHED", 300L, 2.0f, 9999L)
+    ).toDF()
+    val merged = graft.crawl.FrontierStore.mergeInto(spark, root, updates, buckets = 4)
+    assert(graft.crawl.FrontierStore.latestVersion(spark, root).contains(1))
+    val byUrl = merged.collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[String]("status"), r.getAs[Float]("score"))).toMap
+    assert(byUrl("http://a.com/x") == (("UNFETCHED", 1.5f)))
+    assert(byUrl("http://b.com/y") == (("FETCHED", 2.0f)))
+    // bucket-pruned domain slice sees only its own pld
+    val slice = graft.crawl.FrontierStore
+      .domainSlice(spark, root, "a.com", buckets = 4).get.collect()
+    assert(slice.length == 1 && slice.head.getAs[String]("url") == "http://a.com/x")
+  }
+
+  test("old versions are retired after merges") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-frontier2").toString
+    (1 to 3).foreach { i =>
+      graft.crawl.FrontierStore.mergeInto(spark, root,
+        Seq(CrawlStateUrl(s"http://a.com/$i", "a.com", "UNFETCHED", i.toLong, 1.0f, 0L))
+          .toDF(), buckets = 2)
+    }
+    val dirs = new java.io.File(root).list().filter(_.startsWith("v")).sorted
+    assert(dirs.toSeq == Seq("v1", "v2"), s"got ${dirs.toSeq}") // v0 retired
+    val rows = graft.crawl.FrontierStore.read(spark, root).get.count()
+    assert(rows == 3)
+  }
+}
+
+class JaccardSkewGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("doc-frequency cap drops stop-phrase shingles from the join") {
+    import spark.implicits._
+    // every doc shares the stop phrase; only 1&2 share real content
+    val docs = Seq(
+      (1L, "click here now alpha beta gamma delta"),
+      (2L, "click here now alpha beta gamma epsilon"),
+      (3L, "click here now zeta eta theta iota"),
+      (4L, "click here now kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val strict = graft.operators.TextOps.ngramJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = graft.operators.TextOps.ngramJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.3,
+      maxDocFrequency = Some(0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the guard, the shared stop-phrase inflates every pair
+    assert(strict.contains((1L, 2L)))
+    // with the guard the stop-phrase shingles are gone; only the real
+    // near-dup pair remains above threshold
+    assert(guarded == Set((1L, 2L)), s"got $guarded vs strict $strict")
+  }
+}
