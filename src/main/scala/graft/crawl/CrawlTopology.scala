@@ -199,14 +199,11 @@ object CrawlTopology {
         val verdicts = candidates
           .repartition(col("pld"))
           .mapPartitions { it =>
-            val cache = scala.collection.mutable.Map.empty[String, RobotsRules]
+            // executor-singleton TTL cache: rules survive across rounds and
+            // tasks on the same executor (CheckUrlWithRobotsFunction TTLs)
             it.map { c =>
               val rUrl = UrlFunctions.robotsUrl(c.url)
-              val rules = cache.getOrElseUpdate(rUrl, {
-                val page = rf.fetch(rUrl)
-                if (page.statusCode == 200) RobotsRules.parse(page.content)
-                else RobotsRules.allowAll
-              })
+              val rules = RobotsCache.rulesFor(rUrl, rf)
               val path = {
                 val u = new java.net.URL(c.url)
                 Option(u.getPath).filter(_.nonEmpty).getOrElse("/")

@@ -181,6 +181,33 @@ object TextOps {
       .distinct()
   }
 
+  /** The full near-dup pipeline at scale: MinHash+LSH candidate
+    * generation, then exact Jaccard verification restricted to candidate
+    * pairs — verification cost scales with candidates, not with the
+    * all-pairs product.
+    */
+  def minhashDedupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bandSize)
+    val sh = df
+      .select(col(idCol).as("doc_id"), shingleUdf(shingleK)(col(textCol)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("id_a"), col("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Per-document 32-bit SimHash over distinct token hashes (staged). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

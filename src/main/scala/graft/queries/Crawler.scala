@@ -94,15 +94,23 @@ object Crawler {
       .select(
         concat(lit("http://www.c"), col("c_custkey"), lit(".shop.com/order/"),
           col("o_orderkey"), lit("?seg="), lower(col("c_mktsegment"))).as("url"))
-    urls.select(
-      regexp_extract(col("url"), "^(https?)://", 1).as("protocol"),
-      regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"),
-      regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1).as("path"))
+    // substring splits instead of regexes: ~4x less per-row cost, values
+    // identical on well-formed URLs (the oracle keeps the regex form)
+    urls
+      .select(col("url"),
+        substring_index(substring_index(col("url"), "?", 1), "://", -1)
+          .as("host_path"))
+      .select(
+        substring_index(col("url"), "://", 1).as("protocol"),
+        substring_index(col("host_path"), "/", 1).as("host"),
+        expr("substring(host_path, length(substring_index(host_path, '/', 1)) + 1)")
+          .as("path"))
       .select(col("protocol"),
-        regexp_replace(col("host"), "^www\\.", "").as("host_nw"),
+        when(col("host").startsWith("www."), expr("substring(host, 5)"))
+          .otherwise(col("host")).as("host_nw"),
         col("path"))
       .groupBy(col("protocol"),
-        regexp_extract(col("host_nw"), "([^.]+\\.[^.]+)$", 1).as("pld"))
+        substring_index(col("host_nw"), ".", -2).as("pld"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("path")).as("n_paths"))
   }

@@ -94,3 +94,37 @@ class UrlLengthenerSpec extends AnyFunSuite {
     assert(r.metrics.getOrElse("fetch.FETCHED", 0L) == 2L)
   }
 }
+
+class RobotsCacheSpec extends AnyFunSuite {
+
+  test("TTL semantics: OK 12h, 404 24h, 5xx 1h; expiry refetches") {
+    RobotsCache.clear()
+    var fetches = 0
+    def fetcher(status: Int, body: String) = new Fetcher {
+      override def fetch(url: String): FetchedPage = {
+        fetches += 1; FetchedPage(status, body, "text/plain")
+      }
+    }
+    val ok = fetcher(200, "User-agent: *\nDisallow: /priv\n")
+    val t0 = 1000L
+    val r1 = RobotsCache.rulesFor("http://a.com/robots.txt", ok, t0)
+    assert(!r1.isAllowed("/priv/x") && fetches == 1)
+    // within TTL: served from cache
+    RobotsCache.rulesFor("http://a.com/robots.txt", ok, t0 + RobotsCache.OkTtlMs - 1)
+    assert(fetches == 1)
+    // after TTL: refetched
+    RobotsCache.rulesFor("http://a.com/robots.txt", ok, t0 + RobotsCache.OkTtlMs + 1)
+    assert(fetches == 2)
+    // 404 cached longer than errors
+    fetches = 0
+    RobotsCache.rulesFor("http://nf.com/robots.txt", fetcher(404, ""), t0)
+    RobotsCache.rulesFor("http://nf.com/robots.txt", fetcher(404, ""),
+      t0 + RobotsCache.ErrorTtlMs + 1)
+    assert(fetches == 1, "404 entry must outlive the error TTL")
+    fetches = 0
+    RobotsCache.rulesFor("http://err.com/robots.txt", fetcher(500, ""), t0)
+    RobotsCache.rulesFor("http://err.com/robots.txt", fetcher(500, ""),
+      t0 + RobotsCache.ErrorTtlMs + 1)
+    assert(fetches == 2, "5xx entry must expire after 1h")
+  }
+}
