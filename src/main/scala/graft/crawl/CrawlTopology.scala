@@ -28,7 +28,10 @@ final case class CrawlConfig(
     // :333-351 clamped to [1ms, 1000ms] around a 200ms base)
     scoreAdaptive: Boolean = true,
     scoreWindow: Int = 10,             // MovingAverageFunction window (G1)
-    maxQuotaBoost: Int = 5)            // quota clamp: [1, boost x base]
+    maxQuotaBoost: Int = 5,            // quota clamp: [1, boost x base]
+    // continuous crawling: FETCHED pages become eligible again after this
+    // interval (the reference never stops; nextFetchTime re-arms fetches)
+    recrawlIntervalMs: Option[Long] = None)
 
 final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
@@ -134,6 +137,12 @@ object CrawlTopology {
     var scoreHistory: DataFrame = Seq.empty[(String, Float, Int)]
       .toDF("pld", "pageScore", "scoreRound")
 
+    // per-domain politeness clocks (FetchUrlsFunction's domainKey ->
+    // nextFetchTime map): a domain whose robots crawl-delay is longer than
+    // a round tick stays off the schedule until its clock expires
+    var domainClocks: DataFrame = Seq.empty[(String, Long)]
+      .toDF("pld", "nextAllowed")
+
     var round = 0
     var active = true
     while (active && round < cfg.maxRounds) {
@@ -167,9 +176,20 @@ object CrawlTopology {
 
       // --- schedule: FetchQueue semantics (per-domain fairness + global
       // top-K by score with min-score gate; UrlDBFunction/FetchQueue)
-      val eligible = frontier
-        .filter(col("status") === FS.UNFETCHED &&
-          col("nextFetchTime") <= now && col("score") >= cfg.minFetchScore)
+      val readyFilter = {
+        val base = col("status") === FS.UNFETCHED && col("nextFetchTime") <= now
+        cfg.recrawlIntervalMs match {
+          case Some(interval) => base ||
+            (col("status") === FS.FETCHED && col("statusTime") + interval <= now)
+          case None => base
+        }
+      }
+      val rawEligible = frontier
+        .filter(readyFilter && col("score") >= cfg.minFetchScore)
+      val eligible = rawEligible
+        .join(broadcast(domainClocks), Seq("pld"), "left")
+        .filter(coalesce(col("nextAllowed"), lit(0L)) <= now)
+        .drop("nextAllowed")
       val perDomain = Window
         .partitionBy(col("pld"))
         .orderBy(col("score").desc, col("url").asc)
@@ -191,7 +211,11 @@ object CrawlTopology {
         .localCheckpoint(true)
 
       if (candidates.isEmpty) {
-        active = false
+        // distinguish "frontier exhausted" from "all ready domains are
+        // inside their politeness window" — the latter just skips a tick;
+        // continuous mode (recrawl) never self-terminates: pages re-arm
+        if (rawEligible.isEmpty && cfg.recrawlIntervalMs.isEmpty)
+          active = false
       } else {
         // --- robots gate (CheckUrlWithRobotsFunction): per-partition rules
         // cache so each robots.txt is fetched once per partition per round
@@ -252,10 +276,35 @@ object CrawlTopology {
                 page.contentType, page.redirectedTo.getOrElse(""))
             }
           }
-        val fetched = fetchStage.getOrElse(liveFetch)(
-          verdicts.filter(_.verdict == "ALLOWED"))
+        // in-round crawl-delay enforcement: a domain with a positive delay
+        // fetches once per round; surplus allowed URLs stay UNFETCHED in
+        // the frontier and the domain clock blocks following rounds
+        val aw = Window.partitionBy(col("pld"))
+          .orderBy(col("score").desc, col("url").asc)
+        val allowedRanked = verdicts.filter(_.verdict == "ALLOWED").toDF()
+          .withColumn("arn", row_number().over(aw))
+        val deferred = allowedRanked
+          .filter(col("arn") > 1 && col("crawlDelay") > 0)
+        journal(round, "politeness",
+          deferred.select(col("url"),
+            lit(FS.SKIPPED_CRAWLDELAY).as("status")))
+        val allowedNow = allowedRanked
+          .filter(col("arn") === 1 || col("crawlDelay") <= 0)
+          .drop("arn").as[RobotsVerdict]
+
+        val fetched = fetchStage.getOrElse(liveFetch)(allowedNow)
           .localCheckpoint(true)
         journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
+
+        // advance the politeness clocks for delayed domains
+        val newClocks = fetched.toDF()
+          .filter(col("crawlDelay") > 0)
+          .groupBy(col("pld"))
+          .agg((lit(now) + max(col("crawlDelay"))).as("nextAllowed"))
+        domainClocks = domainClocks.unionByName(newClocks)
+          .groupBy(col("pld"))
+          .agg(max(col("nextAllowed")).as("nextAllowed"))
+          .localCheckpoint(true)
 
         val statusUpdates = fetched
           .map(f => CrawlStateUrl(f.url, f.pld, f.status, now, f.score,

@@ -195,3 +195,43 @@ class FocusedSchedulingSpec extends AnyFunSuite {
     assert(fetchedHi > fetchedLo, s"hi=$fetchedHi lo=$fetchedLo")
   }
 }
+
+class PolitenessSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("robots crawl-delay paces a domain across rounds") {
+    val g = WebGraph(
+      ("slow.com" -> (0 until 4).map(i => s"slow.com/leaf$i")) +:
+        (0 until 4).map(i => s"slow.com/leaf$i" -> Seq.empty[String]): _*)
+    val robots = new MapRobotsFetcher(Map(
+      "http://slow.com/robots.txt" ->
+        "User-agent: *\nCrawl-delay: 2\n")) // 2 s = 2 round ticks
+    val r = CrawlTopology.run(
+      spark, Seq(("slow.com", 1.0f)),
+      new WebGraphFetcher(g), robots,
+      CrawlConfig(maxRounds = 20, scoreAdaptive = false))
+    val fetchRounds = r.journal.filter(col("stage") === "fetch")
+      .select("round").collect().map(_.getInt(0)).sorted
+    assert(fetchRounds.length == 5, s"rounds: ${fetchRounds.toSeq}")
+    fetchRounds.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(1) - w(0) >= 2, s"delay violated: ${fetchRounds.toSeq}")
+    }
+    // everything still gets crawled eventually
+    assert(r.frontier.filter(col("status") === FS.FETCHED).count() == 5)
+  }
+
+  test("recrawl interval re-fetches pages in a continuous crawl") {
+    val g = WebGraph("re.com" -> Seq.empty)
+    val r = CrawlTopology.run(
+      spark, Seq(("re.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8, recrawlIntervalMs = Some(3000)))
+    val fetches = r.journal
+      .filter(col("stage") === "fetch" && col("url") === "http://re.com/")
+      .select("round").collect().map(_.getInt(0)).sorted
+    assert(fetches.length >= 2, s"no recrawl happened: ${fetches.toSeq}")
+    assert(fetches(1) - fetches(0) >= 3, s"recrawled too soon: ${fetches.toSeq}")
+    assert(r.rounds == 8) // continuous mode runs to the round cap
+  }
+}
