@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.{HtmlParser, RobotsRules}
+
+/** Parse-layer semantics from the reference's link extractor and sitemap
+  * parser (SimpleLinkExtractor nofollow handling, BaseLinkExtractor anchor
+  * collection, SimpleSiteMapParser loc/text formats).
+  */
+class HtmlParserSpec extends AnyFunSuite {
+
+  test("extracts title, text, and absolute outlinks with anchors") {
+    val html =
+      """<html><head><title> My Page </title></head><body>
+        |<p>Hello <b>world</b></p>
+        |<a href="/rel/path">relative</a>
+        |<a href="http://other.com/abs">absolute</a>
+        |</body></html>""".stripMargin
+    val r = HtmlParser.parse("http://d.com/base/page", html, 1.0f)
+    assert(r.title == "My Page")
+    assert(r.text.contains("Hello world"))
+    val links = r.outlinks.map(o => o.url -> o.anchorText).toMap
+    assert(links("http://d.com/rel/path") == "relative")
+    assert(links("http://other.com/abs") == "absolute")
+    // page score spread equally across outlinks
+    assert(r.outlinks.forall(o => math.abs(o.score - 0.5f) < 1e-6))
+  }
+
+  test("meta robots nofollow suppresses all outlinks") {
+    val html =
+      """<html><head><meta name="robots" content="nofollow"></head>
+        |<body><a href="http://x.com/">x</a></body></html>""".stripMargin
+    val r = HtmlParser.parse("http://d.com/", html, 1.0f)
+    assert(r.noFollow && r.outlinks.isEmpty)
+  }
+
+  test("rel=nofollow drops only that link; fragments are skipped") {
+    val html =
+      """<a href="http://a.com/" rel="nofollow">no</a>
+        |<a href="http://b.com/">yes</a>
+        |<a href="#frag">frag</a>""".stripMargin
+    val r = HtmlParser.parse("http://d.com/", html, 1.0f)
+    assert(r.outlinks.map(_.url) == Seq("http://b.com/"))
+  }
+
+  test("script and style content is excluded from text") {
+    val html =
+      "<html><body><script>var x = 1;</script><style>.a{}</style>real</body></html>"
+    val r = HtmlParser.parse("http://d.com/", html, 1.0f)
+    assert(r.text == "real")
+  }
+
+  test("sitemap XML loc entries and plain-text URL lines both parse") {
+    val xml = "<urlset><url><loc> http://a.com/1 </loc></url>" +
+      "<url><loc>http://a.com/2</loc></url></urlset>"
+    assert(HtmlParser.parseSitemap(xml) == Seq("http://a.com/1", "http://a.com/2"))
+    val txt = "http://b.com/1\n# comment\nnot-a-url\nhttps://b.com/2\n"
+    assert(HtmlParser.parseSitemap(txt) == Seq("http://b.com/1", "https://b.com/2"))
+  }
+
+  test("robots parsing: disallow prefixes, crawl-delay, sitemaps, comments") {
+    val rules = RobotsRules.parse(
+      """# a comment
+        |User-agent: *
+        |Disallow: /private
+        |Disallow: /tmp # trailing comment
+        |Crawl-delay: 2.5
+        |Sitemap: http://d.com/sitemap.xml
+        |Disallow:
+        |""".stripMargin)
+    assert(!rules.isAllowed("/private/x"))
+    assert(!rules.isAllowed("/tmp"))
+    assert(rules.isAllowed("/public"))
+    assert(rules.crawlDelayMs.contains(2500L))
+    assert(rules.sitemaps == Seq("http://d.com/sitemap.xml"))
+    // empty Disallow must not block everything
+    assert(rules.isAllowed("/"))
+  }
+}
