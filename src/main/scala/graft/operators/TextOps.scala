@@ -129,8 +129,11 @@ object TextOps {
           .withColumn("n",
             count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     }
-    sh.as("a")
-      .join(sh.as("b"),
+    // both self-join branches read the same materialized shingle set —
+    // without this the whole tokenize/shingle pipeline runs twice
+    val shC = sh.localCheckpoint(true)
+    shC.as("a")
+      .join(shC.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -173,6 +176,7 @@ object TextOps {
              |   concat_ws(',', slice(sig, b * $bandSize + 1, $bandSize))))"""
             .stripMargin.replaceAll("\n", " "))).as("band_key"))
       .distinct()
+      .localCheckpoint(true) // sig pipeline runs once, not per join branch
     bands.as("x")
       .join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
