@@ -262,6 +262,23 @@ object UrlFunctions {
 
   def robotsUrl(url: String): String = urlWithoutPath(url) + "/robots.txt"
 
+  /** SURT-style archive index key (reference …/flinkcrawler/fetcher/
+    * commoncrawl/CommonCrawlUrls.java:18-66): lowercase host with a leading
+    * `www.` dropped, labels reversed and comma-joined, then `)` and the
+    * path+query — groups all of a registrable domain's URLs contiguously in
+    * a sorted archive index.
+    */
+  def surtKey(url: String): String =
+    try {
+      val u = new URL(url)
+      var host = normalizeHostname(u.getHost)
+      if (host.startsWith("www.")) host = host.substring(4)
+      val reversed = host.split("\\.").reverse.mkString(",")
+      val path = Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+      val query = Option(u.getQuery).map("?" + _).getOrElse("")
+      s"$reversed)$path$query"
+    } catch { case _: Exception => url }
+
   // --------------------------------------------------------------------- hash
 
   /** Stable 64-bit FNV-1a hash of a string's UTF-8 bytes. The engine only
@@ -289,5 +306,6 @@ object UrlFunctions {
     spark.udf.register("extract_pld", (s: String) => extractPld(s))
     spark.udf.register("url_without_path", (s: String) => urlWithoutPath(s))
     spark.udf.register("url_hash64", (s: String) => urlHash64(s))
+    spark.udf.register("surt_key", (s: String) => surtKey(s))
   }
 }

@@ -211,17 +211,39 @@ object Crawler {
       |SELECT url, pld, score, rn FROM ranked WHERE rn <= 2
       |ORDER BY score DESC, url ASC LIMIT 50""".stripMargin
 
+  /** SURT archive index key on synthesized URLs: reversed-host grouping
+    * (the CommonCrawl CDX sort key), fully SQL-expressible on both sides.
+    */
+  def surtKeys(spark: SparkSession, dir: String): DataFrame = {
+    UrlFunctions.registerAll(spark)
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        concat(lit("http://www.d"), col("o_custkey") % 20, lit(".shop.com/o/"),
+          col("o_orderkey"), lit("?x="), col("o_orderkey") % 7).as("url"))
+      .select(col("o_orderkey"), expr("surt_key(url)").as("surt"))
+  }
+
+  val surtKeysSql: String =
+    """SELECT o_orderkey,
+      |  array_to_string(list_reverse(string_split(
+      |    'd' || (o_custkey % 20) || '.shop.com', '.')), ',')
+      |  || ')/o/' || o_orderkey || '?x=' || (o_orderkey % 7) AS surt
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
     "q16_frontier_merge" -> (frontierMerge _),
-    "q17_schedule_topk" -> (scheduleTopK _)
+    "q17_schedule_topk" -> (scheduleTopK _),
+    "q32_surt_key" -> (surtKeys _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "q14_url_normalize" -> urlNormalizeSql,
     "q15_url_parse" -> urlParseSql,
     "q16_frontier_merge" -> frontierMergeSql,
-    "q17_schedule_topk" -> scheduleTopKSql
+    "q17_schedule_topk" -> scheduleTopKSql,
+    "q32_surt_key" -> surtKeysSql
   )
 }

@@ -110,3 +110,15 @@ class UrlFunctionsSpec extends AnyFunSuite {
     }
   }
 }
+class SurtKeySpec extends AnyFunSuite {
+  test("surt key reverses host labels and drops leading www") {
+    assert(normalizeUrl("http://www.example.com/a?b=1") == "http://www.example.com/a?b=1")
+    assert(graft.functions.UrlFunctions.surtKey("http://www.example.com/a?b=1") ==
+      "com,example)/a?b=1")
+    assert(graft.functions.UrlFunctions.surtKey("https://sub.foo.co.uk/x") ==
+      "uk,co,foo,sub)/x")
+    assert(graft.functions.UrlFunctions.surtKey("http://example.com") ==
+      "com,example)/")
+    assert(graft.functions.UrlFunctions.surtKey("garbage") == "garbage")
+  }
+}
