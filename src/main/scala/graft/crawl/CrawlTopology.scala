@@ -116,6 +116,10 @@ object CrawlTopology {
       lengthener: Option[UrlLengthener] = None): CrawlResult = {
     import spark.implicits._
 
+    // namespaces the JVM-wide robots cache for this run (tests and long
+    // -lived drivers run many topologies per JVM)
+    val crawlRunId = java.util.UUID.randomUUID().toString
+
     val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val parsedBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def journal(round: Int, stage: String, rows: DataFrame): Unit =
@@ -220,14 +224,17 @@ object CrawlTopology {
         // --- robots gate (CheckUrlWithRobotsFunction): per-partition rules
         // cache so each robots.txt is fetched once per partition per round
         val rf = robotsFetcher
+        val runScope = crawlRunId
         val verdicts = candidates
           .repartition(col("pld"))
           .mapPartitions { it =>
             // executor-singleton TTL cache: rules survive across rounds and
-            // tasks on the same executor (CheckUrlWithRobotsFunction TTLs)
+            // tasks on the same executor (CheckUrlWithRobotsFunction TTLs),
+            // namespaced per crawl run so concurrent/sequential crawls in
+            // one JVM never see each other's rules
             it.map { c =>
               val rUrl = UrlFunctions.robotsUrl(c.url)
-              val rules = RobotsCache.rulesFor(rUrl, rf)
+              val rules = RobotsCache.rulesFor(rUrl, rf, scope = runScope)
               val path = {
                 val u = new java.net.URL(c.url)
                 Option(u.getPath).filter(_.nonEmpty).getOrElse("/")

@@ -29,19 +29,24 @@ object RobotsCache {
 
   /** Rules for a robots.txt URL, fetching through `fetcher` on miss or
     * expiry. `nowMs` defaults to wall clock; tests pass a logical clock.
+    * `scope` namespaces entries per crawl run — the map is JVM-wide, so
+    * without it rules fetched by one crawl (or test fixture) would leak
+    * into any other crawl sharing the executor JVM.
     */
   def rulesFor(
       robotsUrl: String,
       fetcher: Fetcher,
-      nowMs: Long = System.currentTimeMillis()): RobotsRules = {
-    val hit = cache.get(robotsUrl)
+      nowMs: Long = System.currentTimeMillis(),
+      scope: String = ""): RobotsRules = {
+    val key = if (scope.isEmpty) robotsUrl else scope + "|" + robotsUrl
+    val hit = cache.get(key)
     if (hit != null && hit.expiresAt > nowMs) hit.rules
     else {
       val page = fetcher.fetch(robotsUrl)
       val rules =
         if (page.statusCode == 200) RobotsRules.parse(page.content)
         else RobotsRules.allowAll
-      cache.put(robotsUrl, Entry(rules, nowMs + ttlFor(page.statusCode)))
+      cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
       rules
     }
   }

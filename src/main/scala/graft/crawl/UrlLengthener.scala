@@ -44,18 +44,27 @@ final class UrlLengthener(
     val spark = urls.sparkSession
     import spark.implicits._
     val self = this
-    val size = cacheSize
+    val cap = cacheSize
     urls.mapPartitions { it =>
-      val memo = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, String]): Boolean = this.size() > size
-      }
+      val memo = UrlLengthener.newMemo(cap)
       it.map { case (u, s) => (self.lengthen(u, memo), s) }
     }
   }
 }
 
 object UrlLengthener {
+  /** Access-ordered LRU memo capped at `cap` entries. NOTE: the cap must be
+    * captured under a name that no LinkedHashMap member shadows — inside
+    * the subclass, a captured local named `size` resolves to the inherited
+    * size() method, silently making the bound `size() > size()` (never
+    * true, unbounded growth).
+    */
+  def newMemo(cap: Int): java.util.LinkedHashMap[String, String] =
+    new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean = this.size() > cap
+    }
+
   /** Shortener-domain list (reference resource url-shorteners.txt — a
     * representative public subset).
     */

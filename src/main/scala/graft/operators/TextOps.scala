@@ -56,6 +56,60 @@ object TextOps {
     else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
   }
 
+  /** First 8 hex chars of md5 as an unsigned 32-bit value — the Scala twin
+    * of [[hash32Sql]] (value-identical: md5 of UTF-8 bytes, first 4 bytes
+    * big-endian).
+    */
+  private def md5Hash32(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Whole MinHash signature (tokens -> k-shingles -> 32-bit md5 hashes ->
+    * numHashes permutation minima) in one Scala UDF. Value-identical to the
+    * staged [[minhashSigSql]] HOF pipeline but stays codegen-friendly:
+    * Catalyst inlines referenced-once projections into downstream lambdas /
+    * generators, and interpreted HOFs then re-evaluate the whole pipeline
+    * per element (a measured 60s-vs-0.2s cliff on 5k docs at sf0.1 when the
+    * sig expression lands inside an explode).
+    */
+  def minhashSigUdf(shingleK: Int, numHashes: Int): UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = text.trim.split("\\s+")
+      val shingles =
+        if (toks.length < shingleK) Array.empty[String]
+        else toks.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = shingles.map(md5Hash32(md, _))
+      Array.tabulate[java.lang.Long](numHashes) { j =>
+        if (hs.isEmpty) null
+        else {
+          val a = (j.toLong * 2654435761L + 1L) % 1000000007L
+          var min = Long.MaxValue
+          var i = 0
+          while (i < hs.length) {
+            val v = (a * hs(i) + j * 97L + 13L) % 1000000007L
+            if (v < min) min = v
+            i += 1
+          }
+          java.lang.Long.valueOf(min)
+        }
+      }
+    }
+
+  /** LSH band keys ("b-sig[b*size],...") from a signature array; mirrors
+    * concat_ws semantics (null signature entries are skipped).
+    */
+  def bandKeysUdf(numBands: Int, bandSize: Int): UserDefinedFunction =
+    udf { (sig: Seq[java.lang.Long]) =>
+      Array.tabulate(numBands) { b =>
+        val joined = sig.slice(b * bandSize, (b + 1) * bandSize)
+          .filter(_ != null).mkString(",")
+        s"$b-$joined"
+      }
+    }
+
   /** Stable 32-bit-range hash of a string expression (first 8 hex chars of
     * its md5) — identical arithmetic exists in any engine with md5.
     */
@@ -145,17 +199,14 @@ object TextOps {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
-  /** Per-document MinHash signatures. Each stage is a materialized column
-    * so tokenization, shingling, and hashing run once per document, not
-    * once per (element x permutation) lambda evaluation.
+  /** Per-document MinHash signatures — one codegen-friendly UDF per row
+    * (see [[minhashSigUdf]] for why not staged HOF columns).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      shingleUdf(shingleK)(col(textCol)).as("sh"))
-      .select(col("doc_id"), expr(hashArraySql("sh")).as("hs"))
-      .select(col("doc_id"), expr(minhashSigSql("hs", numHashes)).as("sig"))
+      minhashSigUdf(shingleK, numHashes)(col(textCol)).as("sig"))
 
   /** MinHash+LSH candidate pairs: signatures split into bands of
     * `bandSize`; docs sharing any band bucket become candidates. The scale
@@ -170,11 +221,7 @@ object TextOps {
     val bands = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
       .select(
         col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${numBands - 1}), b ->
-             | concat_ws('-', b,
-             |   concat_ws(',', slice(sig, b * $bandSize + 1, $bandSize))))"""
-            .stripMargin.replaceAll("\n", " "))).as("band_key"))
+        explode(bandKeysUdf(numBands, bandSize)(col("sig"))).as("band_key"))
       .distinct()
       .localCheckpoint(true) // sig pipeline runs once, not per join branch
     bands.as("x")

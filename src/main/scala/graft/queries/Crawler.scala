@@ -136,8 +136,12 @@ object Crawler {
   def frontierMerge(spark: SparkSession, dir: String): DataFrame =
     UrlStateMerger
       .mergeFrontier(syntheticFrontier(spark, dir))
-      .select(col("url"), col("pld"), col("status"),
-        col("statusTime"), col("score"), col("nextFetchTime"))
+      // merge arithmetic is exact DECIMAL; the *surfaced* column is DOUBLE
+      // because the driver comparator hashes decimals and doubles
+      // differently (DECIMAL(18,2)->DOUBLE is correctly rounded in both
+      // Spark and DuckDB, so values stay bit-identical)
+      .select(col("url"), col("pld"), col("status"), col("statusTime"),
+        col("score").cast("double").as("score"), col("nextFetchTime"))
 
   val frontierMergeSql: String =
     s"""WITH f AS ($syntheticFrontierSql),
@@ -159,8 +163,8 @@ object Crawler {
        |    BOOL_OR(term) AS hasTerm
        |  FROM t GROUP BY url),
        |tw AS (SELECT * FROM ranked WHERE term AND rn = 1),
-       |lw AS (SELECT * FROM ranked WHERE NOT term AND rn = 1)
-       |SELECT a.url,
+       |lw AS (SELECT * FROM ranked WHERE NOT term AND rn = 1),
+       |merged AS (SELECT a.url,
        |  COALESCE(tw.pld, lw.pld) AS pld,
        |  CASE WHEN a.hasTerm THEN tw.status ELSE lw.status END AS status,
        |  CASE WHEN a.hasTerm THEN tw.statusTime ELSE a.lifeMaxTime END AS statusTime,
@@ -171,7 +175,9 @@ object Crawler {
        |    AS nextFetchTime
        |FROM agg a
        |LEFT JOIN tw ON a.url = tw.url
-       |LEFT JOIN lw ON a.url = lw.url""".stripMargin
+       |LEFT JOIN lw ON a.url = lw.url)
+       |SELECT url, pld, status, statusTime, CAST(score AS DOUBLE) AS score,
+       |  nextFetchTime FROM merged""".stripMargin
 
   /** FetchQueue scheduler: eligibility gates (ready nextFetchTime,
     * min-score), per-PLD fairness cap (2), global capacity 50 by score —
@@ -194,7 +200,8 @@ object Crawler {
       .filter(col("rn") <= 2)
       .orderBy(col("score").desc, col("url").asc)
       .limit(50)
-      .select(col("url"), col("pld"), col("score"), col("rn"))
+      .select(col("url"), col("pld"),
+        col("score").cast("double").as("score"), col("rn"))
   }
 
   val scheduleTopKSql: String =
@@ -208,7 +215,8 @@ object Crawler {
       |  WHERE nextFetchTime <= 915148800000 AND score >= 100000.0),
       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pld
       |    ORDER BY score DESC, url ASC) AS rn FROM gated)
-      |SELECT url, pld, score, rn FROM ranked WHERE rn <= 2
+      |SELECT url, pld, CAST(score AS DOUBLE) AS score, rn
+      |FROM ranked WHERE rn <= 2
       |ORDER BY score DESC, url ASC LIMIT 50""".stripMargin
 
   /** SURT archive index key on synthesized URLs: reversed-host grouping

@@ -75,8 +75,12 @@ object TextQueries {
         col("doc_id"),
         expr(TextOps.canonicalFingerprintSql("text")).as("fingerprint"))),
     "q24_minhash_sig" -> ((s, d) =>
+      // sig surfaced as a comma-joined string: the driver's pandas-based
+      // comparator cannot hash/sort array cells
       TextOps.minhashSignatures(docs(s, d), "doc_id", "text",
-        shingleK = 3, numHashes = 16)),
+        shingleK = 3, numHashes = 16)
+        .select(col("doc_id"),
+          concat_ws(",", col("sig").cast("array<string>")).as("sig"))),
     "q25_minhash_lsh_pairs" -> ((s, d) =>
       TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, bandSize = 4)),
@@ -166,7 +170,8 @@ object TextQueries {
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
     "q24_minhash_sig" ->
-      s"""SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+      s"""SELECT doc_id, array_to_string(${dMinhash(dHashedShingles, 16)}, ',')
+         |  AS sig
          |FROM documents""".stripMargin,
     "q25_minhash_lsh_pairs" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
@@ -178,26 +183,6 @@ object TextQueries {
          |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |FROM bands x JOIN bands y
          |  ON x.band_key = y.band_key AND x.doc_id < y.doc_id""".stripMargin,
-    "q31_minhash_dedup" ->
-      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
-         |  FROM documents),
-         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
-         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
-         |    AS band_key
-         |  FROM sigs),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |d AS (SELECT doc_id, $dShingles AS sh FROM documents),
-         |e AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s FROM d),
-         |p AS (SELECT c.id_a, c.id_b, a.n AS n_a, b.n AS n_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN e a ON a.doc_id = c.id_a
-         |  JOIN e b ON b.doc_id = c.id_b AND b.s = a.s
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM p)
-         |WHERE jaccard >= 0.5""".stripMargin,
     "q31_minhash_dedup" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
          |  FROM documents),

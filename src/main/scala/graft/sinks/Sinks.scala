@@ -21,7 +21,9 @@ object Sinks {
     */
   def warcRecordCol = {
     val body = col("content")
-    val len = length(body).cast("string")
+    // WARC Content-Length is the OCTET count of the block — length() on a
+    // string counts characters, wrong for any non-ASCII body
+    val len = length(encode(body, "UTF-8")).cast("string")
     concat(
       lit("WARC/1.0\r\n"),
       lit("WARC-Type: resource\r\n"),
@@ -41,9 +43,10 @@ object Sinks {
   def warcInfoRecord(crawler: String, timeMs: Long): String = {
     val date = java.time.Instant.ofEpochMilli(timeMs).toString
     val fields = s"software: $crawler\r\nformat: WARC file version 1.0\r\n"
+    val octets = fields.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: $date\r\n" +
       s"Content-Type: application/warc-fields\r\n" +
-      s"Content-Length: ${fields.length}\r\n\r\n$fields\r\n\r\n"
+      s"Content-Length: $octets\r\n\r\n$fields\r\n\r\n"
   }
 
   /** Write fetched pages as rolling WARC text segments (the reference

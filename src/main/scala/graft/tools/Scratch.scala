@@ -9,15 +9,18 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def planOf(name: String): Unit = {
-      println(s"===== $name =====")
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      println(plan.linesIterator.take(40).mkString("\n"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    planOf("q09_join_multi_revenue")
-    planOf("q01_filter_project")
+    args.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      time(s"$name count")(df.count())
+      println(s"===== $name plan =====")
+      println(df.queryExecution.executedPlan.toString
+        .linesIterator.take(40).mkString("\n"))
+    }
     spark.stop()
   }
 }

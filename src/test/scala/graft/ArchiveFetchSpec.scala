@@ -71,6 +71,18 @@ class UrlLengthenerSpec extends AnyFunSuite {
     assert(fetches == 1)
   }
 
+  test("memo LRU evicts beyond its cap (cap+1 entries -> size == cap)") {
+    val memo = UrlLengthener.newMemo(3)
+    (1 to 4).foreach(i => memo.put(s"k$i", s"v$i"))
+    assert(memo.size() == 3, s"expected eviction at cap 3, size=${memo.size()}")
+    assert(!memo.containsKey("k1"), "eldest entry should have been evicted")
+    assert(memo.containsKey("k4"))
+    // access order: touching k2 makes k3 the eldest
+    memo.get("k2")
+    memo.put("k5", "v5")
+    assert(!memo.containsKey("k3") && memo.containsKey("k2"))
+  }
+
   test("lengthener wired into the crawl resolves shortened outlinks") {
     val graph = WebGraph(
       "d.com" -> Seq("bit.ly/abc"),
@@ -126,5 +138,24 @@ class RobotsCacheSpec extends AnyFunSuite {
     RobotsCache.rulesFor("http://err.com/robots.txt", fetcher(500, ""),
       t0 + RobotsCache.ErrorTtlMs + 1)
     assert(fetches == 2, "5xx entry must expire after 1h")
+  }
+
+  test("scoped entries are isolated between crawl runs in one JVM") {
+    RobotsCache.clear()
+    var fetches = 0
+    def fetcher(body: String) = new Fetcher {
+      override def fetch(url: String): FetchedPage = {
+        fetches += 1; FetchedPage(200, body, "text/plain")
+      }
+    }
+    val strict = fetcher("User-agent: *\nDisallow: /\n")
+    val open = fetcher("User-agent: *\nDisallow:\n")
+    val rA = RobotsCache.rulesFor("http://x.com/robots.txt", strict, 0L, "runA")
+    val rB = RobotsCache.rulesFor("http://x.com/robots.txt", open, 0L, "runB")
+    assert(fetches == 2, "second run must not see the first run's rules")
+    assert(!rA.isAllowed("/p") && rB.isAllowed("/p"))
+    // same scope still caches
+    RobotsCache.rulesFor("http://x.com/robots.txt", strict, 1L, "runA")
+    assert(fetches == 2)
   }
 }
