@@ -83,6 +83,81 @@ object Similarity {
       col(idCol),
       VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
 
+  /** Embedding near-duplicate pairs: LSH-bucket candidates (equi-join on
+    * bucket, a<b), exact cosine gate. The embedding-space twin of MinHash
+    * dedup: per-row bucket projection, one co-partitioned self-join, no
+    * cross product — linear at corpus scale.
+    */
+  def cosineDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numPlanes: Int, threshold: Double): DataFrame = {
+    val v = df.select(
+      col(idCol).as("vid"), col(vecCol).as("v"),
+      VectorExpressions.norm(col(vecCol)).as("n"),
+      VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
+      .localCheckpoint(true) // one projection feeds both join sides
+    v.as("x")
+      .join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+        (VectorExpressions.dot(col("x.v"), col("y.v")) /
+          (col("x.n") * col("y.n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF (inverted-file) coarse quantization: assign every vector to its
+    * nearest centroid by cosine (deterministic tie-break on centroid id).
+    * `centroids` must be small — it is broadcast; the corpus streams
+    * through one projection + a per-vector argmin, so assignment is one
+    * narrow pass at any corpus size.
+    */
+  def ivfAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      dim: Int): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      VectorExpressions.norm(col(vecCol)).as("n"))
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).as("cv"), VectorExpressions.norm(col(centVecCol)).as("cn"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    v.join(broadcast(c))
+      .select(col("vid"), col("v"), col("n"), col("cent_id"),
+        (VectorExpressions.dot(col("v"), col("cv")) / (col("n") * col("cn")))
+          .as("cent_cos"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vid"), col("v"), col("n"), col("cent_id").as("cell"))
+  }
+
+  /** IVF ANN top-K with nprobe=1: each query searches only its own cell
+    * (candidates = corpus vectors assigned to the same centroid), exact
+    * cosine re-rank inside the cell. The scale path when hyperplane LSH
+    * recall is too bucket-shape-sensitive: cells follow the data
+    * distribution instead of fixed random planes.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val corpusCells = ivfAssign(corpus, idCol, vecCol,
+      centroids, centIdCol, centVecCol, dim)
+      .localCheckpoint(true) // assignment pass runs once, feeds both sides
+    val queryCells = corpusCells // queries are corpus members in this API
+      .join(queries.select(col(idCol).as("vid")), Seq("vid"), "left_semi")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    queryCells.as("q")
+      .join(corpusCells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("query_id"), col("c.vid").as("neighbor_id"),
+        col("q.cell").as("cell"),
+        (VectorExpressions.dot(col("q.v"), col("c.v")) /
+          (col("q.n") * col("c.n"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

@@ -266,6 +266,108 @@ object TextOps {
       .select(col("doc_id"), expr(hashArraySql("toks")).as("hs"))
       .select(col("doc_id"), expr(simhash32Sql("hs")).as("simhash"))
 
+  /** 60-bit SimHash over distinct word-k-shingle hashes, one UDF per row
+    * (60 bits = 15 md5 hex chars, so the value stays positive in an
+    * int64 on every engine). Shingle-weighted simhash discriminates far
+    * better than token-set simhash on template-heavy corpora: the band
+    * join below stays near-linear instead of quadratic.
+    */
+  def simhash60Udf(shingleK: Int): UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = text.trim.split("\\s+")
+      val shingles =
+        if (toks.length < shingleK) Array.empty[String]
+        else toks.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      shingles.foreach { s =>
+        val d = md.digest(s.getBytes("UTF-8"))
+        // first 15 hex chars = top 60 bits of the digest, big-endian
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h = h >>> 4 // keep 60 of the 64 bits (15 hex chars)
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 60) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+      sim
+    }
+
+  /** SimHash near-duplicate pairs: 60-bit shingle simhash, banded into 4
+    * 15-bit key slices (docs within hamming distance d of each other agree
+    * exactly on at least one slice whenever d < numBands), candidates from
+    * the band equi-join, verified by popcount of the XOR. The classic
+    * web-scale near-dup path where per-doc state must be O(1): one long
+    * per document, versus MinHash's K-long signature.
+    */
+  def simhashDedupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, maxHamming: Int): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("doc_id"),
+        simhash60Udf(shingleK)(col(textCol)).as("sh"))
+      .localCheckpoint(true) // one sig pass feeds both join sides
+    val bands = sigs.select(col("doc_id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('-', b, shiftright(sh, b * 15) & 32767))"))
+        .as("band_key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.sh ^ y.sh)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** BPE-ish subword token count: a GPT-2-style pretokenizer regex
+    * (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) — the usual "how many tokens will this cost"
+    * estimator when no real tokenizer is on the classpath. Pure regex, so
+    * both engines count identically.
+    */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** Karp–Rabin rolling fingerprint of the canonical text (lowercased,
+    * alphanumerics only): left fold h = (h*131 + code) mod 1e9+7 seeded
+    * with the first char code; 0 for empty canonical text. Sequential
+    * fold + bounded intermediates (< 2^37) keep it bit-identical in any
+    * engine with the same fold order.
+    */
+  def rollingFingerprintUdf: UserDefinedFunction = udf { (text: String) =>
+    // String-level lowercase first (matches SQL lower()), THEN the ascii
+    // filter — per-char toLowerCase diverges on one-to-many mappings
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      i += 1
+    }
+    if (sb.length == 0) 0L
+    else {
+      var h = sb.charAt(0).toLong
+      var j = 1
+      while (j < sb.length) {
+        h = (h * 131L + sb.charAt(j).toLong) % 1000000007L
+        j += 1
+      }
+      h
+    }
+  }
+
   // -------------------------------------------------------- text analysis
 
   private def lexiconHitsSql(c: String, words: Seq[String]): String = {

@@ -239,12 +239,55 @@ object Crawler {
       |  || ')/o/' || o_orderkey || '?x=' || (o_orderkey % 7) AS surt
       |FROM orders""".stripMargin
 
+  /** §2.14 header scalars over a FetchResultUrl-shaped headers multimap
+    * (MapType(String, Array(String))): case-insensitive first-value lookup
+    * (reference BasePageParser.java:80-91) and charset extraction from
+    * Content-Type (HttpUtils + BasePageParser.java:62-63, default utf-8).
+    */
+  def headerCharset(spark: SparkSession, dir: String): DataFrame = {
+    val ct = when(col("o_orderkey") % 3 === 0,
+      lit("text/html; charset=UTF-8"))
+      .when(col("o_orderkey") % 3 === 1, lit("text/html"))
+      .otherwise(lit("application/json; charset=iso-8859-1"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        map(
+          lit("Content-Type"), array(ct, lit("bogus/second-value")),
+          lit("X-Request-ID"),
+          array(concat(lit("req-"), col("o_orderkey"))),
+          lit("Content-LENGTH"),
+          array((col("o_orderkey") % 90000 + 100).cast("string")))
+          .as("headers"))
+      .select(col("o_orderkey"),
+        element_at(
+          element_at(transform_keys(col("headers"), (k, _) => lower(k)),
+            "content-type"), 1).as("ct"),
+        element_at(
+          element_at(transform_keys(col("headers"), (k, _) => lower(k)),
+            "content-length"), 1).cast("long").as("clen"))
+      .select(col("o_orderkey"),
+        lower(coalesce(
+          when(regexp_extract(col("ct"), "charset=([^;]+)", 1) === "", null)
+            .otherwise(regexp_extract(col("ct"), "charset=([^;]+)", 1)),
+          lit("utf-8"))).as("charset"),
+        col("clen"))
+  }
+
+  val headerCharsetSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 1 THEN 'utf-8'
+      |       WHEN o_orderkey % 3 = 2 THEN 'iso-8859-1'
+      |       ELSE 'utf-8' END AS charset,
+      |  (o_orderkey % 90000) + 100 AS clen
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
     "q16_frontier_merge" -> (frontierMerge _),
     "q17_schedule_topk" -> (scheduleTopK _),
-    "q32_surt_key" -> (surtKeys _)
+    "q32_surt_key" -> (surtKeys _),
+    "q39_header_charset" -> (headerCharset _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -252,6 +295,7 @@ object Crawler {
     "q15_url_parse" -> urlParseSql,
     "q16_frontier_merge" -> frontierMergeSql,
     "q17_schedule_topk" -> scheduleTopKSql,
-    "q32_surt_key" -> surtKeysSql
+    "q32_surt_key" -> surtKeysSql,
+    "q39_header_charset" -> headerCharsetSql
   )
 }

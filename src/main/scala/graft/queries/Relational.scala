@@ -177,6 +177,23 @@ object Relational {
         count(lit(1)).as("n"),
         sum(col("value").cast(dec)).cast("double").as("sum_value"))
 
+  /** G4 TimedCounter, faithful form: the reference's fetches/sec gauge is a
+    * 30-second *sliding* per-second ring buffer (FetchUrlsFunction.java
+    * :169-224). Batch equivalent: per-second counts + a RANGE window over
+    * the preceding 29 seconds, partitioned by event type. The RANGE frame
+    * is on a numeric sort key, so gaps in the second sequence are handled
+    * by frame semantics, not by densifying rows.
+    */
+  def slidingRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+      .rangeBetween(-29, 0)
+    t(spark, dir, "events")
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      .groupBy(col("event_type"), col("sec"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_30s", sum(col("n")).over(w))
+  }
+
   /** ExceptionUtils HTTP-status CASE mapping shape. */
   def caseStatus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -203,7 +220,8 @@ object Relational {
     "q10_semi_join" -> (semiJoin _),
     "q11_anti_join" -> (antiJoin _),
     "q12_event_rate" -> (eventRate _),
-    "q13_case_status" -> (caseStatus _)
+    "q13_case_status" -> (caseStatus _),
+    "q38_sliding_rate" -> (slidingRate _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,6 +302,14 @@ object Relational {
         |    WHEN 'signup' THEN 'UNFETCHED'
         |    ELSE 'SKIPPED_DEFERRED' END AS status,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q38_sliding_rate" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT event_type, sec, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT event_type, sec, n,
+        |  SUM(n) OVER (PARTITION BY event_type ORDER BY sec
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30s
+        |FROM g""".stripMargin
   )
 }

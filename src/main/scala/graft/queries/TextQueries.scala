@@ -120,7 +120,26 @@ object TextQueries {
           length(col("content")).cast("long").as("n_bytes"),
           (length(col("content")).cast("long") % 640).as("width"),
           (length(col("content")).cast("long") % 480).as("height"),
-          substring(md5(col("content")), 1, 6).as("format_tag")))
+          substring(md5(col("content")), 1, 6).as("format_tag"))),
+    "q33_cosine_dedup" -> ((s, d) =>
+      Similarity.cosineDedupPairs(embs(s, d), "vec_id", "embedding",
+        dim = 64, numPlanes = 16, threshold = 0.3)),
+    "q34_ivf_ann" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", dim = 64, k = 3)
+    }),
+    "q35_token_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+    "q36_rolling_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.rollingFingerprintUdf(col("text")).as("rhash"))),
+    "q37_simhash_dedup" -> ((s, d) =>
+      TextOps.simhashDedupPairs(docs(s, d), "doc_id", "text",
+        shingleK = 3, maxHamming = 3))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,6 +264,64 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) % 640 AS width,
         |  CAST(length(text) AS BIGINT) % 480 AS height,
         |  substr(md5(text), 1, 6) AS format_tag
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q33_cosine_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |    (SELECT $dBucket FROM (SELECT e0 AS v)) AS bucket
+         |  FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    ${dCos("x.embedding", "y.embedding")} AS cos
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "q34_ivf_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |a AS (SELECT e.vec_id AS vid, e.embedding AS ve, c.cent_id,
+         |    ${dCos("e.embedding", "c.cv")} AS cent_cos
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |    ORDER BY cent_cos DESC, cent_id ASC) AS crn FROM a),
+         |cells AS (SELECT vid, ve, cent_id AS cell FROM r WHERE crn = 1),
+         |j AS (SELECT q.vid AS query_id, x.vid AS neighbor_id,
+         |    q.cell AS cell, ${dCos("q.ve", "x.ve")} AS cos
+         |  FROM cells q JOIN cells x ON q.cell = x.cell AND q.vid <> x.vid
+         |  WHERE q.vid % 50 = 0),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cell, cos, rn FROM rr
+         |WHERE rn <= 3""".stripMargin,
+    "q35_token_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |  '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+        |  AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "q36_rolling_fingerprint" ->
+      """SELECT doc_id, CASE WHEN length(canon) = 0 THEN 0 ELSE
+        |  list_reduce(list_transform(string_split(canon, ''),
+        |      c -> CAST(ord(c) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 1000000007) END AS rhash
+        |FROM (SELECT doc_id,
+        |  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS canon
+        |  FROM documents)""".stripMargin,
+    "q37_simhash_dedup" ->
+      s"""WITH hs AS (SELECT doc_id,
+         |    list_transform($dShingles, s ->
+         |      CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+         |  FROM documents),
+         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+         |    b -> CASE WHEN list_sum(list_transform(h, x ->
+         |        CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+         |  FROM hs),
+         |bands AS (SELECT DISTINCT doc_id, sh,
+         |    unnest(list_transform(range(0, 4),
+         |      b -> CONCAT(b, '-', (sh >> (b * 15)) & 32767))) AS bk
+         |  FROM sim),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, x.sh AS sa,
+         |    y.doc_id AS id_b, y.sh AS sb
+         |  FROM bands x JOIN bands y
+         |    ON x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   )
 }

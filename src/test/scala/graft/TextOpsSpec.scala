@@ -99,6 +99,84 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ann.forall(r => r.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("simhash dedup pairs: exact dup at hamming 0, near-dup within bound") {
+    val pairs = TextOps
+      .simhashDedupPairs(docs, "doc_id", "text", shingleK = 3, maxHamming = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 4L)) == 0L, "exact duplicate must collide at hamming 0")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "one-word-change near-dup should share a band within hamming 10")
+    assert(pairs.values.forall(_ <= 10L))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
+  test("bpe token count: contractions and punctuation split off") {
+    val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.bpeTokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Don|'t| stop|,| it|'s| 42| tokens|!
+    assert(got == Map(1L -> 9L, 2L -> 0L))
+  }
+
+  test("rolling fingerprint: canonical equivalence and known value") {
+    val df = Seq(
+      (1L, "Hello, World 42!"),
+      (2L, "HELLO world-42"), // same canonical form
+      (3L, "hello world 43")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextOps.rollingFingerprintUdf(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L), "formatting-only variants must collide")
+    assert(got(1L) != got(3L))
+    // independent fold of "helloworld42"
+    val expect = "helloworld42".foldLeft(-1L)((h, c) =>
+      if (h < 0) c.toLong else (h * 131 + c.toLong) % 1000000007L)
+    assert(got(1L) == expect)
+  }
+
+  test("cosine dedup pairs gate on threshold inside shared buckets") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (1L, Array(1.01f, 2.02f, -1.01f, 0.505f)), // near-dup of 0
+      (2L, Array(1.0f, 2.0f, -1.0f, 0.5f)),      // exact dup of 0
+      (3L, Array(-1.0f, -2.0f, 1.0f, -0.5f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDedupPairs(
+      vecs, "vec_id", "embedding", dim = 4, numPlanes = 8, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ivf assigns to nearest centroid and searches only the probe cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid A (id%2==0 centroids)
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.05f, 0.0f)),  // centroid B-ish
+      (3L, Array(0.98f, 0.05f, 0.0f, 0.0f)), // near A
+      (5L, Array(0.0f, 0.97f, 0.1f, 0.0f))   // near B
+    ).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") === 0L || col("vec_id") === 1L)
+    val assign = Similarity.ivfAssign(
+      vecs, "vec_id", "embedding", centroids, "vec_id", "embedding", dim = 4)
+      .select("vid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(3L) == 0L && assign(5L) == 1L && assign(2L) == 1L)
+    val top = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") === 1L), vecs, centroids,
+      "vec_id", "embedding", "vec_id", "embedding", dim = 4, k = 2)
+      .collect()
+    assert(top.forall(_.getAs[Long]("query_id") == 1L))
+    assert(top.forall(_.getAs[Long]("cell") == 1L))
+    val ids = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids.subsetOf(Set(2L, 5L)), s"candidates must come from cell B: $ids")
+  }
+
   test("multimodal decode plumbing: stub decoder metadata + frame sampling") {
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
     val decoded = Multimodal.decodeMeta(
