@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.crawl.FrontierStore
+import graft.operators.UrlStateMerger
+
+/** Frontier-at-scale benchmark (PERF_NOTES round-2 candidate): merge and
+  * persist a synthetic 10M-row frontier, then fold 1M-row update batches
+  * into it — the steady-state shape of a continuous crawl where the
+  * frontier is orders of magnitude larger than any round's update. Numbers
+  * recorded in PERF_NOTES.md §"Frontier at 10M rows".
+  *
+  * Synthesis: ~1M plds x ~10 urls, 30% duplicate sightings so the merge
+  * path (score-sum + recency pick) actually exercises, statuses mixed
+  * lifecycle/terminal like a mid-crawl frontier.
+  */
+object FrontierBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[frontier-bench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    def synth(rows: Long, seedShift: Long) =
+      // url space = (rows/10 plds) x 7 paths ≈ 0.7 x rows, so ~30% of rows
+      // are duplicate sightings and the merge path actually folds
+      spark.range(rows).select(
+        concat(lit("http://d"), (col("id") + seedShift) % (rows / 10 + 1),
+          lit(".com/p"), col("id") % 7).as("url"),
+        concat(lit("d"), (col("id") + seedShift) % (rows / 10 + 1),
+          lit(".com")).as("pld"),
+        when(col("id") % 10 === 0, "FETCHED")
+          .when(col("id") % 10 === 1, "HTTP_NOTFOUND")
+          .when(col("id") % 10 === 2, "QUEUED")
+          .otherwise("UNFETCHED").as("status"),
+        (lit(1700000000000L) + col("id") % 100000).as("statusTime"),
+        (col("id") % 100).cast("float").as("score"),
+        (lit(1700000000000L) + col("id") % 50000).as("nextFetchTime"))
+
+    val root = java.nio.file.Files
+      .createTempDirectory("frontier_bench").toString
+
+    val initial = synth(n, 0)
+    time(s"merge ${n / 1000000}M rows (pure agg, count)") {
+      println("  merged rows: " + UrlStateMerger.mergeFrontier(initial).count())
+    }
+    time(s"mergeInto v0 (${n / 1000000}M rows, bucketed write)") {
+      FrontierStore.mergeInto(spark, root, initial)
+    }
+    val updates = synth(n / 10, 7) // 1M updates, keys overlap the frontier
+    time(s"mergeInto v1 (+${n / 10000000.0}M updates over stored frontier)") {
+      FrontierStore.mergeInto(spark, root, updates)
+    }
+    time("domainSlice point lookup") {
+      println("  slice rows: " +
+        FrontierStore.domainSlice(spark, root, "d17.com").map(_.count()))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
+}
