@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC archive *source*: parse WARC/1.0 files (as produced by
+  * `graft.sinks.Sinks.writeWarc`, or any writer of `resource` records)
+  * back into rows — the ingestion half of the reference's WARC support
+  * (record model + parser at …/flinkcrawler/warc/WARCRecord.java:35, used
+  * by the CommonCrawl fetch path to read archived pages).
+  *
+  * Scale shape: one task per file (Spark file splitting off for wholetext),
+  * record parsing is a linear scan per file — segment files are bounded by
+  * the writer (`maxRecordsPerFile` / ~1 GB segments), so tasks stay evenly
+  * sized. Body extraction honors Content-Length in OCTETS, as the spec
+  * requires — bodies containing blank lines parse correctly.
+  */
+object WarcSource {
+
+  final case class WarcRecord(
+      warcType: String, url: String, contentType: String,
+      warcDate: String, content: String)
+
+  /** Split one file's text into WARC records. */
+  private[sources] def parseFile(text: String): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    val marker = "WARC/1.0\r\n"
+    var pos = text.indexOf(marker)
+    while (pos >= 0) {
+      val headerEnd = text.indexOf("\r\n\r\n", pos)
+      if (headerEnd < 0) { pos = -1 }
+      else {
+        val headers = text.substring(pos + marker.length, headerEnd)
+          .split("\r\n")
+          .flatMap { line =>
+            line.indexOf(": ") match {
+              case -1 => None
+              case i => Some(line.substring(0, i).toLowerCase ->
+                line.substring(i + 2))
+            }
+          }.toMap
+        val bodyStart = headerEnd + 4
+        val bodyOctets = headers.get("content-length").map(_.trim.toInt)
+          .getOrElse(0)
+        // Content-Length counts octets; the in-memory text is chars. Walk
+        // chars accumulating UTF-8 byte width so multi-byte bodies parse.
+        var taken = 0
+        var i = bodyStart
+        while (taken < bodyOctets && i < text.length) {
+          val c = text.charAt(i)
+          taken += (
+            if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+            else 3)
+          i += 1
+        }
+        val body = text.substring(bodyStart, math.min(i, text.length))
+        out += WarcRecord(
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          headers.getOrElse("content-type", ""),
+          headers.getOrElse("warc-date", ""),
+          body)
+        pos = text.indexOf(marker, math.max(i, bodyStart))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a WARC directory into one row per `resource` record:
+    * (url, contentType, warcDate, content). warcinfo headers are dropped
+    * (pass `keepAllTypes = true` to surface every record with its type).
+    */
+  def read(spark: SparkSession, path: String,
+      keepAllTypes: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap(parseFile _)
+      .toDF()
+    if (keepAllTypes) all
+    else all.filter(col("warcType") === "resource")
+      .select(col("url"), col("contentType"), col("warcDate"), col("content"))
+  }
+}

@@ -118,6 +118,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(tsv.length == 1)
     assert(tsv.head == "http://d.com/a\tline1 with tabs and newline")
   }
+
+  test("warc source parses written records back, octet-exact") {
+    import spark.implicits._
+    val fetched = Seq(
+      // non-ASCII body: Content-Length counts UTF-8 octets, not chars
+      ("http://d.com/u", "text/html; charset=utf-8", "héllo wörld ✓", 1700000000000L),
+      // body containing a blank line — only octet counting parses past it
+      ("http://d.com/b", "text/plain", "para one\r\n\r\npara two", 1700000001000L),
+      ("http://d.com/c", "text/html", "<html>plain</html>", 1700000002000L)
+    ).toDF("url", "contentType", "content", "fetchTimeMs")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-rt").toString
+    graft.sinks.Sinks.writeWarc(fetched, dir)
+    val back = graft.sources.WarcSource.read(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("content"))
+      .toMap
+    assert(back.size == 3)
+    assert(back("http://d.com/u") == "héllo wörld ✓")
+    assert(back("http://d.com/b") == "para one\r\n\r\npara two")
+    assert(back("http://d.com/c") == "<html>plain</html>")
+  }
 }
 class StreamingCrawlSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
