@@ -147,7 +147,9 @@ object Similarity {
       .join(queries.select(col(idCol).as("vid")), Seq("vid"), "left_semi")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    queryCells.as("q")
+    // the query set is small by construction — broadcast it so the cell
+    // join is a map-side hash join over the streaming corpus, not an SMJ
+    broadcast(queryCells.as("q"))
       .join(corpusCells.as("c"),
         col("q.cell") === col("c.cell") && col("q.vid") =!= col("c.vid"))
       .select(col("q.vid").as("query_id"), col("c.vid").as("neighbor_id"),
