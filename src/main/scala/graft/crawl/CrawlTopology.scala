@@ -37,7 +37,10 @@ final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
     parsed: DataFrame,     // url, pld, title, text, score
     journal: DataFrame,    // round, stage, url, status
-    rounds: Int) {
+    rounds: Int,
+    // per-round observe() gauges: (round, gauge, value) — queue depth is
+    // the one CrawlerMetrics gauge the journal cannot reconstruct
+    gauges: Seq[(Int, String, Long)] = Seq.empty) {
 
   /** G5 metric counters (reference …/flinkcrawler/metrics/CrawlerMetrics
     * .java:3-13 gauges) derived from the journal: "stage.STATUS" -> count.
@@ -46,6 +49,11 @@ final case class CrawlResult(
     journal.groupBy("stage", "status").count().collect()
       .map(r => s"${r.getString(0)}.${r.getString(1)}" -> r.getLong(2))
       .toMap
+
+  /** Peak per-round fetch-queue depth (reference URLS_IN_FETCH_QUEUE). */
+  def maxQueueDepth: Long =
+    gauges.collect { case (_, "urls_in_queue", v) => v }
+      .foldLeft(0L)(math.max)
 }
 
 /** The crawl dataflow re-expressed for Spark's acyclic execution model
@@ -120,6 +128,7 @@ object CrawlTopology {
     // -lived drivers run many topologies per JVM)
     val crawlRunId = java.util.UUID.randomUUID().toString
 
+    val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val parsedBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def journal(round: Int, stage: String, rows: DataFrame): Unit =
@@ -205,14 +214,20 @@ object CrawlTopology {
         case None => eligible
           .withColumn("quota", lit(cfg.maxUrlsPerDomainPerRound))
       }
+      // G5 gauge via the observe() API: queue depth rides the checkpoint
+      // action for free — no second pass over candidates
+      val queueObs = org.apache.spark.sql.Observation(s"queue_r$round")
       val candidates = withQuota
         .withColumn("rn", row_number().over(perDomain))
         .filter(col("rn") <= col("quota"))
         .orderBy(col("score").desc, col("url").asc)
         .limit(cfg.maxQueueSize)
         .select(col("url"), col("pld"), col("score"))
+        .observe(queueObs, count(lit(1)).as("n"))
         .as[Candidate]
         .localCheckpoint(true)
+      gauges += ((round, "urls_in_queue",
+        queueObs.get.get("n").fold(0L)(_.asInstanceOf[Long])))
 
       if (candidates.isEmpty) {
         // distinguish "frontier exhausted" from "all ready domains are
@@ -258,17 +273,30 @@ object CrawlTopology {
 
         // --- sitemap discovery: fetch+parse each newly seen sitemap once
         val pf = pageFetcher
-        val sitemapLinks = verdicts
+        val sitemapFetches = verdicts
           .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
           .distinct()
           .mapPartitions { it =>
-            it.flatMap { case (_, sitemapUrl) =>
+            it.map { case (_, sitemapUrl) =>
               val page = pf.fetch(sitemapUrl)
-              if (page.statusCode == 200)
-                HtmlParser.parseSitemap(page.content).map(u => (u, 1.0f))
-              else Seq.empty
+              val links =
+                if (page.statusCode == 200)
+                  HtmlParser.parseSitemap(page.content)
+                else Seq.empty[String]
+              (sitemapUrl, page.statusCode, links)
             }
           }
+          .localCheckpoint(true) // one fetch pass: links + failure journal
+        val sitemapLinks = sitemapFetches
+          .flatMap(_._3.map(u => (u, 1.0f)))
+        // L7 HandleFailedSiteMapFunction (reference …/flinkcrawler/
+        // functions/HandleFailedSiteMapFunction.java:13-31): failed sitemap
+        // fetches are recorded, not silently dropped
+        journal(round, "sitemap_failed",
+          sitemapFetches
+            .filter(_._2 != 200)
+            .map(f => (f._1, FS.fromHttpStatus(f._2)))
+            .toDF("url", "status"))
 
         // --- fetch (FetchUrlsFunction): politeness is already enforced by
         // the per-domain schedule cap; redirects surface as HTTP_MOVED with
@@ -390,6 +418,7 @@ object CrawlTopology {
       frontier,
       parsedBatches.foldLeft(emptyParsed)(_ unionByName _),
       journalBatches.foldLeft(emptyJournal)(_ unionByName _),
-      round)
+      round,
+      gauges.toSeq)
   }
 }

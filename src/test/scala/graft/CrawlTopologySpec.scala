@@ -52,7 +52,12 @@ class CrawlTopologySpec extends AnyFunSuite {
       s"""User-agent: *
          |Disallow: /blocked
          |Sitemap: $sitemapUrl
-         |""".stripMargin))
+         |""".stripMargin,
+    // domain2 declares a sitemap that 404s (L7 failed-sitemap handling)
+    "http://domain2.com/robots.txt" ->
+      """User-agent: *
+        |Sitemap: http://domain2.com/no-such-sitemap.xml
+        |""".stripMargin))
 
   private lazy val result = CrawlTopology.run(
     spark,
@@ -83,6 +88,25 @@ class CrawlTopologySpec extends AnyFunSuite {
 
   test("sitemap URL is discovered and crawled") {
     assert(statusOf("http://domain1.com/sitemapped") == Seq(FS.FETCHED))
+  }
+
+  test("observe() gauges record per-round queue depth (G5)") {
+    val depths = result.gauges.collect { case (r, "urls_in_queue", v) => r -> v }
+    assert(depths.nonEmpty, "every scheduling round must record a gauge")
+    assert(result.maxQueueDepth >= 2,
+      s"two domains schedule in one round: ${depths.mkString(",")}")
+    assert(depths.forall(_._2 <= 30), "depth bounded by maxQueueSize")
+  }
+
+  test("failed sitemap fetch is journaled, not silently dropped (L7)") {
+    val failed = result.journal
+      .filter(col("stage") === "sitemap_failed")
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(failed.contains(
+      ("http://domain2.com/no-such-sitemap.xml", FS.HTTP_NOTFOUND)))
+    // the failure never enters the frontier as a crawlable URL
+    assert(statusOf("http://domain2.com/no-such-sitemap.xml").isEmpty)
   }
 
   test("redirect records HTTP_MOVED and target gets fetched") {
