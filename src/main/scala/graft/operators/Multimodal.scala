@@ -90,4 +90,63 @@ object Multimodal {
       }
     }
   }
+
+  final case class FeatureRecord(id: Long, features: Array[Float])
+  final case class ResizedRecord(
+      id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** Feature extraction over the binary column: per-media fixed-width
+    * float vector, one extractor pass per partition. The stub computes a
+    * normalized 16-bin byte histogram (STUB: a production extractor — CLIP
+    * embedding, mel spectrogram stats — drops into the same signature);
+    * the output column is the same `Array[Float]` shape the similarity
+    * operators consume, so decoded media feed straight into cosine / LSH /
+    * IVF search (q27/q28/q33/q34).
+    */
+  def extractFeatures(
+      df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 16): Dataset[FeatureRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val hist = new Array[Float](dim)
+          r.content.foreach(b => hist((b & 0xff) % dim) += 1f)
+          val n = math.max(1, r.content.length).toFloat
+          FeatureRecord(r.id, hist.map(_ / n))
+        }
+      }
+  }
+
+  /** Resize/downsample the media payload (STUB: deterministic byte-stride
+    * stand-in for a pixel resampler). The Spark-side contract is the real
+    * part: binary in, smaller binary + new dimensions out, partition-
+    * batched so a real resampler amortizes its init, output size bounded
+    * by `targetWidth x targetHeight` regardless of input skew.
+    */
+  def resize(
+      df: DataFrame, idCol: String, binCol: String,
+      targetWidth: Int, targetHeight: Int,
+      decoder: MediaDecoder): Dataset[ResizedRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("content"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val m = decoder.decode(r.content)
+          val budget = math.max(1, targetWidth * targetHeight)
+          // ceil-divide so the output never exceeds the byte budget
+          val stride = math.max(1, (r.content.length + budget - 1) / budget)
+          val out = new Array[Byte]((r.content.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = r.content(i * stride); i += 1 }
+          ResizedRecord(r.id,
+            math.min(m.width, targetWidth), math.min(m.height, targetHeight),
+            out)
+        }
+      }
+  }
 }

@@ -192,6 +192,35 @@ class TextOpsSpec extends AnyFunSuite {
     val expected = rows.map(r => (r.nFrames + 1) / 2).sum
     assert(frames.length == expected)
   }
+
+  test("multimodal feature extraction yields normalized fixed-width vectors") {
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+    val feats = Multimodal.extractFeatures(media, "doc_id", "content", dim = 16)
+      .collect()
+    assert(feats.length == 5)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3,
+        "histogram must be normalized")
+    }
+    // deterministic: same bytes -> same features (docs 1 and 4 are dups)
+    val byId = feats.map(f => f.id -> f.features.toSeq).toMap
+    assert(byId(1L) == byId(4L))
+  }
+
+  test("multimodal resize bounds output size and keeps determinism") {
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+    val resized = Multimodal.resize(media, "doc_id", "content",
+      targetWidth = 4, targetHeight = 4, new Multimodal.StubDecoder)
+      .collect()
+    assert(resized.length == 5)
+    resized.foreach { r =>
+      assert(r.content.length <= 16, s"id ${r.id}: ${r.content.length}")
+      assert(r.width <= 4 && r.height <= 4)
+    }
+    val byId = resized.map(r => r.id -> r.content.toSeq).toMap
+    assert(byId(1L) == byId(4L))
+  }
 }
 
 class FrontierStoreSpec extends AnyFunSuite {
