@@ -108,4 +108,23 @@ object StreamingOps {
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), window30s, slide), col("pld"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming ingestion dedup for a continuous training-data pipeline:
+    * drop re-arrivals of the same content fingerprint, with the watermark
+    * bounding how long fingerprints are remembered — state is
+    * O(docs per watermark horizon), not O(corpus), which is what keeps an
+    * always-on ingest feed viable at 100 TB (the batch operators q18/q25
+    * handle the full-corpus dedup passes).
+    *
+    * Input columns: ts (timestamp), plus `textCol`. Output adds the
+    * fingerprint and keeps the first arrival of each.
+    */
+  def dedupStream(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      horizon: String = "10 minutes") =
+    docs
+      .withColumn("fingerprint", md5(col(textCol)))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

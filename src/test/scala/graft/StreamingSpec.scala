@@ -119,6 +119,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(tsv.head == "http://d.com/a\tline1 with tabs and newline")
   }
 
+  test("streaming dedup drops re-arrivals of the same fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = StreamingOps
+      .dedupStream(
+        input.toDS().toDF("ts", "doc_id", "text"), "text", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+      input.addData(Seq(
+        (t(0), 1L, "alpha text"), (t(1), 2L, "beta text"),
+        (t(2), 3L, "alpha text"))) // dup of doc 1 in the same batch
+      query.processAllAvailable()
+      input.addData(Seq(
+        (t(3), 4L, "alpha text"), // dup across batches, inside horizon
+        (t(4), 5L, "gamma text")))
+      query.processAllAvailable()
+      val got = spark.table("sdedup").select("doc_id").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 2L, 5L), s"got $got")
+    } finally query.stop()
+  }
+
   test("warc source parses written records back, octet-exact") {
     import spark.implicits._
     val fetched = Seq(
