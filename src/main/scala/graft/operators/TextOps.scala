@@ -345,7 +345,7 @@ object TextOps {
     * fold + bounded intermediates (< 2^37) keep it bit-identical in any
     * engine with the same fold order.
     */
-  def rollingFingerprintUdf: UserDefinedFunction = udf { (text: String) =>
+  def rollingFingerprint(text: String): Long = {
     // String-level lowercase first (matches SQL lower()), THEN the ascii
     // filter — per-char toLowerCase diverges on one-to-many mappings
     val lowered = text.toLowerCase(java.util.Locale.ROOT)
@@ -367,6 +367,9 @@ object TextOps {
       h
     }
   }
+
+  def rollingFingerprintUdf: UserDefinedFunction =
+    udf(rollingFingerprint _)
 
   // -------------------------------------------------------- text analysis
 
