@@ -65,6 +65,48 @@ object FrontierBench {
       println("  slice rows: " +
         FrontierStore.domainSlice(spark, root, "d17.com").map(_.count()))
     }
+
+    // BASELINE.md scheduler target: drain a 10k-entry top-K selection per
+    // round inside the reference's 200 ms average cadence budget. Same
+    // plan shape as CrawlTopology's candidates block (eligibility gate,
+    // per-PLD fairness window, global ORDER BY score LIMIT k).
+    import org.apache.spark.sql.expressions.Window
+    val stored = FrontierStore.read(spark, root).get
+      .localCheckpoint(true)
+    val perDomain = Window.partitionBy(col("pld"))
+      .orderBy(col("score").desc, col("url").asc)
+    def drain() = stored
+      .filter(col("status") === "UNFETCHED" &&
+        col("nextFetchTime") <= 1700000100000L)
+      .withColumn("rn", row_number().over(perDomain))
+      .filter(col("rn") <= 2)
+      .orderBy(col("score").desc, col("url").asc)
+      .limit(10000)
+      .count()
+    drain() // warm codegen
+    time(s"schedule drain: top-10k over ${n / 10 * 7 / 1000000}M frontier") {
+      println("  candidates: " + drain())
+    }
+    val rounds = 10
+    time(s"schedule drain x$rounds (amortized per round)") {
+      (1 to rounds).foreach(_ => drain())
+    }
+
+    // the literal reference budget: a 10k-entry frontier (FetchQueue
+    // capacity) selected within the 200 ms cadence
+    val small = stored.limit(10000).localCheckpoint(true)
+    def drainSmall() = small
+      .filter(col("status") === "UNFETCHED" &&
+        col("nextFetchTime") <= 1700000100000L)
+      .withColumn("rn", row_number().over(perDomain))
+      .filter(col("rn") <= 2)
+      .orderBy(col("score").desc, col("url").asc)
+      .limit(10000)
+      .count()
+    drainSmall()
+    time(s"schedule drain x$rounds on 10k frontier (amortized per round)") {
+      (1 to rounds).foreach(_ => drainSmall())
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }
