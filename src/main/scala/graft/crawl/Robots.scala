@@ -1,29 +1,70 @@
 package graft.crawl
 
-/** Minimal robots.txt semantics the reference relies on (via crawler-commons
-  * SimpleRobotRulesParser in …/flinkcrawler/functions/
-  * CheckUrlWithRobotsFunction.java:100-232): `Disallow:` path-prefix
-  * blocking, `Crawl-delay:` seconds, `Sitemap:` discovery. Rules are parsed
-  * once per robots body and cached per domain by the topology.
+/** Robots.txt semantics per the reference's parser (crawler-commons
+  * SimpleRobotRulesParser, used at …/flinkcrawler/functions/
+  * CheckUrlWithRobotsFunction.java:100-232), which implements the
+  * RFC 9309 rule set: `Allow:`/`Disallow:` path rules with `*` wildcards
+  * and `$` end-anchors, most-specific (longest) pattern wins, ties go to
+  * Allow; plus `Crawl-delay:` seconds and `Sitemap:` discovery. Rules are
+  * parsed once per robots body and cached per domain by the topology.
+  *
+  * @param rules (pattern, isAllow) in file order; empty pattern lines are
+  *              dropped at parse time (`Disallow:` with no value = allow
+  *              all, per the RFC)
   */
 final case class RobotsRules(
-    disallowPrefixes: Seq[String],
+    rules: Seq[(String, Boolean)],
     crawlDelayMs: Option[Long],
     sitemaps: Seq[String]) extends Serializable {
 
-  def isAllowed(path: String): Boolean =
-    !disallowPrefixes.exists(p => p.nonEmpty && path.startsWith(p))
+  @transient private lazy val compiled: Seq[(java.util.regex.Pattern, Boolean, Int)] =
+    rules.map { case (pat, allow) =>
+      (RobotsRules.compile(pat), allow, pat.length)
+    }
+
+  /** RFC 9309 evaluation: of all matching rules, the longest pattern
+    * wins; at equal length Allow beats Disallow; no match = allowed.
+    */
+  def isAllowed(path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    compiled.foreach { case (p, allow, len) =>
+      if (p.matcher(path).lookingAt() &&
+        (len > bestLen || (len == bestLen && allow && !bestAllow))) {
+        bestLen = len
+        bestAllow = allow
+      }
+    }
+    bestAllow
+  }
 }
 
 object RobotsRules {
 
   val allowAll: RobotsRules = RobotsRules(Nil, None, Nil)
 
-  /** Parse a robots.txt body. Like the reference's use, rules are taken from
-    * every `User-agent` group (the mock fixtures use `*` exclusively).
+  /** Back-compat helper: plain Disallow prefixes. */
+  def disallowing(prefixes: String*): RobotsRules =
+    RobotsRules(prefixes.map(_ -> false), None, Nil)
+
+  /** Compile a robots path pattern: literal prefix match with `*` as any
+    * run and a trailing `$` anchoring the end of the path.
+    */
+  private[crawl] def compile(pat: String): java.util.regex.Pattern = {
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.dropRight(1) else pat
+    val rx = core.split("\\*", -1)
+      .map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    java.util.regex.Pattern.compile(rx + (if (anchored) "$" else ""))
+  }
+
+  /** Parse a robots.txt body. Like the reference's use, rules are taken
+    * from every `User-agent` group (the mock fixtures use `*`
+    * exclusively).
     */
   def parse(body: String): RobotsRules = {
-    var disallow = List.empty[String]
+    var rules = List.empty[(String, Boolean)]
     var delay: Option[Long] = None
     var sitemaps = List.empty[String]
     body.linesIterator.foreach { raw =>
@@ -33,7 +74,8 @@ object RobotsRules {
         val key = line.substring(0, idx).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(idx + 1).trim
         key match {
-          case "disallow" => if (value.nonEmpty) disallow ::= value
+          case "disallow" => if (value.nonEmpty) rules ::= (value -> false)
+          case "allow" => if (value.nonEmpty) rules ::= (value -> true)
           case "crawl-delay" =>
             delay = value.toDoubleOption.map(d => (d * 1000).toLong)
           case "sitemap" => if (value.nonEmpty) sitemaps ::= value
@@ -41,6 +83,6 @@ object RobotsRules {
         }
       }
     }
-    RobotsRules(disallow.reverse, delay, sitemaps.reverse)
+    RobotsRules(rules.reverse, delay, sitemaps.reverse)
   }
 }

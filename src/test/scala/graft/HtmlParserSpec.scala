@@ -77,4 +77,36 @@ class HtmlParserSpec extends AnyFunSuite {
     // empty Disallow must not block everything
     assert(rules.isAllowed("/"))
   }
+
+  test("robots RFC 9309: Allow overrides, wildcards, end anchors") {
+    val rules = RobotsRules.parse(
+      """User-agent: *
+        |Disallow: /shop
+        |Allow: /shop/public
+        |Disallow: /*.pdf$
+        |Disallow: /cgi-*/run
+        |Allow: /
+        |""".stripMargin)
+    // longest-match wins: /shop blocked, /shop/public re-allowed
+    assert(!rules.isAllowed("/shop/cart"))
+    assert(rules.isAllowed("/shop/public/item"))
+    // $ anchors: only paths ENDING in .pdf are blocked
+    assert(!rules.isAllowed("/docs/manual.pdf"))
+    assert(rules.isAllowed("/docs/manual.pdf.html"))
+    // mid-pattern wildcard
+    assert(!rules.isAllowed("/cgi-bin/run"))
+    assert(rules.isAllowed("/cgi-bin/other"))
+    // bare Allow: / (len 1) loses to the longer Disallows, wins elsewhere
+    assert(rules.isAllowed("/anything"))
+  }
+
+  test("robots precedence tie at equal length goes to Allow") {
+    val rules = RobotsRules.parse(
+      "User-agent: *\nDisallow: /a/\nAllow: /a/*\n".stripMargin)
+    // '/a/*' and '/a/' differ in length; craft a true tie:
+    val tie = RobotsRules.parse(
+      "User-agent: *\nDisallow: /ab\nAllow: /ab\n")
+    assert(tie.isAllowed("/ab/x"))
+    assert(rules.isAllowed("/a/x"))
+  }
 }
