@@ -31,6 +31,8 @@ object HtmlParser {
     "(?is)rel\\s*=\\s*[\"']([^\"']*)[\"']".r
   private val TagRe = "(?s)<[^>]*>".r
   private val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</\\1>".r
+  private val BaseRe =
+    "(?is)<base\\s+[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']".r
 
   /** Resolve a possibly relative href against the page URL. */
   private def resolve(pageUrl: String, href: String): Option[String] =
@@ -45,6 +47,12 @@ object HtmlParser {
     */
   def parse(pageUrl: String, html: String, pageScore: Float): ParseResult = {
     val title = TitleRe.findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
+    // <base href> re-bases relative links (itself resolved against the
+    // page URL, per HTML spec); absolute hrefs are unaffected
+    val baseUrl = BaseRe.findFirstMatchIn(html)
+      .map(_.group(1))
+      .flatMap(b => resolve(pageUrl, b))
+      .getOrElse(pageUrl)
     val noFollow = MetaRobotsRe
       .findFirstIn(html)
       .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
@@ -63,7 +71,7 @@ object HtmlParser {
             href <- HrefRe.findFirstMatchIn(attrs).map(_.group(1))
             rel = RelRe.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("")
             if !rel.toLowerCase(java.util.Locale.ROOT).contains("nofollow")
-            abs <- resolve(pageUrl, href)
+            abs <- resolve(baseUrl, href)
           } yield (abs, anchor, rel)
         }.toSeq
 

@@ -27,6 +27,28 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(r.outlinks.forall(o => math.abs(o.score - 0.5f) < 1e-6))
   }
 
+  test("base href re-bases relative links but not absolute ones") {
+    val r = HtmlParser.parse(
+      "http://d.com/deep/page.html",
+      """<html><head><base href="http://cdn.d.com/assets/"></head>
+        |<body><a href="x.html">rel</a>
+        |<a href="/root.html">abs-path</a>
+        |<a href="http://other.com/y">abs</a></body></html>""".stripMargin,
+      1.0f)
+    val urls = r.outlinks.map(_.url)
+    assert(urls.contains("http://cdn.d.com/assets/x.html"))
+    assert(urls.contains("http://cdn.d.com/root.html"))
+    assert(urls.contains("http://other.com/y"))
+  }
+
+  test("relative base href resolves against the page url first") {
+    val r = HtmlParser.parse(
+      "http://d.com/a/b/page.html",
+      """<base href="../up/"><a href="z.html">z</a>""",
+      1.0f)
+    assert(r.outlinks.map(_.url) == Seq("http://d.com/a/up/z.html"))
+  }
+
   test("meta robots nofollow suppresses all outlinks") {
     val html =
       """<html><head><meta name="robots" content="nofollow"></head>
