@@ -33,6 +33,8 @@ object HtmlParser {
   private val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</\\1>".r
   private val BaseRe =
     "(?is)<base\\s+[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']".r
+  private val MediaSrcRe =
+    "(?is)<(?:img|source|video|audio|embed|iframe)\\s+[^>]*src\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']".r
 
   /** Resolve a possibly relative href against the page URL. */
   private def resolve(pageUrl: String, href: String): Option[String] =
@@ -86,6 +88,23 @@ object HtmlParser {
       .replaceAll("\\s+", " ")
       .trim
     ParseResult(title, text, outlinks, noFollow)
+  }
+
+  /** Media links (img/source/video/audio/embed/iframe src) resolved like
+    * outlinks — the reference's link extractor accepts configurable
+    * tag/attr sets beyond anchors (BaseLinkExtractor.java:21-51); this is
+    * the feed for a multimodal ingest pipeline (Multimodal.decodeMeta et
+    * al. consume the fetched bytes).
+    */
+  def mediaLinks(pageUrl: String, html: String): Seq[String] = {
+    val baseUrl = BaseRe.findFirstMatchIn(html)
+      .map(_.group(1))
+      .flatMap(b => resolve(pageUrl, b))
+      .getOrElse(pageUrl)
+    MediaSrcRe.findAllMatchIn(html)
+      .flatMap(m => resolve(baseUrl, m.group(1)))
+      .distinct
+      .toSeq
   }
 
   /** Sitemap parsing: XML `<loc>` entries or plain-text URL lines

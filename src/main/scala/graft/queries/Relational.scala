@@ -194,6 +194,28 @@ object Relational {
       .withColumn("n_30s", sum(col("n")).over(w))
   }
 
+  /** Bloom-prefiltered semi join (§2.7 note: the reference ships an unused
+    * BloomFilter utility; Spark's sketch support makes it a first-class
+    * shuffle-volume cutter). Result is exactly the plain semi join, so the
+    * oracle is an IN-subquery.
+    */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val large = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").cast("string").as("custkey"))
+    val small = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").cast("string").as("custkey"))
+    graft.operators.BloomPrefilter
+      .semiJoin(large, small, "custkey", expectedItems = 100000L)
+      .select(col("o_orderkey"), col("custkey"))
+  }
+
+  val bloomSemiSql: String =
+    """SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS custkey
+      |FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)""".stripMargin
+
   /** ExceptionUtils HTTP-status CASE mapping shape. */
   def caseStatus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -221,7 +243,8 @@ object Relational {
     "q11_anti_join" -> (antiJoin _),
     "q12_event_rate" -> (eventRate _),
     "q13_case_status" -> (caseStatus _),
-    "q38_sliding_rate" -> (slidingRate _)
+    "q38_sliding_rate" -> (slidingRate _),
+    "q40_bloom_semi" -> (bloomSemi _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -310,6 +333,7 @@ object Relational {
         |SELECT event_type, sec, n,
         |  SUM(n) OVER (PARTITION BY event_type ORDER BY sec
         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30s
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    "q40_bloom_semi" -> bloomSemiSql
   )
 }

@@ -49,6 +49,20 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(r.outlinks.map(_.url) == Seq("http://d.com/a/up/z.html"))
   }
 
+  test("media links extract from img/video/iframe src with base resolution") {
+    val links = HtmlParser.mediaLinks(
+      "http://d.com/p/page.html",
+      """<base href="http://cdn.d.com/m/">
+        |<img src="pic.jpg"><img src="pic.jpg">
+        |<video src="/clips/v.mp4"></video>
+        |<iframe src="http://other.com/e"></iframe>
+        |<a href="not-media.html">x</a>""".stripMargin)
+    assert(links == Seq(
+      "http://cdn.d.com/m/pic.jpg",
+      "http://cdn.d.com/clips/v.mp4",
+      "http://other.com/e"))
+  }
+
   test("meta robots nofollow suppresses all outlinks") {
     val html =
       """<html><head><meta name="robots" content="nofollow"></head>
