@@ -414,6 +414,10 @@ object CrawlTopology {
       .toDF("url", "pld", "title", "text", "score")
     val emptyJournal = Seq.empty[(Int, String, String, String)]
       .toDF("round", "stage", "url", "status")
+    // the run's robots entries are unreachable once the scope retires —
+    // free them instead of leaking one scope per run in long-lived JVMs
+    RobotsCache.clearScope(crawlRunId)
+
     CrawlResult(
       frontier,
       parsedBatches.foldLeft(emptyParsed)(_ unionByName _),

@@ -33,8 +33,10 @@ object HtmlParser {
   private val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</\\1>".r
   private val BaseRe =
     "(?is)<base\\s+[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']".r
+  // `src` must start an attribute (follow whitespace), not merely end one
+  // (data-src, imagesrc would otherwise match)
   private val MediaSrcRe =
-    "(?is)<(?:img|source|video|audio|embed|iframe)\\s+[^>]*src\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']".r
+    "(?is)<(?:img|source|video|audio|embed|iframe)\\s+(?:[^>]*\\s)?src\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']".r
 
   /** Resolve a possibly relative href against the page URL. */
   private def resolve(pageUrl: String, href: String): Option[String] =

@@ -18,8 +18,32 @@ object RobotsCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Opportunistic-purge threshold: per-run scopes make old entries
+    * unreachable, so without eviction a long-lived JVM running many
+    * crawls grows without bound.
+    */
+  private val MaxEntries = 100000
+
   def clear(): Unit = cache.clear()
   def size: Int = cache.size()
+
+  /** Drop every entry belonging to one crawl run (called by
+    * CrawlTopology.run on completion).
+    */
+  def clearScope(scope: String): Unit =
+    cache.keySet.removeIf(_.startsWith(scope + "|"))
+
+  private def purgeExpired(nowMs: Long): Unit = {
+    cache.entrySet.removeIf(e => e.getValue.expiresAt <= nowMs)
+    // still over cap (pathological TTLs): drop arbitrary surplus rather
+    // than grow — correctness only costs a refetch
+    if (cache.size() > MaxEntries) {
+      val it = cache.keySet.iterator()
+      while (cache.size() > MaxEntries && it.hasNext) {
+        it.next(); it.remove()
+      }
+    }
+  }
 
   private def ttlFor(statusCode: Int): Long = statusCode match {
     case c if c >= 200 && c < 300 => OkTtlMs
@@ -39,6 +63,7 @@ object RobotsCache {
       nowMs: Long = System.currentTimeMillis(),
       scope: String = ""): RobotsRules = {
     val key = if (scope.isEmpty) robotsUrl else scope + "|" + robotsUrl
+    if (cache.size() > MaxEntries) purgeExpired(nowMs)
     val hit = cache.get(key)
     if (hit != null && hit.expiresAt > nowMs) hit.rules
     else {

@@ -11,24 +11,16 @@ import org.apache.spark.sql.functions._
   * shuffle volume when the large side is mostly misses (e.g. "which of
   * these 10B candidate URLs are already in the 100M-row fetched set").
   *
+  * The key is canonicalized to its string form on BOTH the build and the
+  * probe side — `stat.bloomFilter` hashes values by their native type, so
+  * building from longs and probing strings would silently drop every
+  * true member. One representation everywhere makes the filter correct
+  * for any key type.
+  *
   * False positives only pass extra rows to the exact join; results are
   * identical to the plain semi-join.
   */
 object BloomPrefilter {
-
-  /** `large LEFT SEMI JOIN small ON key`, bloom-prefiltered. */
-  def semiJoin(
-      large: DataFrame, small: DataFrame, key: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(key, expectedItems, fpp)
-    val spark = large.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) =>
-      k != null && bloomBc.value.mightContainString(k))
-    large
-      .filter(mightContain(col(key)))
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
-  }
 
   /** Just the prefilter (no exact join) — for pipelines that tolerate the
     * configured false-positive rate in exchange for zero shuffle.
@@ -36,11 +28,19 @@ object BloomPrefilter {
   def approxFilter(
       large: DataFrame, small: DataFrame, key: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(key, expectedItems, fpp)
-    val spark = large.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val bloom = small
+      .select(col(key).cast("string").as(key))
+      .stat.bloomFilter(key, expectedItems, fpp)
+    val bloomBc = large.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: String) =>
       k != null && bloomBc.value.mightContainString(k))
-    large.filter(mightContain(col(key)))
+    large.filter(mightContain(col(key).cast("string")))
   }
+
+  /** `large LEFT SEMI JOIN small ON key`, bloom-prefiltered. */
+  def semiJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    approxFilter(large, small, key, expectedItems, fpp)
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
 }

@@ -76,11 +76,15 @@ object TextQueries {
         expr(TextOps.canonicalFingerprintSql("text")).as("fingerprint"))),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
-      // comparator cannot hash/sort array cells
+      // comparator cannot hash/sort array cells. nullif: a sub-shingleK
+      // doc yields an all-null sig, which concat_ws renders "" but
+      // DuckDB's array_to_string renders NULL — canonicalize to NULL
+      // (a real sig of 16 longs can never be empty)
       TextOps.minhashSignatures(docs(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16)
         .select(col("doc_id"),
-          concat_ws(",", col("sig").cast("array<string>")).as("sig"))),
+          nullif(concat_ws(",", col("sig").cast("array<string>")), lit(""))
+            .as("sig"))),
     "q25_minhash_lsh_pairs" -> ((s, d) =>
       TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, bandSize = 4)),

@@ -35,8 +35,9 @@ object WarcSource {
           .flatMap { line =>
             line.indexOf(": ") match {
               case -1 => None
-              case i => Some(line.substring(0, i).toLowerCase ->
-                line.substring(i + 2))
+              case i => Some(
+                line.substring(0, i).toLowerCase(java.util.Locale.ROOT) ->
+                  line.substring(i + 2))
             }
           }.toMap
         val bodyStart = headerEnd + 4

@@ -57,6 +57,7 @@ class UrlDbProcessor(
       pld: String,
       rows: Iterator[UrlDbProcessor.Envelope],
       timerValues: TimerValues): Iterator[FetchUrl] = {
+    var sawUrl = false
     rows.foreach { env =>
       // input 2 (DomainScore): update pacing state
       // (UrlDBFunction.processElement2 :560-581)
@@ -64,6 +65,7 @@ class UrlDbProcessor(
         domainScore.update(env.score.score)
       // input 1 (CrawlStateUrl): upsert-merge into the URL map
       if (env.state != null) {
+        sawUrl = true
         val incoming = env.state
         val key = UrlFunctions.urlHash64(incoming.url)
         val merged =
@@ -73,9 +75,10 @@ class UrlDbProcessor(
         active.updateValue(key, merged)
       }
     }
-    // arm one recurring timer per domain on first sight (UrlDBFunction
-    // registers a processing-time timer on the first URL :188-209)
-    if (!timerArmed.exists()) {
+    // arm one recurring timer per domain on the first URL — only URLs
+    // (UrlDBFunction registers the timer in processElement1 :188-209);
+    // a score-only domain must not tick forever emitting nothing
+    if (sawUrl && !timerArmed.exists()) {
       getHandle.registerTimer(
         timerValues.getCurrentProcessingTimeInMs() + intervalFor())
       timerArmed.update(true)

@@ -19,10 +19,11 @@ import graft.operators.UrlStateMerger
 object FrontierBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    // NB: driver heap must be set by the launcher (sbt -mem / -Xmx) —
+    // spark.driver.memory is a no-op once the JVM is running
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(f: => A): A = {

@@ -24,6 +24,18 @@ class BloomPrefilterSpec extends AnyFunSuite {
     assert(got.size == 100)
   }
 
+  test("non-string key types filter correctly (build/probe use one form)") {
+    val largeL = (0L until 10000L).toDF("k")
+    val smallL = (0L until 10000L by 100L).toDF("k")
+    val exact = largeL.join(smallL, Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val got = BloomPrefilter.semiJoin(largeL, smallL, "k",
+      expectedItems = 1000, fpp = 0.03)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == exact, s"long-keyed bloom dropped true members: ${got.size}")
+    assert(got.size == 100)
+  }
+
   test("approx filter keeps all members and drops most non-members") {
     val kept = BloomPrefilter.approxFilter(large, small, "url",
       expectedItems = 1000, fpp = 0.01).collect().map(_.getString(0)).toSet

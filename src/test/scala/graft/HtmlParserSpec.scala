@@ -56,6 +56,7 @@ class HtmlParserSpec extends AnyFunSuite {
         |<img src="pic.jpg"><img src="pic.jpg">
         |<video src="/clips/v.mp4"></video>
         |<iframe src="http://other.com/e"></iframe>
+        |<img data-src="lazy.jpg">
         |<a href="not-media.html">x</a>""".stripMargin)
     assert(links == Seq(
       "http://cdn.d.com/m/pic.jpg",
