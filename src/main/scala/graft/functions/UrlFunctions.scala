@@ -16,12 +16,33 @@ object UrlFunctions {
 
   // ---------------------------------------------------------------- normalize
 
-  private val SessionParamPattern =
-    "(?i)^(jsessionid|phpsessid|sessionid|sid|aspsessionid[a-z]*|cfid|cftoken|zenid)$".r
+  /** Query keys stripped when they carry a value (reference
+    * SimpleUrlNormalizer.java:63-76: SESSION_ID_PATTERN +
+    * OTHER_IGNORED_QUERY_PARAMETERS_PATTERN — both applied by the default
+    * normalizer; key-only occurrences are kept, as there).
+    */
+  private val StrippedQueryParamPattern =
+    ("(?i)^(sid|phpsessid|sessionid|session_id|bv_sessionid|jsessionid|" +
+      "-session|session|session_key|aspsessionid[a-z]*|cfid|cftoken|zenid|" +
+      "width|format|country|height|src|user|username|uname|return_url|" +
+      "returnurl|sort|sort_by|sortby|sort_direction|sort_key|order_by|" +
+      "orderby|sortorder|collate)$").r
 
-  private val DefaultPages = Set(
-    "index.html", "index.htm", "index.php", "index.asp", "index.jsp",
-    "default.html", "default.htm", "default.asp")
+  /** `/segment/../` resolution exactly as the reference does it
+    * (SimpleUrlNormalizer.java:55-56 RELATIVE_PATH_PATTERN, applied in a
+    * loop): the parent segment must contain a non-dot character, and the
+    * `..` must be followed by `/` — a bare trailing `/aa/..` is kept.
+    */
+  private val RelativePathPattern =
+    "(/[^/]*[^/.][^/]*/\\.\\./|^(/\\.\\./)+)".r
+
+  /** Default-page removal at path end (reference DEFAULT_PAGE_PATTERN,
+    * SimpleUrlNormalizer.java:59-60; `?`/`&`/`#` cannot occur in a parsed
+    * path, so end-of-path is the reachable case).
+    */
+  private val DefaultPagePattern =
+    ("(?i)/(?:index|default)\\." +
+      "(?:js[pf][afx]?|cgi|cfm|aspx?|[psx]?htm[l]?|php[3456]?)$").r
 
   /** Characters that stay unescaped in paths/queries; everything else is
     * percent-encoded. Matches RFC 3986 unreserved + common sub-delims kept
@@ -69,10 +90,12 @@ object UrlFunctions {
   private def percentEncode(s: String, inQuery: Boolean): String = {
     val out = new java.lang.StringBuilder(s.length)
     s.foreach { c =>
-      if (isSafeChar(c, inQuery) || c == '%') out.append(c)
+      if (c == ' ') out.append('+') // reference encodes spaces as '+'
+      else if (isSafeChar(c, inQuery) || c == '%') out.append(c)
       else {
         c.toString.getBytes(StandardCharsets.UTF_8).foreach { b =>
-          out.append('%').append(f"${b & 0xff}%02X")
+          // lowercase hex, matching the reference's encoder output
+          out.append('%').append(f"${b & 0xff}%02x")
         }
       }
     }
@@ -86,22 +109,18 @@ object UrlFunctions {
   private def normalizeEscaping(s: String, inQuery: Boolean): String =
     percentEncode(percentDecode(s), inQuery)
 
-  /** Resolve `.` and `..` segments without touching the filesystem. */
-  private[functions] def normalizePathSegments(path: String): String = {
-    val segs = path.split("/", -1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    segs.foreach {
-      case "." => // drop
-      case ".." => if (out.nonEmpty && out.last.nonEmpty) out.remove(out.length - 1)
-      case seg => out += seg
+  /** Resolve `/seg/../` runs with the reference's iterative pattern —
+    * a trailing `/..` without a slash is deliberately kept (their golden
+    * case), and leading `/../` runs collapse.
+    */
+  private[functions] def normalizePathSegments(path0: String): String = {
+    var path = path0
+    var m = RelativePathPattern.findFirstMatchIn(path)
+    while (m.isDefined) {
+      path = path.substring(0, m.get.start) + "/" + path.substring(m.get.end)
+      m = RelativePathPattern.findFirstMatchIn(path)
     }
-    val joined = out.mkString("/")
-    val withLead = if (path.startsWith("/") && !joined.startsWith("/")) "/" + joined else joined
-    val res =
-      if ((path.endsWith("/.") || path.endsWith("/..")) && !withLead.endsWith("/"))
-        withLead + "/"
-      else withLead
-    if (res.isEmpty) "/" else res
+    path
   }
 
   private def normalizeHostname(host: String): String = {
@@ -113,12 +132,13 @@ object UrlFunctions {
   private def stripSessionParams(query: String): String =
     query
       .split("&", -1)
+      .filter(_.nonEmpty) // reference drops empty parts: q=1&&z=2 -> q=1&z=2
       .filter { kv =>
-        val key = kv.indexOf('=') match {
-          case -1 => kv
-          case i => kv.substring(0, i)
+        kv.indexOf('=') match {
+          case -1 => true // key-only params are kept (reference patterns need '=')
+          case i =>
+            StrippedQueryParamPattern.findFirstIn(kv.substring(0, i)).isEmpty
         }
-        SessionParamPattern.findFirstIn(key).isEmpty
       }
       .mkString("&")
 
@@ -147,15 +167,21 @@ object UrlFunctions {
       case p => p
     }
 
-    // path: strip ;jsessionid matrix param, resolve dots, drop default page,
-    // normalize escaping
+    // path: strip ;jsessionid matrix param, resolve /seg/../ runs, drop a
+    // default page, then rebuild segment-by-segment — empty segments (and
+    // `.`) drop out, which collapses doubled slashes; each kept segment is
+    // escape-normalized; a trailing slash is preserved
     var path = Option(parsed.getPath).getOrElse("")
     path = path.replaceAll("(?i);jsessionid=[^?#;]*", "")
     path = normalizePathSegments(if (path.isEmpty) "/" else path)
-    val lastSeg = path.substring(path.lastIndexOf('/') + 1)
-    if (DefaultPages.contains(lastSeg.toLowerCase(java.util.Locale.ROOT)))
-      path = path.substring(0, path.lastIndexOf('/') + 1)
-    path = normalizeEscaping(path, inQuery = false)
+    path = DefaultPagePattern.replaceFirstIn(path, "/")
+    val trailingSlash = path.endsWith("/")
+    val segs = path.split("/")
+      .filter(s => s.nonEmpty && s != ".")
+      .map(normalizeEscaping(_, inQuery = false))
+    path =
+      if (segs.isEmpty) "/"
+      else segs.mkString("/", "/", if (trailingSlash) "/" else "")
 
     var query = Option(parsed.getQuery).getOrElse("")
     if (query.nonEmpty) {

@@ -41,7 +41,9 @@ class UrlFunctionsSpec extends AnyFunSuite {
   test("relative path segments are resolved") {
     assert(normalizeUrl("http://example.com/a/b/../c") == "http://example.com/a/c")
     assert(normalizeUrl("http://example.com/a/./b") == "http://example.com/a/b")
-    assert(normalizeUrl("http://example.com/a/b/..") == "http://example.com/a/")
+    // reference quirk parity: a bare trailing /.. (no slash) is kept
+    // (SimpleUrlNormalizerTest "don't remove relative paths from the end")
+    assert(normalizeUrl("http://example.com/a/b/..") == "http://example.com/a/b/..")
   }
 
   test("default pages are dropped") {
@@ -53,8 +55,10 @@ class UrlFunctionsSpec extends AnyFunSuite {
   test("percent escaping is normalized") {
     // unreserved chars decoded
     assert(normalizeUrl("http://example.com/%7Euser") == "http://example.com/~user")
-    // unsafe chars encoded uppercase
-    assert(normalizeUrl("http://example.com/a b") == "http://example.com/a%20b")
+    // spaces become '+', like the reference's encoder
+    assert(normalizeUrl("http://example.com/a b") == "http://example.com/a+b")
+    // kept escapes are lowercase hex
+    assert(normalizeUrl("http://example.com/a%3Fb.html") == "http://example.com/a%3fb.html")
     // broken escape repaired (kept literal, re-encoded)
     assert(normalizeUrl("http://example.com/a%zzb") == "http://example.com/a%zzb")
   }
