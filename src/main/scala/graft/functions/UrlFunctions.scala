@@ -289,20 +289,35 @@ object UrlFunctions {
   def robotsUrl(url: String): String = urlWithoutPath(url) + "/robots.txt"
 
   /** SURT-style archive index key (reference …/flinkcrawler/fetcher/
-    * commoncrawl/CommonCrawlUrls.java:18-66): lowercase host with a leading
-    * `www.` dropped, labels reversed and comma-joined, then `)` and the
-    * path+query — groups all of a registrable domain's URLs contiguously in
-    * a sorted archive index.
+    * commoncrawl/CommonCrawlUrls.java:18-96 convertToIndexFormat):
+    * lowercase host with a leading `www*` label dropped, labels reversed
+    * and comma-joined, non-default port kept, then `)` and the lowercased
+    * path (one trailing slash stripped, root stays `/`), the query with
+    * params lowercased / sorted / deduped, and the fragment — groups all
+    * of a registrable domain's URLs contiguously in a sorted archive
+    * index and canonicalizes param order like the CDX index does.
     */
   def surtKey(url: String): String =
     try {
       val u = new URL(url)
-      var host = normalizeHostname(u.getHost)
-      if (host.startsWith("www.")) host = host.substring(4)
-      val reversed = host.split("\\.").reverse.mkString(",")
-      val path = Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
-      val query = Option(u.getQuery).map("?" + _).getOrElse("")
-      s"$reversed)$path$query"
+      val labels = normalizeHostname(u.getHost).split("\\.")
+      val kept = // only the FIRST label is www-skipped (reference i>0 rule)
+        if (labels.length > 1 && labels.head.startsWith("www")) labels.tail
+        else labels
+      val reversed = kept.reverse.mkString(",")
+      val port = if (u.getPort == -1) "" else ":" + u.getPort
+      val rawPath = Option(u.getPath).getOrElse("")
+      val path =
+        if (rawPath.isEmpty || rawPath == "/") "/"
+        else rawPath.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("/$", "")
+      val query = Option(u.getQuery).map { q =>
+        // reference: lowercase, sort by full param text, dedupe identical
+        "?" + q.toLowerCase(java.util.Locale.ROOT)
+          .split("&").distinct.sorted.mkString("&")
+      }.getOrElse("")
+      val frag = Option(u.getRef).map("#" + _).getOrElse("")
+      s"$reversed$port)$path$query$frag"
     } catch { case _: Exception => url }
 
   // --------------------------------------------------------------------- hash

@@ -115,6 +115,27 @@ class UrlFunctionsSpec extends AnyFunSuite {
   }
 }
 class SurtKeySpec extends AnyFunSuite {
+  test("surt key matches the reference golden table (CommonCrawlUrlsTest)") {
+    import graft.functions.UrlFunctions.surtKey
+    assert(surtKey("http://domain.com") == "com,domain)/")
+    assert(surtKey("http://www.domain.com") == "com,domain)/")
+    assert(surtKey("https://www.domain.com") == "com,domain)/")
+    assert(surtKey("http://sub.domain.com") == "com,domain,sub)/")
+    assert(surtKey("http://domain.com:8080") == "com,domain:8080)/")
+    assert(surtKey("http://domain.com/path/to/file") == "com,domain)/path/to/file")
+    assert(surtKey("http://domain.com?q=x") == "com,domain)/?q=x")
+    assert(surtKey("http://domain.com/?q=x") == "com,domain)/?q=x")
+    assert(surtKey("http://domain.com/path/to/file?q=x") ==
+      "com,domain)/path/to/file?q=x")
+    // query params lowercased and sorted by full param text
+    assert(surtKey("http://domain.com/path?position=123&mode=M") ==
+      "com,domain)/path?mode=m&position=123")
+    // trailing path slash stripped; encoded chars lowercased with the path
+    assert(surtKey("http://domain.com/path/") == "com,domain)/path")
+    assert(surtKey("http://domain.com/%D8%BA%8E%Dx%E") ==
+      "com,domain)/%d8%ba%8e%dx%e")
+  }
+
   test("surt key reverses host labels and drops leading www") {
     assert(normalizeUrl("http://www.example.com/a?b=1") == "http://www.example.com/a?b=1")
     assert(graft.functions.UrlFunctions.surtKey("http://www.example.com/a?b=1") ==
