@@ -220,6 +220,14 @@ object UrlFunctions {
     }
   }
 
+  /** Banned-suffix variant (reference SimpleUrlValidator.java:35-50: the
+    * crawl CLI's mime filter builds `.(suffix|…)$` — the `.` is any char
+    * there, mirrored verbatim).
+    */
+  def isValidUrl(url: String, bannedSuffixes: Seq[String]): Boolean =
+    isValidUrl(url) && (bannedSuffixes.isEmpty ||
+      !url.matches(s".*.(${bannedSuffixes.mkString("|")})$$"))
+
   /** Is `url`'s host within `domain` (equal or a subdomain)? Reference
     * SingleDomainUrlValidator.java:54-60.
     */

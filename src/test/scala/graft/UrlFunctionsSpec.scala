@@ -78,6 +78,32 @@ class UrlFunctionsSpec extends AnyFunSuite {
     assert(!isValidUrl("http://"))
   }
 
+  test("validator matches the reference golden table (SimpleUrlValidatorTest)") {
+    import graft.functions.UrlFunctions.isValidUrl
+    assert(isValidUrl("http://foo.com"))
+    assert(isValidUrl("http://www.foo.com"))
+    assert(isValidUrl("http://www.foo.com/"))
+    assert(isValidUrl("http://aws.foo.com/"))
+    assert(isValidUrl("https://aws.foo.com/"))
+    assert(!isValidUrl("foo.com"))
+    assert(!isValidUrl("www.foo.com"))
+    assert(!isValidUrl("mailto://ken@foo.com"))
+    assert(!isValidUrl("mailto:?Subject=http://info.foo.com/copyright/us/details.html"))
+    assert(!isValidUrl("smtp://aws.foo.com/"))
+    assert(!isValidUrl("ftp://aws.foo.com/"))
+    assert(!isValidUrl("javascript:foobar()"))
+    assert(!isValidUrl("feed://getbetterhealth.com/feed"))
+    assert(!isValidUrl("ttp://www.thehealthcareblog.com/the_health_care_blog/2009/07/x.html"))
+    // suffix blacklist
+    assert(isValidUrl("http://foo.com/page1", Seq("pdf", "xml")))
+    assert(isValidUrl("http://foo.com/page1.html", Seq("pdf", "xml")))
+    assert(!isValidUrl("http://foo.com/page1.pdf", Seq("pdf", "xml")))
+    assert(!isValidUrl("http://foo.com/page1.xml", Seq("pdf", "xml")))
+    // URL must also parse as a URI (unencoded reserved chars rejected)
+    assert(!isValidUrl("http://mail-archives.us.apache.org/mod_mbox/www-announce/201705.mbox/<CACRbFy@mail.gmail.com>"))
+    assert(isValidUrl("http://mail-archives.us.apache.org/mod_mbox/www-announce/201705.mbox/%3CCACRbFy@mail.gmail.com%3E"))
+  }
+
   test("domain restriction walks subdomains") {
     assert(isUrlWithinDomain("http://a.example.com/x", "example.com"))
     assert(isUrlWithinDomain("http://example.com/x", "example.com"))
