@@ -99,14 +99,26 @@ object HtmlParser {
     * al. consume the fetched bytes).
     */
   def mediaLinks(pageUrl: String, html: String): Seq[String] = {
-    val baseUrl = BaseRe.findFirstMatchIn(html)
-      .map(_.group(1))
-      .flatMap(b => resolve(pageUrl, b))
-      .getOrElse(pageUrl)
-    MediaSrcRe.findAllMatchIn(html)
-      .flatMap(m => resolve(baseUrl, m.group(1)))
-      .distinct
-      .toSeq
+    // honor meta robots exactly like parse(): a nofollow/none page must
+    // not feed the media ingest either
+    val noFollow = MetaRobotsRe
+      .findFirstIn(html)
+      .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
+      .exists { c =>
+        val lc = c.toLowerCase(java.util.Locale.ROOT)
+        lc.contains("nofollow") || lc.contains("none")
+      }
+    if (noFollow) Seq.empty
+    else {
+      val baseUrl = BaseRe.findFirstMatchIn(html)
+        .map(_.group(1))
+        .flatMap(b => resolve(pageUrl, b))
+        .getOrElse(pageUrl)
+      MediaSrcRe.findAllMatchIn(html)
+        .flatMap(m => resolve(baseUrl, m.group(1)))
+        .distinct
+        .toSeq
+    }
   }
 
   /** Sitemap parsing: XML `<loc>` entries or plain-text URL lines

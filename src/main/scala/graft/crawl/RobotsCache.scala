@@ -35,11 +35,13 @@ object RobotsCache {
 
   private def purgeExpired(nowMs: Long): Unit = {
     cache.entrySet.removeIf(e => e.getValue.expiresAt <= nowMs)
-    // still over cap (pathological TTLs): drop arbitrary surplus rather
-    // than grow — correctness only costs a refetch
-    if (cache.size() > MaxEntries) {
+    // still over cap (pathological TTLs): trim to a low-water mark (90%)
+    // so steady-state inserts don't trigger a full O(n) scan per call —
+    // correctness only costs a refetch for the evicted entries
+    val lowWater = MaxEntries * 9 / 10
+    if (cache.size() > lowWater) {
       val it = cache.keySet.iterator()
-      while (cache.size() > MaxEntries && it.hasNext) {
+      while (cache.size() > lowWater && it.hasNext) {
         it.next(); it.remove()
       }
     }

@@ -137,7 +137,11 @@ object UrlFunctions {
         kv.indexOf('=') match {
           case -1 => true // key-only params are kept (reference patterns need '=')
           case i =>
-            StrippedQueryParamPattern.findFirstIn(kv.substring(0, i)).isEmpty
+            // match on the DECODED key: escape normalization decodes keys
+            // afterwards, so %73id must strip like sid or the output of
+            // one normalize pass would normalize differently on the next
+            StrippedQueryParamPattern
+              .findFirstIn(percentDecode(kv.substring(0, i))).isEmpty
         }
       }
       .mkString("&")
@@ -175,7 +179,9 @@ object UrlFunctions {
     path = path.replaceAll("(?i);jsessionid=[^?#;]*", "")
     path = normalizePathSegments(if (path.isEmpty) "/" else path)
     path = DefaultPagePattern.replaceFirstIn(path, "/")
-    val trailingSlash = path.endsWith("/")
+    // '/a/.' is the same location as '/a/' (RFC 3986 dot-segment), so a
+    // trailing '/.' preserves the trailing slash after the '.' drops out
+    val trailingSlash = path.endsWith("/") || path.endsWith("/.")
     val segs = path.split("/")
       .filter(s => s.nonEmpty && s != ".")
       .map(normalizeEscaping(_, inQuery = false))
@@ -220,13 +226,25 @@ object UrlFunctions {
     }
   }
 
-  /** Banned-suffix variant (reference SimpleUrlValidator.java:35-50: the
-    * crawl CLI's mime filter builds `.(suffix|…)$` — the `.` is any char
-    * there, mirrored verbatim).
+  /** Precompiled banned-suffix gate (reference SimpleUrlValidator.java
+    * :35-50: the crawl CLI's mime filter builds `.(suffix|…)$` — the
+    * leading `.` is any-char there, mirrored; the suffixes themselves
+    * are quoted so metacharacters can't break or change the pattern).
+    * Build once, apply per row.
     */
+  def suffixValidator(bannedSuffixes: Seq[String]): String => Boolean =
+    if (bannedSuffixes.isEmpty) url => isValidUrl(url)
+    else {
+      val p = java.util.regex.Pattern.compile(
+        ".(" +
+          bannedSuffixes.map(java.util.regex.Pattern.quote).mkString("|") +
+          ")$")
+      url => isValidUrl(url) && !p.matcher(url).find()
+    }
+
+  /** One-shot convenience form of [[suffixValidator]]. */
   def isValidUrl(url: String, bannedSuffixes: Seq[String]): Boolean =
-    isValidUrl(url) && (bannedSuffixes.isEmpty ||
-      !url.matches(s".*.(${bannedSuffixes.mkString("|")})$$"))
+    suffixValidator(bannedSuffixes)(url)
 
   /** Is `url`'s host within `domain` (equal or a subdomain)? Reference
     * SingleDomainUrlValidator.java:54-60.
@@ -309,11 +327,18 @@ object UrlFunctions {
     try {
       val u = new URL(url)
       val labels = normalizeHostname(u.getHost).split("\\.")
-      val kept = // only the FIRST label is www-skipped (reference i>0 rule)
+      // only the FIRST label is www-skipped, by prefix — the reference's
+      // startsWith("www") rule (CommonCrawlUrls.java:26): www2/www3
+      // variants fold onto the apex, accepting that a pathological
+      // wwwfoo.com folds too (faithful to the CDX convention)
+      val kept =
         if (labels.length > 1 && labels.head.startsWith("www")) labels.tail
         else labels
       val reversed = kept.reverse.mkString(",")
-      val port = if (u.getPort == -1) "" else ":" + u.getPort
+      // explicit DEFAULT ports fold away (domain.com:80 == domain.com)
+      val port =
+        if (u.getPort == -1 || u.getPort == u.getDefaultPort) ""
+        else ":" + u.getPort
       val rawPath = Option(u.getPath).getOrElse("")
       val path =
         if (rawPath.isEmpty || rawPath == "/") "/"

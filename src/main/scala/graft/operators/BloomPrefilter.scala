@@ -28,8 +28,13 @@ object BloomPrefilter {
   def approxFilter(
       large: DataFrame, small: DataFrame, key: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // align the small side to the LARGE side's key type before
+    // stringifying, so both sides stringify through one representation
+    // even when the columns differ (INT 7 vs DOUBLE 7.0 would otherwise
+    // build "7" but probe "7.0"); a lossy cast can only manufacture
+    // false positives, which the exact join removes
     val bloom = small
-      .select(col(key).cast("string").as(key))
+      .select(col(key).cast(large.schema(key).dataType).cast("string").as(key))
       .stat.bloomFilter(key, expectedItems, fpp)
     val bloomBc = large.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: String) =>

@@ -51,7 +51,10 @@ class UrlDbProcessor(
   private def intervalFor(): Long =
     UrlDbProcessor.checkIntervalForDomain(
       if (domainScore.exists()) Some(domainScore.get()) else None,
-      checkIntervalMs, baselineScore, minIntervalMs, maxIntervalMs)
+      checkIntervalMs, baselineScore, minIntervalMs,
+      // the clamp bounds score-driven SPEEDUP/slowdown; it must never cap
+      // the configured base itself (e.g. a 5s politeness cadence)
+      math.max(maxIntervalMs, checkIntervalMs))
 
   override def handleInputRows(
       pld: String,

@@ -68,7 +68,7 @@ class NormalizerGoldenSpec extends AnyFunSuite {
   test("reference golden table: all cases normalize identically") {
     val diffs = cases.flatMap { case (in, want) =>
       val got = normalizeUrl(in)
-      if (got == want) None else Some(s"in=$$in want=$$want got=$$got")
+      if (got == want) None else Some(s"in=$in want=$want got=$got")
     }
     assert(diffs.isEmpty, diffs.mkString("\n"))
   }
