@@ -44,7 +44,7 @@ class PropertySpec extends AnyFunSuite {
     path <- Gen.oneOf("", "/", "/a/b", "/a/../c", "/x/./y", "/index.html",
       "/%7Euser", "/p%2zbad")
     query <- Gen.oneOf("", "?q=1", "?jsessionid=ABC&x=2", "?utm_source=t&b=2",
-      ";jsessionid=XYZ")
+      ";jsessionid=XYZ", "?%73id=x&keep=1", "?a=%20b&a=%20b")
     frag <- Gen.oneOf("", "#sec")
   } yield s"$proto$host$port$path$query$frag"
 
