@@ -75,6 +75,23 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding (max-abs scale): the
+    * storage path at corpus scale — 4x smaller than float32, and the
+    * quantized arrays still support approximate dot products. One Scala
+    * UDF per row (HOF transform would inline the max-abs subexpression
+    * per element, the interpreted-HOF trap). Rounding is floor(x + 0.5) —
+    * identical half-up behavior in any engine, unlike round().
+    */
+  def quantizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (vec: Seq[Float]) =>
+      var scale = 0.0
+      vec.foreach { v => val a = math.abs(v.toDouble); if (a > scale) scale = a }
+      val q =
+        if (scale == 0.0) vec.map(_ => 0L)
+        else vec.map(v => math.floor(v.toDouble / scale * 127.0 + 0.5).toLong)
+      (scale, q.mkString(","))
+    }
+
   /** Assign every vector its LSH bucket. */
   def lshBuckets(
       df: DataFrame, idCol: String, vecCol: String,

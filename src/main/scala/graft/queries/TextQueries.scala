@@ -143,7 +143,21 @@ object TextQueries {
         TextOps.rollingFingerprintUdf(col("text")).as("rhash"))),
     "q37_simhash_dedup" -> ((s, d) =>
       TextOps.simhashDedupPairs(docs(s, d), "doc_id", "text",
-        shingleK = 3, maxHamming = 3))
+        shingleK = 3, maxHamming = 3)),
+    "q41_quantize" -> ((s, d) =>
+      embs(s, d)
+        .select(col("vec_id"),
+          Similarity.quantizeUdf(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q._1").as("scale"),
+          col("q._2").as("qvec"))),
+    "q42_vocab" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(expr(
+          "array_distinct(split(trim(lower(text)), '\\\\s+'))")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token").asc)
+        .limit(100))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -326,6 +340,24 @@ object TextQueries {
          |  FROM bands x JOIN bands y
          |    ON x.bk = y.bk AND x.doc_id < y.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "q41_quantize" ->
+      """SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN array_to_string(
+        |      list_transform(embedding, x -> 0::BIGINT), ',')
+        |    ELSE array_to_string(list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)),
+        |      ',') END AS qvec
+        |FROM (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    AS scale
+        |  FROM embeddings)""".stripMargin,
+    "q42_vocab" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT DISTINCT doc_id, unnest(list_distinct(
+        |    string_split_regex(trim(lower(text)), '\s+'))) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
   )
 }

@@ -177,6 +177,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(2L, 5L)), s"candidates must come from cell B: $ids")
   }
 
+  test("int8 quantization: max-abs scale, half-up rounding, zero guard") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = vecs
+      .select(col("vec_id"), Similarity.quantizeUdf(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("qvec"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2)))
+      .toMap
+    assert(got(1L)._1 == 2.0)
+    // 1/2*127=63.5 -> floor(64.0)=64 (half-up); -2 -> -127; .5/2*127=31.75 -> 32
+    assert(got(1L)._2 == "64,-127,32,0")
+    assert(got(2L) == ((0.0, "0,0,0,0")))
+  }
+
   test("multimodal decode plumbing: stub decoder metadata + frame sampling") {
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
     val decoded = Multimodal.decodeMeta(
