@@ -45,25 +45,35 @@ object HtmlParser {
       Some(abs)
     } catch { case _: Exception => None }
 
-  /** Parse a page. `pageScore` is spread equally across outlinks
-    * (reference SimplePageParser.java:192-199: outlink score =
-    * pageScore / numOutlinks).
+  /** Does a `<meta name=robots>` tag forbid following links? Shared by
+    * [[parse]] and [[mediaLinks]] so the two link feeds cannot drift.
     */
-  def parse(pageUrl: String, html: String, pageScore: Float): ParseResult = {
-    val title = TitleRe.findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
-    // <base href> re-bases relative links (itself resolved against the
-    // page URL, per HTML spec); absolute hrefs are unaffected
-    val baseUrl = BaseRe.findFirstMatchIn(html)
-      .map(_.group(1))
-      .flatMap(b => resolve(pageUrl, b))
-      .getOrElse(pageUrl)
-    val noFollow = MetaRobotsRe
+  private def metaNoFollow(html: String): Boolean =
+    MetaRobotsRe
       .findFirstIn(html)
       .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
       .exists { c =>
         val lc = c.toLowerCase(java.util.Locale.ROOT)
         lc.contains("nofollow") || lc.contains("none")
       }
+
+  /** The effective base for relative links: `<base href>` (itself resolved
+    * against the page URL, per the HTML spec) or the page URL.
+    */
+  private def resolvedBase(pageUrl: String, html: String): String =
+    BaseRe.findFirstMatchIn(html)
+      .map(_.group(1))
+      .flatMap(b => resolve(pageUrl, b))
+      .getOrElse(pageUrl)
+
+  /** Parse a page. `pageScore` is spread equally across outlinks
+    * (reference SimplePageParser.java:192-199: outlink score =
+    * pageScore / numOutlinks).
+    */
+  def parse(pageUrl: String, html: String, pageScore: Float): ParseResult = {
+    val title = TitleRe.findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
+    val baseUrl = resolvedBase(pageUrl, html)
+    val noFollow = metaNoFollow(html)
 
     val rawLinks =
       if (noFollow) Seq.empty
@@ -98,28 +108,17 @@ object HtmlParser {
     * the feed for a multimodal ingest pipeline (Multimodal.decodeMeta et
     * al. consume the fetched bytes).
     */
-  def mediaLinks(pageUrl: String, html: String): Seq[String] = {
+  def mediaLinks(pageUrl: String, html: String): Seq[String] =
     // honor meta robots exactly like parse(): a nofollow/none page must
     // not feed the media ingest either
-    val noFollow = MetaRobotsRe
-      .findFirstIn(html)
-      .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
-      .exists { c =>
-        val lc = c.toLowerCase(java.util.Locale.ROOT)
-        lc.contains("nofollow") || lc.contains("none")
-      }
-    if (noFollow) Seq.empty
+    if (metaNoFollow(html)) Seq.empty
     else {
-      val baseUrl = BaseRe.findFirstMatchIn(html)
-        .map(_.group(1))
-        .flatMap(b => resolve(pageUrl, b))
-        .getOrElse(pageUrl)
+      val baseUrl = resolvedBase(pageUrl, html)
       MediaSrcRe.findAllMatchIn(html)
         .flatMap(m => resolve(baseUrl, m.group(1)))
         .distinct
         .toSeq
     }
-  }
 
   /** Sitemap parsing: XML `<loc>` entries or plain-text URL lines
     * (reference …/flinkcrawler/parser/SimpleSiteMapParser.java:48-76).

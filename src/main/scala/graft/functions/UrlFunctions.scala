@@ -102,12 +102,25 @@ object UrlFunctions {
     out.toString
   }
 
-  /** Decode-then-encode a path or query so equivalent escapings compare
-    * equal: unreserved characters end up literal, unsafe ones end up as
-    * uppercase %XX.
+  /** Decode-then-encode a path or query component until stable, so
+    * equivalent escapings compare equal: unreserved characters end up
+    * literal, unsafe ones as lowercase %xx. The fixpoint loop collapses
+    * double-encoding (%2573id -> %73id -> sid) — a single pass would
+    * leave a decodable layer that re-decodes on the NEXT normalize pass,
+    * breaking idempotence. Bad escapes are stable immediately (repair
+    * keeps them literal).
     */
-  private def normalizeEscaping(s: String, inQuery: Boolean): String =
-    percentEncode(percentDecode(s), inQuery)
+  private def normalizeEscaping(s: String, inQuery: Boolean): String = {
+    var cur = s
+    var rounds = 0
+    while (rounds < 4) {
+      val next = percentEncode(percentDecode(cur), inQuery)
+      if (next == cur) return cur
+      cur = next
+      rounds += 1
+    }
+    cur
+  }
 
   /** Resolve `/seg/../` runs with the reference's iterative pattern —
     * a trailing `/..` without a slash is deliberately kept (their golden
@@ -136,12 +149,8 @@ object UrlFunctions {
       .filter { kv =>
         kv.indexOf('=') match {
           case -1 => true // key-only params are kept (reference patterns need '=')
-          case i =>
-            // match on the DECODED key: escape normalization decodes keys
-            // afterwards, so %73id must strip like sid or the output of
-            // one normalize pass would normalize differently on the next
-            StrippedQueryParamPattern
-              .findFirstIn(percentDecode(kv.substring(0, i))).isEmpty
+          case i => // keys arrive escape-normalized (see normalizeUrl)
+            StrippedQueryParamPattern.findFirstIn(kv.substring(0, i)).isEmpty
         }
       }
       .mkString("&")
@@ -171,28 +180,34 @@ object UrlFunctions {
       case p => p
     }
 
-    // path: strip ;jsessionid matrix param, resolve /seg/../ runs, drop a
-    // default page, then rebuild segment-by-segment — empty segments (and
-    // `.`) drop out, which collapses doubled slashes; each kept segment is
-    // escape-normalized; a trailing slash is preserved
+    // path: strip ;jsessionid matrix param, then escape-normalize each
+    // segment FIRST — dot-segment resolution, default-page removal and
+    // the `.`/empty filters must see final forms, or %2e-encoded dot
+    // segments would survive one pass and resolve on the next
+    // (idempotence). Per-segment encoding cannot create new boundaries
+    // (an encoded %2f re-encodes inside its segment).
     var path = Option(parsed.getPath).getOrElse("")
     path = path.replaceAll("(?i);jsessionid=[^?#;]*", "")
-    path = normalizePathSegments(if (path.isEmpty) "/" else path)
+    if (path.isEmpty) path = "/"
+    path = path.split("/", -1)
+      .map(normalizeEscaping(_, inQuery = false)).mkString("/")
+    path = normalizePathSegments(path)
     path = DefaultPagePattern.replaceFirstIn(path, "/")
     // '/a/.' is the same location as '/a/' (RFC 3986 dot-segment), so a
     // trailing '/.' preserves the trailing slash after the '.' drops out
     val trailingSlash = path.endsWith("/") || path.endsWith("/.")
-    val segs = path.split("/")
-      .filter(s => s.nonEmpty && s != ".")
-      .map(normalizeEscaping(_, inQuery = false))
+    val segs = path.split("/").filter(s => s.nonEmpty && s != ".")
     path =
       if (segs.isEmpty) "/"
       else segs.mkString("/", "/", if (trailingSlash) "/" else "")
 
+    // query: same ordering principle — escape-normalize first so the
+    // session-param strip and the emitted form share one representation
+    // (an encoded %3D/%26 becomes structural on re-parse otherwise)
     var query = Option(parsed.getQuery).getOrElse("")
     if (query.nonEmpty) {
-      query = stripSessionParams(query)
       query = normalizeEscaping(query, inQuery = true)
+      query = stripSessionParams(query)
     }
 
     val sb = new java.lang.StringBuilder(url.length)

@@ -153,7 +153,7 @@ object TextQueries {
     "q42_vocab" -> ((s, d) =>
       docs(s, d)
         .select(explode(expr(
-          "array_distinct(split(trim(lower(text)), '\\\\s+'))")).as("token"))
+          s"array_distinct(${TextOps.tokensSql("lower(text)")})")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token").asc)

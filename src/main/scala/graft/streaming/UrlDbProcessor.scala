@@ -51,10 +51,7 @@ class UrlDbProcessor(
   private def intervalFor(): Long =
     UrlDbProcessor.checkIntervalForDomain(
       if (domainScore.exists()) Some(domainScore.get()) else None,
-      checkIntervalMs, baselineScore, minIntervalMs,
-      // the clamp bounds score-driven SPEEDUP/slowdown; it must never cap
-      // the configured base itself (e.g. a 5s politeness cadence)
-      math.max(maxIntervalMs, checkIntervalMs))
+      checkIntervalMs, baselineScore, minIntervalMs, maxIntervalMs)
 
   override def handleInputRows(
       pld: String,
@@ -137,7 +134,9 @@ object UrlDbProcessor {
       minMs: Long, maxMs: Long): Long = {
     val score = math.max(0.01f, domainScore.getOrElse(baselineScore))
     val scaled = (baseMs * (baselineScore / score)).toLong
-    math.min(maxMs, math.max(minMs, scaled))
+    // the max clamp bounds score-driven slowdown; it must never cap the
+    // configured base itself (a 5 s politeness cadence stays 5 s)
+    math.min(math.max(maxMs, baseMs), math.max(minMs, scaled))
   }
 
   /** Wire the processor onto a keyed stream of crawl-state updates. */

@@ -64,6 +64,14 @@ class HtmlParserSpec extends AnyFunSuite {
       "http://other.com/e"))
   }
 
+  test("meta robots nofollow suppresses media links too") {
+    val links = HtmlParser.mediaLinks(
+      "http://d.com/p",
+      """<meta name="robots" content="nofollow">
+        |<img src="pic.jpg">""".stripMargin)
+    assert(links.isEmpty)
+  }
+
   test("meta robots nofollow suppresses all outlinks") {
     val html =
       """<html><head><meta name="robots" content="nofollow"></head>

@@ -42,9 +42,10 @@ class PropertySpec extends AnyFunSuite {
     host <- hostGen
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     path <- Gen.oneOf("", "/", "/a/b", "/a/../c", "/x/./y", "/index.html",
-      "/%7Euser", "/p%2zbad")
+      "/%7Euser", "/p%2zbad", "/a/b/%2e%2e/", "/a/%2e", "/x%2Fy")
     query <- Gen.oneOf("", "?q=1", "?jsessionid=ABC&x=2", "?utm_source=t&b=2",
-      ";jsessionid=XYZ", "?%73id=x&keep=1", "?a=%20b&a=%20b")
+      ";jsessionid=XYZ", "?%73id=x&keep=1", "?a=%20b&a=%20b",
+      "?sid%3Dx", "?a%26sid=1", "?%2573id=x")
     frag <- Gen.oneOf("", "#sec")
   } yield s"$proto$host$port$path$query$frag"
 

@@ -65,6 +65,9 @@ class UrlDbProcessorSpec extends AnyFunSuite {
     assert(iv(Some(0.2f)) == 1000L, "cold domain clamps at max")
     assert(iv(Some(0.0f)) == 1000L, "zero score uses the 0.01 floor + clamp")
     assert(iv(Some(1000.0f)) == 1L, "floor clamp")
+    // the max clamp may not cap the configured base cadence itself
+    assert(UrlDbProcessor.checkIntervalForDomain(None, 5000L, 1.0f, 1L, 1000L)
+      == 5000L, "a 5s politeness base must stay 5s for unscored domains")
   }
 
   test("domain scores modulate timer cadence: hot domain drains faster") {
