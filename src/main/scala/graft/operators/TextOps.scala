@@ -171,32 +171,65 @@ object TextOps {
       .select(col(idCol).as("doc_id"), shingleUdf(k)(col(textCol)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
-    val sh = maxDocFrequency match {
-      case None => exploded
-      case Some(ratio) =>
-        val cap = (df.count() * ratio).toLong
-        val frequent = exploded.groupBy("s").count()
-          .filter(col("count") > cap).select("s")
-        // Jaccard is then over the filtered shingle sets, so set sizes are
-        // recomputed post-filter
-        exploded.join(broadcast(frequent), Seq("s"), "left_anti")
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    }
-    // both self-join branches read the same materialized shingle set —
-    // without this the whole tokenize/shingle pipeline runs twice
-    val shC = sh.localCheckpoint(true)
-    shC.as("a")
-      .join(shC.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+
+    def jaccardTail(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+
+    maxDocFrequency match {
+      case None =>
+        // exact path: streaming self-join. The join's pair fan-out is
+        // quadratic in bucket occupancy but never buffers a bucket, so
+        // hot shingles degrade throughput, not memory.
+        // both self-join branches read the same materialized shingle set —
+        // without this the whole tokenize/shingle pipeline runs twice
+        val shC = exploded.localCheckpoint(true)
+        jaccardTail(shC.as("a")
+          .join(shC.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b")))
+      case Some(ratio) =>
+        // guarded path: the cap bounds every shingle's posting list, so
+        // buffering a bucket per row is safe — and the pair-list
+        // formulation skips the self-join's double sort (measured 40%
+        // faster at sf0.1, PERF_NOTES round-2)
+        val cap = (df.count() * ratio).toLong
+        val frequent = exploded.groupBy("s").count()
+          .filter(col("count") > cap).select("s")
+        // Jaccard is then over the filtered shingle sets, so set sizes
+        // are recomputed post-filter
+        val filtered = exploded
+          .join(broadcast(frequent), Seq("s"), "left_anti")
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
+          val sorted = members.sortBy(_.getLong(0))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
+          var i = 0
+          while (i < sorted.length) {
+            var j = i + 1
+            while (j < sorted.length) {
+              out += ((sorted(i).getLong(0), sorted(j).getLong(0),
+                sorted(i).getLong(1), sorted(j).getLong(1)))
+              j += 1
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+        jaccardTail(filtered
+          .groupBy(col("s"))
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("members"))
+          .select(explode(pairUdf(col("members"))).as("p"))
+          .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+            col("p._3").as("n_a"), col("p._4").as("n_b")))
+    }
   }
 
   /** Per-document MinHash signatures — one codegen-friendly UDF per row
