@@ -6,16 +6,23 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.UrlStateMerger
 
-/** Durable frontier storage: the crawl DB as a versioned, pld-bucketed
-  * parquet table (SURVEY §2.12/§7.4: at cluster scale the frontier lives
-  * as a table, not operator state — "billions of URLs" becomes a storage
-  * problem, not a state-backend problem).
+/** Durable frontier storage: the crawl DB as a pld-bucketed parquet table
+  * with **partition-level merge-on-read** (SURVEY §2.12/§7.4: at cluster
+  * scale the frontier lives as a table, not operator state — "billions of
+  * URLs" becomes a storage problem, not a state-backend problem).
   *
-  * Layout: `<root>/v<N>/bucket=<b>/part-*.parquet` plus a `_LATEST`
-  * pointer file. Each merge writes version N+1 from version N ∪ updates —
-  * readers never see a half-written version (the pointer flips last), and
-  * failed merges leave the previous version intact (at-least-once, same
-  * guarantee the reference offers).
+  * Layout: `<root>/b<bucket>/v<N>/part-*.parquet` plus a manifest
+  * `_MANIFEST_v<N>` mapping each bucket to the version that owns its
+  * current data, and a `_LATEST` pointer naming the active manifest. A
+  * merge rewrites ONLY the buckets its updates touch; untouched buckets
+  * keep their old files and are referenced by the new manifest — so a
+  * steady-state round whose updates hit k of B buckets costs k/B of a
+  * full rewrite (the Iceberg/Delta-style property a 100 TB frontier
+  * needs; full-copy versioning rewrites 100% of the table for a 1%
+  * update). Readers never see a half-written state: bucket data lands
+  * before the manifest, the manifest before the pointer flip, and the
+  * previous version of every rewritten bucket is retained one generation
+  * for in-flight readers.
   *
   * Bucketing by pld hash keeps the merge shuffle stable round-over-round
   * and lets per-domain lookups prune to one bucket directory.
@@ -24,6 +31,9 @@ object FrontierStore {
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(buckets: Int) =
+    pmod(xxhash64(col("pld")), lit(buckets)).cast("int")
 
   def latestVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, root)
@@ -36,46 +46,114 @@ object FrontierStore {
     }
   }
 
+  /** bucket -> owning version for manifest version `v`. */
+  private def readManifest(
+      spark: SparkSession, root: String, v: Int): Map[Int, Int] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, s"_MANIFEST_v$v"))
+    val text = try new String(in.readAllBytes()) finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(b, ver) = line.trim.split(" ")
+      b.toInt -> ver.toInt
+    }.toMap
+  }
+
+  private def writeManifest(
+      spark: SparkSession, root: String, v: Int,
+      manifest: Map[Int, Int]): Unit = {
+    val f = fs(spark, root)
+    val out = f.create(new Path(root, s"_MANIFEST_v$v"), true)
+    try out.write(
+      manifest.toSeq.sorted.map { case (b, ver) => s"$b $ver" }
+        .mkString("\n").getBytes)
+    finally out.close()
+  }
+
+  private def bucketPath(root: String, bucket: Int, v: Int): String =
+    s"$root/b$bucket/v$v"
+
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     latestVersion(spark, root).map { v =>
-      spark.read.parquet(s"$root/v$v").drop("bucket")
+      val manifest = readManifest(spark, root, v)
+      val paths = manifest.toSeq.sorted
+        .map { case (b, ver) => bucketPath(root, b, ver) }
+      spark.read.parquet(paths: _*)
     }
 
   /** Merge `updates` (CrawlStateUrl rows) into the stored frontier and
-    * commit a new version. Returns the merged frontier.
+    * commit a new version, rewriting only the buckets the updates touch.
+    * Returns the merged frontier.
     */
   def mergeInto(
       spark: SparkSession, root: String, updates: DataFrame,
       buckets: Int = 64): DataFrame = {
-    val current = read(spark, root)
-    val merged = UrlStateMerger.mergeFrontier(
-      current.fold(updates)(c => c.unionByName(updates)))
-    val next = latestVersion(spark, root).getOrElse(-1) + 1
-    merged
-      .withColumn("bucket", pmod(xxhash64(col("pld")), lit(buckets)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/v$next")
     val f = fs(spark, root)
-    val out = f.create(new Path(root, "_LATEST"), true)
-    try out.write(next.toString.getBytes)
-    finally out.close()
-    // retire versions older than the previous one (keep N-1 for readers
-    // that resolved the pointer just before the flip)
+    val prev = latestVersion(spark, root)
+    val prevManifest = prev.map(readManifest(spark, root, _))
+      .getOrElse(Map.empty[Int, Int])
+    val next = prev.getOrElse(-1) + 1
+
+    val tagged = updates.withColumn("bucket", bucketOf(buckets))
+    val affected = tagged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val currentAffected = affected
+      .flatMap(b => prevManifest.get(b).map(v => bucketPath(root, b, v)))
+    val base =
+      if (currentAffected.isEmpty) tagged.drop("bucket")
+      else spark.read.parquet(currentAffected.toSeq: _*)
+        .unionByName(tagged.drop("bucket"))
+
+    // one job: write all rewritten buckets to a staging dir, then move
+    // each bucket dir into place (cheap FS renames, no data copy)
+    val staging = s"$root/_staging_v$next"
+    UrlStateMerger.mergeFrontier(base)
+      .withColumn("bucket", bucketOf(buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val written = affected.filter { b =>
+      val src = new Path(s"$staging/bucket=$b")
+      val dst = new Path(bucketPath(root, b, next))
+      f.mkdirs(dst.getParent)
+      f.exists(src) && f.rename(src, dst)
+    }
+    f.delete(new Path(staging), true)
+
+    val manifest = prevManifest ++ written.map(_ -> next).toMap
+    writeManifest(spark, root, next, manifest)
+    val ptr = f.create(new Path(root, "_LATEST"), true)
+    try ptr.write(next.toString.getBytes)
+    finally ptr.close()
+
+    // retire: for each rewritten bucket keep only the new version and its
+    // immediate predecessor (for readers that resolved the pointer just
+    // before the flip); drop manifests older than the previous one
+    written.foreach { b =>
+      val keep = Set(Some(next), prevManifest.get(b)).flatten
+      val dir = new Path(s"$root/b$b")
+      if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+        val ver = st.getPath.getName.stripPrefix("v").toIntOption
+        if (ver.exists(v => !keep.contains(v))) f.delete(st.getPath, true)
+      }
+    }
     (0 until next - 1).foreach { old =>
-      f.delete(new Path(s"$root/v$old"), true)
+      f.delete(new Path(root, s"_MANIFEST_v$old"), false)
     }
     read(spark, root).get
   }
 
-  /** Bucket-pruned per-domain lookup. */
+  /** Bucket-pruned per-domain lookup: reads exactly one bucket dir. */
   def domainSlice(
       spark: SparkSession, root: String, pld: String,
       buckets: Int = 64): Option[DataFrame] =
-    latestVersion(spark, root).map { v =>
-      spark.read.parquet(s"$root/v$v")
-        .filter(col("bucket") === pmod(xxhash64(lit(pld)), lit(buckets)) &&
-          col("pld") === pld)
-        .drop("bucket")
+    latestVersion(spark, root).flatMap { v =>
+      val manifest = readManifest(spark, root, v)
+      // same bucket function the writer uses, evaluated by Spark itself
+      val b = spark.range(1)
+        .select(pmod(xxhash64(lit(pld)), lit(buckets)).cast("int"))
+        .head().getInt(0)
+      manifest.get(b).map { ver =>
+        spark.read.parquet(bucketPath(root, b, ver))
+          .filter(col("pld") === pld)
+      }
     }
 }

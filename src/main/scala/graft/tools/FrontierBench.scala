@@ -62,6 +62,15 @@ object FrontierBench {
     time(s"mergeInto v1 (+${n / 10000000.0}M updates over stored frontier)") {
       FrontierStore.mergeInto(spark, root, updates)
     }
+    // merge-on-read payoff: a LOCALIZED round (updates whose domains all
+    // live in one bucket — the steady-state shape is few crawled domains
+    // changing) should cost ~1/64 of the uniform round above
+    val localized = synth(n / 10, 7)
+      .filter(pmod(xxhash64(col("pld")), lit(64)) === 0)
+    println("  localized update rows: " + localized.count())
+    time("mergeInto v2 (localized updates, bucket-pruned rewrite)") {
+      FrontierStore.mergeInto(spark, root, localized)
+    }
     time("domainSlice point lookup") {
       println("  slice rows: " +
         FrontierStore.domainSlice(spark, root, "d17.com").map(_.count()))

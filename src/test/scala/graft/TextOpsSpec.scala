@@ -270,7 +270,7 @@ class FrontierStoreSpec extends AnyFunSuite {
     assert(slice.length == 1 && slice.head.getAs[String]("url") == "http://a.com/x")
   }
 
-  test("old versions are retired after merges") {
+  test("old versions are retired after merges; untouched buckets keep files") {
     import spark.implicits._
     import graft.schema.CrawlStateUrl
     val root = java.nio.file.Files.createTempDirectory("graft-frontier2").toString
@@ -279,10 +279,48 @@ class FrontierStoreSpec extends AnyFunSuite {
         Seq(CrawlStateUrl(s"http://a.com/$i", "a.com", "UNFETCHED", i.toLong, 1.0f, 0L))
           .toDF(), buckets = 2)
     }
-    val dirs = new java.io.File(root).list().filter(_.startsWith("v")).sorted
-    assert(dirs.toSeq == Seq("v1", "v2"), s"got ${dirs.toSeq}") // v0 retired
+    // all updates hit a.com's bucket: its v0 is retired (keep v1+v2)
+    val aBucket = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .find(_.listFiles().nonEmpty).get
+    val vers = aBucket.list().sorted.toSeq
+    assert(vers == Seq("v1", "v2"), s"got $vers")
     val rows = graft.crawl.FrontierStore.read(spark, root).get.count()
     assert(rows == 3)
+  }
+
+  test("merge-on-read rewrites only the buckets the updates touch") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-frontier3").toString
+    // many domains spread over 8 buckets
+    val initial = (0 until 32)
+      .map(i => CrawlStateUrl(s"http://d$i.com/p", s"d$i.com", "UNFETCHED",
+        1L, 1.0f, 0L)).toDF()
+    graft.crawl.FrontierStore.mergeInto(spark, root, initial, buckets = 8)
+    def bucketVersions(): Map[String, Seq[String]] =
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(f => f.getName -> f.list().sorted.toSeq).toMap
+    val before = bucketVersions()
+    // one-domain update: exactly one bucket should gain a v1
+    val update = Seq(CrawlStateUrl("http://d5.com/p", "d5.com", "FETCHED",
+      2L, 1.0f, 9L)).toDF()
+    val merged = graft.crawl.FrontierStore.mergeInto(spark, root, update,
+      buckets = 8)
+    val after = bucketVersions()
+    val changed = after.filter { case (b, vs) => before.get(b) != Some(vs) }
+    assert(changed.size == 1, s"expected 1 rewritten bucket: $changed")
+    assert(changed.values.head.contains("v1"))
+    // data is still complete and merged
+    assert(merged.count() == 32)
+    val d5 = merged.filter(col("url") === "http://d5.com/p")
+      .select("status").head().getString(0)
+    assert(d5 == "FETCHED")
+    // pruned slice reads one bucket only
+    val slice = graft.crawl.FrontierStore
+      .domainSlice(spark, root, "d5.com", buckets = 8).get.collect()
+    assert(slice.length == 1 && slice.head.getAs[String]("status") == "FETCHED")
   }
 }
 
