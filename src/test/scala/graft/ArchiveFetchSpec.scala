@@ -72,6 +72,37 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(parsedTitles(cycled) == parsedTitles(live))
   }
 
+  test("crawl resumes from a store-persisted frontier without refetching") {
+    var fetches = List.empty[String]
+    val counting = new Fetcher {
+      val base = new WebGraphFetcher(graph)
+      override def fetch(url: String): FetchedPage = {
+        fetches.synchronized { fetches ::= url }
+        base.fetch(url)
+      }
+    }
+    val first = CrawlTopology.run(
+      spark, Seq(("a.com", 1.0f)),
+      counting, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 15))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-frontier-resume").toString
+    FrontierStore.mergeInto(spark, root,
+      first.frontier.select(
+        "url", "pld", "status", "statusTime", "score", "nextFetchTime"))
+    val persisted = FrontierStore.read(spark, root).get
+    fetches = Nil
+    val resumed = CrawlTopology.run(
+      spark, Seq(("a.com", 1.0f)),
+      counting, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 15),
+      initialFrontier = Some(persisted))
+    // everything was already FETCHED/terminal: no page fetch happens again
+    val pageFetches = fetches.filterNot(_.endsWith("/robots.txt"))
+    assert(pageFetches.isEmpty, s"refetched: $pageFetches")
+    assert(resumed.frontier.count() == first.frontier.count())
+  }
+
   test("httpStatusToFetchStatusCol matches the scalar mapping") {
     import spark.implicits._
     val codes = Seq(200, 204, 301, 302, 308, 401, 403, 404, 410, 429, 500, 503, 100)
