@@ -46,25 +46,39 @@ object FrontierStore {
     }
   }
 
-  /** bucket -> owning version for manifest version `v`. */
+  /** (bucket count, bucket -> owning version) for manifest version `v`.
+    * The bucket count is a persistent property of the store: merging with
+    * a different count would hash a URL's update into a bucket its
+    * existing row never lived in, silently duplicating state.
+    */
   private def readManifest(
-      spark: SparkSession, root: String, v: Int): Map[Int, Int] = {
+      spark: SparkSession, root: String, v: Int): (Int, Map[Int, Int]) = {
     val f = fs(spark, root)
-    val in = f.open(new Path(root, s"_MANIFEST_v$v"))
+    val mpath = new Path(root, s"_MANIFEST_v$v")
+    if (!f.exists(mpath))
+      throw new IllegalStateException(
+        s"$root has _LATEST=$v but no _MANIFEST_v$v — " +
+          "pre-manifest (full-copy v<N>) layout is not readable by the " +
+          "merge-on-read store; rebuild it with mergeInto on a fresh root")
+    val in = f.open(mpath)
     val text = try new String(in.readAllBytes()) finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val buckets = lines.head.stripPrefix("buckets ").toInt
+    val entries = lines.tail.map { line =>
       val Array(b, ver) = line.trim.split(" ")
       b.toInt -> ver.toInt
     }.toMap
+    (buckets, entries)
   }
 
   private def writeManifest(
-      spark: SparkSession, root: String, v: Int,
+      spark: SparkSession, root: String, v: Int, buckets: Int,
       manifest: Map[Int, Int]): Unit = {
     val f = fs(spark, root)
     val out = f.create(new Path(root, s"_MANIFEST_v$v"), true)
     try out.write(
-      manifest.toSeq.sorted.map { case (b, ver) => s"$b $ver" }
+      (s"buckets $buckets" +:
+        manifest.toSeq.sorted.map { case (b, ver) => s"$b $ver" })
         .mkString("\n").getBytes)
     finally out.close()
   }
@@ -73,11 +87,14 @@ object FrontierStore {
     s"$root/b$bucket/v$v"
 
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    latestVersion(spark, root).map { v =>
-      val manifest = readManifest(spark, root, v)
-      val paths = manifest.toSeq.sorted
-        .map { case (b, ver) => bucketPath(root, b, ver) }
-      spark.read.parquet(paths: _*)
+    latestVersion(spark, root).flatMap { v =>
+      val (_, manifest) = readManifest(spark, root, v)
+      if (manifest.isEmpty) None
+      else {
+        val paths = manifest.toSeq.sorted
+          .map { case (b, ver) => bucketPath(root, b, ver) }
+        Some(spark.read.parquet(paths: _*))
+      }
     }
 
   /** Merge `updates` (CrawlStateUrl rows) into the stored frontier and
@@ -89,13 +106,26 @@ object FrontierStore {
       buckets: Int = 64): DataFrame = {
     val f = fs(spark, root)
     val prev = latestVersion(spark, root)
-    val prevManifest = prev.map(readManifest(spark, root, _))
-      .getOrElse(Map.empty[Int, Int])
+    val (storeBuckets, prevManifest) = prev
+      .map(readManifest(spark, root, _))
+      .getOrElse((buckets, Map.empty[Int, Int]))
+    require(storeBuckets == buckets,
+      s"store at $root was built with $storeBuckets buckets; " +
+        s"merging with $buckets would split per-URL state across buckets")
     val next = prev.getOrElse(-1) + 1
 
+    // pin the updates once: the bucket scan and the staging write must
+    // see the SAME rows (a nondeterministic update pipeline could
+    // otherwise emit rows into buckets the scan never saw, which the
+    // staging cleanup would silently delete)
     val tagged = updates.withColumn("bucket", bucketOf(buckets))
+      .localCheckpoint(true)
     val affected = tagged.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty)
+      // nothing to merge: leave the store untouched (committing an empty
+      // manifest on a fresh root would poison every subsequent read)
+      return read(spark, root).getOrElse(updates)
     val currentAffected = affected
       .flatMap(b => prevManifest.get(b).map(v => bucketPath(root, b, v)))
     val base =
@@ -110,16 +140,22 @@ object FrontierStore {
       .withColumn("bucket", bucketOf(buckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    val written = affected.filter { b =>
+    affected.foreach { b =>
       val src = new Path(s"$staging/bucket=$b")
       val dst = new Path(bucketPath(root, b, next))
       f.mkdirs(dst.getParent)
-      f.exists(src) && f.rename(src, dst)
+      // a crashed earlier attempt at this same (unreferenced) version may
+      // have left an orphan dst — clear it so rename cannot nest or fail
+      if (f.exists(dst)) f.delete(dst, true)
+      if (!f.exists(src) || !f.rename(src, dst))
+        throw new java.io.IOException(
+          s"failed to commit bucket $b to $dst — aborting before the " +
+            "manifest so the previous version stays intact")
     }
     f.delete(new Path(staging), true)
 
-    val manifest = prevManifest ++ written.map(_ -> next).toMap
-    writeManifest(spark, root, next, manifest)
+    val manifest = prevManifest ++ affected.map(_ -> next).toMap
+    writeManifest(spark, root, next, buckets, manifest)
     val ptr = f.create(new Path(root, "_LATEST"), true)
     try ptr.write(next.toString.getBytes)
     finally ptr.close()
@@ -127,7 +163,7 @@ object FrontierStore {
     // retire: for each rewritten bucket keep only the new version and its
     // immediate predecessor (for readers that resolved the pointer just
     // before the flip); drop manifests older than the previous one
-    written.foreach { b =>
+    affected.foreach { b =>
       val keep = Set(Some(next), prevManifest.get(b)).flatten
       val dir = new Path(s"$root/b$b")
       if (f.exists(dir)) f.listStatus(dir).foreach { st =>
@@ -141,12 +177,13 @@ object FrontierStore {
     read(spark, root).get
   }
 
-  /** Bucket-pruned per-domain lookup: reads exactly one bucket dir. */
+  /** Bucket-pruned per-domain lookup: reads exactly one bucket dir. The
+    * bucket count comes from the store's manifest, not the caller.
+    */
   def domainSlice(
-      spark: SparkSession, root: String, pld: String,
-      buckets: Int = 64): Option[DataFrame] =
+      spark: SparkSession, root: String, pld: String): Option[DataFrame] =
     latestVersion(spark, root).flatMap { v =>
-      val manifest = readManifest(spark, root, v)
+      val (buckets, manifest) = readManifest(spark, root, v)
       // same bucket function the writer uses, evaluated by Spark itself
       val b = spark.range(1)
         .select(pmod(xxhash64(lit(pld)), lit(buckets)).cast("int"))

@@ -194,10 +194,12 @@ object TextOps {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             col("a.n").as("n_a"), col("b.n").as("n_b")))
       case Some(ratio) =>
-        // guarded path: the cap bounds every shingle's posting list, so
-        // buffering a bucket per row is safe — and the pair-list
-        // formulation skips the self-join's double sort (measured 40%
-        // faster at sf0.1, PERF_NOTES round-2)
+        // guarded path: frequent (stop-phrase) shingles are dropped
+        // before the same streaming self-join. A pair-list formulation
+        // (collect_list per shingle + pair UDF) measured 40% faster but
+        // buffers O(postings^2) tuples in ONE row — cap*cap can still be
+        // an executor OOM (and it narrows the id type) — so the join
+        // stays; it degrades in throughput, never in memory.
         val cap = (df.count() * ratio).toLong
         val frequent = exploded.groupBy("s").count()
           .filter(col("count") > cap).select("s")
@@ -207,28 +209,12 @@ object TextOps {
           .join(broadcast(frequent), Seq("s"), "left_anti")
           .withColumn("n",
             count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        val pairUdf = udf { (members: Seq[org.apache.spark.sql.Row]) =>
-          val sorted = members.sortBy(_.getLong(0))
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long)]
-          var i = 0
-          while (i < sorted.length) {
-            var j = i + 1
-            while (j < sorted.length) {
-              out += ((sorted(i).getLong(0), sorted(j).getLong(0),
-                sorted(i).getLong(1), sorted(j).getLong(1)))
-              j += 1
-            }
-            i += 1
-          }
-          out.toSeq
-        }
-        jaccardTail(filtered
-          .groupBy(col("s"))
-          .agg(collect_list(struct(col("doc_id"), col("n"))).as("members"))
-          .select(explode(pairUdf(col("members"))).as("p"))
-          .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-            col("p._3").as("n_a"), col("p._4").as("n_b")))
+          .localCheckpoint(true)
+        jaccardTail(filtered.as("a")
+          .join(filtered.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b")))
     }
   }
 

@@ -73,11 +73,14 @@ class ArchiveFetchSpec extends AnyFunSuite {
   }
 
   test("crawl resumes from a store-persisted frontier without refetching") {
-    var fetches = List.empty[String]
+    // the Fetcher is captured in serialized task closures, so a captured
+    // var would record into per-task COPIES; a JVM-global object is
+    // shared across local-mode tasks and actually observes the fetches
+    FetchLog.urls.clear()
     val counting = new Fetcher {
       val base = new WebGraphFetcher(graph)
       override def fetch(url: String): FetchedPage = {
-        fetches.synchronized { fetches ::= url }
+        FetchLog.urls.add(url)
         base.fetch(url)
       }
     }
@@ -85,20 +88,23 @@ class ArchiveFetchSpec extends AnyFunSuite {
       spark, Seq(("a.com", 1.0f)),
       counting, new MapRobotsFetcher(Map.empty),
       CrawlConfig(maxRounds = 15))
+    assert(!FetchLog.urls.isEmpty, "sanity: the log must see live fetches")
     val root = java.nio.file.Files
       .createTempDirectory("graft-frontier-resume").toString
     FrontierStore.mergeInto(spark, root,
       first.frontier.select(
         "url", "pld", "status", "statusTime", "score", "nextFetchTime"))
     val persisted = FrontierStore.read(spark, root).get
-    fetches = Nil
+    FetchLog.urls.clear()
     val resumed = CrawlTopology.run(
       spark, Seq(("a.com", 1.0f)),
       counting, new MapRobotsFetcher(Map.empty),
       CrawlConfig(maxRounds = 15),
       initialFrontier = Some(persisted))
     // everything was already FETCHED/terminal: no page fetch happens again
-    val pageFetches = fetches.filterNot(_.endsWith("/robots.txt"))
+    import scala.jdk.CollectionConverters._
+    val pageFetches = FetchLog.urls.asScala.toSeq
+      .filterNot(_.endsWith("/robots.txt"))
     assert(pageFetches.isEmpty, s"refetched: $pageFetches")
     assert(resumed.frontier.count() == first.frontier.count())
   }
@@ -112,6 +118,14 @@ class ArchiveFetchSpec extends AnyFunSuite {
     val want = codes.map(graft.schema.FetchStatus.fromHttpStatus)
     assert(got.toSeq == want)
   }
+}
+
+/** JVM-global fetch journal for closure-serialized fetchers (local-mode
+  * tasks share the JVM, so object state is visible where captured vars
+  * are not).
+  */
+object FetchLog {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 class UrlLengthenerSpec extends AnyFunSuite {

@@ -266,7 +266,7 @@ class FrontierStoreSpec extends AnyFunSuite {
     assert(byUrl("http://b.com/y") == (("FETCHED", 2.0f)))
     // bucket-pruned domain slice sees only its own pld
     val slice = graft.crawl.FrontierStore
-      .domainSlice(spark, root, "a.com", buckets = 4).get.collect()
+      .domainSlice(spark, root, "a.com").get.collect()
     assert(slice.length == 1 && slice.head.getAs[String]("url") == "http://a.com/x")
   }
 
@@ -319,7 +319,7 @@ class FrontierStoreSpec extends AnyFunSuite {
     assert(d5 == "FETCHED")
     // pruned slice reads one bucket only
     val slice = graft.crawl.FrontierStore
-      .domainSlice(spark, root, "d5.com", buckets = 8).get.collect()
+      .domainSlice(spark, root, "d5.com").get.collect()
     assert(slice.length == 1 && slice.head.getAs[String]("status") == "FETCHED")
   }
 }
