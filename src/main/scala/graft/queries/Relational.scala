@@ -331,8 +331,8 @@ object Relational {
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         |g AS (SELECT event_type, sec, COUNT(*) AS n FROM s GROUP BY 1, 2)
         |SELECT event_type, sec, n,
-        |  SUM(n) OVER (PARTITION BY event_type ORDER BY sec
-        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_30s
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY sec
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30s
         |FROM g""".stripMargin,
     "q40_bloom_semi" -> bloomSemiSql
   )
