@@ -31,7 +31,22 @@ final case class CrawlConfig(
     maxQuotaBoost: Int = 5,            // quota clamp: [1, boost x base]
     // continuous crawling: FETCHED pages become eligible again after this
     // interval (the reference never stops; nextFetchTime re-arms fetches)
-    recrawlIntervalMs: Option[Long] = None)
+    recrawlIntervalMs: Option[Long] = None,
+    // parse watchdog (reference ParserPolicy.java:14-18: kill a parse at
+    // 30 s) — pages exceeding it are journaled ERROR_PARSE, not hung on
+    parseBudgetMs: Long = 30000L,
+    // pluggable stop (reference CrawlTerminator.java:6-12): checked once
+    // per round; bounds continuous crawls that never exhaust the frontier
+    terminator: Option[CrawlTerminator] = None,
+    // durable frontier (reference CrawlTool.java:60-64 checkpointed
+    // state): when set, every round commits through FrontierStore's
+    // merge-on-read table at this root and a fresh run resumes from it
+    frontierRoot: Option[String] = None,
+    frontierBuckets: Int = 64,
+    // driver-plan hygiene: journal/parsed accumulators are compacted
+    // (lineage-truncated) every this-many appended batches so a
+    // thousand-round crawl never builds a thousand-node union plan
+    compactEvery: Int = 32)
 
 final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
@@ -129,20 +144,52 @@ object CrawlTopology {
     val crawlRunId = java.util.UUID.randomUUID().toString
 
     val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    val journalBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val parsedBatches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def journal(round: Int, stage: String, rows: DataFrame): Unit =
-      journalBatches += rows
+
+    // journal/parsed accumulate incrementally with periodic lineage
+    // truncation: a plain per-round buffer folds into an R-node union
+    // plan whose ANALYSIS cost blows up on long crawls before the data
+    // does — compacting every `compactEvery` appends caps the plan depth
+    val emptyParsed = Seq.empty[(String, String, String, String, Float)]
+      .toDF("url", "pld", "title", "text", "score")
+    val emptyJournal = Seq.empty[(Int, String, String, String)]
+      .toDF("round", "stage", "url", "status")
+    var journalAcc = emptyJournal
+    var journalPending = 0
+    var parsedAcc = emptyParsed
+    var parsedPending = 0
+    def journal(round: Int, stage: String, rows: DataFrame): Unit = {
+      journalAcc = journalAcc.unionByName(rows
         .withColumn("round", lit(round))
         .withColumn("stage", lit(stage))
-        .select("round", "stage", "url", "status")
+        .select("round", "stage", "url", "status"))
+      journalPending += 1
+      if (journalPending >= cfg.compactEvery) {
+        journalAcc = journalAcc.localCheckpoint(true)
+        journalPending = 0
+      }
+    }
 
+    cfg.terminator.foreach(_.open())
+
+    // merge the seeds (and any caller-held frontier) into the durable
+    // store when one is configured: a fresh run against a populated root
+    // RESUMES — already-FETCHED rows win the merge and are not refetched
     val seedRows = cleanUrls(spark, seeds.toDS(), 0L, cfg, lengthener).toDF()
-    var frontier: DataFrame =
-      UrlStateMerger
-        .mergeFrontier(
-          initialFrontier.fold(seedRows)(f => f.unionByName(seedRows)))
-        .localCheckpoint(true)
+    val initialRows = initialFrontier.fold(seedRows)(f => f.unionByName(seedRows))
+    var frontier: DataFrame = null
+    def commitFrontier(updates: DataFrame): DataFrame = cfg.frontierRoot match {
+      case Some(root) =>
+        // the store is the merge base (it already holds the frontier);
+        // the returned frame reads committed parquet, so lineage is O(1)
+        // per round and the crawl survives a driver restart
+        FrontierStore.mergeInto(spark, root, updates, cfg.frontierBuckets)
+      case None =>
+        // in-memory mode: merge the updates against the current frontier
+        // (null only for the very first commit, before any round ran)
+        val base = Option(frontier).fold(updates)(f => f.unionByName(updates))
+        UrlStateMerger.mergeFrontier(base).localCheckpoint(true)
+    }
+    frontier = commitFrontier(initialRows)
     journal(0, "seed", frontier.select(col("url"), col("status")))
 
     // page-score history feeding the focused-crawl feedback loop (the
@@ -156,9 +203,15 @@ object CrawlTopology {
     var domainClocks: DataFrame = Seq.empty[(String, Long)]
       .toDF("pld", "nextAllowed")
 
+    // sitemaps fetched in ANY prior round (reference: sitemap state in the
+    // UrlDB; without it an active domain's sitemap is refetched every
+    // round for the crawl's lifetime)
+    var seenSitemaps: DataFrame = Seq.empty[String].toDF("sitemapUrl")
+
     var round = 0
     var active = true
-    while (active && round < cfg.maxRounds) {
+    while (active && round < cfg.maxRounds &&
+        !cfg.terminator.exists(_.isTerminated())) {
       round += 1
       val now = round * cfg.roundTickMs
 
@@ -271,11 +324,17 @@ object CrawlTopology {
           .toDF()
         journal(round, "robots", blocked.select(col("url"), col("status")))
 
-        // --- sitemap discovery: fetch+parse each newly seen sitemap once
+        // --- sitemap discovery: fetch+parse each sitemap ONCE per crawl —
+        // the anti-join against seenSitemaps keeps an active domain's
+        // sitemap from being refetched every round for the crawl's life
         val pf = pageFetcher
         val sitemapFetches = verdicts
           .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
           .distinct()
+          .toDF("pld", "sitemapUrl")
+          .join(broadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
+          .select(col("pld"), col("sitemapUrl"))
+          .as[(String, String)]
           .mapPartitions { it =>
             it.map { case (_, sitemapUrl) =>
               val page = pf.fetch(sitemapUrl)
@@ -287,6 +346,12 @@ object CrawlTopology {
             }
           }
           .localCheckpoint(true) // one fetch pass: links + failure journal
+        if (sitemapFetches.head(1).nonEmpty) {
+          seenSitemaps = seenSitemaps
+            .unionByName(sitemapFetches.map(_._1).toDF("sitemapUrl"))
+            .distinct()
+            .localCheckpoint(true)
+        }
         val sitemapLinks = sitemapFetches
           .flatMap(_._3.map(u => (u, 1.0f)))
         // L7 HandleFailedSiteMapFunction (reference …/flinkcrawler/
@@ -347,31 +412,59 @@ object CrawlTopology {
           .toDF()
 
         // --- parse (ParseFunction): title/text/outlinks; outlink top-K per
-        // page by score (ParseFunction.java:104-126)
-        val parsedPages = fetched
+        // page by score (ParseFunction.java:104-126). Each parse runs under
+        // the watchdog budget (ParserPolicy.java:14-18) — one adversarial
+        // page must not pin an executor core; timeouts surface as
+        // ERROR_PARSE in the journal instead of hanging the stage
+        val parseBudget = cfg.parseBudgetMs
+        val parseAttempts = fetched
           .filter(f => f.status == FS.FETCHED && f.contentType.contains("html"))
           .map { f =>
-            val p = HtmlParser.parse(f.url, f.content, f.score)
-            (f.url, f.pld, p.title, p.text, f.score,
-              p.outlinks.map(o => (o.url, o.anchorText, o.relAttributes, o.score)))
+            HtmlParser.parseWithBudget(f.url, f.content, f.score, parseBudget) match {
+              case Some(p) =>
+                (f.url, f.pld, p.title, p.text, f.score,
+                  p.outlinks.map(o =>
+                    (o.url, o.anchorText, o.relAttributes, o.score)),
+                  false)
+              case None =>
+                (f.url, f.pld, "", "", f.score,
+                  Seq.empty[(String, String, String, Float)], true)
+            }
           }
-          .toDF("url", "pld", "title", "text", "score", "outlinks")
+          .toDF("url", "pld", "title", "text", "score", "outlinks", "parseFailed")
           .localCheckpoint(true)
+        journal(round, "parse_failed",
+          parseAttempts.filter(col("parseFailed"))
+            .select(col("url"), lit(FS.ERROR_PARSE).as("status")))
+        val parsedPages = parseAttempts.filter(!col("parseFailed"))
 
         val parsedOut = parsedPages
           .filter(col("score") > 0.0f)
           .select(col("url"), col("pld"), col("title"), col("text"), col("score"))
-        parsedBatches += parsedOut
+        parsedAcc = parsedAcc.unionByName(parsedOut)
+        parsedPending += 1
+        if (parsedPending >= cfg.compactEvery) {
+          parsedAcc = parsedAcc.localCheckpoint(true)
+          parsedPending = 0
+        }
         journal(round, "parse",
           parsedOut.select(col("url"), lit(FS.FETCHED).as("status")))
 
-        // feed the score loop (ParseFunction's score side output :102)
+        // feed the score loop (ParseFunction's score side output :102).
+        // Prune to the newest `scoreWindow` rows per pld on every fold:
+        // only those are ever read by the quota window, and an unpruned
+        // history is O(total pages crawled) re-checkpointed each round
         if (cfg.scoreAdaptive) {
+          val recency = Window.partitionBy(col("pld"))
+            .orderBy(col("scoreRound").desc, col("pageScore").desc)
           scoreHistory = scoreHistory
             .unionByName(parsedOut.select(
               col("pld"),
               col("score").cast("float").as("pageScore"),
               lit(round).as("scoreRound")))
+            .withColumn("keepRn", row_number().over(recency))
+            .filter(col("keepRn") <= cfg.scoreWindow)
+            .drop("keepRn")
             .localCheckpoint(true)
         }
 
@@ -399,30 +492,15 @@ object CrawlTopology {
           outlinks.union(sitemapLinks).union(redirectTargets),
           now, cfg, lengthener).toDF()
 
-        val nextFrontier = UrlStateMerger
-          .mergeFrontier(
-            frontier
-              .unionByName(blocked)
-              .unionByName(statusUpdates)
-              .unionByName(newUrls))
-          .localCheckpoint(true)
-        frontier = nextFrontier
+        frontier = commitFrontier(
+          blocked.unionByName(statusUpdates).unionByName(newUrls))
       }
     }
 
-    val emptyParsed = Seq.empty[(String, String, String, String, Float)]
-      .toDF("url", "pld", "title", "text", "score")
-    val emptyJournal = Seq.empty[(Int, String, String, String)]
-      .toDF("round", "stage", "url", "status")
     // the run's robots entries are unreachable once the scope retires —
     // free them instead of leaking one scope per run in long-lived JVMs
     RobotsCache.clearScope(crawlRunId)
 
-    CrawlResult(
-      frontier,
-      parsedBatches.foldLeft(emptyParsed)(_ unionByName _),
-      journalBatches.foldLeft(emptyJournal)(_ unionByName _),
-      round,
-      gauges.toSeq)
+    CrawlResult(frontier, parsedAcc, journalAcc, round, gauges.toSeq)
   }
 }

@@ -17,6 +17,32 @@ object HtmlParser {
       outlinks: Seq[ExtractedUrl],
       noFollow: Boolean)
 
+  /** Thrown inside regex scans when the parse time budget is exhausted. */
+  final class ParseTimeout(msg: String) extends RuntimeException(msg)
+
+  /** Watchdog wrapper: java.util.regex reads input through CharSequence
+    * .charAt, so a deadline check there bounds even catastrophic
+    * backtracking (the reference kills a parse at 30 s via a watchdog
+    * thread around Tika — …/flinkcrawler/config/ParserPolicy.java:14-18,
+    * …/parser/TikaCallable.java:27; a cooperative deadline is the
+    * single-threaded form). Checked every 1024 reads so the common case
+    * costs one counter increment per char.
+    */
+  private final class DeadlineCharSequence(
+      s: CharSequence, deadlineNanos: Long) extends CharSequence {
+    private[this] var reads = 0
+    override def length: Int = s.length
+    override def charAt(i: Int): Char = {
+      reads += 1
+      if ((reads & 0x3ff) == 0 && System.nanoTime() - deadlineNanos > 0)
+        throw new ParseTimeout("parse time budget exceeded")
+      s.charAt(i)
+    }
+    override def subSequence(a: Int, b: Int): CharSequence =
+      new DeadlineCharSequence(s.subSequence(a, b), deadlineNanos)
+    override def toString: String = s.toString
+  }
+
   private val TitleRe =
     "(?is)<title[^>]*>(.*?)</title>".r
   private val MetaRobotsRe =
@@ -48,7 +74,7 @@ object HtmlParser {
   /** Does a `<meta name=robots>` tag forbid following links? Shared by
     * [[parse]] and [[mediaLinks]] so the two link feeds cannot drift.
     */
-  private def metaNoFollow(html: String): Boolean =
+  private def metaNoFollow(html: CharSequence): Boolean =
     MetaRobotsRe
       .findFirstIn(html)
       .flatMap(tag => ContentAttrRe.findFirstMatchIn(tag).map(_.group(1)))
@@ -60,7 +86,7 @@ object HtmlParser {
   /** The effective base for relative links: `<base href>` (itself resolved
     * against the page URL, per the HTML spec) or the page URL.
     */
-  private def resolvedBase(pageUrl: String, html: String): String =
+  private def resolvedBase(pageUrl: String, html: CharSequence): String =
     BaseRe.findFirstMatchIn(html)
       .map(_.group(1))
       .flatMap(b => resolve(pageUrl, b))
@@ -68,17 +94,26 @@ object HtmlParser {
 
   /** Parse a page. `pageScore` is spread equally across outlinks
     * (reference SimplePageParser.java:192-199: outlink score =
-    * pageScore / numOutlinks).
+    * pageScore / numOutlinks). `timeBudgetMs` bounds total parse time —
+    * pathological markup (unbounded regex backtracking) raises
+    * [[ParseTimeout]] instead of pinning an executor core (reference
+    * ParserPolicy.java:14-18 defaults to 30 s).
     */
-  def parse(pageUrl: String, html: String, pageScore: Float): ParseResult = {
-    val title = TitleRe.findFirstMatchIn(html).map(_.group(1).trim).getOrElse("")
-    val baseUrl = resolvedBase(pageUrl, html)
-    val noFollow = metaNoFollow(html)
+  def parse(
+      pageUrl: String, html: String, pageScore: Float,
+      timeBudgetMs: Long = Long.MaxValue): ParseResult = {
+    val h: CharSequence =
+      if (timeBudgetMs == Long.MaxValue) html
+      else new DeadlineCharSequence(
+        html, System.nanoTime() + timeBudgetMs * 1000000L)
+    val title = TitleRe.findFirstMatchIn(h).map(_.group(1).trim).getOrElse("")
+    val baseUrl = resolvedBase(pageUrl, h)
+    val noFollow = metaNoFollow(h)
 
     val rawLinks =
       if (noFollow) Seq.empty
       else
-        AnchorRe.findAllMatchIn(html).flatMap { m =>
+        AnchorRe.findAllMatchIn(h).flatMap { m =>
           val attrs = m.group(1)
           val anchor = TagRe.replaceAllIn(m.group(2), " ").trim
           for {
@@ -96,11 +131,21 @@ object HtmlParser {
     }
 
     val text = TagRe
-      .replaceAllIn(ScriptStyleRe.replaceAllIn(html, " "), " ")
+      .replaceAllIn(ScriptStyleRe.replaceAllIn(h, " "), " ")
       .replaceAll("\\s+", " ")
       .trim
     ParseResult(title, text, outlinks, noFollow)
   }
+
+  /** Budgeted parse that surfaces a timeout as `None` so dataflow call
+    * sites can journal the page as ERROR_PARSE and move on (the
+    * reference's side-output path for failed parses).
+    */
+  def parseWithBudget(
+      pageUrl: String, html: String, pageScore: Float,
+      timeBudgetMs: Long): Option[ParseResult] =
+    try Some(parse(pageUrl, html, pageScore, timeBudgetMs))
+    catch { case _: ParseTimeout => None }
 
   /** Media links (img/source/video/audio/embed/iframe src) resolved like
     * outlinks — the reference's link extractor accepts configurable

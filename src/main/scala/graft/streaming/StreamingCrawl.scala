@@ -27,6 +27,13 @@ object StreamingCrawl {
       cfg: CrawlConfig = CrawlConfig(),
       onBatch: CrawlResult => Unit = _ => ()): StreamingQuery = {
 
+    // with a durable store configured the store IS the frontier: every
+    // batch's run() merges into it and a restarted query (driver crash,
+    // redeploy) resumes from _LATEST with nothing FETCHED refetched
+    // (reference contract: …/flinkcrawler/tools/CrawlTool.java:60-64,
+    // …/topology/CrawlTopology.java:17-25). The in-memory handoff var is
+    // only the fallback for store-less (test/ephemeral) runs — it does
+    // not survive a restart, which is exactly what frontierRoot fixes.
     @volatile var frontier: Option[DataFrame] = None
     seedStream.writeStream
       .outputMode("append")
@@ -40,7 +47,7 @@ object StreamingCrawl {
           .toSeq
         val result = CrawlTopology.run(
           spark, seeds, pageFetcher, robotsFetcher, cfg,
-          initialFrontier = frontier)
+          initialFrontier = if (cfg.frontierRoot.isDefined) None else frontier)
         frontier = Some(result.frontier)
         onBatch(result)
       }

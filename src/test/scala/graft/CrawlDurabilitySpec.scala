@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl._
+import graft.schema.{FetchStatus => FS}
+
+/** Round-4 hardening of the crawl loop: durable frontier commits through
+  * FrontierStore (reference contract …/flinkcrawler/tools/CrawlTool
+  * .java:60-64 — a crawl survives a driver restart), sitemaps fetched once
+  * per crawl (not once per round), pluggable wall-clock termination
+  * (…/config/DurationCrawlTerminator.java:7-37), and the parse watchdog
+  * (…/config/ParserPolicy.java:14-18).
+  */
+class CrawlDurabilitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val graph = WebGraph(
+    "a.com" -> Seq("a.com/p1", "a.com/p2", "b.com"),
+    "a.com/p1" -> Seq("a.com/p2"),
+    "a.com/p2" -> Seq.empty,
+    "b.com" -> Seq.empty)
+
+  private def countingFetcher() = new Fetcher {
+    val base = new WebGraphFetcher(graph)
+    override def fetch(url: String): FetchedPage = {
+      FetchLog.urls.add(url)
+      base.fetch(url)
+    }
+  }
+
+  test("frontierRoot: a restarted crawl resumes from the store and refetches nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-durable-frontier").toString
+    val cfg = CrawlConfig(maxRounds = 15, frontierRoot = Some(root))
+    FetchLog.urls.clear()
+    val first = CrawlTopology.run(
+      spark, Seq(("a.com", 1.0f)),
+      countingFetcher(), new MapRobotsFetcher(Map.empty), cfg)
+    assert(!FetchLog.urls.isEmpty, "sanity: the first run must fetch")
+    val firstSnapshot = first.frontier
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(firstSnapshot.contains(("http://a.com/p2", FS.FETCHED)))
+
+    // the store alone carries the state: same root, NO in-memory frontier
+    // handoff — this is the driver-restart path
+    FetchLog.urls.clear()
+    val resumed = CrawlTopology.run(
+      spark, Seq(("a.com", 1.0f)),
+      countingFetcher(), new MapRobotsFetcher(Map.empty), cfg)
+    import scala.jdk.CollectionConverters._
+    val refetched = FetchLog.urls.asScala.toSeq
+      .filterNot(_.endsWith("/robots.txt"))
+    assert(refetched.isEmpty, s"refetched after restart: $refetched")
+    val resumedSnapshot = resumed.frontier
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(resumedSnapshot == firstSnapshot)
+    // and the store itself reflects the same committed state
+    val stored = FrontierStore.read(spark, root).get
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored == firstSnapshot)
+  }
+
+  test("sitemap is fetched once per crawl, not once per round") {
+    val sitemapUrl = "http://chain.com/sitemap.xml"
+    val sitemapBody =
+      "<urlset><url><loc>http://chain.com/from-sitemap</loc></url></urlset>"
+    // a chain keeps the domain active for several scheduling rounds
+    val g = WebGraph(
+      "chain.com" -> Seq("chain.com/c1"),
+      "chain.com/c1" -> Seq("chain.com/c2"),
+      "chain.com/c2" -> Seq("chain.com/c3"),
+      "chain.com/c3" -> Seq.empty,
+      "chain.com/from-sitemap" -> Seq.empty)
+    FetchLog.urls.clear()
+    val fetcher = new Fetcher {
+      val base = new WebGraphFetcher(g)
+      override def fetch(url: String): FetchedPage = {
+        FetchLog.urls.add(url)
+        if (url == sitemapUrl) FetchedPage(200, sitemapBody, "application/xml")
+        else base.fetch(url)
+      }
+    }
+    val robots = new MapRobotsFetcher(Map(
+      "http://chain.com/robots.txt" ->
+        s"User-agent: *\nSitemap: $sitemapUrl\n"))
+    val r = CrawlTopology.run(
+      spark, Seq(("chain.com", 1.0f)), fetcher, robots,
+      CrawlConfig(maxRounds = 20))
+    assert(r.rounds >= 4, "sanity: the chain must take several rounds")
+    import scala.jdk.CollectionConverters._
+    val sitemapFetches = FetchLog.urls.asScala.count(_ == sitemapUrl)
+    assert(sitemapFetches == 1,
+      s"sitemap fetched $sitemapFetches times across ${r.rounds} rounds")
+    val statuses = r.frontier.select("url", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(statuses.get("http://chain.com/from-sitemap").contains(FS.FETCHED))
+  }
+
+  test("duration terminator stops a continuous (recrawl) crawl") {
+    // logical clock: each isTerminated() consultation advances 100 ms;
+    // the 450 ms budget trips after ~4 rounds even though recrawl mode
+    // would otherwise run to maxRounds
+    var tick = 0L
+    val clock = () => { tick += 100; tick }
+    val term = new DurationCrawlTerminator(450, clock)
+    val g = WebGraph("loop.com" -> Seq.empty)
+    val r = CrawlTopology.run(
+      spark, Seq(("loop.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 1000, recrawlIntervalMs = Some(1L),
+        terminator = Some(term)))
+    assert(r.rounds < 10,
+      s"terminator must stop the endless recrawl, ran ${r.rounds} rounds")
+  }
+
+  test("unopened duration terminator never trips") {
+    val term = new DurationCrawlTerminator(0, () => 1000000L)
+    assert(!term.isTerminated())
+    term.open()
+    assert(term.isTerminated())
+  }
+
+  test("parse watchdog: pathological page journals ERROR_PARSE, crawl continues") {
+    // quadratic-backtracking bait for the anchor regex: many '<a ' openers,
+    // no closing '</a>' — each match attempt scans the rest of the page
+    val evil = ("<a " + ("b" * 2000) + " ") * 2000
+    val g = WebGraph(
+      "mix.com" -> Seq("mix.com/ok", "mix.com/evil"),
+      "mix.com/ok" -> Seq.empty)
+    val fetcher = new Fetcher {
+      val base = new WebGraphFetcher(g)
+      override def fetch(url: String): FetchedPage =
+        if (url == "http://mix.com/evil") FetchedPage(200, evil, "text/html")
+        else base.fetch(url)
+    }
+    val r = CrawlTopology.run(
+      spark, Seq(("mix.com", 1.0f)),
+      fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 10, parseBudgetMs = 200L))
+    val parseFailed = r.journal
+      .filter(col("stage") === "parse_failed")
+      .select("url", "status").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(parseFailed.toSeq == Seq(("http://mix.com/evil", FS.ERROR_PARSE)))
+    // the healthy page still parsed and the evil page is NOT in parsed
+    val parsedUrls = r.parsed.select("url").collect().map(_.getString(0)).toSet
+    assert(parsedUrls.contains("http://mix.com/ok"))
+    assert(!parsedUrls.contains("http://mix.com/evil"))
+    // the page itself still counts as FETCHED in the frontier
+    val st = r.frontier.filter(col("url") === "http://mix.com/evil")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(st == Seq(FS.FETCHED))
+  }
+
+  test("journal/parsed compaction preserves content (compactEvery=1 vs huge)") {
+    def snap(compactEvery: Int) = {
+      val r = CrawlTopology.run(
+        spark, Seq(("a.com", 1.0f)),
+        new WebGraphFetcher(graph), new MapRobotsFetcher(Map.empty),
+        CrawlConfig(maxRounds = 15, compactEvery = compactEvery))
+      (r.journal.select("round", "stage", "url", "status").collect()
+        .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3)))
+        .toSet,
+        r.parsed.select("url", "title").collect()
+          .map(x => (x.getString(0), x.getString(1))).toSet)
+    }
+    val (j1, p1) = snap(1)
+    val (j2, p2) = snap(1000)
+    assert(j1 == j2)
+    assert(p1 == p2)
+  }
+}

@@ -154,4 +154,23 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(tie.isAllowed("/ab/x"))
     assert(rules.isAllowed("/a/x"))
   }
+
+  test("parse watchdog: budget bounds catastrophic backtracking") {
+    // many unterminated '<a ' openers: every anchor-regex match attempt
+    // rescans the tail, O(n^2) over ~4 MB — minutes unbudgeted
+    val evil = ("<a " + ("x" * 2000) + " ") * 2000
+    val t0 = System.nanoTime()
+    val r = HtmlParser.parseWithBudget("http://e.com/", evil, 1.0f, 200L)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(r.isEmpty, "pathological page must time out, not parse")
+    assert(elapsedMs < 5000, s"watchdog fired too late: ${elapsedMs}ms")
+  }
+
+  test("parse watchdog: healthy page parses within budget") {
+    val html = """<html><head><title>t</title></head>
+      |<body><a href="/x">x</a>hello</body></html>""".stripMargin
+    val r = HtmlParser.parseWithBudget("http://e.com/", html, 1.0f, 30000L)
+    assert(r.exists(_.title == "t"))
+    assert(r.exists(_.outlinks.map(_.url) == Seq("http://e.com/x")))
+  }
 }
