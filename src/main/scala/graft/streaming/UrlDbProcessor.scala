@@ -11,8 +11,9 @@ import graft.schema.{CrawlStateUrl, DomainScore, FetchUrl, FetchStatus => FS}
   * structural analog to the reference's keyed co-process operator
   * (…/flinkcrawler/functions/UrlDBFunction.java:47-581): per-PLD `MapState`
   * of URL states with upsert-merge, a politeness clock, and
-  * processing-time timers that emit the best UNFETCHED URL per firing
-  * (marking it QUEUED in state).
+  * processing-time timers driving the full fetch lifecycle — UNFETCHED →
+  * QUEUED (bounded queue with displacement restore) → FETCHING (emitted,
+  * in-flight-capped) → terminal status fed back by the fetch stage.
   *
   * The frontier-table recurrence (CrawlTopology) remains the recommended
   * scale path — state lives in a table, not a state store — but this
@@ -31,12 +32,24 @@ class UrlDbProcessor(
     // is the cluster form and composes with this same state field).
     baselineScore: Float = 1.0f,
     minIntervalMs: Long = 1,
-    maxIntervalMs: Long = 1000)
+    maxIntervalMs: Long = 1000,
+    // FetchQueue capacity (reference FetchQueue.java via
+    // CrawlTopologyBuilder maxFetchQueueSize): at most this many URLs
+    // sit QUEUED per domain; a better candidate displaces the worst
+    // queued entry, whose previous status is restored
+    // (UrlDBFunction.java:306-317)
+    maxQueueSize: Int = 10,
+    // in-flight cap (UrlDBFunction.java:54 MAX_IN_FLIGHT_URLS = 100):
+    // emissions stop while this many FETCHING URLs await their terminal
+    // status. The reference counts per subtask; keyed state makes the
+    // per-domain count the replayable cluster form.
+    maxInFlight: Int = 100)
   extends StatefulProcessor[String, UrlDbProcessor.Envelope, FetchUrl] {
 
   @transient private var active: MapState[Long, CrawlStateUrl] = _
   @transient private var timerArmed: ValueState[Boolean] = _
   @transient private var domainScore: ValueState[Float] = _
+  @transient private var inFlight: ValueState[Int] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     active = getHandle.getMapState[Long, CrawlStateUrl](
@@ -46,6 +59,11 @@ class UrlDbProcessor(
       "timerArmed", Encoders.scalaBoolean, TTLConfig.NONE)
     domainScore = getHandle.getValueState[Float](
       "domainScore", Encoders.scalaFloat, TTLConfig.NONE)
+    // checkpointed with the rest of the keyed state, so the count
+    // survives restore (the reference's transient AtomicInteger does
+    // not — its own TODO at UrlDBFunction.java:57)
+    inFlight = getHandle.getValueState[Int](
+      "inFlight", Encoders.scalaInt, TTLConfig.NONE)
   }
 
   private def intervalFor(): Long =
@@ -68,9 +86,16 @@ class UrlDbProcessor(
         sawUrl = true
         val incoming = env.state
         val key = UrlFunctions.urlHash64(incoming.url)
+        val existing = if (active.containsKey(key)) active.getValue(key) else null
+        // terminal feedback for an emitted URL retires its in-flight slot
+        // (UrlDBFunction.java:445-464: FETCHING entries must not become
+        // zombies that hold the cap forever)
+        if (existing != null && existing.status == FS.FETCHING &&
+            FS.isFetchedIsh(incoming.status)) {
+          inFlight.update(math.max(0, currentInFlight() - 1))
+        }
         val merged =
-          if (active.containsKey(key))
-            UrlStateMerger.merge(active.getValue(key), incoming)
+          if (existing != null) UrlStateMerger.merge(existing, incoming)
           else incoming
         active.updateValue(key, merged)
       }
@@ -86,26 +111,93 @@ class UrlDbProcessor(
     Iterator.empty
   }
 
+  private def currentInFlight(): Int =
+    if (inFlight.exists()) inFlight.get() else 0
+
+  // "better" = higher score, ties broken lexicographically (deterministic
+  // replay); shared by selection, queue displacement, and emission order
+  private def better(a: CrawlStateUrl, b: CrawlStateUrl): Boolean =
+    a.score > b.score || (a.score == b.score && a.url < b.url)
+
   override def handleExpiredTimer(
       pld: String,
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[FetchUrl] = {
-    // round-robin-ish selection: best-scored UNFETCHED urls, mark QUEUED
-    val picks = active.iterator()
-      .filter { case (_, s) => s.status == FS.UNFETCHED }
-      .toSeq
-      .sortBy { case (_, s) => (-s.score, s.url) }
-      .take(maxPerFiring)
-    val out = picks.map { case (key, s) =>
-      active.updateValue(key,
-        s.copy(status = FS.QUEUED,
-          statusTime = timerValues.getCurrentProcessingTimeInMs()))
-      FetchUrl(s.url, s.pld, s.score, 0L)
+    val now = timerValues.getCurrentProcessingTimeInMs()
+
+    // One pass over the domain's URLs: collect the (≤ maxQueueSize by
+    // invariant) QUEUED entries and a BOUNDED top-maxPerFiring selection
+    // of UNFETCHED candidates — O(n·k) time, O(k) memory per firing. The
+    // previous sort-everything was O(n log n) time and O(n) memory per
+    // tick per domain; a 1M-URL domain blows the 200 ms cadence budget
+    // that way (the reference keeps an O(1) round-robin index,
+    // UrlDBFunction.java:108-126 — bounded selection is the batch form).
+    val queued = scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
+    val best = scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
+    active.iterator().foreach { case e @ (_, s) =>
+      if (s.status == FS.QUEUED) queued += e
+      else if (s.status == FS.UNFETCHED) {
+        // insertion into a ≤ maxPerFiring buffer, worst dropped
+        var i = best.length
+        while (i > 0 && better(s, best(i - 1)._2)) i -= 1
+        if (i < maxPerFiring) {
+          best.insert(i, e)
+          if (best.length > maxPerFiring) best.remove(best.length - 1)
+        }
+      }
     }
+
+    // (a) promote candidates into the bounded fetch queue; a full queue
+    // admits a better URL by displacing its worst entry, whose previous
+    // status is restored so it stays eligible (UrlDBFunction.java:306-317
+    // restorePreviousStatus — only UNFETCHED URLs enter the queue, so
+    // restore = back to UNFETCHED)
+    best.foreach { case (key, s) =>
+      if (queued.length < maxQueueSize) {
+        val q = s.copy(status = FS.QUEUED, statusTime = now)
+        active.updateValue(key, q)
+        queued += ((key, q))
+      } else {
+        var worstIdx = 0
+        var i = 1
+        while (i < queued.length) {
+          if (better(queued(worstIdx)._2, queued(i)._2)) worstIdx = i
+          i += 1
+        }
+        val (wKey, w) = queued(worstIdx)
+        if (better(s, w)) {
+          active.updateValue(wKey,
+            w.copy(status = FS.UNFETCHED, statusTime = now))
+          val q = s.copy(status = FS.QUEUED, statusTime = now)
+          active.updateValue(key, q)
+          queued(worstIdx) = ((key, q))
+        }
+      }
+    }
+
+    // (b) emit the best queued URLs as FETCHING while under the in-flight
+    // cap (UrlDBFunction.java:434-443): at most maxPerFiring per tick,
+    // and never more than maxInFlight awaiting terminal feedback
+    val capacity = math.min(maxPerFiring, maxInFlight - currentInFlight())
+    val out = scala.collection.mutable.ArrayBuffer.empty[FetchUrl]
+    var emitted = 0
+    while (emitted < capacity && queued.nonEmpty) {
+      var bi = 0
+      var i = 1
+      while (i < queued.length) {
+        if (better(queued(i)._2, queued(bi)._2)) bi = i
+        i += 1
+      }
+      val (key, s) = queued.remove(bi)
+      active.updateValue(key, s.copy(status = FS.FETCHING, statusTime = now))
+      out += FetchUrl(s.url, s.pld, s.score, 0L)
+      emitted += 1
+    }
+    if (emitted > 0) inFlight.update(currentInFlight() + emitted)
+
     // re-arm at the score-scaled cadence: the scheduler keeps ticking,
     // fast domains tick more often
-    getHandle.registerTimer(
-      timerValues.getCurrentProcessingTimeInMs() + intervalFor())
+    getHandle.registerTimer(now + intervalFor())
     out.iterator
   }
 }
@@ -143,11 +235,14 @@ object UrlDbProcessor {
   def schedule(
       updates: Dataset[CrawlStateUrl],
       checkIntervalMs: Long = 200,
-      maxPerFiring: Int = 1): Dataset[FetchUrl] = {
+      maxPerFiring: Int = 1,
+      maxQueueSize: Int = 10,
+      maxInFlight: Int = 100): Dataset[FetchUrl] = {
     val spark = updates.sparkSession
     import spark.implicits._
     scheduleWithScores(
-      updates.map(stateInput _), checkIntervalMs, maxPerFiring)
+      updates.map(stateInput _), checkIntervalMs, maxPerFiring,
+      maxQueueSize = maxQueueSize, maxInFlight = maxInFlight)
   }
 
   /** Dual-input form: crawl-state updates unioned with domain scores
@@ -158,13 +253,16 @@ object UrlDbProcessor {
       inputs: Dataset[Envelope],
       checkIntervalMs: Long = 200,
       maxPerFiring: Int = 1,
-      baselineScore: Float = 1.0f): Dataset[FetchUrl] = {
+      baselineScore: Float = 1.0f,
+      maxQueueSize: Int = 10,
+      maxInFlight: Int = 100): Dataset[FetchUrl] = {
     val spark = inputs.sparkSession
     import spark.implicits._
     inputs
       .groupByKey(_.pld)
       .transformWithState(
-        new UrlDbProcessor(checkIntervalMs, maxPerFiring, baselineScore),
+        new UrlDbProcessor(checkIntervalMs, maxPerFiring, baselineScore,
+          maxQueueSize = maxQueueSize, maxInFlight = maxInFlight),
         TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

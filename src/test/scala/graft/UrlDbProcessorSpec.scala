@@ -111,4 +111,102 @@ class UrlDbProcessorSpec extends AnyFunSuite {
         s"hot domain fell behind: $c")
     } finally query.stop()
   }
+
+  test("in-flight cap blocks emissions until terminal feedback retires them") {
+    // mirrors UrlDBFunctionTest.java:117 (emit FETCHING → feed back
+    // FETCHED → next wave emits): maxInFlight=2, four URLs, no feedback
+    // → exactly 2 emitted; FETCHED feedback for both → the other 2 follow
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CrawlStateUrl]
+    val out = UrlDbProcessor.schedule(
+      input.toDS(), checkIntervalMs = 50, maxPerFiring = 2, maxInFlight = 2)
+    val query = out.writeStream
+      .format("memory").queryName("urldb_cap")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      input.addData((1 to 4).map(i =>
+        CrawlStateUrl(s"http://cap.com/p$i", "cap.com", FS.UNFETCHED,
+          1L, i.toFloat, 0L)))
+      def emitted(): Seq[FetchUrl] =
+        spark.table("urldb_cap").as[FetchUrl].collect().toSeq
+      val deadline = System.currentTimeMillis() + 60000
+      while (emitted().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // cap reached: give the timer several more firings to (wrongly)
+      // overshoot, then check it held
+      Thread.sleep(1500)
+      val atCap = emitted()
+      assert(atCap.length == 2, s"in-flight cap 2 violated: $atCap")
+      assert(atCap.map(_.url).toSet ==
+        Set("http://cap.com/p4", "http://cap.com/p3"),
+        s"must emit the two best-scored first: $atCap")
+      // terminal feedback retires both slots; the remaining two emit
+      input.addData(atCap.map(f =>
+        CrawlStateUrl(f.url, f.pld, FS.FETCHED, 100L, f.score, 0L)))
+      while (emitted().length < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val all = emitted()
+      assert(all.length == 4, s"retired slots did not free capacity: $all")
+      assert(all.map(_.url).distinct.length == 4)
+    } finally query.stop()
+  }
+
+  test("full queue admits a better URL by displacing (and restoring) the worst") {
+    // maxInFlight=1 keeps the queue from draining, so queue dynamics are
+    // observable: A emits (in-flight), C occupies the 1-slot queue, D
+    // (better) displaces C — restored to UNFETCHED, not lost. Feeding
+    // back FETCHED per emission drains everything; displacement shows as
+    // D emitted before C, restore as C (and B) still emitted at all.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CrawlStateUrl]
+    val out = UrlDbProcessor.schedule(
+      input.toDS(), checkIntervalMs = 50, maxPerFiring = 1,
+      maxQueueSize = 1, maxInFlight = 1)
+    val query = out.writeStream
+      .format("memory").queryName("urldb_displace")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      def emitted(): Seq[FetchUrl] =
+        spark.table("urldb_displace").as[FetchUrl].collect().toSeq
+      val deadline = System.currentTimeMillis() + 90000
+      def awaitCount(n: Int): Unit =
+        while (emitted().length < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      input.addData(Seq(
+        CrawlStateUrl("http://q.com/a", "q.com", FS.UNFETCHED, 1L, 1.0f, 0L)))
+      awaitCount(1) // A in flight; cap now blocks emission
+      input.addData(Seq(
+        CrawlStateUrl("http://q.com/b", "q.com", FS.UNFETCHED, 2L, 2.0f, 0L),
+        CrawlStateUrl("http://q.com/c", "q.com", FS.UNFETCHED, 2L, 3.0f, 0L)))
+      Thread.sleep(1000) // timers queue C (best), B waits as UNFETCHED
+      input.addData(Seq(
+        CrawlStateUrl("http://q.com/d", "q.com", FS.UNFETCHED, 3L, 5.0f, 0L)))
+      Thread.sleep(1000) // D displaces C from the full queue
+      // drain: feed FETCHED back for each emission as it appears
+      var acked = Set.empty[String]
+      while (emitted().length < 4 && System.currentTimeMillis() < deadline) {
+        val toAck = emitted().filterNot(f => acked.contains(f.url))
+        if (toAck.nonEmpty) {
+          input.addData(toAck.map(f =>
+            CrawlStateUrl(f.url, f.pld, FS.FETCHED, 1000L, f.score, 0L)))
+          acked ++= toAck.map(_.url).toSet
+        }
+        Thread.sleep(100)
+      }
+      val order = emitted().map(_.url)
+      assert(order.length == 4,
+        s"displaced URL was lost (restore failed): $order")
+      assert(order.head == "http://q.com/a")
+      assert(order.indexOf("http://q.com/d") < order.indexOf("http://q.com/c"),
+        s"better URL did not displace the queued one: $order")
+      assert(order.indexOf("http://q.com/c") < order.indexOf("http://q.com/b"),
+        s"restored URL lost its priority: $order")
+    } finally query.stop()
+  }
 }
