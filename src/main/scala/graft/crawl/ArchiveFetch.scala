@@ -64,7 +64,16 @@ object ArchiveFetch {
           .otherwise(lit("")).as("content"),
         coalesce(col("contentType"), lit("text/plain")).as("contentType"),
         coalesce(col("redirectedTo"), lit("")).as("redirectedTo"))
-      .as[FetchOutcome]
+      .as[(String, String, String, Float, Long, String, String, String)]
+      // archives store decoded text; re-encode with the DECLARED charset
+      // so the parse stage's decode (same resolution) is the identity —
+      // one narrow map after the columnar join, no extra shuffle
+      .map { case (url, pld, st, score, delay, content, ct, redir) =>
+        FetchOutcome(url, pld, st, score, delay,
+          content.getBytes(
+            graft.functions.UrlFunctions.charsetFromContentType(ct)),
+          ct, redir)
+      }
   }
 
   /** Materialize a WebGraph fixture as an archive table — lets tests prove

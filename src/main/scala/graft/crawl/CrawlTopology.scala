@@ -91,9 +91,15 @@ final case class CrawlResult(
   * is the same `mergeFrontier` plan either way.
   */
 final case class Candidate(url: String, pld: String, score: Float)
+
+/** Fetch-stage output. `content` is the RAW response body (reference
+  * FetchResultUrl.java:6-109 carries byte[]); the parse stage decodes it
+  * with the contentType's declared charset (BasePageParser.java:62-63),
+  * so a mixed-charset corpus round-trips the fetch stage losslessly.
+  */
 final case class FetchOutcome(
     url: String, pld: String, status: String, score: Float,
-    crawlDelay: Long, content: String, contentType: String,
+    crawlDelay: Long, content: Array[Byte], contentType: String,
     redirectedTo: String)
 final case class RobotsVerdict(
     url: String, pld: String, score: Float,
@@ -213,6 +219,7 @@ object CrawlTopology {
     while (active && round < cfg.maxRounds &&
         !cfg.terminator.exists(_.isTerminated())) {
       round += 1
+      val roundT0 = System.nanoTime()
       val now = round * cfg.roundTickMs
 
       // --- domain quotas: moving average of the last `scoreWindow` page
@@ -371,9 +378,16 @@ object CrawlTopology {
             it.map { v =>
               val page = pf.fetch(v.url)
               val status = FS.fromHttpStatus(page.statusCode)
+              // raw bytes when the fetcher has them; text fixtures are
+              // encoded with the declared charset so parse's decode (the
+              // same resolution) reproduces the original text exactly
+              val body =
+                if (status != FS.FETCHED) Array.emptyByteArray
+                else if (page.bytes != null) page.bytes
+                else page.content.getBytes(
+                  UrlFunctions.charsetFromContentType(page.contentType))
               FetchOutcome(v.url, v.pld, status, v.score, v.crawlDelay,
-                if (status == FS.FETCHED) page.content else "",
-                page.contentType, page.redirectedTo.getOrElse(""))
+                body, page.contentType, page.redirectedTo.getOrElse(""))
             }
           }
         // in-round crawl-delay enforcement: a domain with a positive delay
@@ -420,7 +434,12 @@ object CrawlTopology {
         val parseAttempts = fetched
           .filter(f => f.status == FS.FETCHED && f.contentType.contains("html"))
           .map { f =>
-            HtmlParser.parseWithBudget(f.url, f.content, f.score, parseBudget) match {
+            // charset resolution happens HERE, not at fetch (reference
+            // BasePageParser.java:62-63): the frontier pipeline stays
+            // byte-faithful and only the parser commits to a decoding
+            val html = new String(f.content,
+              UrlFunctions.charsetFromContentType(f.contentType))
+            HtmlParser.parseWithBudget(f.url, html, f.score, parseBudget) match {
               case Some(p) =>
                 (f.url, f.pld, p.title, p.text, f.score,
                   p.outlinks.map(o =>
@@ -495,6 +514,10 @@ object CrawlTopology {
         frontier = commitFrontier(
           blocked.unionByName(statusUpdates).unionByName(newUrls))
       }
+      // flat per-round wall time is the long-crawl invariant the journal
+      // compaction / score pruning / seen-sitemaps state exist to hold;
+      // surfacing it as a gauge lets benches assert it directly
+      gauges += ((round, "round_ms", (System.nanoTime() - roundT0) / 1000000))
     }
 
     // the run's robots entries are unreachable once the scope retires —

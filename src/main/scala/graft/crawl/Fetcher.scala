@@ -3,12 +3,20 @@ package graft.crawl
 /** A fetched page: HTTP-ish status, body, content type, optional redirect
   * target (reference: crawler-commons FetchedResult as used by the
   * …/flinkcrawler/fetcher package; the engine only depends on this shape).
+  *
+  * `bytes` is the raw response body when the fetcher has one (the
+  * reference carries `content: byte[]` end-to-end, FetchResultUrl
+  * .java:6-109, with charset resolution deferred to parse); text-only
+  * fixtures leave it null and the topology encodes `content` with the
+  * contentType's declared charset at the fetch boundary, so the parse
+  * stage always decodes bytes the same way.
   */
 final case class FetchedPage(
     statusCode: Int,
     content: String,
     contentType: String,
-    redirectedTo: Option[String] = None)
+    redirectedTo: Option[String] = None,
+    bytes: Array[Byte] = null)
 
 /** Pluggable page source. Implementations must be serializable: instances
   * are shipped to executors and invoked inside `mapPartitions`, one call per

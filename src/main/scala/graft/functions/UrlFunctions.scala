@@ -329,6 +329,23 @@ object UrlFunctions {
 
   def robotsUrl(url: String): String = urlWithoutPath(url) + "/robots.txt"
 
+  /** Charset declared by a Content-Type header, validated against the
+    * platform, falling back to UTF-8 (reference …/flinkcrawler/parser/
+    * BasePageParser.java:62-63: CharsetUtils.clean of
+    * HttpUtils.getCharsetFromContentType). Used to encode mock fetcher
+    * text at the fetch boundary and to decode fetched bytes at parse —
+    * the same resolution on both sides makes the byte path lossless.
+    */
+  def charsetFromContentType(contentType: String): java.nio.charset.Charset =
+    "(?i)charset=\"?([^;\"\\s]+)"
+      .r.findFirstMatchIn(Option(contentType).getOrElse(""))
+      .map(_.group(1).trim)
+      .flatMap { name =>
+        try Some(java.nio.charset.Charset.forName(name))
+        catch { case _: Exception => None }
+      }
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
   /** SURT-style archive index key (reference …/flinkcrawler/fetcher/
     * commoncrawl/CommonCrawlUrls.java:18-96 convertToIndexFormat):
     * lowercase host with a leading `www*` label dropped, labels reversed

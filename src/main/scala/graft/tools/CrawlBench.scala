@@ -55,6 +55,30 @@ object CrawlBench {
     println(f"[crawl-bench] broad crawl cold: $cold%.2f s " +
       f"(${r1.rounds} rounds), warm: $warm%.2f s (${r2.rounds} rounds); " +
       s"fetched=${r1.metrics.getOrElse("fetch.FETCHED", 0L)}")
+
+    // long-crawl flatness: a continuous (recrawl) crawl must hold a FLAT
+    // per-round wall time — the invariant the journal/parsed compaction,
+    // scoreHistory pruning, and seen-sitemaps state exist to protect
+    // (unbounded union chains grow driver analysis O(rounds), VERDICT r2
+    // "what's wrong" #2-#3). Compares late-crawl vs early-crawl means.
+    val rounds = args.headOption.map(_.toInt).getOrElse(200)
+    val loopGraph = WebGraph(
+      "loop.com" -> Seq("loop.com/a", "loop.com/b"),
+      "loop.com/a" -> Seq("loop.com/b"),
+      "loop.com/b" -> Seq.empty)
+    val rl = CrawlTopology.run(
+      spark, Seq(("loop.com", 1.0f)),
+      new WebGraphFetcher(loopGraph), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = rounds, recrawlIntervalMs = Some(1L),
+        maxUrlsPerDomainPerRound = 3))
+    val perRound = rl.gauges.collect { case (r, "round_ms", v) => r -> v }
+      .sortBy(_._1).map(_._2)
+    def mean(xs: Seq[Long]) = if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
+    val early = mean(perRound.slice(10, 30))
+    val late = mean(perRound.takeRight(20))
+    println(f"[crawl-bench] long crawl ${perRound.size} rounds: " +
+      f"early(10-30) ${early}%.0f ms/round, late(last 20) ${late}%.0f ms/round, " +
+      f"ratio ${late / math.max(early, 1.0)}%.2f")
     spark.stop()
   }
 }

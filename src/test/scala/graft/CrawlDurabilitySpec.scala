@@ -157,6 +157,40 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(st == Seq(FS.FETCHED))
   }
 
+  test("binary content path: ISO-8859-1 page round-trips fetch -> parse") {
+    val latin1 = "café crème menü"
+    val html =
+      s"<html><head><title>$latin1</title></head><body>$latin1</body></html>"
+    val bytes = html.getBytes(java.nio.charset.Charset.forName("ISO-8859-1"))
+    // sanity: these bytes are NOT valid UTF-8 — a charset-blind decode
+    // would mangle them, which is exactly what the byte path prevents
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) != html)
+    val fetcher = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        FetchedPage(200, "", "text/html; charset=ISO-8859-1", bytes = bytes)
+    }
+    val r = CrawlTopology.run(
+      spark, Seq(("latin.com", 1.0f)),
+      fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 3))
+    val parsed = r.parsed.select("title", "text").collect()
+    assert(parsed.nonEmpty, "the page must parse")
+    assert(parsed.head.getString(0) == latin1,
+      s"title mangled: '${parsed.head.getString(0)}'")
+    assert(parsed.head.getString(1).contains(latin1))
+  }
+
+  test("charsetFromContentType: declared, quoted, invalid, missing") {
+    import graft.functions.UrlFunctions.charsetFromContentType
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    assert(charsetFromContentType("text/html; charset=ISO-8859-1") == ISO_8859_1)
+    assert(charsetFromContentType("text/html; charset=\"iso-8859-1\"") == ISO_8859_1)
+    assert(charsetFromContentType("text/html; CHARSET=utf-8") == UTF_8)
+    assert(charsetFromContentType("text/html; charset=not-a-charset") == UTF_8)
+    assert(charsetFromContentType("text/html") == UTF_8)
+    assert(charsetFromContentType(null) == UTF_8)
+  }
+
   test("journal/parsed compaction preserves content (compactEvery=1 vs huge)") {
     def snap(compactEvery: Int) = {
       val r = CrawlTopology.run(
