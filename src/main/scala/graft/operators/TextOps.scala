@@ -56,18 +56,10 @@ object TextOps {
     else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
   }
 
-  /** First 8 hex chars of md5 as an unsigned 32-bit value — the Scala twin
-    * of [[hash32Sql]] (value-identical: md5 of UTF-8 bytes, first 4 bytes
-    * big-endian).
-    */
-  private def md5Hash32(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
   /** Whole MinHash signature (tokens -> k-shingles -> 32-bit md5 hashes ->
-    * numHashes permutation minima) in one Scala UDF. Value-identical to the
+    * numHashes permutation minima) in one Scala UDF (scalar core shared
+    * with the native expression in [[graft.plans.TextCodegen]]).
+    * Value-identical to the
     * staged [[minhashSigSql]] HOF pipeline but stays codegen-friendly:
     * Catalyst inlines referenced-once projections into downstream lambdas /
     * generators, and interpreted HOFs then re-evaluate the whole pipeline
@@ -76,26 +68,7 @@ object TextOps {
     */
   def minhashSigUdf(shingleK: Int, numHashes: Int): UserDefinedFunction =
     udf { (text: String) =>
-      val toks = text.trim.split("\\s+")
-      val shingles =
-        if (toks.length < shingleK) Array.empty[String]
-        else toks.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hs = shingles.map(md5Hash32(md, _))
-      Array.tabulate[java.lang.Long](numHashes) { j =>
-        if (hs.isEmpty) null
-        else {
-          val a = (j.toLong * 2654435761L + 1L) % 1000000007L
-          var min = Long.MaxValue
-          var i = 0
-          while (i < hs.length) {
-            val v = (a * hs(i) + j * 97L + 13L) % 1000000007L
-            if (v < min) min = v
-            i += 1
-          }
-          java.lang.Long.valueOf(min)
-        }
-      }
+      graft.plans.TextCodegen.minhashSigArray(text, shingleK, numHashes)
     }
 
   /** LSH band keys ("b-sig[b*size],...") from a signature array; mirrors
@@ -218,14 +191,17 @@ object TextOps {
     }
   }
 
-  /** Per-document MinHash signatures — one codegen-friendly UDF per row
-    * (see [[minhashSigUdf]] for why not staged HOF columns).
+  /** Per-document MinHash signatures — one native codegen expression per
+    * row ([[graft.plans.MinHashSigExpr]]; see [[minhashSigUdf]] for why
+    * not staged HOF columns — interpreted HOFs re-evaluate the inlined
+    * pipeline per element).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      minhashSigUdf(shingleK, numHashes)(col(textCol)).as("sig"))
+      graft.plans.TextExpressions
+        .minhash_sig(col(textCol), shingleK, numHashes).as("sig"))
 
   /** MinHash+LSH candidate pairs: signatures split into bands of
     * `bandSize`; docs sharing any band bucket become candidates. The scale
