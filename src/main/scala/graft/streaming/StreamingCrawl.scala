@@ -15,6 +15,41 @@ import graft.crawl.{CrawlConfig, CrawlResult, CrawlTopology, Fetcher}
   */
 object StreamingCrawl {
 
+  /** Rate-limited drip of a fixed seed list (reference SeedUrlSource
+    * .java:36,128-131: seeds trickle in instead of flooding round 1, so
+    * the crawl warms up domain politeness state gradually). Driven by the
+    * rate source: row `value` n carries seed n, paced at
+    * `seedsPerSecond`; once the list is exhausted the stream goes quiet.
+    */
+  def drippedSeedStream(
+      spark: SparkSession,
+      seeds: Seq[(String, Float)],
+      seedsPerSecond: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val lookup = seeds.zipWithIndex
+      .map { case ((u, s), i) => (i.toLong, u, s) }
+      .toDF("idx", "url", "score")
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", seedsPerSecond.toString).load()
+      .select(col("value").as("idx"))
+      .join(broadcast(lookup), Seq("idx"))
+      .select(col("url"), col("score"))
+  }
+
+  /** File-drop seed source with ingest throttling: CSV lines `url,score`
+    * under `dir`, at most `maxFilesPerTrigger` new files per micro-batch
+    * (the Spark-native form of the reference's slow-drip seed source —
+    * without the cap, a bulk drop of seed files floods the first batch).
+    */
+  def fileSeedStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("url STRING, score FLOAT")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
   /** Start the streaming crawl. `seedStream` must be a streaming DataFrame
     * with columns (url string, score float). `onBatch` observes each
     * micro-batch's CrawlResult (journal/parsed/frontier).

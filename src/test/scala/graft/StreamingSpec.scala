@@ -200,4 +200,44 @@ class StreamingCrawlSpec extends AnyFunSuite {
       assert(refetched == 0, "frontier state leaked between micro-batches")
     } finally query.stop()
   }
+
+  test("dripped seed stream paces seeds and crawls them all exactly once") {
+    import graft.crawl._
+    val graph = WebGraph(
+      "s1.com" -> Seq.empty, "s2.com" -> Seq.empty, "s3.com" -> Seq.empty)
+    FetchLog.urls.clear()
+    val fetcher = new Fetcher {
+      val base = new WebGraphFetcher(graph)
+      override def fetch(url: String): FetchedPage = {
+        FetchLog.urls.add(url); base.fetch(url)
+      }
+    }
+    val seeds = Seq(("s1.com", 1.0f), ("s2.com", 1.0f), ("s3.com", 1.0f))
+    val results = scala.collection.mutable.ArrayBuffer.empty[CrawlResult]
+    val query = graft.streaming.StreamingCrawl.start(
+      spark,
+      graft.streaming.StreamingCrawl.drippedSeedStream(spark, seeds, 50),
+      fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 5),
+      r => results.synchronized { results += r })
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def fetchedAll(): Boolean = results.synchronized {
+        results.lastOption.exists { r =>
+          val f = r.frontier.filter(col("status") === "FETCHED").count()
+          f >= 3
+        }
+      }
+      while (!fetchedAll() && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(fetchedAll(), "dripped seeds never all crawled")
+      // paced, deduped: each seed fetched exactly once despite re-merges
+      import scala.jdk.CollectionConverters._
+      val pageFetches = FetchLog.urls.asScala.toSeq
+        .filterNot(_.endsWith("/robots.txt"))
+      assert(pageFetches.sorted == Seq(
+        "http://s1.com/", "http://s2.com/", "http://s3.com/"),
+        s"unexpected fetch set: $pageFetches")
+    } finally query.stop()
+  }
 }
