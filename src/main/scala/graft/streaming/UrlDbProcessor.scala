@@ -114,15 +114,11 @@ class UrlDbProcessor(
   private def currentInFlight(): Int =
     if (inFlight.exists()) inFlight.get() else 0
 
-  // "better" = higher score, ties broken lexicographically (deterministic
-  // replay); shared by selection, queue displacement, and emission order
-  private def better(a: CrawlStateUrl, b: CrawlStateUrl): Boolean =
-    a.score > b.score || (a.score == b.score && a.url < b.url)
-
   override def handleExpiredTimer(
       pld: String,
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[FetchUrl] = {
+    import UrlDbProcessor.better
     val now = timerValues.getCurrentProcessingTimeInMs()
 
     // One pass over the domain's URLs: collect the (≤ maxQueueSize by
@@ -132,20 +128,8 @@ class UrlDbProcessor(
     // tick per domain; a 1M-URL domain blows the 200 ms cadence budget
     // that way (the reference keeps an O(1) round-robin index,
     // UrlDBFunction.java:108-126 — bounded selection is the batch form).
-    val queued = scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
-    val best = scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
-    active.iterator().foreach { case e @ (_, s) =>
-      if (s.status == FS.QUEUED) queued += e
-      else if (s.status == FS.UNFETCHED) {
-        // insertion into a ≤ maxPerFiring buffer, worst dropped
-        var i = best.length
-        while (i > 0 && better(s, best(i - 1)._2)) i -= 1
-        if (i < maxPerFiring) {
-          best.insert(i, e)
-          if (best.length > maxPerFiring) best.remove(best.length - 1)
-        }
-      }
-    }
+    val (queued, best) =
+      UrlDbProcessor.scanForFiring(active.iterator(), maxPerFiring)
 
     // (a) promote candidates into the bounded fetch queue; a full queue
     // admits a better URL by displacing its worst entry, whose previous
@@ -210,6 +194,41 @@ object UrlDbProcessor {
     */
   final case class Envelope(
       pld: String, state: CrawlStateUrl, score: DomainScore)
+
+  /** "Better" = higher score, ties broken lexicographically (deterministic
+    * replay); shared by selection, queue displacement, and emission order.
+    */
+  def better(a: CrawlStateUrl, b: CrawlStateUrl): Boolean =
+    a.score > b.score || (a.score == b.score && a.url < b.url)
+
+  /** The timer's single pass over a domain's URL states: the (bounded by
+    * invariant) QUEUED entries plus a top-`k` bounded selection of
+    * UNFETCHED candidates, sorted best-first. O(n·k) time, O(k) memory —
+    * pure, so the 1M-URL cadence budget is benchmarkable apart from the
+    * state-store plumbing.
+    */
+  def scanForFiring(
+      it: Iterator[(Long, CrawlStateUrl)], k: Int):
+      (scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)],
+        scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)]) = {
+    val queued =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
+    val best =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
+    it.foreach { case e @ (_, s) =>
+      if (s.status == FS.QUEUED) queued += e
+      else if (s.status == FS.UNFETCHED) {
+        // insertion into a ≤ k buffer, worst dropped
+        var i = best.length
+        while (i > 0 && better(s, best(i - 1)._2)) i -= 1
+        if (i < k) {
+          best.insert(i, e)
+          if (best.length > k) best.remove(best.length - 1)
+        }
+      }
+    }
+    (queued, best)
+  }
 
   def stateInput(s: CrawlStateUrl): Envelope = Envelope(s.pld, s, null)
   def scoreInput(d: DomainScore): Envelope = Envelope(d.pld, null, d)

@@ -112,6 +112,43 @@ class UrlDbProcessorSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("scanForFiring returns exactly the global top-k UNFETCHED, best first") {
+    val rng = new scala.util.Random(42)
+    val entries = Array.tabulate(1000) { i =>
+      val st = i % 7 match {
+        case 0 => FS.FETCHED
+        case 1 => FS.QUEUED
+        case _ => FS.UNFETCHED
+      }
+      (i.toLong, CrawlStateUrl(s"http://k.com/p$i", "k.com", st, 1L,
+        rng.nextInt(100).toFloat, 0L))
+    }
+    val (queued, best) = UrlDbProcessor.scanForFiring(entries.iterator, 5)
+    assert(queued.length == entries.count(_._2.status == FS.QUEUED))
+    val expected = entries.filter(_._2.status == FS.UNFETCHED)
+      .sortBy { case (_, s) => (-s.score, s.url) }.take(5).map(_._1).toSeq
+    assert(best.map(_._1).toSeq == expected)
+  }
+
+  test("timer scan holds the 200 ms cadence budget on a 1M-URL domain") {
+    // the reference's AVERAGE_DOMAIN_CHECK_INTERVAL budget
+    // (UrlDBFunction.java:58): selection itself must be far under it —
+    // the previous sort-everything materialized and sorted all 1M rows
+    val entries = Array.tabulate(1000000) { i =>
+      (i.toLong, CrawlStateUrl(s"http://big.com/p$i", "big.com",
+        if (i % 50 == 0) FS.FETCHED else FS.UNFETCHED, 1L,
+        (i % 1000).toFloat, 0L))
+    }
+    UrlDbProcessor.scanForFiring(entries.iterator, 10) // warm JIT
+    val t0 = System.nanoTime()
+    val (_, best) = UrlDbProcessor.scanForFiring(entries.iterator, 10)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(best.length == 10)
+    assert(best.forall(_._2.score == 999.0f), "must find the top stratum")
+    assert(ms < 200, f"1M-entry scan blew the cadence budget: $ms%.0f ms")
+    info(f"1M-entry bounded scan: $ms%.1f ms")
+  }
+
   test("in-flight cap blocks emissions until terminal feedback retires them") {
     // mirrors UrlDBFunctionTest.java:117 (emit FETCHING → feed back
     // FETCHED → next wave emits): maxInFlight=2, four URLs, no feedback
