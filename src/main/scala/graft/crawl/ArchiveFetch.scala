@@ -66,13 +66,14 @@ object ArchiveFetch {
         coalesce(col("redirectedTo"), lit("")).as("redirectedTo"))
       .as[(String, String, String, Float, Long, String, String, String)]
       // archives store decoded text; re-encode with the DECLARED charset
-      // so the parse stage's decode (same resolution) is the identity —
-      // one narrow map after the columnar join, no extra shuffle
+      // (strict — falls back to UTF-8 + contentType rewrite when the
+      // charset can't represent the text, never '?'-substitution) so the
+      // parse stage's decode is the identity — one narrow map after the
+      // columnar join, no extra shuffle
       .map { case (url, pld, st, score, delay, content, ct, redir) =>
-        FetchOutcome(url, pld, st, score, delay,
-          content.getBytes(
-            graft.functions.UrlFunctions.charsetFromContentType(ct)),
-          ct, redir)
+        val (bytes, ct2) =
+          graft.functions.UrlFunctions.encodeForFetch(content, ct)
+        FetchOutcome(url, pld, st, score, delay, bytes, ct2, redir)
       }
   }
 

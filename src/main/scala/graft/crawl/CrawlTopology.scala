@@ -196,7 +196,10 @@ object CrawlTopology {
         UrlStateMerger.mergeFrontier(base).localCheckpoint(true)
     }
     frontier = commitFrontier(initialRows)
-    journal(0, "seed", frontier.select(col("url"), col("status")))
+    // journal THIS run's seeds, not the merged frontier — resuming
+    // against a populated store would otherwise journal the whole store
+    // (O(store) rows in the seed stage on every restart)
+    journal(0, "seed", seedRows.select(col("url"), col("status")))
 
     // page-score history feeding the focused-crawl feedback loop (the
     // reference's DomainScore iteration, CrawlTopologyBuilder.java:419-423)
@@ -354,8 +357,12 @@ object CrawlTopology {
           }
           .localCheckpoint(true) // one fetch pass: links + failure journal
         if (sitemapFetches.head(1).nonEmpty) {
+          // only SUCCESSFUL fetches become "seen": a transiently failing
+          // sitemap (5xx during a restart) stays eligible and is retried
+          // next round instead of being blacked out for the crawl's life
           seenSitemaps = seenSitemaps
-            .unionByName(sitemapFetches.map(_._1).toDF("sitemapUrl"))
+            .unionByName(
+              sitemapFetches.filter(_._2 == 200).map(_._1).toDF("sitemapUrl"))
             .distinct()
             .localCheckpoint(true)
         }
@@ -379,15 +386,15 @@ object CrawlTopology {
               val page = pf.fetch(v.url)
               val status = FS.fromHttpStatus(page.statusCode)
               // raw bytes when the fetcher has them; text fixtures are
-              // encoded with the declared charset so parse's decode (the
-              // same resolution) reproduces the original text exactly
-              val body =
-                if (status != FS.FETCHED) Array.emptyByteArray
-                else if (page.bytes != null) page.bytes
-                else page.content.getBytes(
-                  UrlFunctions.charsetFromContentType(page.contentType))
+              // encoded with the declared charset (strict, UTF-8 +
+              // contentType rewrite on unrepresentable chars) so parse's
+              // decode reproduces the original text exactly
+              val (body, ct) =
+                if (status != FS.FETCHED) (Array.emptyByteArray, page.contentType)
+                else if (page.bytes != null) (page.bytes, page.contentType)
+                else UrlFunctions.encodeForFetch(page.content, page.contentType)
               FetchOutcome(v.url, v.pld, status, v.score, v.crawlDelay,
-                body, page.contentType, page.redirectedTo.getOrElse(""))
+                body, ct, page.redirectedTo.getOrElse(""))
             }
           }
         // in-round crawl-delay enforcement: a domain with a positive delay

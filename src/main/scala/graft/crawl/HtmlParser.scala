@@ -102,10 +102,16 @@ object HtmlParser {
   def parse(
       pageUrl: String, html: String, pageScore: Float,
       timeBudgetMs: Long = Long.MaxValue): ParseResult = {
-    val h: CharSequence =
-      if (timeBudgetMs == Long.MaxValue) html
-      else new DeadlineCharSequence(
-        html, System.nanoTime() + timeBudgetMs * 1000000L)
+    val deadline =
+      if (timeBudgetMs == Long.MaxValue) Long.MaxValue
+      else System.nanoTime() + timeBudgetMs * 1000000L
+    // EVERY regex pass must scan through a guarded sequence — including
+    // ones over intermediate Strings produced by earlier passes (TagRe on
+    // '<'-runs is itself O(n^2)-backtracking bait)
+    def guard(s: CharSequence): CharSequence =
+      if (deadline == Long.MaxValue) s
+      else new DeadlineCharSequence(s, deadline)
+    val h = guard(html)
     val title = TitleRe.findFirstMatchIn(h).map(_.group(1).trim).getOrElse("")
     val baseUrl = resolvedBase(pageUrl, h)
     val noFollow = metaNoFollow(h)
@@ -131,7 +137,7 @@ object HtmlParser {
     }
 
     val text = TagRe
-      .replaceAllIn(ScriptStyleRe.replaceAllIn(h, " "), " ")
+      .replaceAllIn(guard(ScriptStyleRe.replaceAllIn(h, " ")), " ")
       .replaceAll("\\s+", " ")
       .trim
     ParseResult(title, text, outlinks, noFollow)

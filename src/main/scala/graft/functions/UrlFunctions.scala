@@ -346,6 +346,33 @@ object UrlFunctions {
       }
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Encode already-decoded text for the byte-faithful fetch path: the
+    * DECLARED charset when it represents the text exactly (strict REPORT
+    * encoding, not the JVM default '?'-substitution), else UTF-8 with the
+    * contentType's charset rewritten to match — so the parse stage's
+    * decode (same [[charsetFromContentType]] resolution) is always the
+    * identity and mislabeled text is never silently corrupted.
+    * Returns (bytes, possibly-rewritten contentType).
+    */
+  def encodeForFetch(
+      text: String, contentType: String): (Array[Byte], String) = {
+    val cs = charsetFromContentType(contentType)
+    try {
+      val bb = cs.newEncoder().encode(java.nio.CharBuffer.wrap(text))
+      val arr = new Array[Byte](bb.remaining())
+      bb.get(arr)
+      (arr, contentType)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        val ct = Option(contentType).getOrElse("text/plain")
+        val rewritten =
+          if ("(?i)charset=".r.findFirstIn(ct).isDefined)
+            ct.replaceAll("(?i)charset=\"?[^;\"\\s]+\"?", "charset=UTF-8")
+          else ct + "; charset=UTF-8"
+        (text.getBytes(java.nio.charset.StandardCharsets.UTF_8), rewritten)
+    }
+  }
+
   /** SURT-style archive index key (reference …/flinkcrawler/fetcher/
     * commoncrawl/CommonCrawlUrls.java:18-96 convertToIndexFormat):
     * lowercase host with a leading `www*` label dropped, labels reversed

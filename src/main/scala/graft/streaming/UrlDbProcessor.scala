@@ -142,19 +142,14 @@ class UrlDbProcessor(
         active.updateValue(key, q)
         queued += ((key, q))
       } else {
-        var worstIdx = 0
-        var i = 1
-        while (i < queued.length) {
-          if (better(queued(worstIdx)._2, queued(i)._2)) worstIdx = i
-          i += 1
-        }
-        val (wKey, w) = queued(worstIdx)
+        val wi = UrlDbProcessor.extremeIdx(queued, wantBest = false)
+        val (wKey, w) = queued(wi)
         if (better(s, w)) {
           active.updateValue(wKey,
             w.copy(status = FS.UNFETCHED, statusTime = now))
           val q = s.copy(status = FS.QUEUED, statusTime = now)
           active.updateValue(key, q)
-          queued(worstIdx) = ((key, q))
+          queued(wi) = ((key, q))
         }
       }
     }
@@ -166,13 +161,8 @@ class UrlDbProcessor(
     val out = scala.collection.mutable.ArrayBuffer.empty[FetchUrl]
     var emitted = 0
     while (emitted < capacity && queued.nonEmpty) {
-      var bi = 0
-      var i = 1
-      while (i < queued.length) {
-        if (better(queued(i)._2, queued(bi)._2)) bi = i
-        i += 1
-      }
-      val (key, s) = queued.remove(bi)
+      val (key, s) = queued.remove(
+        UrlDbProcessor.extremeIdx(queued, wantBest = true))
       active.updateValue(key, s.copy(status = FS.FETCHING, statusTime = now))
       out += FetchUrl(s.url, s.pld, s.score, 0L)
       emitted += 1
@@ -200,6 +190,25 @@ object UrlDbProcessor {
     */
   def better(a: CrawlStateUrl, b: CrawlStateUrl): Boolean =
     a.score > b.score || (a.score == b.score && a.url < b.url)
+
+  /** Index of the best (`wantBest`) or worst entry under [[better]] — the
+    * single comparison order shared by queue displacement and emission,
+    * so the two can never silently diverge.
+    */
+  def extremeIdx(
+      entries: scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)],
+      wantBest: Boolean): Int = {
+    var idx = 0
+    var i = 1
+    while (i < entries.length) {
+      val cmp =
+        if (wantBest) better(entries(i)._2, entries(idx)._2)
+        else better(entries(idx)._2, entries(i)._2)
+      if (cmp) idx = i
+      i += 1
+    }
+    idx
+  }
 
   /** The timer's single pass over a domain's URL states: the (bounded by
     * invariant) QUEUED entries plus a top-`k` bounded selection of

@@ -61,7 +61,7 @@ object CrawlBench {
     // scoreHistory pruning, and seen-sitemaps state exist to protect
     // (unbounded union chains grow driver analysis O(rounds), VERDICT r2
     // "what's wrong" #2-#3). Compares late-crawl vs early-crawl means.
-    val rounds = args.headOption.map(_.toInt).getOrElse(200)
+    val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(200)
     val loopGraph = WebGraph(
       "loop.com" -> Seq("loop.com/a", "loop.com/b"),
       "loop.com/a" -> Seq("loop.com/b"),
@@ -74,10 +74,15 @@ object CrawlBench {
     val perRound = rl.gauges.collect { case (r, "round_ms", v) => r -> v }
       .sortBy(_._1).map(_._2)
     def mean(xs: Seq[Long]) = if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
-    val early = mean(perRound.slice(10, 30))
-    val late = mean(perRound.takeRight(20))
+    // halves-split fallback keeps the ratio meaningful for short runs
+    // (slice(10,30) is empty below 11 rounds — a garbage 0-divisor)
+    val (earlyW, lateW) =
+      if (perRound.size >= 60) (perRound.slice(10, 30), perRound.takeRight(20))
+      else perRound.splitAt(perRound.size / 2)
+    val early = mean(earlyW)
+    val late = mean(lateW)
     println(f"[crawl-bench] long crawl ${perRound.size} rounds: " +
-      f"early(10-30) ${early}%.0f ms/round, late(last 20) ${late}%.0f ms/round, " +
+      f"early ${early}%.0f ms/round, late ${late}%.0f ms/round, " +
       f"ratio ${late / math.max(early, 1.0)}%.2f")
     spark.stop()
   }

@@ -191,6 +191,54 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(charsetFromContentType(null) == UTF_8)
   }
 
+  test("encodeForFetch: strict declared-charset encode, UTF-8 fallback rewrites contentType") {
+    import graft.functions.UrlFunctions.{charsetFromContentType, encodeForFetch}
+    // representable: identity round-trip under the declared charset
+    val (b1, ct1) = encodeForFetch("café", "text/html; charset=ISO-8859-1")
+    assert(ct1 == "text/html; charset=ISO-8859-1")
+    assert(new String(b1, charsetFromContentType(ct1)) == "café")
+    // NOT representable in latin-1 (emoji): falls back to UTF-8 and
+    // rewrites the declared charset so decode still round-trips —
+    // never the JVM default '?' substitution
+    val emoji = "café 😀"
+    val (b2, ct2) = encodeForFetch(emoji, "text/html; charset=ISO-8859-1")
+    assert(ct2.toLowerCase.contains("charset=utf-8"), ct2)
+    assert(new String(b2, charsetFromContentType(ct2)) == emoji)
+    // no declared charset: UTF-8 both ways, contentType untouched
+    val (b3, ct3) = encodeForFetch(emoji, "text/html")
+    assert(ct3 == "text/html")
+    assert(new String(b3, charsetFromContentType(ct3)) == emoji)
+  }
+
+  test("failed sitemap fetch is retried next round, not blacked out") {
+    val sitemapUrl = "http://flaky.com/sitemap.xml"
+    val g = WebGraph(
+      "flaky.com" -> Seq("flaky.com/c1"),
+      "flaky.com/c1" -> Seq("flaky.com/c2"),
+      "flaky.com/c2" -> Seq("flaky.com/c3"),
+      "flaky.com/c3" -> Seq.empty)
+    FetchLog.urls.clear()
+    val fetcher = new Fetcher {
+      val base = new WebGraphFetcher(g)
+      override def fetch(url: String): FetchedPage = {
+        FetchLog.urls.add(url)
+        if (url == sitemapUrl) FetchedPage(503, "", "text/plain")
+        else base.fetch(url)
+      }
+    }
+    val robots = new MapRobotsFetcher(Map(
+      "http://flaky.com/robots.txt" ->
+        s"User-agent: *\nSitemap: $sitemapUrl\n"))
+    val r = CrawlTopology.run(
+      spark, Seq(("flaky.com", 1.0f)), fetcher, robots,
+      CrawlConfig(maxRounds = 20))
+    assert(r.rounds >= 4)
+    import scala.jdk.CollectionConverters._
+    val attempts = FetchLog.urls.asScala.count(_ == sitemapUrl)
+    assert(attempts >= 2,
+      s"failing sitemap must stay eligible for retry, attempts=$attempts")
+  }
+
   test("journal/parsed compaction preserves content (compactEvery=1 vs huge)") {
     def snap(compactEvery: Int) = {
       val r = CrawlTopology.run(

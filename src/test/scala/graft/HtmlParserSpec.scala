@@ -166,6 +166,18 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(elapsedMs < 5000, s"watchdog fired too late: ${elapsedMs}ms")
   }
 
+  test("parse watchdog: budget also covers the text-extraction pass") {
+    // a run of bare '<' never matches the anchor scan (cheap) but makes
+    // the tag-strip regex ('<[^>]*>') backtrack O(n^2) over the
+    // INTERMEDIATE string — the guard must wrap that pass too
+    val evil = "<" * 2000000
+    val t0 = System.nanoTime()
+    val r = HtmlParser.parseWithBudget("http://e.com/", evil, 1.0f, 200L)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(r.isEmpty, "tag-strip pass must also hit the deadline")
+    assert(elapsedMs < 5000, s"watchdog fired too late: ${elapsedMs}ms")
+  }
+
   test("parse watchdog: healthy page parses within budget") {
     val html = """<html><head><title>t</title></head>
       |<body><a href="/x">x</a>hello</body></html>""".stripMargin
