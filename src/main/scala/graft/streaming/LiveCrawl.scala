@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.crawl.{CrawlConfig, Fetcher, HtmlParser, RobotsCache}
+import graft.functions.UrlFunctions
+import graft.schema.{CrawlStateUrl, FetchStatus => FS}
+
+/** The LIVE streaming crawl: the reference's cyclic Flink topology
+  * (…/flinkcrawler/topology/CrawlTopologyBuilder.java:271-284 — UrlDB →
+  * fetch queue → robots → fetch → parse → outlinks looping back into the
+  * UrlDB) re-expressed over Structured Streaming's acyclic model. The
+  * cycle is closed through an external feedback channel, exactly like a
+  * production deployment closes it through a Kafka topic:
+  *
+  *   channel ── UrlDbProcessor (keyed state, timers, in-flight caps)
+  *           ── emitted FetchUrls ── foreachBatch: robots → fetch → parse
+  *           ── status updates + cleaned outlinks ── channel   [loop]
+  *
+  * `UrlDbProcessor` owns the latency tier (per-domain pacing, bounded
+  * queue, displacement, in-flight caps — state-store checkpointed); the
+  * fetch/parse stages run DISTRIBUTED inside each micro-batch
+  * (mapPartitions over the emitted URLs); only the write back to the
+  * channel touches the driver in the test form (`FeedbackChannel.memory`)
+  * — swap [[FeedbackChannel]] for a Kafka writer and the loop is fully
+  * distributed with exactly the same operator graph.
+  *
+  * The frontier-table recurrence ([[graft.crawl.CrawlTopology]] +
+  * FrontierStore) remains the bulk/scale tier (PERF_NOTES: 1.2M rows/s
+  * merge vs 22k rows/s through keyed state); this loop is for the
+  * hot-domain low-latency tier the reference runs everything through.
+  */
+object LiveCrawl {
+
+  /** Where the loop's feedback rows go; production = a Kafka/queue writer
+    * (distributed sink), tests = MemoryStream push (driver-side by
+    * nature, rows are one micro-batch's emissions — small by the
+    * scheduler's own caps).
+    */
+  trait FeedbackChannel extends Serializable {
+    def push(rows: Seq[UrlDbProcessor.Envelope]): Unit
+  }
+
+  object FeedbackChannel {
+    /** Test-form channel over a MemoryStream. */
+    def memory(
+        stream: org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[UrlDbProcessor.Envelope]): FeedbackChannel =
+      new FeedbackChannel {
+        override def push(rows: Seq[UrlDbProcessor.Envelope]): Unit =
+          if (rows.nonEmpty) stream.addData(rows)
+      }
+  }
+
+  /** One micro-batch of the fetch/parse stage: robots-gate, fetch, parse
+    * (budgeted), and derive the feedback rows — terminal status updates
+    * (which retire the scheduler's in-flight slots) plus cleaned outlink
+    * sightings. Distributed: one mapPartitions over the batch.
+    */
+  def fetchParseBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      cfg: CrawlConfig,
+      runScope: String): Dataset[CrawlStateUrl] = {
+    import spark.implicits._
+    val pf = pageFetcher
+    val rf = robotsFetcher
+    val budget = cfg.parseBudgetMs
+    val maxOutlinks = cfg.maxOutlinksPerPage
+    batch.select("url", "pld", "score").as[(String, String, Float)]
+      .mapPartitions { it =>
+        it.flatMap { case (url, pld, score) =>
+          val now = System.currentTimeMillis()
+          val rules = RobotsCache.rulesFor(
+            UrlFunctions.robotsUrl(url), rf, scope = runScope)
+          val path =
+            try {
+              val u = new java.net.URL(url)
+              Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+            } catch { case _: Exception => "/" }
+          if (!rules.isAllowed(path))
+            Iterator.single(CrawlStateUrl(
+              url, pld, FS.SKIPPED_BLOCKED, now, score,
+              now + cfg.deferBlockedMs))
+          else {
+            val page = pf.fetch(url)
+            val status = FS.fromHttpStatus(page.statusCode)
+            val statusRow = CrawlStateUrl(
+              url, pld, status, now, score,
+              now + math.max(
+                rules.crawlDelayMs.getOrElse(0L), cfg.defaultCrawlDelayMs))
+            val outlinks =
+              if (status != FS.FETCHED || !page.contentType.contains("html"))
+                Iterator.empty
+              else {
+                val (bytes, ct) =
+                  if (page.bytes != null) (page.bytes, page.contentType)
+                  else UrlFunctions.encodeForFetch(
+                    page.content, page.contentType)
+                val html = new String(
+                  bytes, UrlFunctions.charsetFromContentType(ct))
+                HtmlParser.parseWithBudget(url, html, score, budget) match {
+                  case None =>
+                    Iterator.empty // budget blown: statusRow still FETCHED
+                  case Some(p) => p.outlinks.iterator
+                    .take(maxOutlinks)
+                    .flatMap { o =>
+                      val u = UrlFunctions.normalizeUrl(o.url)
+                      if (UrlFunctions.isValidUrl(u))
+                        Some(CrawlStateUrl(
+                          u, UrlFunctions.extractPld(u), FS.UNFETCHED,
+                          now, o.score, 0L))
+                      else None
+                    }
+                }
+              }
+            Iterator.single(statusRow) ++ outlinks
+          }
+        }
+      }
+  }
+
+  /** Start the loop. `input` is the channel's streaming Dataset (for the
+    * memory form, `stream.toDS()`); seed by pushing UNFETCHED sightings
+    * into the channel. Returns the running query; stop it to end the
+    * crawl (or wire a [[graft.crawl.CrawlTerminator]] into the caller's
+    * lifecycle).
+    */
+  def start(
+      spark: SparkSession,
+      input: Dataset[UrlDbProcessor.Envelope],
+      channel: FeedbackChannel,
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      cfg: CrawlConfig = CrawlConfig(),
+      checkIntervalMs: Long = 200,
+      maxPerFiring: Int = 2,
+      onBatch: Seq[CrawlStateUrl] => Unit = _ => ()): StreamingQuery = {
+    val runScope = java.util.UUID.randomUUID().toString
+    val fetchUrls = UrlDbProcessor.scheduleWithScores(
+      input, checkIntervalMs, maxPerFiring,
+      maxQueueSize = cfg.maxQueueSize,
+      maxInFlight = cfg.maxUrlsPerDomainPerRound * 100)
+    fetchUrls.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[graft.schema.FetchUrl], _: Long) =>
+        val updates = fetchParseBatch(
+          spark, batch.toDF(), pageFetcher, robotsFetcher, cfg, runScope)
+        // the only driver hop in the memory form: one micro-batch's rows
+        // (bounded by the scheduler's per-firing/in-flight caps); a
+        // Kafka-backed channel makes this a distributed write instead
+        val rows = updates.collect().toSeq
+        onBatch(rows)
+        channel.push(rows.map(UrlDbProcessor.stateInput))
+      }
+      .start()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.crawl._
+import graft.schema.{CrawlStateUrl, FetchStatus => FS}
+import graft.streaming.{LiveCrawl, UrlDbProcessor}
+
+/** The live streaming loop end-to-end: seeds pushed into the feedback
+  * channel flow through the UrlDbProcessor scheduler (keyed state, pacing
+  * timers, in-flight caps), out as FetchUrls, through the distributed
+  * fetch/parse micro-batch stage, and back into the channel as status
+  * updates + outlink sightings — until the web graph is drained. The
+  * streaming analog of the reference's CrawlTopologyTest broad crawl.
+  */
+class LiveCrawlSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  test("live loop drains a web graph through scheduler + fetch + feedback") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val graph = WebGraph(
+      "l1.com" -> Seq("l1.com/a", "l1.com/missing"),
+      "l1.com/a" -> Seq("l1.com/b"),
+      "l1.com/b" -> Seq.empty,
+      "l2.com" -> Seq.empty)
+    val robots = new MapRobotsFetcher(Map(
+      "http://l1.com/robots.txt" -> "User-agent: *\nDisallow: /blockedpath\n"))
+
+    val input = MemoryStream[UrlDbProcessor.Envelope]
+    val channel = LiveCrawl.FeedbackChannel.memory(input)
+    val terminal = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val query = LiveCrawl.start(
+      spark, input.toDS(), channel,
+      new WebGraphFetcher(graph), robots,
+      CrawlConfig(), checkIntervalMs = 50, maxPerFiring = 2,
+      onBatch = rows => rows.foreach { u =>
+        if (FS.isFetchedIsh(u.status)) terminal.put(u.url, u.status)
+      })
+    try {
+      channel.push(Seq(
+        UrlDbProcessor.stateInput(
+          CrawlStateUrl("http://l1.com/", "l1.com", FS.UNFETCHED, 1L, 1.0f, 0L)),
+        UrlDbProcessor.stateInput(
+          CrawlStateUrl("http://l2.com/", "l2.com", FS.UNFETCHED, 1L, 1.0f, 0L))))
+      val want = Set(
+        "http://l1.com/", "http://l1.com/a", "http://l1.com/b",
+        "http://l1.com/missing", "http://l2.com/")
+      import scala.jdk.CollectionConverters._
+      val deadline = System.currentTimeMillis() + 120000
+      while (!want.subsetOf(terminal.keySet().asScala.toSet) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val got = terminal.asScala.toMap
+      assert(want.subsetOf(got.keySet),
+        s"loop did not drain the graph: $got")
+      assert(got("http://l1.com/") == FS.FETCHED)
+      assert(got("http://l1.com/b") == FS.FETCHED,
+        "two-hop outlink must flow back through the channel and fetch")
+      assert(got("http://l1.com/missing") == FS.HTTP_NOTFOUND)
+      assert(got("http://l2.com/") == FS.FETCHED)
+    } finally query.stop()
+  }
+}
