@@ -43,7 +43,12 @@ class UrlDbProcessor(
     // emissions stop while this many FETCHING URLs await their terminal
     // status. The reference counts per subtask; keyed state makes the
     // per-domain count the replayable cluster form.
-    maxInFlight: Int = 100)
+    maxInFlight: Int = 100,
+    // zombie guard: a FETCHING entry whose fetch stage died never gets
+    // terminal feedback (the reference's own in-flight-map worry,
+    // UrlDBFunction.java:245-250 close() dump); after this long it
+    // reverts to UNFETCHED and frees its in-flight slot
+    fetchTimeoutMs: Long = 300000)
   extends StatefulProcessor[String, UrlDbProcessor.Envelope, FetchUrl] {
 
   @transient private var active: MapState[Long, CrawlStateUrl] = _
@@ -128,8 +133,19 @@ class UrlDbProcessor(
     // tick per domain; a 1M-URL domain blows the 200 ms cadence budget
     // that way (the reference keeps an O(1) round-robin index,
     // UrlDBFunction.java:108-126 — bounded selection is the batch form).
-    val (queued, best) =
-      UrlDbProcessor.scanForFiring(active.iterator(), maxPerFiring)
+    val (queued, best, stale) = UrlDbProcessor.scanForFiring(
+      active.iterator(), maxPerFiring, now, fetchTimeoutMs)
+
+    // zombie FETCHING entries (no terminal feedback within the timeout)
+    // revert to UNFETCHED and release their in-flight slots — without
+    // this, a died fetch stage permanently eats into maxInFlight
+    if (stale.nonEmpty) {
+      stale.foreach { case (key, s) =>
+        active.updateValue(key,
+          s.copy(status = FS.UNFETCHED, statusTime = now))
+      }
+      inFlight.update(math.max(0, currentInFlight() - stale.length))
+    }
 
     // (a) promote candidates into the bounded fetch queue; a full queue
     // admits a better URL by displacing its worst entry, whose previous
@@ -211,18 +227,23 @@ object UrlDbProcessor {
   }
 
   /** The timer's single pass over a domain's URL states: the (bounded by
-    * invariant) QUEUED entries plus a top-`k` bounded selection of
-    * UNFETCHED candidates, sorted best-first. O(n·k) time, O(k) memory —
-    * pure, so the 1M-URL cadence budget is benchmarkable apart from the
-    * state-store plumbing.
+    * invariant) QUEUED entries, a top-`k` bounded selection of UNFETCHED
+    * candidates sorted best-first, and FETCHING entries staler than
+    * `fetchTimeoutMs` (zombie fetches to revert). O(n·k) time, O(k +
+    * queue + stale) memory — pure, so the 1M-URL cadence budget is
+    * benchmarkable apart from the state-store plumbing.
     */
   def scanForFiring(
-      it: Iterator[(Long, CrawlStateUrl)], k: Int):
+      it: Iterator[(Long, CrawlStateUrl)], k: Int,
+      nowMs: Long = 0L, fetchTimeoutMs: Long = Long.MaxValue):
       (scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)],
+        scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)],
         scala.collection.mutable.ArrayBuffer[(Long, CrawlStateUrl)]) = {
     val queued =
       scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
     val best =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
+    val stale =
       scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
     it.foreach { case e @ (_, s) =>
       if (s.status == FS.QUEUED) queued += e
@@ -234,9 +255,13 @@ object UrlDbProcessor {
           best.insert(i, e)
           if (best.length > k) best.remove(best.length - 1)
         }
+      } else if (s.status == FS.FETCHING &&
+          fetchTimeoutMs != Long.MaxValue &&
+          s.statusTime + fetchTimeoutMs <= nowMs) {
+        stale += e
       }
     }
-    (queued, best)
+    (queued, best, stale)
   }
 
   def stateInput(s: CrawlStateUrl): Envelope = Envelope(s.pld, s, null)
@@ -265,12 +290,14 @@ object UrlDbProcessor {
       checkIntervalMs: Long = 200,
       maxPerFiring: Int = 1,
       maxQueueSize: Int = 10,
-      maxInFlight: Int = 100): Dataset[FetchUrl] = {
+      maxInFlight: Int = 100,
+      fetchTimeoutMs: Long = 300000): Dataset[FetchUrl] = {
     val spark = updates.sparkSession
     import spark.implicits._
     scheduleWithScores(
       updates.map(stateInput _), checkIntervalMs, maxPerFiring,
-      maxQueueSize = maxQueueSize, maxInFlight = maxInFlight)
+      maxQueueSize = maxQueueSize, maxInFlight = maxInFlight,
+      fetchTimeoutMs = fetchTimeoutMs)
   }
 
   /** Dual-input form: crawl-state updates unioned with domain scores
@@ -283,14 +310,16 @@ object UrlDbProcessor {
       maxPerFiring: Int = 1,
       baselineScore: Float = 1.0f,
       maxQueueSize: Int = 10,
-      maxInFlight: Int = 100): Dataset[FetchUrl] = {
+      maxInFlight: Int = 100,
+      fetchTimeoutMs: Long = 300000): Dataset[FetchUrl] = {
     val spark = inputs.sparkSession
     import spark.implicits._
     inputs
       .groupByKey(_.pld)
       .transformWithState(
         new UrlDbProcessor(checkIntervalMs, maxPerFiring, baselineScore,
-          maxQueueSize = maxQueueSize, maxInFlight = maxInFlight),
+          maxQueueSize = maxQueueSize, maxInFlight = maxInFlight,
+          fetchTimeoutMs = fetchTimeoutMs),
         TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

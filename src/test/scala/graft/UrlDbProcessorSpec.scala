@@ -123,7 +123,7 @@ class UrlDbProcessorSpec extends AnyFunSuite {
       (i.toLong, CrawlStateUrl(s"http://k.com/p$i", "k.com", st, 1L,
         rng.nextInt(100).toFloat, 0L))
     }
-    val (queued, best) = UrlDbProcessor.scanForFiring(entries.iterator, 5)
+    val (queued, best, _) = UrlDbProcessor.scanForFiring(entries.iterator, 5)
     assert(queued.length == entries.count(_._2.status == FS.QUEUED))
     val expected = entries.filter(_._2.status == FS.UNFETCHED)
       .sortBy { case (_, s) => (-s.score, s.url) }.take(5).map(_._1).toSeq
@@ -141,7 +141,7 @@ class UrlDbProcessorSpec extends AnyFunSuite {
     }
     UrlDbProcessor.scanForFiring(entries.iterator, 10) // warm JIT
     val t0 = System.nanoTime()
-    val (_, best) = UrlDbProcessor.scanForFiring(entries.iterator, 10)
+    val (_, best, _) = UrlDbProcessor.scanForFiring(entries.iterator, 10)
     val ms = (System.nanoTime() - t0) / 1e6
     assert(best.length == 10)
     assert(best.forall(_._2.score == 999.0f), "must find the top stratum")
@@ -188,6 +188,33 @@ class UrlDbProcessorSpec extends AnyFunSuite {
       val all = emitted()
       assert(all.length == 4, s"retired slots did not free capacity: $all")
       assert(all.map(_.url).distinct.length == 4)
+    } finally query.stop()
+  }
+
+  test("zombie FETCHING entries revert after the fetch timeout and free their slot") {
+    // emit one URL (FETCHING), never feed back terminal status: without
+    // the timeout the in-flight cap of 1 deadlocks the domain forever;
+    // with it the entry reverts to UNFETCHED and is re-emitted
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CrawlStateUrl]
+    val out = UrlDbProcessor.schedule(
+      input.toDS(), checkIntervalMs = 50, maxPerFiring = 1,
+      maxInFlight = 1, fetchTimeoutMs = 500)
+    val query = out.writeStream
+      .format("memory").queryName("urldb_zombie")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      input.addData(Seq(
+        CrawlStateUrl("http://z.com/a", "z.com", FS.UNFETCHED, 1L, 1.0f, 0L)))
+      def emissions(): Long = spark.table("urldb_zombie").count()
+      val deadline = System.currentTimeMillis() + 60000
+      while (emissions() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(emissions() >= 2,
+        "timed-out FETCHING entry was never reverted and re-emitted")
     } finally query.stop()
   }
 
