@@ -89,4 +89,22 @@ object TextExpressions {
   def minhash_sig(c: Column, shingleK: Int, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSigExpr(ColumnBridge.expression(c), shingleK, numHashes))
+
+  /** SQL surface: `minhash_sig_native(text, shingleK, numHashes)` with
+    * literal int parameters (runtime registration, same contract as
+    * [[UrlExpressions.register]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_native",
+      exprs => {
+        def lit(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig_native expects literal int parameters, got $other")
+        }
+        MinHashSigExpr(exprs.head, lit(exprs(1)), lit(exprs(2)))
+      },
+      "scala_udf")
 }

@@ -57,6 +57,26 @@ class UrlExpressionsSpec extends AnyFunSuite {
     assert(agg.getAs[Long]("nn") == 10000)
   }
 
+  test("minhash_sig_native SQL registration matches the Column/UDF forms") {
+    graft.plans.TextExpressions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"),
+      (3L, "another document with enough words to shingle nicely"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_native_test")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig_native(text, 3, 16) AS sig
+        |FROM mh_native_test""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val viaUdf = docs.select(col("doc_id"),
+      graft.operators.TextOps.minhashSigUdf(3, 16)(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(viaSql == viaUdf)
+    assert(viaSql(2L).forall(_ == null), "sub-shingle doc -> all-null sig")
+  }
+
   test("hash distribution: no trivial collisions across a frontier sample") {
     import spark.implicits._
     val n = 50000
