@@ -27,6 +27,15 @@ trait Fetcher extends Serializable {
   def fetch(url: String): FetchedPage
 }
 
+object Fetcher {
+  /** Synthetic page for a fetch that threw instead of returning: status -1
+    * maps to ERROR_IOEXCEPTION via FetchStatus.fromHttpStatus, matching the
+    * reference's exception→status mapping (…/flinkcrawler/fetcher
+    * ExceptionUtils.java:19-61) so a fetcher failure stays a status row.
+    */
+  val ioError: FetchedPage = FetchedPage(-1, "", "text/plain")
+}
+
 /** Mocked web over an adjacency-list web graph (reference test fixture
   * src/test/java/…/fetcher/WebGraphFetcher.java:20-75): every known page
   * renders as synthetic HTML with one anchor per outlink; unknown pages are

@@ -33,6 +33,14 @@ object RobotsCache {
   def clearScope(scope: String): Unit =
     cache.keySet.removeIf(_.startsWith(scope + "|"))
 
+  /** Entries held by one crawl run's scope (tests assert cleanup). */
+  def scopeSize(scope: String): Int = {
+    var n = 0
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next().startsWith(scope + "|")) n += 1
+    n
+  }
+
   private def purgeExpired(nowMs: Long): Unit = {
     cache.entrySet.removeIf(e => e.getValue.expiresAt <= nowMs)
     // still over cap (pathological TTLs): trim to a low-water mark (90%)

@@ -356,21 +356,29 @@ object UrlFunctions {
     */
   def encodeForFetch(
       text: String, contentType: String): (Array[Byte], String) = {
-    val cs = charsetFromContentType(contentType)
-    try {
-      val bb = cs.newEncoder().encode(java.nio.CharBuffer.wrap(text))
-      val arr = new Array[Byte](bb.remaining())
-      bb.get(arr)
-      (arr, contentType)
-    } catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        val ct = Option(contentType).getOrElse("text/plain")
-        val rewritten =
-          if ("(?i)charset=".r.findFirstIn(ct).isDefined)
-            ct.replaceAll("(?i)charset=\"?[^;\"\\s]+\"?", "charset=UTF-8")
-          else ct + "; charset=UTF-8"
-        (text.getBytes(java.nio.charset.StandardCharsets.UTF_8), rewritten)
+    def utf8Fallback: (Array[Byte], String) = {
+      val ct = Option(contentType).getOrElse("text/plain")
+      val rewritten =
+        if ("(?i)charset=".r.findFirstIn(ct).isDefined)
+          ct.replaceAll("(?i)charset=\"?[^;\"\\s]+\"?", "charset=UTF-8")
+        else ct + "; charset=UTF-8"
+      (text.getBytes(java.nio.charset.StandardCharsets.UTF_8), rewritten)
     }
+    val cs = charsetFromContentType(contentType)
+    // decode-only charsets (e.g. ISO-2022-CN) pass Charset.forName but
+    // throw UnsupportedOperationException from newEncoder() — canEncode
+    // screens them, NonFatal catches encoder failures beyond the strict
+    // CharacterCodingException (either way the page re-labels as UTF-8)
+    if (!cs.canEncode) utf8Fallback
+    else
+      try {
+        val bb = cs.newEncoder().encode(java.nio.CharBuffer.wrap(text))
+        val arr = new Array[Byte](bb.remaining())
+        bb.get(arr)
+        (arr, contentType)
+      } catch {
+        case scala.util.control.NonFatal(_) => utf8Fallback
+      }
   }
 
   /** SURT-style archive index key (reference …/flinkcrawler/fetcher/

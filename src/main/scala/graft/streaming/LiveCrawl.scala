@@ -86,12 +86,34 @@ object LiveCrawl {
               url, pld, FS.SKIPPED_BLOCKED, now, score,
               now + cfg.deferBlockedMs))
           else {
-            val page = pf.fetch(url)
+            // a fetcher failure must stay a STATUS, not a query failure:
+            // the reference maps fetch exceptions to error FetchStatuses
+            // and the terminal row is what retires the scheduler's
+            // in-flight slot — an escaped exception would kill the whole
+            // streaming query and strand the slot until the zombie timeout
+            val page =
+              try pf.fetch(url)
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  Fetcher.ioError
+              }
             val status = FS.fromHttpStatus(page.statusCode)
             val statusRow = CrawlStateUrl(
               url, pld, status, now, score,
               now + math.max(
                 rules.crawlDelayMs.getOrElse(0L), cfg.defaultCrawlDelayMs))
+            // redirects feed the target back as a fresh sighting (same as
+            // CrawlTopology.redirectTargets) — without this, pages behind
+            // 3xx are silently lost to the live loop
+            val redirect =
+              if (status != FS.HTTP_MOVED && status != FS.HTTP_REDIRECTED)
+                Iterator.empty
+              else page.redirectedTo.iterator
+                .map(UrlFunctions.normalizeUrl)
+                .filter(UrlFunctions.isValidUrl)
+                .map(t => CrawlStateUrl(
+                  t, UrlFunctions.extractPld(t), FS.UNFETCHED, now, score,
+                  0L))
             val outlinks =
               if (status != FS.FETCHED || !page.contentType.contains("html"))
                 Iterator.empty
@@ -117,7 +139,7 @@ object LiveCrawl {
                     }
                 }
               }
-            Iterator.single(statusRow) ++ outlinks
+            Iterator.single(statusRow) ++ redirect ++ outlinks
           }
         }
       }
@@ -138,13 +160,15 @@ object LiveCrawl {
       cfg: CrawlConfig = CrawlConfig(),
       checkIntervalMs: Long = 200,
       maxPerFiring: Int = 2,
-      onBatch: Seq[CrawlStateUrl] => Unit = _ => ()): StreamingQuery = {
-    val runScope = java.util.UUID.randomUUID().toString
+      onBatch: Seq[CrawlStateUrl] => Unit = _ => (),
+      scope: String = ""): StreamingQuery = {
+    val runScope =
+      if (scope.nonEmpty) scope else java.util.UUID.randomUUID().toString
     val fetchUrls = UrlDbProcessor.scheduleWithScores(
       input, checkIntervalMs, maxPerFiring,
       maxQueueSize = cfg.maxQueueSize,
       maxInFlight = cfg.maxUrlsPerDomainPerRound * 100)
-    fetchUrls.writeStream
+    val query = fetchUrls.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[graft.schema.FetchUrl], _: Long) =>
         val updates = fetchParseBatch(
@@ -157,5 +181,20 @@ object LiveCrawl {
         channel.push(rows.map(UrlDbProcessor.stateInput))
       }
       .start()
+    // this run's robots entries die with the query (CrawlTopology.run
+    // clears its scope the same way) — otherwise every start() leaks a
+    // scope's worth of cache until TTL / the opportunistic purge
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            RobotsCache.clearScope(runScope)
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 }

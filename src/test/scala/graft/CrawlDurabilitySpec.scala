@@ -208,6 +208,14 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     val (b3, ct3) = encodeForFetch(emoji, "text/html")
     assert(ct3 == "text/html")
     assert(new String(b3, charsetFromContentType(ct3)) == emoji)
+    // decode-only charset (ISO-2022-CN passes Charset.forName but its
+    // newEncoder() throws UnsupportedOperationException): must fall back
+    // to UTF-8 + contentType rewrite instead of crashing the fetch task
+    val cs2022 = java.nio.charset.Charset.forName("ISO-2022-CN")
+    assume(!cs2022.canEncode, "JVM grew an ISO-2022-CN encoder")
+    val (b4, ct4) = encodeForFetch("中文 text", "text/html; charset=ISO-2022-CN")
+    assert(ct4.toLowerCase.contains("charset=utf-8"), ct4)
+    assert(new String(b4, charsetFromContentType(ct4)) == "中文 text")
   }
 
   test("failed sitemap fetch is retried next round, not blacked out") {

@@ -68,4 +68,74 @@ class LiveCrawlSpec extends AnyFunSuite {
       assert(got("http://l2.com/") == FS.FETCHED)
     } finally query.stop()
   }
+
+  test("fetchParseBatch feeds a redirect target back as an UNFETCHED sighting") {
+    import spark.implicits._
+    val graph = WebGraph("r.com/new" -> Seq.empty)
+    val fetcher = new WebGraphFetcher(
+      graph, redirects = Map("http://r.com/old" -> "http://r.com/new"))
+    val batch = Seq(("http://r.com/old", "r.com", 1.0f))
+      .toDF("url", "pld", "score")
+    val rows = LiveCrawl.fetchParseBatch(
+      spark, batch, fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(), runScope = "redir-spec").collect()
+    val byStatus = rows.groupBy(_.status)
+    assert(byStatus(FS.HTTP_MOVED).map(_.url).toSeq == Seq("http://r.com/old"))
+    val sightings = byStatus.getOrElse(FS.UNFETCHED, Array.empty)
+    assert(sightings.map(_.url).toSeq == Seq("http://r.com/new"),
+      s"redirect target must come back as a sighting: ${rows.toSeq}")
+    assert(sightings.head.pld == "r.com")
+  }
+
+  test("a throwing fetcher becomes an ERROR_IOEXCEPTION status row, not a query failure") {
+    import spark.implicits._
+    val boom = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        throw new java.io.IOException("connection reset")
+    }
+    val batch = Seq(("http://down.com/", "down.com", 1.0f))
+      .toDF("url", "pld", "score")
+    val rows = LiveCrawl.fetchParseBatch(
+      spark, batch, boom, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(), runScope = "boom-spec").collect()
+    assert(rows.map(u => u.url -> u.status).toSeq ==
+      Seq("http://down.com/" -> FS.ERROR_IOEXCEPTION))
+  }
+
+  test("stopping the live query clears its robots-cache scope") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val graph = WebGraph("s.com" -> Seq.empty)
+    val robots = new MapRobotsFetcher(Map(
+      "http://s.com/robots.txt" -> "User-agent: *\nDisallow: /private\n"))
+    val input = MemoryStream[UrlDbProcessor.Envelope]
+    val channel = LiveCrawl.FeedbackChannel.memory(input)
+    val scope = "scope-cleanup-spec"
+    val fetched = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val query = LiveCrawl.start(
+      spark, input.toDS(), channel,
+      new WebGraphFetcher(graph), robots,
+      CrawlConfig(), checkIntervalMs = 50, maxPerFiring = 2,
+      onBatch = rows =>
+        if (rows.exists(u => FS.isFetchedIsh(u.status))) fetched.set(true),
+      scope = scope)
+    try {
+      channel.push(Seq(UrlDbProcessor.stateInput(
+        CrawlStateUrl("http://s.com/", "s.com", FS.UNFETCHED, 1L, 1.0f, 0L))))
+      val deadline = System.currentTimeMillis() + 60000
+      while (!fetched.get() && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(fetched.get(), "seed never fetched")
+      assert(RobotsCache.scopeSize(scope) > 0,
+        "robots lookup should have populated the run's scope")
+    } finally query.stop()
+    query.awaitTermination()
+    // the termination listener fires asynchronously
+    val deadline = System.currentTimeMillis() + 30000
+    while (RobotsCache.scopeSize(scope) > 0 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(RobotsCache.scopeSize(scope) == 0,
+      "query termination must clear the run's robots scope")
+  }
 }
