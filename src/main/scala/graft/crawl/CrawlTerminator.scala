@@ -12,6 +12,11 @@ trait CrawlTerminator extends Serializable {
     * reference's open()).
     */
   def open(): Unit = ()
+  /** Topology signal: a round/batch made progress (URLs fetched, frontier
+    * advanced). Activity-based terminators reset their idle clock here;
+    * others ignore it.
+    */
+  def reportActivity(): Unit = ()
   def isTerminated(): Boolean
 }
 
@@ -30,4 +35,23 @@ final class DurationCrawlTerminator(
 
   override def open(): Unit = { endTime = clock() + maxDurationMs }
   override def isTerminated(): Boolean = clock() >= endTime
+}
+
+/** Stop once the crawl has made no progress for `noActivityMs` (reference
+  * test harness src/test/java/…/topology/NoActivityCrawlTerminator.java:7-31
+  * — its loop-idle detector). The only self-stop that works for a
+  * continuous (recrawl-enabled) crawl blocked on an empty frontier: a
+  * duration bound keeps fetching forever, frontier exhaustion never fires.
+  */
+final class NoActivityCrawlTerminator(
+    noActivityMs: Long,
+    clock: () => Long = () => System.currentTimeMillis())
+  extends CrawlTerminator {
+
+  @volatile private var lastActivity: Long = Long.MaxValue
+
+  override def open(): Unit = { lastActivity = clock() }
+  override def reportActivity(): Unit = { lastActivity = clock() }
+  override def isTerminated(): Boolean =
+    clock() - lastActivity >= noActivityMs
 }

@@ -238,8 +238,12 @@ object CrawlTopology {
             .filter(col("sr") <= cfg.scoreWindow)
             .groupBy(col("pld"))
             .agg(avg(col("pageScore")).as("pldAvg"))
-          val withGlobal = pldAvg.withColumn(
-            "gavg", avg(col("pldAvg")).over(Window.partitionBy()))
+          // global mean as a broadcast 1-row aggregate, NOT an empty-frame
+          // window: Window.partitionBy() funnels every pld row through a
+          // single partition (WindowExec warns), which at web scale makes
+          // the quota step a one-core bottleneck
+          val withGlobal = pldAvg.crossJoin(
+            broadcast(pldAvg.agg(avg(col("pldAvg")).as("gavg"))))
           Some(withGlobal.select(
             col("pld"),
             greatest(lit(1), least(
@@ -520,6 +524,10 @@ object CrawlTopology {
 
         frontier = commitFrontier(
           blocked.unionByName(statusUpdates).unionByName(newUrls))
+        // a round that scheduled work is "activity" for idle-based
+        // terminators (reference NoActivityCrawlTerminator); rounds that
+        // only tick politeness clocks are not
+        cfg.terminator.foreach(_.reportActivity())
       }
       // flat per-round wall time is the long-crawl invariant the journal
       // compaction / score pruning / seen-sitemaps state exist to hold;

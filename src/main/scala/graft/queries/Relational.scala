@@ -216,6 +216,46 @@ object Relational {
       |WHERE o_custkey IN (
       |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)""".stripMargin
 
+  /** Salted skew join ([[graft.operators.SkewJoin]]): result must equal
+    * the plain inner join row-for-row (multiplicity included) — the oracle
+    * IS the plain join, so a salting bug (lost/duplicated salt matches)
+    * hash-fails. Shape: hot-key frontier ⋈ domain table with the big side
+    * scattered over the salt space.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val skewed = t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber"),
+        col("l_extendedprice").cast(dec).cast("double").as("price"))
+    val other = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("okey"), col("o_custkey"))
+    graft.operators.SkewJoin.saltedInnerJoin(skewed, other, "okey", salts = 8)
+      .select(col("okey"), col("l_linenumber"), col("o_custkey"), col("price"))
+  }
+
+  /** G1/G3 quota shape (CrawlTopology score-adaptive scheduling): per-key
+    * mean scaled against the global mean, with the global mean computed as
+    * a broadcast 1-row aggregate (NOT an empty-frame window, which funnels
+    * all keys through one partition). Decimal sums keep both means exact;
+    * the only doubles are two deterministic IEEE divisions per row.
+    */
+  def quotaRatio(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "events")
+      .select(col("user_id"), col("value").cast(dec).as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val global = per.agg(
+      sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    per.crossJoin(broadcast(global))
+      .select(
+        col("user_id"),
+        (col("s").cast("double") / col("n")).as("uavg"),
+        ((col("s").cast("double") / col("n")) /
+          (col("gs").cast("double") / col("gn"))).as("ratio"))
+  }
+
   /** ExceptionUtils HTTP-status CASE mapping shape. */
   def caseStatus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
@@ -244,7 +284,9 @@ object Relational {
     "q12_event_rate" -> (eventRate _),
     "q13_case_status" -> (caseStatus _),
     "q38_sliding_rate" -> (slidingRate _),
-    "q40_bloom_semi" -> (bloomSemi _)
+    "q40_bloom_semi" -> (bloomSemi _),
+    "q43_skew_join" -> (skewJoin _),
+    "q44_quota_ratio" -> (quotaRatio _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +376,21 @@ object Relational {
         |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY sec
         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30s
         |FROM g""".stripMargin,
-    "q40_bloom_semi" -> bloomSemiSql
+    "q40_bloom_semi" -> bloomSemiSql,
+    "q43_skew_join" ->
+      """SELECT l_orderkey AS okey, l_linenumber, o_custkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
+    "q44_quota_ratio" ->
+      """WITH p AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT SUM(s) AS gs, SUM(n) AS gn FROM p)
+        |SELECT user_id,
+        |  CAST(s AS DOUBLE) / n AS uavg,
+        |  (CAST(s AS DOUBLE) / n) / (CAST(gs AS DOUBLE) / gn) AS ratio
+        |FROM p, g""".stripMargin
   )
 }

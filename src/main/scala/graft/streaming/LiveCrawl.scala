@@ -161,15 +161,24 @@ object LiveCrawl {
       checkIntervalMs: Long = 200,
       maxPerFiring: Int = 2,
       onBatch: Seq[CrawlStateUrl] => Unit = _ => (),
-      scope: String = ""): StreamingQuery = {
+      scope: String = "",
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val runScope =
       if (scope.nonEmpty) scope else java.util.UUID.randomUUID().toString
     val fetchUrls = UrlDbProcessor.scheduleWithScores(
       input, checkIntervalMs, maxPerFiring,
       maxQueueSize = cfg.maxQueueSize,
       maxInFlight = cfg.maxUrlsPerDomainPerRound * 100)
-    val query = fetchUrls.writeStream
+    val writer = fetchUrls.writeStream
       .outputMode("append")
+    // durable scheduler state (queues, in-flight counts, pacing clocks)
+    // lives in the state store under this checkpoint — restart with the
+    // same dir and a REPLAYABLE channel (Kafka) to resume; the reference's
+    // checkpointed-UrlDB contract (…/tools/CrawlTool.java:60-64). The
+    // MemoryStream test channel is not replayable, so specs exercise
+    // within-run state only.
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val query = writer
       .foreachBatch { (batch: Dataset[graft.schema.FetchUrl], _: Long) =>
         val updates = fetchParseBatch(
           spark, batch.toDF(), pageFetcher, robotsFetcher, cfg, runScope)

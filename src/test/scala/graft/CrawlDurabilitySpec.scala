@@ -125,6 +125,44 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(term.isTerminated())
   }
 
+  test("no-activity terminator stops an idle continuous crawl") {
+    // recrawl interval far beyond the clock horizon: after round 1 fetches
+    // the only page, every later round schedules nothing — a duration-less
+    // continuous crawl would spin to maxRounds; the idle clock trips it
+    var tick = 0L
+    val clock = () => { tick += 100; tick }
+    val term = new NoActivityCrawlTerminator(1000, clock)
+    val g = WebGraph("idle.com" -> Seq.empty)
+    val r = CrawlTopology.run(
+      spark, Seq(("idle.com", 1.0f)),
+      new WebGraphFetcher(g), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 1000, recrawlIntervalMs = Some(Long.MaxValue / 4),
+        terminator = Some(term)))
+    assert(r.rounds > 1, "the seed round must have run")
+    assert(r.rounds < 30,
+      s"idle crawl must stop on the no-activity bound, ran ${r.rounds} rounds")
+    val statuses = r.frontier.select("url", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(statuses.get("http://idle.com/").contains(FS.FETCHED),
+      "activity (the one fetch) must precede the idle-out")
+  }
+
+  test("no-activity terminator resets on reportActivity, never trips unopened") {
+    var tick = 0L
+    val term = new NoActivityCrawlTerminator(1000, () => tick)
+    assert(!term.isTerminated(), "unopened must not trip")
+    tick = 10000
+    assert(!term.isTerminated(), "still unopened")
+    term.open() // idle clock anchored at 10000
+    tick = 10900
+    assert(!term.isTerminated())
+    term.reportActivity() // re-anchored at 10900
+    tick = 11800
+    assert(!term.isTerminated(), "activity must reset the idle clock")
+    tick = 11900
+    assert(term.isTerminated(), "1000 ms idle after last activity")
+  }
+
   test("parse watchdog: pathological page journals ERROR_PARSE, crawl continues") {
     // quadratic-backtracking bait for the anchor regex: many '<a ' openers,
     // no closing '</a>' — each match attempt scans the rest of the page
