@@ -90,21 +90,31 @@ object TextExpressions {
     ColumnBridge.column(
       MinHashSigExpr(ColumnBridge.expression(c), shingleK, numHashes))
 
-  /** SQL surface: `minhash_sig_native(text, shingleK, numHashes)` with
-    * literal int parameters (runtime registration, same contract as
+  /** SQL builder: `minhash_sig_native(text, shingleK, numHashes)` with
+    * literal int parameters (shared by runtime registration and
+    * [[GraftExtensions]] session-extension injection).
+    */
+  def sqlBuilder(exprs: Seq[Expression]): MinHashSigExpr =
+    MinHashSigExpr(exprs.head,
+      IntLiteral.of("minhash_sig_native", exprs(1)),
+      IntLiteral.of("minhash_sig_native", exprs(2)))
+
+  /** SQL surface (runtime registration, same contract as
     * [[UrlExpressions.register]]).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig_native",
-      exprs => {
-        def lit(e: Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions
-            .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig_native expects literal int parameters, got $other")
-        }
-        MinHashSigExpr(exprs.head, lit(exprs(1)), lit(exprs(2)))
-      },
-      "scala_udf")
+      "minhash_sig_native", sqlBuilder _, "scala_udf")
+}
+
+/** Literal-int extraction for SQL function builders whose expressions take
+  * compile-time parameters (shingle size, hash count, plane count).
+  */
+private[plans] object IntLiteral {
+  def of(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions
+      .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal int parameters, got $other")
+  }
 }

@@ -96,24 +96,32 @@ object UrlExpressions {
 }
 
 /** Session-extension wiring: `--conf spark.sql.extensions=
-  * graft.plans.GraftExtensions` makes the native URL functions available
-  * in every session of the cluster without runtime registration.
+  * graft.plans.GraftExtensions` makes the library's whole native-function
+  * surface — URL keys, the MinHash signature kernel, the vector kernels —
+  * available in every session of the cluster without runtime registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    ext.injectFunction((
-      FunctionIdentifier("url_hash64_native"),
-      new ExpressionInfo(classOf[UrlHash64].getName, "url_hash64_native"),
-      (exprs: Seq[Expression]) => UrlHash64(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("normalize_url_native"),
-      new ExpressionInfo(classOf[NormalizeUrl].getName, "normalize_url_native"),
-      (exprs: Seq[Expression]) => NormalizeUrl(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("extract_pld_native"),
-      new ExpressionInfo(classOf[ExtractPld].getName, "extract_pld_native"),
-      (exprs: Seq[Expression]) => ExtractPld(exprs.head)))
+    def inject(
+        name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    inject("url_hash64_native", classOf[UrlHash64],
+      exprs => UrlHash64(exprs.head))
+    inject("normalize_url_native", classOf[NormalizeUrl],
+      exprs => NormalizeUrl(exprs.head))
+    inject("extract_pld_native", classOf[ExtractPld],
+      exprs => ExtractPld(exprs.head))
+    inject("minhash_sig_native", classOf[MinHashSigExpr],
+      TextExpressions.sqlBuilder)
+    inject("vec_dot", classOf[DotProduct],
+      exprs => DotProduct(exprs.head, exprs(1)))
+    inject("vec_lsh_bucket", classOf[LshBucketExpr],
+      VectorExpressions.lshSqlBuilder)
   }
 }

@@ -128,4 +128,19 @@ object VectorExpressions {
 
   def lshBucket(a: Column, numPlanes: Int): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(a), numPlanes))
+
+  /** SQL builder: `vec_lsh_bucket(vec, numPlanes)`, literal plane count. */
+  def lshSqlBuilder(exprs: Seq[Expression]): LshBucketExpr =
+    LshBucketExpr(exprs.head, IntLiteral.of("vec_lsh_bucket", exprs(1)))
+
+  /** SQL surface for the vector kernels (runtime registration, same
+    * contract as [[UrlExpressions.register]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "vec_lsh_bucket", lshSqlBuilder _, "scala_udf")
+  }
 }

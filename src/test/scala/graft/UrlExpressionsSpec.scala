@@ -77,6 +77,67 @@ class UrlExpressionsSpec extends AnyFunSuite {
     assert(viaSql(2L).forall(_ == null), "sub-shingle doc -> all-null sig")
   }
 
+  test("GraftExtensions injects the full native surface into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared context to exist first
+    val oldDefault = SparkSession.getDefaultSession
+    val oldActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // default/active cleared -> getOrCreate builds a NEW session over the
+      // existing context, applying the extension exactly like a cluster-wide
+      // spark.sql.extensions=graft.plans.GraftExtensions deployment
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      assert(ext ne spark, "sanity: must be a distinct session")
+      val row = ext.sql(
+        """SELECT
+          |  url_hash64_native('http://a.com/x') AS h,
+          |  normalize_url_native('HTTP://A.com/x') AS n,
+          |  extract_pld_native('http://sub.a.com/p') AS p,
+          |  minhash_sig_native('a b c d e', 3, 4) AS sig,
+          |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |  vec_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 8) AS b
+          |""".stripMargin).collect().head
+      assert(row.getAs[Long]("h") == UrlFunctions.urlHash64("http://a.com/x"))
+      assert(row.getAs[String]("n") == UrlFunctions.normalizeUrl("HTTP://A.com/x"))
+      assert(row.getAs[String]("p") == "a.com")
+      val sig = graft.plans.TextCodegen.minhashSigArray("a b c d e", 3, 4).toSeq
+      assert(row.getSeq[Any](3) == sig)
+      assert(row.getAs[Double]("d") == 11.0)
+      val b = row.getAs[Long]("b")
+      assert(b >= 0 && b < 256, s"8-plane bucket out of range: $b")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("vec_dot / vec_lsh_bucket runtime SQL registration matches Column forms") {
+    graft.plans.VectorExpressions.register(spark)
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)),
+      (2L, Array(-1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("vec_native_test")
+    val viaSql = spark.sql(
+      """SELECT id, vec_dot(a, b) AS d, vec_lsh_bucket(a, 16) AS k
+        |FROM vec_native_test""".stripMargin)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val viaCol = vecs.select(col("id"),
+      graft.plans.VectorExpressions.dot(col("a"), col("b")).as("d"),
+      graft.plans.VectorExpressions.lshBucket(col("a"), 16).as("k"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("hash distribution: no trivial collisions across a frontier sample") {
     import spark.implicits._
     val n = 50000
