@@ -351,7 +351,7 @@ object CrawlTopology {
           .as[(String, String)]
           .mapPartitions { it =>
             it.map { case (_, sitemapUrl) =>
-              val page = pf.fetch(sitemapUrl)
+              val page = Fetcher.safeFetch(pf, sitemapUrl)
               val links =
                 if (page.statusCode == 200)
                   HtmlParser.parseSitemap(page.content)
@@ -387,7 +387,7 @@ object CrawlTopology {
         val liveFetch: Dataset[RobotsVerdict] => Dataset[FetchOutcome] =
           allowed => allowed.mapPartitions { it =>
             it.map { v =>
-              val page = pf.fetch(v.url)
+              val page = Fetcher.safeFetch(pf, v.url)
               val status = FS.fromHttpStatus(page.statusCode)
               // raw bytes when the fetcher has them; text fixtures are
               // encoded with the declared charset (strict, UTF-8 +

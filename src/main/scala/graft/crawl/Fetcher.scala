@@ -34,6 +34,14 @@ object Fetcher {
     * ExceptionUtils.java:19-61) so a fetcher failure stays a status row.
     */
   val ioError: FetchedPage = FetchedPage(-1, "", "text/plain")
+
+  /** The one fetch entry point the topologies use: a throwing fetcher
+    * becomes [[ioError]] instead of failing the Spark task — one bad URL
+    * must never abort a round (batch) or kill the streaming query (live).
+    */
+  def safeFetch(f: Fetcher, url: String): FetchedPage =
+    try f.fetch(url)
+    catch { case scala.util.control.NonFatal(_) => ioError }
 }
 
 /** Mocked web over an adjacency-list web graph (reference test fixture

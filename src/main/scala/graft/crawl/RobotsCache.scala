@@ -77,7 +77,10 @@ object RobotsCache {
     val hit = cache.get(key)
     if (hit != null && hit.expiresAt > nowMs) hit.rules
     else {
-      val page = fetcher.fetch(robotsUrl)
+      // a throwing robots fetch must not fail the caller's task (it runs
+      // inside mapPartitions on both crawl paths): treat it like a 5xx —
+      // allow-all under the short error TTL, retried on expiry
+      val page = Fetcher.safeFetch(fetcher, robotsUrl)
       val rules =
         if (page.statusCode == 200) RobotsRules.parse(page.content)
         else RobotsRules.allowAll

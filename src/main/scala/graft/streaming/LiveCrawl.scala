@@ -91,12 +91,7 @@ object LiveCrawl {
             // and the terminal row is what retires the scheduler's
             // in-flight slot — an escaped exception would kill the whole
             // streaming query and strand the slot until the zombie timeout
-            val page =
-              try pf.fetch(url)
-              catch {
-                case scala.util.control.NonFatal(_) =>
-                  Fetcher.ioError
-              }
+            val page = Fetcher.safeFetch(pf, url)
             val status = FS.fromHttpStatus(page.statusCode)
             val statusRow = CrawlStateUrl(
               url, pld, status, now, score,
@@ -192,18 +187,17 @@ object LiveCrawl {
       .start()
     // this run's robots entries die with the query (CrawlTopology.run
     // clears its scope the same way) — otherwise every start() leaks a
-    // scope's worth of cache until TTL / the opportunistic purge
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-          if (e.id == query.id) {
-            RobotsCache.clearScope(runScope)
-            spark.streams.removeListener(this)
-          }
-      })
+    // scope's worth of cache until TTL / the opportunistic purge.
+    // A daemon waiter, not a StreamingQueryListener: a listener added
+    // after start() can miss an immediate termination event, whereas
+    // awaitTermination returns at once if the query already ended.
+    val waiter = new Thread(() => {
+      try query.awaitTermination()
+      catch { case _: Throwable => () } // failed query still cleans up
+      finally RobotsCache.clearScope(runScope)
+    }, s"livecrawl-scope-cleanup-$runScope")
+    waiter.setDaemon(true)
+    waiter.start()
     query
   }
 }

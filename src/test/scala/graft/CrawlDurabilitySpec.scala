@@ -163,6 +163,63 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(term.isTerminated(), "1000 ms idle after last activity")
   }
 
+  test("throwing fetchers downgrade to error statuses, crawl completes") {
+    val g = WebGraph(
+      "ok.com" -> Seq("ok.com/good", "ok.com/bomb"),
+      "ok.com/good" -> Seq.empty,
+      "throwy.com" -> Seq.empty)
+    val base = new WebGraphFetcher(g)
+    val pageFetcher = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url.contains("/bomb")) throw new java.io.IOException("reset")
+        else base.fetch(url)
+    }
+    // robots for throwy.com explodes too: the domain must still be crawled
+    // under the allow-all error fallback instead of failing the round
+    val robotsFetcher = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url.contains("throwy.com"))
+          throw new RuntimeException("robots fetch died")
+        else FetchedPage(404, "", "text/plain")
+    }
+    val r = CrawlTopology.run(
+      spark, Seq(("ok.com", 1.0f), ("throwy.com", 1.0f)),
+      pageFetcher, robotsFetcher, CrawlConfig(maxRounds = 10))
+    val statuses = r.frontier.select("url", "status").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(statuses.get("http://ok.com/bomb").contains(FS.ERROR_IOEXCEPTION),
+      s"throwing page fetch must journal, got $statuses")
+    assert(statuses.get("http://ok.com/good").contains(FS.FETCHED))
+    assert(statuses.get("http://throwy.com/").contains(FS.FETCHED),
+      "throwing robots fetch must fall back to allow-all")
+  }
+
+  test("RobotsCache: throwing fetcher caches allow-all under the error TTL") {
+    val scope = "robots-throw-spec"
+    var calls = 0
+    val boom = new Fetcher {
+      override def fetch(url: String): FetchedPage = {
+        calls += 1
+        throw new java.io.IOException("robots down")
+      }
+    }
+    val rules = RobotsCache.rulesFor(
+      "http://err.com/robots.txt", boom, nowMs = 1000L, scope = scope)
+    assert(rules.isAllowed("/anything"), "error fallback is allow-all")
+    assert(calls == 1)
+    // within the error TTL: served from cache, no refetch
+    RobotsCache.rulesFor(
+      "http://err.com/robots.txt", boom,
+      nowMs = 1000L + RobotsCache.ErrorTtlMs - 1, scope = scope)
+    assert(calls == 1, "cached error entry must not refetch inside its TTL")
+    // past the error TTL: retried (and fails again, re-cached)
+    RobotsCache.rulesFor(
+      "http://err.com/robots.txt", boom,
+      nowMs = 1000L + RobotsCache.ErrorTtlMs + 1, scope = scope)
+    assert(calls == 2, "expired error entry must be refetched")
+    RobotsCache.clearScope(scope)
+  }
+
   test("parse watchdog: pathological page journals ERROR_PARSE, crawl continues") {
     // quadratic-backtracking bait for the anchor regex: many '<a ' openers,
     // no closing '</a>' — each match attempt scans the rest of the page
