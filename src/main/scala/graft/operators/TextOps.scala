@@ -421,6 +421,51 @@ object TextOps {
         .as("stopword_ratio"))
   }
 
+  /** Composite training-corpus cleaning gate: quality thresholds →
+    * language filter → exact dedup (first-id representative), the standard
+    * pre-training pass, as ONE pipeline over ONE scan. All features come
+    * from a single staged lowercase-token projection (referenced multiple
+    * times so Catalyst doesn't inline it into each HOF — the interpreted
+    * re-evaluation cliff), the filters run before the only shuffle (the
+    * fingerprint groupBy), and everything upstream of that shuffle is a
+    * projection — at 100 TB the cost is one scan + one exchange of the
+    * surviving fraction.
+    */
+  def cleanCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 5, minAlphaRatio: Double = 0.5,
+      lang: String = "en"): DataFrame = {
+    val staged = df.select(
+      col(idCol).as("doc_id"), col(textCol).as("text"),
+      expr(s"split(trim(lower($textCol)), '\\\\s+')").as("ltoks"))
+    val featured = staged
+      .select(
+        col("doc_id"), col("text"),
+        size(col("ltoks")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long") /
+          length(col("text")).cast("long")).as("alpha_ratio"),
+        expr(lexiconHitsFromToksSql("ltoks", enWords)).cast("long").as("en_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", deWords)).cast("long").as("de_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", frWords)).cast("long").as("fr_hits"),
+        expr(lexiconHitsFromToksSql("ltoks", esWords)).cast("long").as("es_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+    featured
+      .filter(col("n_tokens") >= minTokens &&
+        col("alpha_ratio") >= minAlphaRatio &&
+        col("pred_lang") === lang)
+      .withColumn("fingerprint", md5(col("text")))
+      .groupBy(col("fingerprint"))
+      // identical text ⇒ identical n_tokens, so MIN is exact, not a choice
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("cluster_size"))
+  }
+
   /** Per-key top-K by a score column with total-order tie-break. */
   def topKPerKey(df: DataFrame, key: String, score: Column, tieBreak: Column,
       k: Int): DataFrame =

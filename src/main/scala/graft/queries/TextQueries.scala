@@ -157,7 +157,10 @@ object TextQueries {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token").asc)
-        .limit(100))
+        .limit(100)),
+    "q45_corpus_clean" -> ((s, d) =>
+      TextOps.cleanCorpus(docs(s, d), "doc_id", "text",
+        minTokens = 5, minAlphaRatio = 0.5, lang = "en"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -358,6 +361,27 @@ object TextQueries {
         |    string_split_regex(trim(lower(text)), '\s+'))) AS token
         |  FROM documents)
         |GROUP BY token
-        |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin
+        |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin,
+    "q45_corpus_clean" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         |      / CAST(length(text) AS BIGINT) AS alpha_ratio,
+         |    ${dLexHits(TextOps.enWords)} AS en_hits,
+         |    ${dLexHits(TextOps.deWords)} AS de_hits,
+         |    ${dLexHits(TextOps.frWords)} AS fr_hits,
+         |    ${dLexHits(TextOps.esWords)} AS es_hits
+         |  FROM documents),
+         |k AS (SELECT *,
+         |    CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |         WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |         WHEN fr_hits >= es_hits THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM f)
+         |SELECT md5(text) AS fingerprint, MIN(doc_id) AS doc_id,
+         |  MIN(n_tokens) AS n_tokens, COUNT(*) AS cluster_size
+         |FROM k
+         |WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND pred_lang = 'en'
+         |GROUP BY 1""".stripMargin
   )
 }
