@@ -28,20 +28,43 @@ trait Fetcher extends Serializable {
 }
 
 object Fetcher {
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.crawl.Fetcher")
+
   /** Synthetic page for a fetch that threw instead of returning: status -1
     * maps to ERROR_IOEXCEPTION via FetchStatus.fromHttpStatus, matching the
-    * reference's exception→status mapping (…/flinkcrawler/fetcher
-    * ExceptionUtils.java:19-61) so a fetcher failure stays a status row.
+    * reference's exception→status mapping (…/flinkcrawler/utils
+    * ExceptionUtils.java:64-120) so a fetcher failure stays a status row.
     */
   val ioError: FetchedPage = FetchedPage(-1, "", "text/plain")
 
+  /** Exception-kind sentinels beyond plain IO, mirroring the reference's
+    * UrlFetchException → ERROR_INVALID_URL and AbortedFetchException
+    * (slow response) → ABORTED_FETCH distinctions. FetchStatus
+    * .fromHttpStatus maps each to its status so fleet-wide failures stay
+    * diagnosable from the journal (DNS/TLS vs bad URL vs timeout).
+    */
+  val invalidUrlError: FetchedPage = FetchedPage(-2, "", "text/plain")
+  val abortedError: FetchedPage = FetchedPage(-3, "", "text/plain")
+
   /** The one fetch entry point the topologies use: a throwing fetcher
-    * becomes [[ioError]] instead of failing the Spark task — one bad URL
-    * must never abort a round (batch) or kill the streaming query (live).
+    * becomes a synthetic error page instead of failing the Spark task —
+    * one bad URL must never abort a round (batch) or kill the streaming
+    * query (live). The exception is logged (warn) and mapped by kind.
     */
   def safeFetch(f: Fetcher, url: String): FetchedPage =
     try f.fetch(url)
-    catch { case scala.util.control.NonFatal(_) => ioError }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"fetch failed for $url: ${e.getClass.getName}: ${e.getMessage}")
+        e match {
+          case _: java.net.MalformedURLException |
+               _: java.net.URISyntaxException => invalidUrlError
+          case _: java.net.SocketTimeoutException |
+               _: java.io.InterruptedIOException => abortedError
+          case _ => ioError
+        }
+    }
 }
 
 /** Mocked web over an adjacency-list web graph (reference test fixture

@@ -43,6 +43,14 @@ object RobotsRules {
 
   val allowAll: RobotsRules = RobotsRules(Nil, None, Nil)
 
+  /** Full disallow — the RFC 9309 stance when robots.txt is unreachable
+    * (server error): every path starts with "/", so one disallow rule
+    * covers the whole site. Reference parity: CheckUrlWithRobotsFunction
+    * .java:137-142 maps robots fetch exceptions to a failed fetch rather
+    * than crawling unguarded.
+    */
+  val allowNone: RobotsRules = RobotsRules(Seq("/" -> false), None, Nil)
+
   /** Back-compat helper: plain Disallow prefixes. */
   def disallowing(prefixes: String*): RobotsRules =
     RobotsRules(prefixes.map(_ -> false), None, Nil)

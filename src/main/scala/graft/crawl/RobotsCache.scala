@@ -78,12 +78,20 @@ object RobotsCache {
     if (hit != null && hit.expiresAt > nowMs) hit.rules
     else {
       // a throwing robots fetch must not fail the caller's task (it runs
-      // inside mapPartitions on both crawl paths): treat it like a 5xx —
-      // allow-all under the short error TTL, retried on expiry
+      // inside mapPartitions on both crawl paths): treat it like a 5xx.
+      // Status semantics per RFC 9309 + the reference
+      // (CheckUrlWithRobotsFunction.java:137-142, crawler-commons): 2xx →
+      // parse; 4xx (no robots.txt) → allow-all; 5xx / exception / anything
+      // else (unreachable) → assume full disallow under the short error
+      // TTL, retried on expiry — a transiently-down robots.txt must not
+      // open disallowed paths to the crawler.
       val page = Fetcher.safeFetch(fetcher, robotsUrl)
       val rules =
-        if (page.statusCode == 200) RobotsRules.parse(page.content)
-        else RobotsRules.allowAll
+        if (page.statusCode >= 200 && page.statusCode < 300)
+          RobotsRules.parse(page.content)
+        else if (page.statusCode >= 400 && page.statusCode < 500)
+          RobotsRules.allowAll
+        else RobotsRules.allowNone
       cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
       rules
     }

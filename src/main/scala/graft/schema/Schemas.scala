@@ -62,7 +62,10 @@ object FetchStatus {
     case _ => true
   }
 
-  /** HTTP status code -> FetchStatus (reference ExceptionUtils.java:19-61). */
+  /** HTTP status code -> FetchStatus (reference ExceptionUtils.java:19-61).
+    * Negative codes are Fetcher's exception-kind sentinels
+    * (ExceptionUtils.java:64-120 analog): -1 IO, -2 bad URL, -3 timeout.
+    */
   def fromHttpStatus(code: Int): String = code match {
     case c if c >= 200 && c < 300 => FETCHED
     case 301 | 308 => HTTP_MOVED
@@ -73,6 +76,8 @@ object FetchStatus {
     case 410 => HTTP_GONE
     case 429 => HTTP_TOO_MANY_REQUESTS
     case c if c >= 500 => HTTP_SERVER_ERROR
+    case -2 => ERROR_INVALID_URL
+    case -3 => ABORTED_FETCH
     case _ => ERROR_IOEXCEPTION
   }
 }

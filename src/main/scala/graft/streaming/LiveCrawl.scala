@@ -158,8 +158,15 @@ object LiveCrawl {
       onBatch: Seq[CrawlStateUrl] => Unit = _ => (),
       scope: String = "",
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val runScope =
-      if (scope.nonEmpty) scope else java.util.UUID.randomUUID().toString
+    // always unique per run: two live queries given the same caller scope
+    // must not share robots entries or clear each other's mid-run. The
+    // caller's scope stays a key PREFIX (runScope = "<scope>|<uuid>", keys
+    // = "<runScope>|<url>"), so scopeSize(scope)/clearScope(scope) still
+    // see all of that caller's runs while each run cleans only its own.
+    val runScope = {
+      val uuid = java.util.UUID.randomUUID().toString
+      if (scope.nonEmpty) scope + "|" + uuid else uuid
+    }
     val fetchUrls = UrlDbProcessor.scheduleWithScores(
       input, checkIntervalMs, maxPerFiring,
       maxQueueSize = cfg.maxQueueSize,
@@ -192,8 +199,10 @@ object LiveCrawl {
     // after start() can miss an immediate termination event, whereas
     // awaitTermination returns at once if the query already ended.
     val waiter = new Thread(() => {
+      // failed query still cleans up (finally); NonFatal only — swallowing
+      // InterruptedException / VM errors would hide real problems
       try query.awaitTermination()
-      catch { case _: Throwable => () } // failed query still cleans up
+      catch { case scala.util.control.NonFatal(_) => () }
       finally RobotsCache.clearScope(runScope)
     }, s"livecrawl-scope-cleanup-$runScope")
     waiter.setDaemon(true)

@@ -190,11 +190,12 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(statuses.get("http://ok.com/bomb").contains(FS.ERROR_IOEXCEPTION),
       s"throwing page fetch must journal, got $statuses")
     assert(statuses.get("http://ok.com/good").contains(FS.FETCHED))
-    assert(statuses.get("http://throwy.com/").contains(FS.FETCHED),
-      "throwing robots fetch must fall back to allow-all")
+    assert(statuses.get("http://throwy.com/").contains(FS.SKIPPED_BLOCKED),
+      "throwing robots fetch must defer the domain (assume disallow), " +
+        s"got $statuses")
   }
 
-  test("RobotsCache: throwing fetcher caches allow-all under the error TTL") {
+  test("RobotsCache: throwing fetcher caches allow-NONE under the error TTL") {
     val scope = "robots-throw-spec"
     var calls = 0
     val boom = new Fetcher {
@@ -205,7 +206,8 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     }
     val rules = RobotsCache.rulesFor(
       "http://err.com/robots.txt", boom, nowMs = 1000L, scope = scope)
-    assert(rules.isAllowed("/anything"), "error fallback is allow-all")
+    assert(!rules.isAllowed("/anything"),
+      "unreachable robots.txt must defer the domain (RFC 9309), not crawl it")
     assert(calls == 1)
     // within the error TTL: served from cache, no refetch
     RobotsCache.rulesFor(
@@ -218,6 +220,41 @@ class CrawlDurabilitySpec extends AnyFunSuite {
       nowMs = 1000L + RobotsCache.ErrorTtlMs + 1, scope = scope)
     assert(calls == 2, "expired error entry must be refetched")
     RobotsCache.clearScope(scope)
+  }
+
+  test("RobotsCache: status-dependent fallbacks — 4xx allow-all, 5xx allow-none") {
+    val scope = "robots-status-spec"
+    def fixed(status: Int) = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        FetchedPage(status, "", "text/plain")
+    }
+    val missing = RobotsCache.rulesFor(
+      "http://nf.com/robots.txt", fixed(404), nowMs = 1000L, scope = scope)
+    assert(missing.isAllowed("/page"), "404 (no robots.txt) is allow-all")
+    val forbidden = RobotsCache.rulesFor(
+      "http://fb.com/robots.txt", fixed(403), nowMs = 1000L, scope = scope)
+    assert(forbidden.isAllowed("/page"), "4xx is allow-all per RFC 9309")
+    val down = RobotsCache.rulesFor(
+      "http://dn.com/robots.txt", fixed(503), nowMs = 1000L, scope = scope)
+    assert(!down.isAllowed("/page"),
+      "5xx (unreachable) must assume full disallow per RFC 9309")
+    RobotsCache.clearScope(scope)
+  }
+
+  test("safeFetch maps exception kinds to distinct statuses") {
+    def throwing(e: Throwable) = new Fetcher {
+      override def fetch(url: String): FetchedPage = throw e
+    }
+    import graft.schema.{FetchStatus => F}
+    assert(F.fromHttpStatus(Fetcher.safeFetch(
+      throwing(new java.io.IOException("dns")), "http://x.com/").statusCode)
+      == F.ERROR_IOEXCEPTION)
+    assert(F.fromHttpStatus(Fetcher.safeFetch(
+      throwing(new java.net.MalformedURLException("bad")), "::").statusCode)
+      == F.ERROR_INVALID_URL)
+    assert(F.fromHttpStatus(Fetcher.safeFetch(
+      throwing(new java.net.SocketTimeoutException("slow")), "http://x.com/")
+      .statusCode) == F.ABORTED_FETCH)
   }
 
   test("parse watchdog: pathological page journals ERROR_PARSE, crawl continues") {
