@@ -21,10 +21,12 @@ import graft.schema.{CrawlStateUrl, FetchStatus => FS}
   * `UrlDbProcessor` owns the latency tier (per-domain pacing, bounded
   * queue, displacement, in-flight caps — state-store checkpointed); the
   * fetch/parse stages run DISTRIBUTED inside each micro-batch
-  * (mapPartitions over the emitted URLs); only the write back to the
-  * channel touches the driver in the test form (`FeedbackChannel.memory`)
-  * — swap [[FeedbackChannel]] for a Kafka writer and the loop is fully
-  * distributed with exactly the same operator graph.
+  * (mapPartitions over the emitted URLs). The production channel is
+  * [[FeedbackChannel.file]]: a durable, REPLAYABLE directory the loop
+  * appends to distributedly and reads back as a file stream — paired
+  * with `checkpointDir`, a killed crawl resumes with zero lost URLs.
+  * `FeedbackChannel.memory` is the driver-side test form; a Kafka writer
+  * slots in behind the same trait for queue-backed deployments.
   *
   * The frontier-table recurrence ([[graft.crawl.CrawlTopology]] +
   * FrontierStore) remains the bulk/scale tier (PERF_NOTES: 1.2M rows/s
@@ -33,23 +35,115 @@ import graft.schema.{CrawlStateUrl, FetchStatus => FS}
   */
 object LiveCrawl {
 
-  /** Where the loop's feedback rows go; production = a Kafka/queue writer
-    * (distributed sink), tests = MemoryStream push (driver-side by
-    * nature, rows are one micro-batch's emissions — small by the
-    * scheduler's own caps).
+  /** The callers' no-op batch observer; identity-compared by channels so
+    * the production path never collects a batch nobody is watching.
+    */
+  val NoObserver: Seq[CrawlStateUrl] => Unit = _ => ()
+
+  /** Where the loop's feedback rows go. Production = [[FeedbackChannel
+    * .file]] (durable, replayable, distributed append) or a Kafka writer;
+    * tests = [[FeedbackChannel.memory]] (driver-side by nature, rows are
+    * one micro-batch's emissions — small by the scheduler's own caps).
     */
   trait FeedbackChannel extends Serializable {
+    /** Driver-side push: seeds and tests. */
     def push(rows: Seq[UrlDbProcessor.Envelope]): Unit
+
+    /** One micro-batch's feedback (status updates + outlink sightings).
+      * Default = collect on the driver (memory/test form); durable
+      * channels override with a distributed write. `onBatch` is the
+      * caller's observer and implies a driver copy — pass [[NoObserver]]
+      * in production.
+      */
+    def pushUpdates(
+        updates: Dataset[CrawlStateUrl],
+        onBatch: Seq[CrawlStateUrl] => Unit): Unit = {
+      val rows = updates.collect().toSeq
+      onBatch(rows)
+      push(rows.map(UrlDbProcessor.stateInput))
+    }
   }
 
   object FeedbackChannel {
-    /** Test-form channel over a MemoryStream. */
+    /** Test-form channel over a MemoryStream (NOT replayable — restart
+      * resume needs [[file]]).
+      */
     def memory(
         stream: org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[UrlDbProcessor.Envelope]): FeedbackChannel =
       new FeedbackChannel {
         override def push(rows: Seq[UrlDbProcessor.Envelope]): Unit =
           if (rows.nonEmpty) stream.addData(rows)
+      }
+
+    /** The durable production channel, no external queue required:
+      * feedback rows append as parquet files under `dir` (a DISTRIBUTED
+      * write — no driver hop) and the loop input is a file stream over
+      * the same directory. The file source checkpoints which files it has
+      * consumed, so the pair (dir, checkpointDir) makes the whole loop
+      * replayable: kill the query, start a new one on the same two paths,
+      * and unconsumed feedback replays into the restored scheduler state
+      * — the reference's checkpointed AT_LEAST_ONCE loop contract
+      * (…/tools/CrawlTool.java:60-64). The directory doubles as a
+      * complete crawl journal (every status row and sighting, in order).
+      *
+      * Returns (loop input, channel) — hand both to [[LiveCrawl.start]].
+      * `writePartitions` coalesces each micro-batch's append (batches are
+      * bounded by the scheduler caps; 1 file per batch is right unless
+      * maxPerFiring × domains is huge). `maxFilesPerTrigger` bounds how
+      * many backlog files one micro-batch swallows on resume.
+      */
+    def file(
+        spark: SparkSession,
+        dir: String,
+        writePartitions: Int = 1,
+        maxFilesPerTrigger: Int = 64):
+        (Dataset[UrlDbProcessor.Envelope], FeedbackChannel) = {
+      import spark.implicits._
+      new java.io.File(dir).mkdirs()
+      val input = spark.readStream
+        .schema(org.apache.spark.sql.Encoders
+          .product[UrlDbProcessor.Envelope].schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir)
+        .as[UrlDbProcessor.Envelope]
+      (input, new FileFeedbackChannel(dir, writePartitions))
+    }
+  }
+
+  /** See [[FeedbackChannel.file]]. Serializable-safe: holds only the
+    * directory path; sessions are resolved at call time on the driver
+    * (both entry points run in driver context — push from the caller,
+    * pushUpdates inside foreachBatch).
+    */
+  final class FileFeedbackChannel(dir: String, writePartitions: Int)
+    extends FeedbackChannel {
+
+    override def push(rows: Seq[UrlDbProcessor.Envelope]): Unit =
+      if (rows.nonEmpty) {
+        val spark = SparkSession.active
+        import spark.implicits._
+        spark.createDataset(rows).coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+
+    override def pushUpdates(
+        updates: Dataset[CrawlStateUrl],
+        onBatch: Seq[CrawlStateUrl] => Unit): Unit =
+      if (onBatch eq NoObserver) {
+        // production path: one distributed append, nothing on the driver
+        val spark = updates.sparkSession
+        import spark.implicits._
+        updates.map(UrlDbProcessor.stateInput _)
+          .coalesce(writePartitions)
+          .write.mode("append").parquet(dir)
+      } else {
+        // observer branch: collect ONCE and re-ship from the driver — a
+        // second distributed action would re-run the fetch stage (fetch
+        // side effects must happen exactly once per micro-batch)
+        val rows = updates.collect().toSeq
+        onBatch(rows)
+        push(rows.map(UrlDbProcessor.stateInput))
       }
   }
 
@@ -155,9 +249,10 @@ object LiveCrawl {
       cfg: CrawlConfig = CrawlConfig(),
       checkIntervalMs: Long = 200,
       maxPerFiring: Int = 2,
-      onBatch: Seq[CrawlStateUrl] => Unit = _ => (),
+      onBatch: Seq[CrawlStateUrl] => Unit = NoObserver,
       scope: String = "",
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      fetchTimeoutMs: Long = 300000): StreamingQuery = {
     // always unique per run: two live queries given the same caller scope
     // must not share robots entries or clear each other's mid-run. The
     // caller's scope stays a key PREFIX (runScope = "<scope>|<uuid>", keys
@@ -170,26 +265,25 @@ object LiveCrawl {
     val fetchUrls = UrlDbProcessor.scheduleWithScores(
       input, checkIntervalMs, maxPerFiring,
       maxQueueSize = cfg.maxQueueSize,
-      maxInFlight = cfg.maxUrlsPerDomainPerRound * 100)
+      maxInFlight = cfg.maxUrlsPerDomainPerRound * 100,
+      fetchTimeoutMs = fetchTimeoutMs)
     val writer = fetchUrls.writeStream
       .outputMode("append")
     // durable scheduler state (queues, in-flight counts, pacing clocks)
     // lives in the state store under this checkpoint — restart with the
-    // same dir and a REPLAYABLE channel (Kafka) to resume; the reference's
-    // checkpointed-UrlDB contract (…/tools/CrawlTool.java:60-64). The
-    // MemoryStream test channel is not replayable, so specs exercise
-    // within-run state only.
+    // same dir and a REPLAYABLE channel (FeedbackChannel.file or Kafka)
+    // to resume; the reference's checkpointed-UrlDB contract
+    // (…/tools/CrawlTool.java:60-64). The MemoryStream test channel is
+    // not replayable, so its specs exercise within-run state only.
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val query = writer
       .foreachBatch { (batch: Dataset[graft.schema.FetchUrl], _: Long) =>
         val updates = fetchParseBatch(
           spark, batch.toDF(), pageFetcher, robotsFetcher, cfg, runScope)
-        // the only driver hop in the memory form: one micro-batch's rows
-        // (bounded by the scheduler's per-firing/in-flight caps); a
-        // Kafka-backed channel makes this a distributed write instead
-        val rows = updates.collect().toSeq
-        onBatch(rows)
-        channel.push(rows.map(UrlDbProcessor.stateInput))
+        // the channel decides how feedback travels: the file channel does
+        // a distributed append (no driver hop); memory/observer forms
+        // collect one micro-batch's rows (bounded by the scheduler caps)
+        channel.pushUpdates(updates, onBatch)
       }
       .start()
     // this run's robots entries die with the query (CrawlTopology.run

@@ -102,6 +102,99 @@ class LiveCrawlSpec extends AnyFunSuite {
       Seq("http://down.com/" -> FS.ERROR_IOEXCEPTION))
   }
 
+  test("file channel: loop runs distributed (no observer collect) and drains the graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-feedback").toString
+    val graph = WebGraph(
+      "f1.com" -> Seq("f1.com/a"),
+      "f1.com/a" -> Seq.empty)
+    val (input, channel) = LiveCrawl.FeedbackChannel.file(spark, dir)
+    val query = LiveCrawl.start(
+      spark, input, channel,
+      new WebGraphFetcher(graph), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(), checkIntervalMs = 50, maxPerFiring = 2)
+    try {
+      channel.push(Seq(UrlDbProcessor.stateInput(
+        CrawlStateUrl("http://f1.com/", "f1.com", FS.UNFETCHED, 1L, 1.0f, 0L))))
+      val want = Set("http://f1.com/", "http://f1.com/a")
+      def fetched(): Set[String] =
+        spark.read.schema(
+          org.apache.spark.sql.Encoders.product[UrlDbProcessor.Envelope].schema)
+          .parquet(dir)
+          .where($"state.status" === FS.FETCHED)
+          .select($"state.url").as[String].collect().toSet
+      val deadline = System.currentTimeMillis() + 120000
+      while (!want.subsetOf(fetched()) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(want.subsetOf(fetched()),
+        s"file-channel loop did not drain the graph: ${fetched()}")
+    } finally query.stop()
+  }
+
+  test("file channel + checkpoint: killed crawl resumes with zero lost URLs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-feedback").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // a chain: each hop needs a full loop round-trip, so the first kill
+    // always lands mid-crawl with sightings still unconsumed in the dir
+    val graph = WebGraph(
+      "rz.com" -> Seq("rz.com/a"),
+      "rz.com/a" -> Seq("rz.com/b"),
+      "rz.com/b" -> Seq("rz.com/c"),
+      "rz.com/c" -> Seq("rz.com/d", "rz.com/gone"),
+      "rz.com/d" -> Seq.empty)
+    val fetcher = new WebGraphFetcher(graph)
+    val robots = new MapRobotsFetcher(Map.empty)
+    val envSchema =
+      org.apache.spark.sql.Encoders.product[UrlDbProcessor.Envelope].schema
+    def terminal(): Map[String, String] =
+      spark.read.schema(envSchema).parquet(dir)
+        .select($"state.url", $"state.status").as[(String, String)]
+        .collect().filter(x => FS.isFetchedIsh(x._2)).toMap
+
+    val (input1, channel1) = LiveCrawl.FeedbackChannel.file(spark, dir)
+    val q1 = LiveCrawl.start(
+      spark, input1, channel1, fetcher, robots,
+      CrawlConfig(), checkIntervalMs = 50, maxPerFiring = 1,
+      checkpointDir = Some(ckpt), fetchTimeoutMs = 3000)
+    try {
+      channel1.push(Seq(UrlDbProcessor.stateInput(
+        CrawlStateUrl("http://rz.com/", "rz.com", FS.UNFETCHED, 1L, 1.0f, 0L))))
+      // wait for the crawl to be demonstrably mid-flight, then kill it
+      val deadline = System.currentTimeMillis() + 60000
+      while (terminal().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(terminal().nonEmpty, "first run never fetched anything")
+    } finally q1.stop()
+    q1.awaitTermination()
+    val afterKill = terminal().keySet
+    val all = Set("http://rz.com/", "http://rz.com/a", "http://rz.com/b",
+      "http://rz.com/c", "http://rz.com/d", "http://rz.com/gone")
+    assert(!all.subsetOf(afterKill), "kill landed too late to prove resume")
+
+    // same dir + same checkpoint = restored scheduler state + replay of
+    // unconsumed feedback files; stranded FETCHING entries revert via the
+    // fetch timeout. Zero lost URLs = every page reaches a terminal state.
+    val (input2, channel2) = LiveCrawl.FeedbackChannel.file(spark, dir)
+    val q2 = LiveCrawl.start(
+      spark, input2, channel2, fetcher, robots,
+      CrawlConfig(), checkIntervalMs = 50, maxPerFiring = 1,
+      checkpointDir = Some(ckpt), fetchTimeoutMs = 3000)
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (!all.subsetOf(terminal().keySet) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val got = terminal()
+      assert(all.subsetOf(got.keySet),
+        s"resume lost URLs: missing ${all -- got.keySet}, got $got")
+      assert(got("http://rz.com/d") == FS.FETCHED,
+        "the chain's tail must be fetched by the resumed run")
+      assert(got("http://rz.com/gone") == FS.HTTP_NOTFOUND)
+    } finally q2.stop()
+  }
+
   test("stopping the live query clears its robots-cache scope") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
