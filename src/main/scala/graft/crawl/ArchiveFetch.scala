@@ -77,6 +77,26 @@ object ArchiveFetch {
       }
   }
 
+  /** Build an archive frame from a WARC directory (as written by
+    * [[graft.sinks.Sinks.writeWarc]] / `writeWarcContent`) — the glue that
+    * closes the reference's CommonCrawl replay loop (archive → fetch →
+    * parse, …/fetcher/commoncrawl/CommonCrawlFetcher.java:50-135): crawl A
+    * archives through `CrawlConfig.contentSink`, crawl B re-crawls with
+    * `fetchStage = ArchiveFetch.stage(ArchiveFetch.fromWarc(spark, dir))`.
+    * A page archived more than once (recrawl rounds) keeps its newest
+    * record so the join stays 1:1 on url.
+    */
+  def fromWarc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val newest = Window.partitionBy(col("url"))
+      .orderBy(col("warcDate").desc, col("content").asc)
+    graft.sources.WarcSource.read(spark, path)
+      .withColumn("rn", row_number().over(newest))
+      .filter(col("rn") === 1)
+      .select(col("url"), lit(200).as("statusCode"), col("content"),
+        col("contentType"), lit(null).cast("string").as("redirectedTo"))
+  }
+
   /** Materialize a WebGraph fixture as an archive table — lets tests prove
     * live-fetch and archive-fetch topologies produce identical frontiers.
     */

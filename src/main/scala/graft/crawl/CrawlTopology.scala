@@ -46,7 +46,13 @@ final case class CrawlConfig(
     // driver-plan hygiene: journal/parsed accumulators are compacted
     // (lineage-truncated) every this-many appended batches so a
     // thousand-round crawl never builds a thousand-node union plan
-    compactEvery: Int = 32)
+    compactEvery: Int = 32,
+    // per-round content sink: receives the round's successfully fetched
+    // pages as (url, statusCode, contentType, headers, content binary,
+    // fetchTimeMs) — the reference's WARC-writer tap on the fetch stream
+    // (CrawlTopologyBuilder.java:441-453); Sinks.writeWarcContent plugs in
+    // here for archive-and-replay crawls
+    contentSink: Option[DataFrame => Unit] = None)
 
 final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
@@ -100,7 +106,10 @@ final case class Candidate(url: String, pld: String, score: Float)
 final case class FetchOutcome(
     url: String, pld: String, status: String, score: Float,
     crawlDelay: Long, content: Array[Byte], contentType: String,
-    redirectedTo: String)
+    redirectedTo: String,
+    // response headers (reference FetchResultUrl.java:6-109); the parse
+    // stage resolves the decode charset from these BEFORE contentType
+    headers: Map[String, Seq[String]] = Map.empty)
 final case class RobotsVerdict(
     url: String, pld: String, score: Float,
     verdict: String, // ALLOWED | BLOCKED
@@ -155,8 +164,9 @@ object CrawlTopology {
     // truncation: a plain per-round buffer folds into an R-node union
     // plan whose ANALYSIS cost blows up on long crawls before the data
     // does — compacting every `compactEvery` appends caps the plan depth
-    val emptyParsed = Seq.empty[(String, String, String, String, Float)]
-      .toDF("url", "pld", "title", "text", "score")
+    val emptyParsed =
+      Seq.empty[(String, String, String, String, Float, String, Map[String, String])]
+        .toDF("url", "pld", "title", "text", "score", "language", "parsedMeta")
     val emptyJournal = Seq.empty[(Int, String, String, String)]
       .toDF("round", "stage", "url", "status")
     var journalAcc = emptyJournal
@@ -393,12 +403,27 @@ object CrawlTopology {
               // encoded with the declared charset (strict, UTF-8 +
               // contentType rewrite on unrepresentable chars) so parse's
               // decode reproduces the original text exactly
+              // the DECLARED type for text encoding is the Content-Type
+              // header when present (headers outrank the contentType
+              // field, reference BasePageParser.java:62-91)
+              val declaredCt = UrlFunctions
+                .headerFirst(page.headers, "Content-Type")
+                .getOrElse(page.contentType)
               val (body, ct) =
                 if (status != FS.FETCHED) (Array.emptyByteArray, page.contentType)
                 else if (page.bytes != null) (page.bytes, page.contentType)
-                else UrlFunctions.encodeForFetch(page.content, page.contentType)
+                else UrlFunctions.encodeForFetch(page.content, declaredCt)
+              // if the encode fallback re-labeled the charset, the header
+              // copy must agree — parse resolves headers first
+              val headers =
+                if (status == FS.FETCHED && page.bytes == null)
+                  page.headers.map { case (k, vs) =>
+                    if (k.equalsIgnoreCase("Content-Type")) k -> Seq(ct)
+                    else k -> vs
+                  }
+                else page.headers
               FetchOutcome(v.url, v.pld, status, v.score, v.crawlDelay,
-                body, ct, page.redirectedTo.getOrElse(""))
+                body, ct, page.redirectedTo.getOrElse(""), headers)
             }
           }
         // in-round crawl-delay enforcement: a domain with a positive delay
@@ -420,6 +445,17 @@ object CrawlTopology {
         val fetched = fetchStage.getOrElse(liveFetch)(allowedNow)
           .localCheckpoint(true)
         journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
+
+        // content tap: fetched pages (with their response headers) flow to
+        // the configured sink — WARC archiving, content parquet, metrics
+        cfg.contentSink.foreach { sink =>
+          sink(fetched.toDF()
+            .filter(col("status") === FS.FETCHED)
+            .select(col("url"),
+              lit(200).as("statusCode"),
+              col("contentType"), col("headers"), col("content"),
+              lit(now).as("fetchTimeMs")))
+        }
 
         // advance the politeness clocks for delayed domains
         val newClocks = fetched.toDF()
@@ -443,25 +479,34 @@ object CrawlTopology {
         // ERROR_PARSE in the journal instead of hanging the stage
         val parseBudget = cfg.parseBudgetMs
         val parseAttempts = fetched
-          .filter(f => f.status == FS.FETCHED && f.contentType.contains("html"))
+          .filter(f => f.status == FS.FETCHED &&
+            UrlFunctions.headerFirst(f.headers, "Content-Type")
+              .getOrElse(f.contentType).contains("html"))
           .map { f =>
             // charset resolution happens HERE, not at fetch (reference
             // BasePageParser.java:62-63): the frontier pipeline stays
-            // byte-faithful and only the parser commits to a decoding
+            // byte-faithful and only the parser commits to a decoding —
+            // response headers outrank the contentType field
             val html = new String(f.content,
-              UrlFunctions.charsetFromContentType(f.contentType))
+              UrlFunctions.charsetFromHeaders(f.headers, f.contentType))
             HtmlParser.parseWithBudget(f.url, html, f.score, parseBudget) match {
               case Some(p) =>
+                // per-page language detection + meta map travel with the
+                // parsed record (reference TikaCallable.java:167,
+                // ParsedUrl.java:6-69)
                 (f.url, f.pld, p.title, p.text, f.score,
+                  graft.operators.TextOps.predictLang(p.text), p.meta,
                   p.outlinks.map(o =>
                     (o.url, o.anchorText, o.relAttributes, o.score)),
                   false)
               case None =>
                 (f.url, f.pld, "", "", f.score,
+                  "", Map.empty[String, String],
                   Seq.empty[(String, String, String, Float)], true)
             }
           }
-          .toDF("url", "pld", "title", "text", "score", "outlinks", "parseFailed")
+          .toDF("url", "pld", "title", "text", "score",
+            "language", "parsedMeta", "outlinks", "parseFailed")
           .localCheckpoint(true)
         journal(round, "parse_failed",
           parseAttempts.filter(col("parseFailed"))
@@ -470,7 +515,8 @@ object CrawlTopology {
 
         val parsedOut = parsedPages
           .filter(col("score") > 0.0f)
-          .select(col("url"), col("pld"), col("title"), col("text"), col("score"))
+          .select(col("url"), col("pld"), col("title"), col("text"),
+            col("score"), col("language"), col("parsedMeta"))
         parsedAcc = parsedAcc.unionByName(parsedOut)
         parsedPending += 1
         if (parsedPending >= cfg.compactEvery) {

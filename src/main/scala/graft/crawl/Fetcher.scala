@@ -16,7 +16,11 @@ final case class FetchedPage(
     content: String,
     contentType: String,
     redirectedTo: Option[String] = None,
-    bytes: Array[Byte] = null)
+    bytes: Array[Byte] = null,
+    // response headers, multimap like the reference's FetchResultUrl
+    // (…/pojos/FetchResultUrl.java:6-109); charset resolution at parse
+    // prefers the Content-Type HEADER over the contentType field
+    headers: Map[String, Seq[String]] = Map.empty)
 
 /** Pluggable page source. Implementations must be serializable: instances
   * are shipped to executors and invoked inside `mapPartitions`, one call per

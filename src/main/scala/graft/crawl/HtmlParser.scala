@@ -15,7 +15,11 @@ object HtmlParser {
       title: String,
       text: String,
       outlinks: Seq[ExtractedUrl],
-      noFollow: Boolean)
+      noFollow: Boolean,
+      // <meta name=... content=...> pairs, names lowercased, first
+      // occurrence wins (reference carries Tika's Metadata map on every
+      // parsed page, …/pojos/ParsedUrl.java:6-69)
+      meta: Map[String, String] = Map.empty)
 
   /** Thrown inside regex scans when the parse time budget is exhausted. */
   final class ParseTimeout(msg: String) extends RuntimeException(msg)
@@ -47,6 +51,10 @@ object HtmlParser {
     "(?is)<title[^>]*>(.*?)</title>".r
   private val MetaRobotsRe =
     "(?is)<meta\\s+[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*>".r
+  private val MetaTagRe =
+    "(?is)<meta\\s+[^>]*>".r
+  private val NameAttrRe =
+    "(?is)name\\s*=\\s*[\"']([^\"']+)[\"']".r
   private val ContentAttrRe =
     "(?is)content\\s*=\\s*[\"']([^\"']*)[\"']".r
   private val AnchorRe =
@@ -140,7 +148,17 @@ object HtmlParser {
       .replaceAllIn(guard(ScriptStyleRe.replaceAllIn(h, " ")), " ")
       .replaceAll("\\s+", " ")
       .trim
-    ParseResult(title, text, outlinks, noFollow)
+
+    val meta = MetaTagRe.findAllIn(h).foldLeft(Map.empty[String, String]) {
+      (acc, tag) =>
+        (for {
+          name <- NameAttrRe.findFirstMatchIn(tag).map(
+            _.group(1).trim.toLowerCase(java.util.Locale.ROOT))
+          if !acc.contains(name)
+          content <- ContentAttrRe.findFirstMatchIn(tag).map(_.group(1).trim)
+        } yield acc.updated(name, content)).getOrElse(acc)
+    }
+    ParseResult(title, text, outlinks, noFollow, meta)
   }
 
   /** Budgeted parse that surfaces a timeout as `None` so dataflow call

@@ -346,6 +346,29 @@ object UrlFunctions {
       }
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
 
+  /** First value of a response header, case-insensitive on the name
+    * (HTTP header names are case-insensitive; the reference's headers
+    * multimap is consulted the same way, BasePageParser.java:62-91).
+    */
+  def headerFirst(
+      headers: Map[String, Seq[String]], name: String): Option[String] =
+    headers.collectFirst {
+      case (k, vs) if k.equalsIgnoreCase(name) && vs.nonEmpty => vs.head
+    }
+
+  /** Parse-stage charset resolution: a charset declared by the
+    * Content-Type response HEADER wins over one in the contentType field;
+    * either falls back to UTF-8 (reference order: headers first, then
+    * content sniffing — BasePageParser.java:62-91).
+    */
+  def charsetFromHeaders(
+      headers: Map[String, Seq[String]],
+      contentType: String): java.nio.charset.Charset =
+    headerFirst(headers, "Content-Type")
+      .filter(ct => "(?i)charset=".r.findFirstIn(ct).isDefined)
+      .map(charsetFromContentType)
+      .getOrElse(charsetFromContentType(contentType))
+
   /** Encode already-decoded text for the byte-faithful fetch path: the
     * DECLARED charset when it represents the text exactly (strict REPORT
     * encoding, not the JVM default '?'-substitution), else UTF-8 with the

@@ -129,17 +129,28 @@ object TextOps {
   def canonicalFingerprintSql(c: String): String =
     s"md5(regexp_replace(lower($c), '[^a-z0-9]', ''))"
 
+  /** Default shingle doc-frequency cap for n-gram dedup: a shingle present
+    * in more than this fraction of the corpus is a stop-phrase (boilerplate,
+    * navigation text) whose join bucket pair-fans-out quadratically — at
+    * web scale one such key dominates the whole stage, so the guard is ON
+    * by default and exact mode is the explicit opt-in (`None`).
+    */
+  val DefaultShingleDocFrequency: Option[Double] = Some(0.1)
+
   /** Verified near-duplicate pairs by word-k-shingle Jaccard >= threshold.
     * One shuffle on the shingle key, one aggregation per candidate pair;
-    * fan-out is bounded by document length, so no skew hotspots.
+    * per-document fan-out is bounded by document length, and the default
+    * doc-frequency guard bounds per-shingle fan-out (see
+    * [[DefaultShingleDocFrequency]]).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       // skew guard for web-scale corpora: drop shingles appearing in more
       // than this fraction of documents before the join (stop-phrases are
-      // the classic hotspot key). None = exact Jaccard over all shingles.
-      maxDocFrequency: Option[Double] = None): DataFrame = {
+      // the classic hotspot key). None = exact Jaccard over all shingles,
+      // kept for oracle parity and small corpora.
+      maxDocFrequency: Option[Double] = DefaultShingleDocFrequency): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), shingleUdf(k)(col(textCol)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
@@ -173,7 +184,9 @@ object TextOps {
         // buffers O(postings^2) tuples in ONE row — cap*cap can still be
         // an executor OOM (and it narrows the id type) — so the join
         // stays; it degrades in throughput, never in memory.
-        val cap = (df.count() * ratio).toLong
+        // floor(N*ratio) but never 0: on tiny corpora a zero cap would
+        // classify every shingle as frequent and drop them all
+        val cap = math.max(1L, (df.count() * ratio).toLong)
         val frequent = exploded.groupBy("s").count()
           .filter(col("count") > cap).select("s")
         // Jaccard is then over the filtered shingle sets, so set sizes
@@ -401,6 +414,29 @@ object TextOps {
           .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
           .when(col("fr_hits") >= col("es_hits"), "fr")
           .otherwise("es"))
+
+  /** Scala-side language prediction with IDENTICAL semantics to the
+    * [[langIdFeatures]] SQL argmax (lowercase whitespace tokens, lexicon
+    * hit counts, tie order en > de > fr > es). This is what the crawl
+    * parse stage stamps on every [[graft.schema.ParsedUrl]] (reference
+    * per-page detection, …/parser/TikaCallable.java:167); q46 pins it to
+    * the DuckDB oracle.
+    */
+  def predictLang(text: String): String = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    def hits(words: Seq[String]): Int = {
+      val set = words.toSet
+      toks.count(set.contains)
+    }
+    val (en, de, fr, es) =
+      (hits(enWords), hits(deWords), hits(frWords), hits(esWords))
+    if (en >= math.max(de, math.max(fr, es))) "en"
+    else if (de >= math.max(fr, es)) "de"
+    else if (fr >= es) "fr"
+    else "es"
+  }
+
+  def predictLangUdf: UserDefinedFunction = udf(predictLang _)
 
   /** Quality features: char/token counts, mean token length, alpha and
     * stopword ratios — the usual pre-training quality gates. Ratios are

@@ -59,6 +59,14 @@ object TextQueries {
     "q18_dedup_exact" -> ((s, d) =>
       TextOps.exactDedup(docs(s, d), "doc_id", "text")),
     "q19_ngram_jaccard" -> ((s, d) =>
+      // exact Jaccard over all shingles (oracle parity); the default
+      // entry point is the skew-guarded q47 below
+      TextOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3,
+        threshold = 0.5, maxDocFrequency = None)),
+    "q47_ngram_guarded" -> ((s, d) =>
+      // DEFAULT dedup path: stop-phrase shingles (doc frequency above
+      // TextOps.DefaultShingleDocFrequency) are dropped before the join,
+      // bounding per-shingle pair fan-out at web scale
       TextOps.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3,
         threshold = 0.5)),
     "q20_token_count" -> ((s, d) =>
@@ -70,6 +78,12 @@ object TextQueries {
       TextOps.qualityFeatures(docs(s, d), "doc_id", "text")),
     "q22_lang_id" -> ((s, d) =>
       TextOps.langIdFeatures(docs(s, d), "doc_id", "text")),
+    "q46_parsed_lang" -> ((s, d) =>
+      // the SAME Scala function the crawl parse stage stamps on every
+      // ParsedUrl (CrawlTopology parse stage), pinned to the SQL argmax —
+      // proves the parse-stage language detector against the oracle
+      docs(s, d).select(col("doc_id"),
+        TextOps.predictLangUdf(col("text")).as("language"))),
     "q23_fingerprint" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id"),
@@ -178,6 +192,25 @@ object TextQueries {
          |SELECT id_a, id_b, inter, n_a, n_b, jaccard FROM (
          |  SELECT *, inter / (n_a + n_b - inter) AS jaccard FROM p)
          |WHERE jaccard >= 0.5""".stripMargin,
+    "q47_ngram_guarded" ->
+      // same join as q19 but stop-phrase shingles (doc frequency >
+      // max(1, floor(N * 0.1))) dropped first, and set sizes recomputed
+      // over the surviving shingles — mirrors the Spark guard arithmetic
+      s"""WITH d AS (SELECT doc_id, $dShingles AS sh FROM documents),
+         |e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |cap AS (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT)) AS c
+         |  FROM documents),
+         |freq AS (SELECT s FROM e0 GROUP BY s
+         |  HAVING COUNT(*) > (SELECT c FROM cap)),
+         |e AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM e0 WHERE s NOT IN (SELECT s FROM freq)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         |    COUNT(*) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, inter, n_a, n_b, jaccard FROM (
+         |  SELECT *, inter / (n_a + n_b - inter) AS jaccard FROM p)
+         |WHERE jaccard >= 0.5""".stripMargin,
     "q20_token_count" ->
       s"""SELECT doc_id, CAST(len($dTokens) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_text
@@ -199,6 +232,18 @@ object TextQueries {
          |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
          |       WHEN fr_hits >= es_hits THEN 'fr'
          |       ELSE 'es' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  ${dLexHits(TextOps.enWords)} AS en_hits,
+         |  ${dLexHits(TextOps.deWords)} AS de_hits,
+         |  ${dLexHits(TextOps.frWords)} AS fr_hits,
+         |  ${dLexHits(TextOps.esWords)} AS es_hits
+         |FROM documents)""".stripMargin,
+    "q46_parsed_lang" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |       WHEN fr_hits >= es_hits THEN 'fr'
+         |       ELSE 'es' END AS language
          |FROM (SELECT doc_id,
          |  ${dLexHits(TextOps.enWords)} AS en_hits,
          |  ${dLexHits(TextOps.deWords)} AS de_hits,

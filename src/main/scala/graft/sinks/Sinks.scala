@@ -63,6 +63,33 @@ object Sinks {
     (if (gzip) writer.option("compression", "gzip") else writer).text(path)
   }
 
+  /** WARC sink for the crawl's `contentSink` tap (CrawlConfig.contentSink
+    * frame: url, statusCode, contentType, headers, content binary,
+    * fetchTimeMs): decodes each body with the response-header charset
+    * (headers outrank the contentType field, exactly like the parse
+    * stage) and APPENDS records, so a multi-round crawl accumulates one
+    * archive — the writer half of the archive-and-replay loop closed by
+    * [[graft.crawl.ArchiveFetch.fromWarc]].
+    */
+  def writeWarcContent(
+      content: DataFrame, path: String,
+      maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
+    val decode = udf {
+      (bytes: Array[Byte], headers: Map[String, Seq[String]], ct: String) =>
+        new String(bytes,
+          graft.functions.UrlFunctions.charsetFromHeaders(headers, ct))
+    }
+    val frame = content.select(
+      col("url"), col("contentType"),
+      decode(col("content"), col("headers"), col("contentType")).as("content"),
+      col("fetchTimeMs"))
+    val writer = frame
+      .select(warcRecordCol.as("value"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
+  }
+
   /** Tab-separated `url<TAB>text` lines with tabs/newlines scrubbed
     * (reference CrawlTopologyBuilder.java:441-453, scrub regex :81).
     */

@@ -81,6 +81,14 @@ class UrlDbProcessor(
       rows: Iterator[UrlDbProcessor.Envelope],
       timerValues: TimerValues): Iterator[FetchUrl] = {
     var sawUrl = false
+    // batch the state-store traffic for this firing: ONE store read per
+    // distinct URL (getValue returns null when absent — containsKey would
+    // be a second round-trip), merges of repeated sightings fold in a
+    // local map, writes and the in-flight counter flush once at the end.
+    // The store round-trip is the ingest floor (PERF_NOTES §UrlDb), so
+    // per-row traffic is what this path must never re-grow.
+    val pending = new java.util.HashMap[Long, CrawlStateUrl]()
+    var inFlightDelta = 0
     rows.foreach { env =>
       // input 2 (DomainScore): update pacing state
       // (UrlDBFunction.processElement2 :560-581)
@@ -91,20 +99,24 @@ class UrlDbProcessor(
         sawUrl = true
         val incoming = env.state
         val key = UrlFunctions.urlHash64(incoming.url)
-        val existing = if (active.containsKey(key)) active.getValue(key) else null
+        val local = pending.get(key)
+        val existing = if (local != null) local else active.getValue(key)
         // terminal feedback for an emitted URL retires its in-flight slot
         // (UrlDBFunction.java:445-464: FETCHING entries must not become
         // zombies that hold the cap forever)
         if (existing != null && existing.status == FS.FETCHING &&
             FS.isFetchedIsh(incoming.status)) {
-          inFlight.update(math.max(0, currentInFlight() - 1))
+          inFlightDelta -= 1
         }
         val merged =
           if (existing != null) UrlStateMerger.merge(existing, incoming)
           else incoming
-        active.updateValue(key, merged)
+        pending.put(key, merged)
       }
     }
+    pending.forEach((k, v) => active.updateValue(k, v))
+    if (inFlightDelta != 0)
+      inFlight.update(math.max(0, currentInFlight() + inFlightDelta))
     // arm one recurring timer per domain on the first URL — only URLs
     // (UrlDBFunction registers the timer in processElement1 :188-209);
     // a score-only domain must not tick forever emitting nothing

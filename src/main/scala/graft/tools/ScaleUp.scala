@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a 10× bench dataset from the largest driver-generated SF — the
+  * sf1 scale probe (PERF_NOTES §"sf1 scale probe"). Straight duplication
+  * would be pathological for the dedup/join suite (every row with 9 exact
+  * clones ⇒ quadratic pair blow-ups that say nothing about real 10× data),
+  * so each copy remaps its keys into a disjoint range and mutates text /
+  * embeddings deterministically:
+  *   - fact/dim keys: += copy × 100M (join fan-out stays 1:1)
+  *   - documents.text: per-copy vowel rotation via translate() — token
+  *     count, lengths, and whitespace shape survive; shingles don't collide
+  *     across copies
+  *   - embeddings: deterministic per-(copy, dim) jitter so ANN buckets
+  *     spread instead of producing 10-way cosine ties
+  * region/nation stay single-copy (dimension tables; nationkey references
+  * remain valid). Usage: ScaleUp [srcDir] [dstDir] [copies].
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/target/bench-sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val K = 100000000L
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    def replicate(name: String, keyCols: Seq[String])(
+        mutate: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = read(name)
+      val out = (0 until copies).map { i =>
+        val shifted = keyCols.foldLeft(base)(
+          (d, k) => d.withColumn(k, col(k) + lit(i * K)))
+        mutate(shifted, i)
+      }.reduce(_ unionByName _)
+      write(out, name)
+      println(s"[scale-up] $name x$copies -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // dims referenced by unshifted int32 keys: copy through once
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    replicate("customer", Seq("c_custkey"))()
+    replicate("supplier", Seq("s_suppkey"))()
+    replicate("part", Seq("p_partkey"))()
+    replicate("orders", Seq("o_orderkey", "o_custkey"))()
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))()
+    replicate("events", Seq("event_id", "user_id"))()
+
+    // vowel rotation per copy: copy 0 is the original; each other copy
+    // rewrites most words, so cross-copy shingle/minhash/simhash overlap
+    // vanishes like it would in genuinely larger data
+    // two independent rotations (vowels by i mod 5, consonants by i div 5)
+    // so all `copies` variants are pairwise distinct — no vowel-twin copy
+    // pair reintroducing jaccard-1.0 clone pairs
+    val vowels = "aeiou"
+    val cons = "rstln"
+    replicate("documents", Seq("doc_id")) { (d, i) =>
+      if (i == 0) d
+      else {
+        val vrot = (vowels + vowels).substring(i % 5, i % 5 + 5)
+        val crot = (cons + cons).substring(i / 5 % 5, i / 5 % 5 + 5)
+        d.withColumn("text",
+          translate(col("text"), vowels + cons, vrot + crot))
+      }
+    }
+
+    // deterministic per-(copy, dim) jitter keeps vectors distinct without
+    // changing their scale; labels untouched
+    replicate("embeddings", Seq("vec_id")) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"transform(embedding, (x, j) -> x + cast(((j * 31 + $i * 17) % 7 - 3) as float) * 0.01f)"))
+    }
+
+    spark.stop()
+  }
+}

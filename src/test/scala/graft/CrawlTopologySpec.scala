@@ -180,6 +180,36 @@ class CrawlTopologySpec extends AnyFunSuite {
     assert(math.abs(shared(0) - 1.0f) < 1e-6, s"score ${shared(0)}")
     assert(r.frontier.filter(col("url") === "http://mass.com/shared").count() == 0)
   }
+
+  test("parse stage stamps language and parsedMeta on every page (P1)") {
+    // a German page with meta tags: language detection + the meta map must
+    // travel into CrawlResult.parsed (reference TikaCallable.java:167,
+    // ParsedUrl.java:6-69)
+    val html =
+      """<html><head><title>Seite</title>
+        |<meta name="keywords" content="krawler, spark">
+        |<meta name="author" content="graft">
+        |</head><body>der hund und die katze ist von dem haus mit ein
+        |baum und der garten ist das beste und die sonne</body></html>"""
+        .stripMargin
+    val fetcher = new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url.startsWith("http://meta.com")) FetchedPage(200, html, "text/html")
+        else FetchedPage(404, "", "text/plain")
+    }
+    val r = CrawlTopology.run(
+      spark, Seq(("meta.com", 1.0f)),
+      fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 3))
+    val rows = r.parsed
+      .filter(col("url").startsWith("http://meta.com"))
+      .select("language", "parsedMeta").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "de", s"language ${rows(0).getString(0)}")
+    val meta = rows(0).getAs[Map[String, String]]("parsedMeta")
+    assert(meta("keywords") == "krawler, spark", s"meta $meta")
+    assert(meta("author") == "graft")
+  }
 }
 
 class FocusedSchedulingSpec extends AnyFunSuite {

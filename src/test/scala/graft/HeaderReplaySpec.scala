@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.crawl._
+import graft.functions.UrlFunctions
+import graft.schema.{FetchStatus => FS}
+
+/** Response headers through the fetch stage (reference FetchResultUrl
+  * .java:6-109) and the WARC archive-and-replay loop (reference
+  * CommonCrawlFetcher.java:50-135).
+  */
+class HeaderCharsetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val latinText = "café crème following résumé"
+
+  /** A page whose BYTES are ISO-8859-1 and whose charset is declared only
+    * by the Content-Type response HEADER (lowercase name: header lookup
+    * must be case-insensitive); the contentType field says nothing.
+    */
+  private val headerCharsetFetcher = new Fetcher {
+    override def fetch(url: String): FetchedPage =
+      if (url.startsWith("http://latin.com")) {
+        val html =
+          s"<html><head><title>Latin</title></head><body>$latinText</body></html>"
+        FetchedPage(200, "", "text/html",
+          bytes = html.getBytes(java.nio.charset.Charset.forName("ISO-8859-1")),
+          headers = Map(
+            "content-type" -> Seq("text/html; charset=ISO-8859-1"),
+            "X-Request-ID" -> Seq("req-1")))
+      } else FetchedPage(404, "", "text/plain")
+  }
+
+  test("fetch→parse round-trip decodes with the header-declared charset") {
+    val r = CrawlTopology.run(
+      spark, Seq(("latin.com", 1.0f)),
+      headerCharsetFetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 3))
+    val rows = r.parsed.select("text").collect()
+    assert(rows.length == 1)
+    // decoding 0xE9 as the contentType-field fallback (UTF-8) would
+    // produce replacement chars — the header charset must win
+    assert(rows(0).getString(0).contains("café crème"),
+      s"text was '${rows(0).getString(0)}'")
+  }
+
+  test("q39 header scalars work over REAL fetched headers") {
+    // capture the content tap: the same frame a WARC/content sink gets
+    var captured: Option[DataFrame] = None
+    def capture(df: DataFrame): Unit = {
+      val c = df.localCheckpoint(true)
+      captured = Some(captured.fold(c)(_.unionByName(c)))
+    }
+    CrawlTopology.run(
+      spark, Seq(("latin.com", 1.0f)),
+      headerCharsetFetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 3, contentSink = Some(capture)))
+    val content = captured.get
+    // q39's scalar pipeline (case-normalized map lookup + charset
+    // extraction), applied to headers that came through the fetch stage
+    val ct = element_at(
+      element_at(transform_keys(col("headers"), (k, _) => lower(k)),
+        "content-type"), 1)
+    val row = content.select(
+      col("url"),
+      lower(coalesce(
+        when(regexp_extract(ct, "charset=([^;]+)", 1) === "", null)
+          .otherwise(regexp_extract(ct, "charset=([^;]+)", 1)),
+        lit("utf-8"))).as("charset"),
+      element_at(element_at(transform_keys(col("headers"), (k, _) => lower(k)),
+        "x-request-id"), 1).as("req")).collect()
+    assert(row.length == 1)
+    assert(row(0).getString(1) == "iso-8859-1")
+    assert(row(0).getString(2) == "req-1")
+    // and the SQL-side resolution agrees with the Scala-side one the
+    // parse stage uses
+    val scalaSide = UrlFunctions.charsetFromHeaders(
+      Map("content-type" -> Seq("text/html; charset=ISO-8859-1")),
+      "text/html").name().toLowerCase(java.util.Locale.ROOT)
+    assert(scalaSide == row(0).getString(1))
+  }
+
+  test("header charset outranks a conflicting contentType-field charset") {
+    val cs = UrlFunctions.charsetFromHeaders(
+      Map("Content-Type" -> Seq("text/html; charset=ISO-8859-1")),
+      "text/html; charset=UTF-8")
+    assert(cs.name() == "ISO-8859-1")
+    // header present but without a charset → field's charset still applies
+    val cs2 = UrlFunctions.charsetFromHeaders(
+      Map("Content-Type" -> Seq("text/html")),
+      "text/html; charset=ISO-8859-1")
+    assert(cs2.name() == "ISO-8859-1")
+  }
+}
+
+class WarcReplaySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("crawl B replayed from crawl A's WARC yields identical frontier facts") {
+    val graph = WebGraph(
+      "replay.com" -> Seq("replay.com/a", "replay.com/b"),
+      "replay.com/a" -> Seq("replay.com/c", "replay.com/missing"),
+      "replay.com/b" -> Seq("replay.com/c"),
+      "replay.com/c" -> Seq.empty)
+    val dir = java.nio.file.Files.createTempDirectory("warc_replay").toString
+
+    // crawl A: live (mocked) fetch, archiving every fetched page as WARC
+    val a = CrawlTopology.run(
+      spark, Seq(("replay.com", 1.0f)),
+      new WebGraphFetcher(graph), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8,
+        contentSink = Some(df =>
+          graft.sinks.Sinks.writeWarcContent(df, s"$dir/warc"))))
+
+    // crawl B: same seeds, fetch stage = equi-join against A's archive
+    val archive = ArchiveFetch.fromWarc(spark, s"$dir/warc")
+    val b = CrawlTopology.run(
+      spark, Seq(("replay.com", 1.0f)),
+      new WebGraphFetcher(WebGraph()), // never consulted
+      new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8),
+      fetchStage = Some(ArchiveFetch.stage(archive)))
+
+    def facts(r: CrawlResult): Map[String, (String, Float)] =
+      r.frontier.select("url", "status", "score").collect()
+        .map(row => row.getString(0) -> (row.getString(1), row.getFloat(2)))
+        .toMap
+    val fa = facts(a)
+    val fb = facts(b)
+    assert(fa.keySet == fb.keySet, s"url sets differ: ${fa.keySet} vs ${fb.keySet}")
+    fa.foreach { case (url, (st, score)) =>
+      assert(fb(url)._1 == st, s"$url status ${fb(url)._1} != $st")
+      assert(math.abs(fb(url)._2 - score) < 1e-6f, s"$url score differs")
+    }
+    // the archive replay really fetched pages (not all-404s)
+    assert(fa.values.count(_._1 == FS.FETCHED) == 4)
+    // parsed content identical
+    def parsedMap(r: CrawlResult) =
+      r.parsed.select("url", "title", "text").collect()
+        .map(row => row.getString(0) -> (row.getString(1), row.getString(2)))
+        .toMap
+    assert(parsedMap(a) == parsedMap(b))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}

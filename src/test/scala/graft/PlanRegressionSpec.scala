@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins: the load-bearing plan properties that
+  * make the headline queries scale (predicate pushdown into the parquet
+  * scan, TakeOrderedAndProject instead of a global sort, broadcast joins
+  * for the dimension tables, no single-partition WindowExec for global
+  * aggregates). A refactor that silently regresses one of these passes
+  * the value-level oracles but loses the 100×-scale plan — this suite
+  * makes that a test failure instead of a bench surprise.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The FINAL adaptive plan: AQE may rewrite joins at runtime, so the
+    * query executes first and only the final-plan section is asserted
+    * (the initial plan legitimately contains pre-AQE operators).
+    */
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val fin = s.indexOf("== Final Plan ==")
+    val init = s.indexOf("== Initial Plan ==")
+    if (fin >= 0 && init > fin) s.substring(fin, init) else s
+  }
+
+  test("q01: filters are pushed into the parquet scan") {
+    val plan = planOf("q01_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    // the pushed set must be non-empty (not "PushedFilters: []")
+    assert(!plan.contains("PushedFilters: []"), plan.take(2000))
+  }
+
+  test("q03: global top-K plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q03_topk_global")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q09: all three dimension joins broadcast") {
+    val plan = planOf("q09_join_multi_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >= 3 BroadcastHashJoin, got $broadcasts\n" +
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q44: global mean is a broadcast aggregate, not an empty-frame window") {
+    val plan = planOf("q44_quota_ratio")
+    assert(!plan.contains("Window"), // WindowExec/WindowGroupLimit both out
+      "q44 regressed to a single-partition window:\n" + plan.take(3000))
+  }
+
+  test("q04: per-key top-K uses WindowGroupLimit pushdown") {
+    val plan = planOf("q04_topk_per_key")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+}

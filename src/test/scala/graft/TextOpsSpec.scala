@@ -26,7 +26,8 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("ngram jaccard finds near-dup pair but not unrelated docs") {
     val pairs = TextOps
-      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5,
+        maxDocFrequency = None) // exact path: 5 docs, every shingle "hot"
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       .toSet
@@ -337,7 +338,8 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
       (4L, "click here now kappa lambda mu nu")
     ).toDF("doc_id", "text")
     val strict = graft.operators.TextOps.ngramJaccardPairs(
-      docs, "doc_id", "text", k = 3, threshold = 0.3)
+      docs, "doc_id", "text", k = 3, threshold = 0.3,
+      maxDocFrequency = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val guarded = graft.operators.TextOps.ngramJaccardPairs(
       docs, "doc_id", "text", k = 3, threshold = 0.3,
@@ -348,5 +350,46 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
     // with the guard the stop-phrase shingles are gone; only the real
     // near-dup pair remains above threshold
     assert(guarded == Set((1L, 2L)), s"got $guarded vs strict $strict")
+  }
+
+  test("default guard bounds hot-shingle join fan-out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 500 docs; 20% share a 5-token boilerplate phrase (3 hot shingles,
+    // each at 20% doc frequency > the 10% default cap); docs 900/901 are a
+    // genuine near-dup pair on unique content
+    val n = 500
+    val hot = "click here to subscribe now"
+    val docs = (0 until n).map { i =>
+      val filler = s"unique${i}a unique${i}b unique${i}c unique${i}d"
+      val text = if (i < n / 5) s"$hot $filler" else filler
+      (i.toLong, text)
+    } ++ Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "the quick brown fox jumps over the lazy cat"))
+    val df = docs.toDF("doc_id", "text")
+
+    // analytic join fan-out: sum over shingle buckets of c*(c-1)/2
+    def fanout(capped: Boolean): Long = {
+      val counts = df
+        .select(explode(graft.operators.TextOps.shingleUdf(3)($"text")).as("s"))
+        .groupBy("s").count()
+      val cap = math.max(1L, (df.count() * 0.1).toLong)
+      val kept = if (capped) counts.filter($"count" <= cap) else counts
+      kept.agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+        .first().getLong(0)
+    }
+    val exact = fanout(capped = false)
+    val guarded = fanout(capped = true)
+    // each hot shingle alone contributes C(100,2) = 4950 pairs
+    assert(exact >= 3 * 4950L, s"exact fan-out $exact")
+    // guarded fan-out is the real near-dup pairs only (no hot buckets)
+    assert(guarded < 100L, s"guarded fan-out $guarded not bounded")
+
+    // and the DEFAULT entry point still finds the genuine near-dup pair
+    val pairs = graft.operators.TextOps
+      .ngramJaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900L, 901L)), s"got $pairs")
   }
 }
