@@ -21,17 +21,22 @@ class HeaderCharsetSpec extends AnyFunSuite {
     * by the Content-Type response HEADER (lowercase name: header lookup
     * must be case-insensitive); the contentType field says nothing.
     */
-  private val headerCharsetFetcher = new Fetcher {
-    override def fetch(url: String): FetchedPage =
-      if (url.startsWith("http://latin.com")) {
-        val html =
-          s"<html><head><title>Latin</title></head><body>$latinText</body></html>"
-        FetchedPage(200, "", "text/html",
-          bytes = html.getBytes(java.nio.charset.Charset.forName("ISO-8859-1")),
-          headers = Map(
-            "content-type" -> Seq("text/html; charset=ISO-8859-1"),
-            "X-Request-ID" -> Seq("req-1")))
-      } else FetchedPage(404, "", "text/plain")
+  private val headerCharsetFetcher: Fetcher = {
+    // local copy: the anonymous Fetcher must not capture the (non-
+    // serializable) spec instance through a field reference
+    val text = latinText
+    new Fetcher {
+      override def fetch(url: String): FetchedPage =
+        if (url.startsWith("http://latin.com")) {
+          val html =
+            s"<html><head><title>Latin</title></head><body>$text</body></html>"
+          FetchedPage(200, "", "text/html",
+            bytes = html.getBytes(java.nio.charset.Charset.forName("ISO-8859-1")),
+            headers = Map(
+              "content-type" -> Seq("text/html; charset=ISO-8859-1"),
+              "X-Request-ID" -> Seq("req-1")))
+        } else FetchedPage(404, "", "text/plain")
+    }
   }
 
   test("fetch→parse round-trip decodes with the header-declared charset") {
