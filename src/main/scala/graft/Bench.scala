@@ -26,7 +26,22 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+    // per-query storage hygiene: operators that stage through
+    // localCheckpoint/cache pin block-manager storage that outlives their
+    // query; without eviction every query inherits the previous queries'
+    // blocks (GC pressure grew measurably across the suite — PERF_NOTES
+    // §sf1 scale probe). DuckDB runs each oracle query fresh; this keeps
+    // the comparison per-query honest.
+    def dropLeftoverBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // let the ContextCleaner reclaim dead shuffle files too — at sf1 the
+      // heavy self-joins leave GBs of shuffle spill whose cleanup
+      // otherwise lands inside the NEXT query's measurement
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      dropLeftoverBlocks()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

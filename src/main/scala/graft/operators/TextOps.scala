@@ -169,8 +169,12 @@ object TextOps {
         // exact path: streaming self-join. The join's pair fan-out is
         // quadratic in bucket occupancy but never buffers a bucket, so
         // hot shingles degrade throughput, not memory.
-        // both self-join branches read the same materialized shingle set —
-        // without this the whole tokenize/shingle pipeline runs twice
+        // both self-join branches read the same materialized shingle set;
+        // ReuseExchange does NOT dedup the two branches under AQE (A/B'd
+        // at sf1: barrier-free ran the UDF pipeline twice and measured
+        // 46 s vs 16 s — PERF_NOTES §sf1 scale probe), so the explicit
+        // barrier stays. The blocks it pins belong to the session owner:
+        // drop them BETWEEN queries (Bench does) — never mid-query.
         val shC = exploded.localCheckpoint(true)
         jaccardTail(shC.as("a")
           .join(shC.as("b"),
@@ -190,7 +194,8 @@ object TextOps {
         val frequent = exploded.groupBy("s").count()
           .filter(col("count") > cap).select("s")
         // Jaccard is then over the filtered shingle sets, so set sizes
-        // are recomputed post-filter
+        // are recomputed post-filter (same barrier rationale as the
+        // exact path above)
         val filtered = exploded
           .join(broadcast(frequent), Seq("s"), "left_anti")
           .withColumn("n",

@@ -17,7 +17,12 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    // driver parquet stores ts as TIMESTAMP(NANOS) (surfaced long by the
+    // conf above); derived bench sets (tools.ScaleUp) store plain
+    // TIMESTAMP(MICROS) — accept both
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 }

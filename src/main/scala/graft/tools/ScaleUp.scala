@@ -32,7 +32,11 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(name: String): DataFrame =
-      spark.read.parquet(s"$src/$name.parquet")
+      // events: TIMESTAMP(NANOS) needs the legacy conf + µs rebuild; the
+      // derived copy is then written as standard TIMESTAMP(MICROS), which
+      // both Spark (Tables.events) and the DuckDB oracle read natively
+      if (name == "events") graft.queries.Tables.events(spark, src)
+      else spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
