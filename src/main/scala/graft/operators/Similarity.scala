@@ -177,6 +177,50 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF ANN with multi-cell probing (the standard recall lever): each
+    * query searches its `nprobe` nearest cells instead of only its own,
+    * catching true neighbors that sit just across a cell boundary. Cost
+    * scales with nprobe × cell size — still cell-local equi-joins over
+    * the corpus, never all-pairs; centroids stay broadcast. `nprobe = 1`
+    * reduces to [[ivfTopK]]'s search (modulo that query cells here come
+    * from the query's own centroid ranking, which for corpus members is
+    * identical to their assigned cell at rank 1).
+    */
+  def ivfTopKProbed(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String,
+      dim: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpusCells = ivfAssign(corpus, idCol, vecCol,
+      centroids, centIdCol, centVecCol, dim)
+      .localCheckpoint(true) // one assignment pass
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).as("cv"),
+      VectorExpressions.norm(col(centVecCol)).as("cn"))
+    val q0 = queries.select(col(idCol).as("qvid"), col(vecCol).as("qv"),
+      VectorExpressions.norm(col(vecCol)).as("qn"))
+    val pw = Window.partitionBy(col("qvid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = q0.join(broadcast(c))
+      .select(col("qvid"), col("qv"), col("qn"), col("cent_id"),
+        (VectorExpressions.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn"))).as("cent_cos"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qvid"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    // every corpus vector lives in exactly one cell, so (query, neighbor)
+    // pairs are already unique across the probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes.as("q"))
+      .join(corpusCells.as("c"),
+        col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid"))
+      .select(col("q.qvid").as("query_id"), col("c.vid").as("neighbor_id"),
+        (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+          (col("q.qn") * col("c.n"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

@@ -149,6 +149,16 @@ object TextQueries {
         e.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", "vec_id", "embedding", dim = 64, k = 3)
     }),
+    "q48_ivf_nprobe" -> ((s, d) => {
+      // multi-probe IVF: nprobe=2 recovers neighbors just across the
+      // query's cell boundary (the standard recall/cost dial)
+      val e = embs(s, d)
+      Similarity.ivfTopKProbed(
+        e.filter(col("vec_id") % 50 === 0), e,
+        e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 64, k = 3, nprobe = 2)
+    }),
     "q35_token_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
@@ -355,6 +365,24 @@ object TextQueries {
          |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
          |SELECT query_id, neighbor_id, cell, cos, rn FROM rr
+         |WHERE rn <= 3""".stripMargin,
+    "q48_ivf_nprobe" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |a AS (SELECT e.vec_id AS vid, e.embedding AS ve, c.cent_id,
+         |    ${dCos("e.embedding", "c.cv")} AS cent_cos
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |    ORDER BY cent_cos DESC, cent_id ASC) AS crn FROM a),
+         |cells AS (SELECT vid, ve, cent_id AS cell FROM r WHERE crn = 1),
+         |probes AS (SELECT vid AS qvid, ve AS qv, cent_id AS cell
+         |  FROM r WHERE vid % 50 = 0 AND crn <= 2),
+         |j AS (SELECT q.qvid AS query_id, x.vid AS neighbor_id,
+         |    ${dCos("q.qv", "x.ve")} AS cos
+         |  FROM probes q JOIN cells x ON q.cell = x.cell AND q.qvid <> x.vid),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cos, rn FROM rr
          |WHERE rn <= 3""".stripMargin,
     "q35_token_bpe" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,

@@ -178,6 +178,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(2L, 5L)), s"candidates must come from cell B: $ids")
   }
 
+  test("ivf multi-probe recovers the true neighbor across a cell boundary") {
+    // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
+    // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
+    // find n at rank 1
+    val vecs = Seq(
+      (0L, Array(0.8f, 0.6f, 0.0f, 0.0f)),   // q  -> cell 100
+      (1L, Array(0.6f, 0.8f, 0.0f, 0.0f)),   // n  -> cell 200, cos(q,n)=.96
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // f  -> cell 100, cos(q,f)≈.87
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // centroid A
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f))  // centroid B
+    ).toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") >= 100L)
+    val queries = vecs.filter(col("vec_id") === 0L)
+    def firstNeighbor(nprobe: Int): Long =
+      Similarity.ivfTopKProbed(queries, vecs.filter(col("vec_id") < 100L),
+        centroids, "vec_id", "embedding", "vec_id", "embedding",
+        dim = 4, k = 1, nprobe = nprobe)
+        .collect().head.getAs[Long]("neighbor_id")
+    assert(firstNeighbor(1) == 2L)  // single-cell probe misses n
+    assert(firstNeighbor(2) == 1L)  // second probe cell recovers it
+  }
+
   test("int8 quantization: max-abs scale, half-up rounding, zero guard") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 0.5f, 0.0f)),
