@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN quality measurement (PERF_NOTES §ANN recall): recall@k of each
+  * approximate index against the exact brute-force top-k on the driver
+  * embeddings table — an ANN path is only a "scale path" if its recall is
+  * known. Prints one JSON line with recall and wall time per method.
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = graft.queries.Tables.table(spark, dir, "embeddings")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (truth, exactSec) = timed(pairs(
+      Similarity.cosineTopK(queries, e, "vec_id", "embedding", 64, k)))
+
+    def recallOf(approx: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0
+      else approx.intersect(truth).size.toDouble / truth.size
+
+    val (lsh, lshSec) = timed(pairs(Similarity.annTopK(
+      queries, e, "vec_id", "embedding", 64, numPlanes = 16, k)))
+    val (ivf1, ivf1Sec) = timed(pairs(Similarity.ivfTopK(
+      queries, e, centroids, "vec_id", "embedding", "vec_id", "embedding",
+      64, k)))
+    val (ivf2, ivf2Sec) = timed(pairs(Similarity.ivfTopKProbed(
+      queries, e, centroids, "vec_id", "embedding", "vec_id", "embedding",
+      64, k, nprobe = 2)))
+    val (ivf4, ivf4Sec) = timed(pairs(Similarity.ivfTopKProbed(
+      queries, e, centroids, "vec_id", "embedding", "vec_id", "embedding",
+      64, k, nprobe = 4)))
+
+    println(f"""{"bench":"ann_recall","k":$k,"truth_pairs":${truth.size},""" +
+      f""""exact_sec":$exactSec%.2f,""" +
+      f""""lsh16":{"recall":${recallOf(lsh)}%.3f,"sec":$lshSec%.2f},""" +
+      f""""ivf_np1":{"recall":${recallOf(ivf1)}%.3f,"sec":$ivf1Sec%.2f},""" +
+      f""""ivf_np2":{"recall":${recallOf(ivf2)}%.3f,"sec":$ivf2Sec%.2f},""" +
+      f""""ivf_np4":{"recall":${recallOf(ivf4)}%.3f,"sec":$ivf4Sec%.2f}}""")
+    spark.stop()
+  }
+}
