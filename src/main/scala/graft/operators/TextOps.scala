@@ -245,6 +245,48 @@ object TextOps {
       .distinct()
   }
 
+  /** Near-dup pairs at SIGNATURE-ONLY cost: LSH candidates from banded
+    * signatures, then Jaccard ESTIMATED as the fraction of matching
+    * signature positions (the MinHash estimator, unbiased with variance
+    * ~ j(1-j)/K) — the raw text is touched exactly once (to build sigs).
+    * [[minhashDedupPairs]] re-shingles every candidate for the exact
+    * verify join; at 100 TB that second pass over text dominates, so this
+    * estimator form is the recommended scale default when a ±1/√K
+    * jaccard tolerance is acceptable.
+    */
+  def minhashDedupPairsApprox(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+      // sub-shingleK docs have an all-null sig (no shingles ⇒ jaccard
+      // undefined) — excluded, otherwise every pair of them band-collides
+      // and "matches" vacuously
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .localCheckpoint(true) // one text pass; feeds bands and both estimate sides
+    val bands = sigs
+      .select(col("doc_id"),
+        explode(bandKeysUdf(numBands, bandSize)(col("sig"))).as("band_key"))
+      .distinct()
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("jaccard_est",
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),
+                 | m -> m)) / cast($numHashes as double)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .filter(col("jaccard_est") >= threshold)
+      .select("id_a", "id_b", "jaccard_est")
+  }
+
   /** The full near-dup pipeline at scale: MinHash+LSH candidate
     * generation, then exact Jaccard verification restricted to candidate
     * pairs — verification cost scales with candidates, not with the

@@ -129,6 +129,12 @@ object TextQueries {
     "q31_minhash_dedup" -> ((s, d) =>
       TextOps.minhashDedupPairs(docs(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, bandSize = 4, threshold = 0.5)),
+    "q49_minhash_est" -> ((s, d) =>
+      // signature-only dedup: jaccard estimated from matching sig
+      // positions, no second pass over the raw text (the scale default
+      // when a ±1/sqrt(K) tolerance is acceptable)
+      TextOps.minhashDedupPairsApprox(docs(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bandSize = 4, threshold = 0.5)),
     "q30_multimodal_meta" -> ((s, d) =>
       // binary-column plumbing: opaque bytes + deterministic fake "decode"
       docs(s, d)
@@ -298,6 +304,25 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM p)
          |WHERE jaccard >= 0.5""".stripMargin,
+    "q49_minhash_est" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |s AS (SELECT * FROM sigs WHERE sig[1] IS NOT NULL),
+         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM s),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(range(0, 16),
+         |      i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 16.0 AS jaccard_est
+         |  FROM cand c
+         |  JOIN s a ON a.doc_id = c.id_a
+         |  JOIN s b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard_est FROM j
+         |WHERE jaccard_est >= 0.5""".stripMargin,
     "q26_simhash" ->
       s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
          |  CASE WHEN list_sum(list_transform($dHashedTokens, h ->

@@ -47,6 +47,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash estimate dedup: sig-only pairs, no second text pass") {
+    val pairs = TextOps.minhashDedupPairsApprox(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 16, bandSize = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard_est")).toMap
+    // identical docs estimate exactly 1.0
+    assert(pairs.get((1L, 4L)).contains(1.0), s"got $pairs")
+    // unrelated doc 3 and the sub-shingle doc 5 never pair
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val sh = TextOps.simhashes(docs, "doc_id", "text")
