@@ -549,6 +549,23 @@ object TextOps {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** PII scrub for training corpora: emails, phone-ish digit runs, and
+    * IPv4 literals replaced by stable tags — the standard pre-training
+    * redaction pass. Pure regexp_replace chain (codegen, engine-portable
+    * patterns: no lookbehind, RE2-safe), so it composes into
+    * [[cleanCorpus]]-style single-scan pipelines. Order matters: emails
+    * first (their digits must not be half-eaten by the phone pattern).
+    */
+  def scrubPiiSql(c: String): String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    val ip = "\\\\b(?:[0-9]{1,3}\\\\.){3}[0-9]{1,3}\\\\b"
+    val phone = "\\\\+?[0-9][0-9()\\\\-. ]{7,}[0-9]"
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       | '$email', '<EMAIL>'),
+       | '$ip', '<IP>'),
+       | '$phone', '<PHONE>')""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** Per-key top-K by a score column with total-order tie-break. */
   def topKPerKey(df: DataFrame, key: String, score: Column, tieBreak: Column,
       k: Int): DataFrame =

@@ -47,6 +47,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pii scrub replaces emails, ips, and phone runs with stable tags") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+x@mail.example.org for details"),
+      (2L, "server at 192.168.10.255 responded"),
+      (3L, "call +1 (555) 123-4567 or 555.123.4567 now"),
+      (4L, "plain text with number 42 and year 2024 stays")
+    ).toDF("doc_id", "text")
+      .select($"doc_id",
+        expr(TextOps.scrubPiiSql("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "contact <EMAIL> for details")
+    assert(rows(2L) == "server at <IP> responded")
+    assert(rows(3L) == "call <PHONE> or <PHONE> now", rows(3L))
+    // short digit runs survive (no over-scrubbing)
+    assert(rows(4L) == "plain text with number 42 and year 2024 stays")
+  }
+
   test("minhash estimate dedup: sig-only pairs, no second text pass") {
     val pairs = TextOps.minhashDedupPairsApprox(docs, "doc_id", "text",
       shingleK = 3, numHashes = 16, bandSize = 4, threshold = 0.5)
