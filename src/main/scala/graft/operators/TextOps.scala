@@ -549,6 +549,24 @@ object TextOps {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Within-document repetition: fraction of repeated word bigrams,
+    * 1 - distinct/total (the Gopher-style "repetitive document" quality
+    * gate — template/boilerplate pages score high and get filtered before
+    * training). Single staged token projection, no shuffle.
+    */
+  def repetitionFeatures(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), expr(tokensSql(textCol)).as("toks"))
+      .select(col(idCol),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(expr(shinglesFromToksSql("toks", 2))).cast("long")
+          .as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_distinct").cast("double") /
+              col("n_bigrams").cast("double")))
+
   /** PII scrub for training corpora: emails, phone-ish digit runs, and
     * IPv4 literals replaced by stable tags — the standard pre-training
     * redaction pass. Pure regexp_replace chain (codegen, engine-portable

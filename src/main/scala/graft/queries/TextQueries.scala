@@ -88,6 +88,9 @@ object TextQueries {
       docs(s, d).select(
         col("doc_id"),
         expr(TextOps.canonicalFingerprintSql("text")).as("fingerprint"))),
+    "q50_repetition" -> ((s, d) =>
+      // Gopher-style repetitive-document gate: repeated-bigram fraction
+      TextOps.repetitionFeatures(docs(s, d), "doc_id", "text")),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -304,6 +307,20 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM p)
          |WHERE jaccard >= 0.5""".stripMargin,
+    "q50_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+         |    CAST(CASE WHEN len(toks) >= 2 THEN
+         |      len(list_distinct(list_transform(range(0, len(toks) - 1),
+         |        i -> array_to_string(toks[i+1:i+2], ' '))))
+         |      ELSE 0 END AS BIGINT) AS n_distinct
+         |  FROM t)
+         |SELECT doc_id, n_bigrams, n_distinct,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |  END AS rep_ratio
+         |FROM f""".stripMargin,
     "q49_minhash_est" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
          |  FROM documents),

@@ -47,6 +47,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("repetition ratio flags repeated-bigram documents") {
+    import spark.implicits._
+    val feats = TextOps.repetitionFeatures(
+      Seq(
+        (1L, "spam spam spam spam spam spam"), // 5 bigrams, 1 distinct
+        (2L, "all these words differ right now"), // 5 bigrams, 5 distinct
+        (3L, "solo")                              // no bigrams
+      ).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rep_ratio")).toMap
+    assert(math.abs(feats(1L) - 0.8) < 1e-9, feats)
+    assert(feats(2L) == 0.0)
+    assert(feats(3L) == 0.0)
+  }
+
   test("pii scrub replaces emails, ips, and phone runs with stable tags") {
     import spark.implicits._
     val rows = Seq(
