@@ -567,6 +567,43 @@ object TextOps {
             col("n_distinct").cast("double") /
               col("n_bigrams").cast("double")))
 
+  /** Deterministic hash-stratified sampling — the corpus mixture-weighting
+    * primitive ("keep 50% of English, 10% of everything else"): a row
+    * survives iff hash32(id) mod 1e6 < rate(stratum)·1e6. md5-derived
+    * hash ⇒ reproducible across runs AND engines (no RNG state, no seed
+    * drift between retries of a failed partition — the property
+    * rand()-based sampling loses on a cluster). Pure projection+filter:
+    * no shuffle at any corpus size.
+    */
+  def sampleByHash(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(
+      expr(hash32Sql(s"cast($idCol as string)")) % 1000000 <
+        (rateCol * 1000000).cast("long"))
+  }
+
+  /** Token-budget packing per stratum: longest documents first
+    * (deterministic id tie-break), keep while the stratum's cumulative
+    * token count fits the budget — the "fill N tokens per language/
+    * source" mixture-construction step. One hash shuffle on the stratum
+    * key, running sum inside each partition's window.
+    */
+  def packTokenBudget(
+      df: DataFrame, idCol: String, textCol: String, strataCol: String,
+      budget: Long): DataFrame =
+    df.select(col(idCol), col(strataCol).as("stratum"),
+      size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("stratum"))
+            .orderBy(col("n_tokens").desc, col(idCol).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+
   /** PII scrub for training corpora: emails, phone-ish digit runs, and
     * IPv4 literals replaced by stable tags — the standard pre-training
     * redaction pass. Pure regexp_replace chain (codegen, engine-portable

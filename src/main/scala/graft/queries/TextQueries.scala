@@ -91,6 +91,16 @@ object TextQueries {
     "q50_repetition" -> ((s, d) =>
       // Gopher-style repetitive-document gate: repeated-bigram fraction
       TextOps.repetitionFeatures(docs(s, d), "doc_id", "text")),
+    "q51_sample_strata" -> ((s, d) =>
+      // mixture weighting: keep 50% of en, all zh, 25% of the rest —
+      // deterministic (hash-based), so the oracle reproduces it exactly
+      TextOps.sampleByHash(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))),
+    "q52_token_budget" -> ((s, d) =>
+      // fill a 1000-token budget per language, longest docs first
+      TextOps.packTokenBudget(docs(s, d), "doc_id", "text", "lang",
+        budget = 1000)),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -307,6 +317,23 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard FROM p)
          |WHERE jaccard >= 0.5""".stripMargin,
+    "q51_sample_strata" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${dHash32("CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < CAST((CASE WHEN lang = 'en' THEN 0.5
+         |               WHEN lang = 'zh' THEN 1.0
+         |               ELSE 0.25 END) * 1000000 AS BIGINT)""".stripMargin,
+    "q52_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang AS stratum,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, stratum, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY stratum
+         |      ORDER BY n_tokens DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 1000""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

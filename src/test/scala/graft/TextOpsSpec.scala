@@ -47,6 +47,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hash-stratified sampling: deterministic, rate-shaped, per-stratum") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    assert(TextOps.sampleByHash(df, "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 1.0), defaultRate = 0.0).count() == 400)
+    assert(TextOps.sampleByHash(df, "doc_id", "lang",
+      Map.empty, defaultRate = 0.0).count() == 0)
+    val half = TextOps.sampleByHash(df, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.0)
+    val c1 = half.collect().map(_.getLong(0)).toSet
+    val c2 = half.collect().map(_.getLong(0)).toSet
+    assert(c1 == c2) // hash-based, no RNG: identical on re-run
+    assert(c1.forall(_ % 2 == 0)) // zh fell to the 0.0 default
+    assert(math.abs(c1.size - 100) < 40, s"kept ${c1.size} of 200 en")
+  }
+
+  test("token budget packing keeps longest docs within each stratum") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "one two three four five"), // 5 tokens
+      (2L, "a", "one two three"),           // 3
+      (3L, "a", "one two"),                 // 2 — overflows the budget
+      (4L, "b", "x y z")                    // separate stratum
+    ).toDF("doc_id", "lang", "text")
+    val kept = TextOps.packTokenBudget(df, "doc_id", "text", "lang", budget = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    assert(kept == Map(1L -> 5L, 2L -> 8L, 4L -> 3L), kept)
+  }
+
   test("repetition ratio flags repeated-bigram documents") {
     import spark.implicits._
     val feats = TextOps.repetitionFeatures(
