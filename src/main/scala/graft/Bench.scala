@@ -40,16 +40,38 @@ object Bench {
       // otherwise lands inside the NEXT query's measurement
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String): Double = {
       dropLeftoverBlocks()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Noise canary: a fixed sentinel query timed before and after the
+    // suite. Same code + same data twice in one JVM should agree; a
+    // sentinel ratio >1.5x means the box was loaded mid-run and the
+    // suite's absolute numbers are untrustworthy (round 6: a driver run
+    // recorded 311.7 s for a 46 s suite with exactly this decay shape,
+    // and nothing in-band flagged it).
+    val sentinelName = "q09_join_multi_revenue"
+    val sentinelFirst = timed(sentinelName)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+      name -> timed(name)
+    }
+    val sentinelLast = timed(sentinelName)
+    val ratio =
+      if (sentinelFirst > 0 && sentinelLast > 0)
+        math.max(sentinelFirst, sentinelLast) /
+          math.min(sentinelFirst, sentinelLast)
+      else -1.0
+    val noisy = ratio < 0 || ratio > 1.5
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
+      s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
+      s""""noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

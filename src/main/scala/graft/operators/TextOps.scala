@@ -581,22 +581,46 @@ object TextOps {
     val rateCol = rates.foldLeft(lit(defaultRate): Column) {
       case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
+    // round(), not cast-truncate: rates that aren't exactly representable
+    // in binary (0.3 * 1e6 = 299999.9999…) must land on the same integer
+    // threshold here and in any oracle/other-engine re-run, or the two
+    // disagree on one hash bucket. Both Spark and DuckDB round half away
+    // from zero, so round(rate * 1e6) is the portable form.
     df.filter(
       expr(hash32Sql(s"cast($idCol as string)")) % 1000000 <
-        (rateCol * 1000000).cast("long"))
+        round(rateCol * 1000000, 0).cast("long"))
   }
 
   /** Token-budget packing per stratum: longest documents first
     * (deterministic id tie-break), keep while the stratum's cumulative
     * token count fits the budget — the "fill N tokens per language/
-    * source" mixture-construction step. One hash shuffle on the stratum
-    * key, running sum inside each partition's window.
+    * source" mixture-construction step.
+    *
+    * Scale shape: a running-sum window partitioned by stratum serializes
+    * each stratum onto one task, and strata are languages/sources
+    * (cardinality ~10-100) — at corpus scale that sorts everything
+    * through a handful of tasks. But at most `budget` docs can ever
+    * satisfy `cum_tokens <= budget` (every doc that consumes budget has
+    * >= 1 token), so we first trim each stratum to its top-`budget` rows
+    * by `(n_tokens DESC, id ASC)` — a rank filter Spark rewrites to
+    * WindowGroupLimit, which prunes partially on the map side before the
+    * shuffle — and only then run the running sum over that bounded set.
+    * Value-identical for docs with >= 1 token; zero-token docs are
+    * dropped up front on both engine and oracle side (they can never
+    * consume budget, and packing them is meaningless).
     */
   def packTokenBudget(
       df: DataFrame, idCol: String, textCol: String, strataCol: String,
       budget: Long): DataFrame =
     df.select(col(idCol), col(strataCol).as("stratum"),
       size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("stratum"))
+            .orderBy(col("n_tokens").desc, col(idCol).asc)))
+      .filter(col("rn") <= budget)
+      .drop("rn")
       .withColumn("cum_tokens",
         sum(col("n_tokens")).over(
           Window.partitionBy(col("stratum"))
@@ -606,10 +630,14 @@ object TextOps {
 
   /** PII scrub for training corpora: emails, phone-ish digit runs, and
     * IPv4 literals replaced by stable tags — the standard pre-training
-    * redaction pass. Pure regexp_replace chain (codegen, engine-portable
-    * patterns: no lookbehind, RE2-safe), so it composes into
+    * redaction pass. Pure regexp_replace chain (codegen), composing into
     * [[cleanCorpus]]-style single-scan pipelines. Order matters: emails
     * first (their digits must not be half-eaten by the phone pattern).
+    *
+    * The *patterns* are RE2-safe (no lookbehind/backrefs), but the call
+    * shape is Spark-dialect: engines whose `regexp_replace` replaces only
+    * the first match by default (DuckDB) need an explicit 'g' flag — see
+    * the q53 oracle in TextQueries for the pinned DuckDB twin.
     */
   def scrubPiiSql(c: String): String = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"

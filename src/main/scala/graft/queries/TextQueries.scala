@@ -55,6 +55,31 @@ object TextQueries {
        | x -> x IN ($lst))) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** Deterministic PII-bearing text: doc text plus a synthesized email,
+    * IPv4, and phone derived from doc_id. Engine-portable SQL (concat /
+    * cast / %), evaluated identically by Spark and DuckDB so the q53
+    * scrub oracle exercises every pattern on every row.
+    */
+  private val piiProbe: String =
+    "concat(text, ' contact user', cast(doc_id as string)," +
+      " '@mail.example.com srv 10.0.0.'," +
+      " cast(doc_id % 256 as string)," +
+      " ' call +1 (555) 123-', cast(1000 + doc_id % 9000 as string))"
+
+  /** DuckDB twin of [[TextOps.scrubPiiSql]]: same patterns (single-escaped
+    * — DuckDB string literals don't process backslashes), plus the 'g'
+    * flag DuckDB needs for replace-all semantics.
+    */
+  private def dScrubPii(c: String): String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ip = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+    val phone = """\+?[0-9][0-9()\-. ]{7,}[0-9]"""
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       | '$email', '<EMAIL>', 'g'),
+       | '$ip', '<IP>', 'g'),
+       | '$phone', '<PHONE>', 'g')""".stripMargin.replaceAll("\n", " ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_dedup_exact" -> ((s, d) =>
       TextOps.exactDedup(docs(s, d), "doc_id", "text")),
@@ -101,6 +126,13 @@ object TextQueries {
       // fill a 1000-token budget per language, longest docs first
       TextOps.packTokenBudget(docs(s, d), "doc_id", "text", "lang",
         budget = 1000)),
+    "q53_pii_scrub" -> ((s, d) =>
+      // scrub over a deterministic PII probe: every doc gets a synthetic
+      // email + IPv4 + phone appended (same SQL on both engines), so all
+      // three patterns are exercised on every row, not just on whatever
+      // PII the corpus happens to contain
+      docs(s, d).select(col("doc_id"),
+        expr(TextOps.scrubPiiSql(piiProbe)).as("scrubbed"))),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -320,20 +352,24 @@ object TextQueries {
     "q51_sample_strata" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${dHash32("CAST(doc_id AS VARCHAR)")} % 1000000
-         |  < CAST((CASE WHEN lang = 'en' THEN 0.5
+         |  < CAST(round((CASE WHEN lang = 'en' THEN 0.5
          |               WHEN lang = 'zh' THEN 1.0
-         |               ELSE 0.25 END) * 1000000 AS BIGINT)""".stripMargin,
+         |               ELSE 0.25 END) * 1000000) AS BIGINT)""".stripMargin,
     "q52_token_budget" ->
       s"""WITH t AS (SELECT doc_id, lang AS stratum,
          |    CAST(len($dTokens) AS BIGINT) AS n_tokens
          |  FROM documents),
          |c AS (SELECT doc_id, stratum, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY stratum
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY stratum
          |      ORDER BY n_tokens DESC, doc_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-         |  FROM t)
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM t WHERE n_tokens >= 1)
          |SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 1000""".stripMargin,
+    "q53_pii_scrub" ->
+      s"""SELECT doc_id, ${dScrubPii(piiProbe)} AS scrubbed
+         |FROM documents""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -92,21 +92,45 @@ object LiveCrawl {
       * bounded by the scheduler caps; 1 file per batch is right unless
       * maxPerFiring × domains is huge). `maxFilesPerTrigger` bounds how
       * many backlog files one micro-batch swallows on resume.
+      *
+      * Retention: a continuous crawl appends feedback files forever, so by
+      * default consumed files are DELETED once the file source's
+      * checkpoint has committed past them (Spark's own `cleanSource`
+      * cleaner — retention piggybacks on exactly the offset log that makes
+      * the channel replayable, so an unconsumed file is never touched and
+      * a restart still replays pending feedback). Directory size is then
+      * proportional to the loop's in-flight lag, not to crawl age —
+      * the flatness property the reference's checkpointed continuous loop
+      * needs (…/tools/CrawlTool.java:60-64). Pass `archiveDir` to move
+      * consumed files aside instead (keeps the complete crawl journal
+      * while the live directory stays bounded), or `retainConsumed = true`
+      * for the old keep-everything behavior (short test crawls). The
+      * file-source seen-file map is bounded separately by Spark's
+      * `maxFileAge` (default 7 days) + metadata-log compaction.
       */
     def file(
         spark: SparkSession,
         dir: String,
         writePartitions: Int = 1,
-        maxFilesPerTrigger: Int = 64):
+        maxFilesPerTrigger: Int = 64,
+        archiveDir: Option[String] = None,
+        retainConsumed: Boolean = false):
         (Dataset[UrlDbProcessor.Envelope], FeedbackChannel) = {
       import spark.implicits._
       new java.io.File(dir).mkdirs()
-      val input = spark.readStream
+      val reader = spark.readStream
         .schema(org.apache.spark.sql.Encoders
           .product[UrlDbProcessor.Envelope].schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(dir)
-        .as[UrlDbProcessor.Envelope]
+      archiveDir match {
+        case Some(ad) =>
+          reader.option("cleanSource", "archive")
+            .option("sourceArchiveDir", ad)
+        case None if !retainConsumed =>
+          reader.option("cleanSource", "delete")
+        case _ => ()
+      }
+      val input = reader.parquet(dir).as[UrlDbProcessor.Envelope]
       (input, new FileFeedbackChannel(dir, writePartitions))
     }
   }

@@ -57,4 +57,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     val plan = planOf("q04_topk_per_key")
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
+
+  test("q52: running sum sees only WindowGroupLimit-bounded rows per stratum") {
+    // packTokenBudget's running-sum window partitions by stratum
+    // (cardinality ~languages), which serializes each stratum onto one
+    // task — survivable only because the rank pre-trim bounds its input
+    // to at most `budget` rows per stratum, pruned map-side by
+    // WindowGroupLimit BEFORE the stratum shuffle. This pin fails if the
+    // pre-trim is dropped or stops qualifying for the rewrite.
+    val plan = planOf("q52_token_budget")
+    val wgl = plan.indexOf("WindowGroupLimit")
+    assert(wgl >= 0, "rank pre-trim lost its WindowGroupLimit rewrite:\n" +
+      plan.take(3000))
+    // physical plans print leaves last: the bounding WindowGroupLimit must
+    // appear BELOW (after, in print order) the running-sum Window it feeds
+    val win = plan.indexOf("Window ")
+    assert(win >= 0 && win < wgl,
+      s"WindowGroupLimit must feed the running-sum Window (win=$win wgl=$wgl):\n" +
+        plan.take(3000))
+    // map-side partial pruning: both Partial and Final mode instances
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      "WindowGroupLimit should run partial (map-side) then final:\n" +
+        plan.take(3000))
+  }
 }

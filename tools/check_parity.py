@@ -26,6 +26,20 @@ for name, sql in sorted(oracle.items()):
     ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
     if ecols != gcols:
         print(f"FAIL {name}: cols {gcols} != {ecols}"); fail += 1; continue
+    # dtype-strict: the driver's hash gate is type-sensitive (a DuckDB
+    # HUGEINT vs Spark BIGINT hash-mismatches even when values agree —
+    # q38 round 3, q52 round 6), but Python's == calls 99 == 99.0 equal.
+    # Compare Arrow types up front so that class can never pass locally.
+    etypes = {c: str(exp.schema.field(c).type) for c in ecols}
+    gtypes = {c: str(got.schema.field(c).type) for c in gcols}
+    WIDEN = {"int8": "int64", "int16": "int64", "int32": "int64",
+             "float": "double", "large_string": "string"}
+    dtbad = [(c, gtypes[c], etypes[c]) for c in ecols
+             if WIDEN.get(gtypes[c], gtypes[c]) != WIDEN.get(etypes[c], etypes[c])]
+    if dtbad:
+        for c, g, e in dtbad:
+            print(f"FAIL {name}: dtype {c}: spark {g} != oracle {e}")
+        fail += 1; continue
     def rows(tbl):
         cols = [tbl.column(c).to_pylist() for c in sorted(tbl.column_names)]
         return sorted(zip(*cols), key=lambda r: tuple((v is None, str(type(v)), v) for v in r))
