@@ -38,7 +38,27 @@ object ArchiveFetch {
       .when(code === 410, FS.HTTP_GONE)
       .when(code === 429, FS.HTTP_TOO_MANY_REQUESTS)
       .when(code >= 500, FS.HTTP_SERVER_ERROR)
+      .when(code === -2, FS.ERROR_INVALID_URL)
+      .when(code === -3, FS.ABORTED_FETCH)
       .otherwise(FS.ERROR_IOEXCEPTION)
+
+  /** Columnar inverse ([[graft.schema.FetchStatus.toHttpStatus]]): the
+    * representative code a FetchStatus round-trips through an archive as.
+    */
+  def fetchStatusToHttpStatusCol(status: Column): Column =
+    when(status === FS.FETCHED, 200)
+      .when(status === FS.HTTP_MOVED, 301)
+      .when(status === FS.HTTP_REDIRECTED, 302)
+      .when(status === FS.HTTP_UNAUTHORIZED, 401)
+      .when(status === FS.HTTP_FORBIDDEN, 403)
+      .when(status === FS.HTTP_NOTFOUND, 404)
+      .when(status === FS.HTTP_GONE, 410)
+      .when(status === FS.HTTP_TOO_MANY_REQUESTS, 429)
+      .when(status === FS.HTTP_SERVER_ERROR, 500)
+      .when(status === FS.ERROR_INVALID_URL, -2)
+      .when(status === FS.ABORTED_FETCH, -3)
+      .when(status === FS.ERROR_IOEXCEPTION, -1)
+      .otherwise(0)
 
   /** Fetch stage backed by an archive table: one left equi-join on url.
     * Returns the same FetchOutcome rows the live mapPartitions fetcher
@@ -85,16 +105,29 @@ object ArchiveFetch {
     * `fetchStage = ArchiveFetch.stage(ArchiveFetch.fromWarc(spark, dir))`.
     * A page archived more than once (recrawl rounds) keeps its newest
     * record so the join stays 1:1 on url.
+    *
+    * Fidelity: records carry the real archived status code and redirect
+    * target (the contentSink tap archives every fetch ATTEMPT, not just
+    * 200s), so replay reconstructs redirects/404s/errors exactly — parity
+    * with the reference CommonCrawlFetcher, which replays archived status
+    * codes. "Newest" is decided by the millisecond fetch time stamped in
+    * the record (`WARC-Graft-Fetch-Ms`), not the second-resolution
+    * WARC-Date — two recrawls inside one second still pick the later
+    * fetch; (warcDate, content) stay as deterministic tie-breaks for
+    * legacy records without the stamp.
     */
   def fromWarc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val newest = Window.partitionBy(col("url"))
-      .orderBy(col("warcDate").desc, col("content").asc)
+      .orderBy(col("fetchTimeMs").desc, col("warcDate").desc,
+        col("content").asc)
     graft.sources.WarcSource.read(spark, path)
       .withColumn("rn", row_number().over(newest))
       .filter(col("rn") === 1)
-      .select(col("url"), lit(200).as("statusCode"), col("content"),
-        col("contentType"), lit(null).cast("string").as("redirectedTo"))
+      .select(col("url"), col("statusCode"), col("content"),
+        col("contentType"),
+        when(col("redirectedTo") === "", lit(null).cast("string"))
+          .otherwise(col("redirectedTo")).as("redirectedTo"))
   }
 
   /** Materialize a WebGraph fixture as an archive table — lets tests prove

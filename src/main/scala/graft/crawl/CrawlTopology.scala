@@ -446,15 +446,20 @@ object CrawlTopology {
           .localCheckpoint(true)
         journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
 
-        // content tap: fetched pages (with their response headers) flow to
-        // the configured sink — WARC archiving, content parquet, metrics
+        // content tap: every fetch ATTEMPT (with response headers) flows
+        // to the configured sink — WARC archiving, content parquet,
+        // metrics. Non-2xx outcomes are archived too (real status code +
+        // redirect target, empty body), so a replayed crawl reconstructs
+        // redirects and errors instead of flattening them to 404 — the
+        // reference CommonCrawlFetcher replays archived status codes
         cfg.contentSink.foreach { sink =>
           sink(fetched.toDF()
-            .filter(col("status") === FS.FETCHED)
             .select(col("url"),
-              lit(200).as("statusCode"),
+              ArchiveFetch.fetchStatusToHttpStatusCol(col("status"))
+                .as("statusCode"),
               col("contentType"), col("headers"), col("content"),
-              lit(now).as("fetchTimeMs")))
+              lit(now).as("fetchTimeMs"),
+              col("redirectedTo")))
         }
 
         // advance the politeness clocks for delayed domains

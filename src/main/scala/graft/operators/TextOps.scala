@@ -382,17 +382,23 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** BPE-ish subword token count: a GPT-2-style pretokenizer regex
-    * (contraction suffixes, space-prefixed letter runs, digit runs,
-    * punctuation runs) — the usual "how many tokens will this cost"
-    * estimator when no real tokenizer is on the classpath. Pure regex, so
-    * both engines count identically.
+  /** PRE-token count, not merged-BPE count: a GPT-2-style PREtokenizer
+    * regex (contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) counts the units a BPE tokenizer would start from,
+    * BEFORE any merge rules apply — an upper-bound-ish "how many tokens
+    * will this cost" estimator when no real tokenizer is on the
+    * classpath. Pure regex, so both engines count identically.
     */
-  val BpeTokenPattern: String =
+  val PreTokenPattern: String =
     "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
-  def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+  def preTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PreTokenPattern), lit(0))).cast("long")
+
+  /** @deprecated naming: this counts GPT-2-style PRE-tokens, not merged
+    * BPE tokens — use [[preTokenCount]]; kept as an alias for callers.
+    */
+  def bpeTokenCount(c: Column): Column = preTokenCount(c)
 
   /** Karp–Rabin rolling fingerprint of the canonical text (lowercased,
     * alphanumerics only): left fold h = (h*131 + code) mod 1e9+7 seeded

@@ -281,13 +281,52 @@ object Crawler {
       |  (o_orderkey % 90000) + 100 AS clen
       |FROM orders""".stripMargin
 
+  /** Media-src extraction (the multimodal ingest feed, MediaIngest/
+    * HtmlParser.mediaLinks) driven through the REAL extractor over
+    * deterministic synthesized HTML, so resolution and filtering have a
+    * closed-form oracle: an absolute img URL, a root-relative video src,
+    * a page-relative source src (both resolved against the page URL), a
+    * duplicated img (pins the distinct), a `data-src` decoy that the
+    * attribute-boundary regex must NOT match, and a meta-robots nofollow
+    * page (doc_id % 13 == 0) that must yield zero rows — the same gate
+    * parse() applies to outlinks.
+    */
+  def mediaLinksProbe(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pageUrl = concat(lit("http://site"), id % 10,
+      lit(".example.com/pages/p"), id)
+    val html = concat(
+      when(id % 13 === 0,
+        lit("<meta name=\"robots\" content=\"nofollow\">")).otherwise(lit("")),
+      lit("<img src=\"http://img.example.com/i"), id, lit(".jpg\">"),
+      lit("<img data-src=\"http://img.example.com/decoy.jpg\">"),
+      lit("<video controls src=\"/media/v"), id % 50, lit(".mp4\"></video>"),
+      lit("<source src=\"thumbs/t"), id, lit(".png\">"),
+      lit("<img src=\"http://img.example.com/i"), id, lit(".jpg\">"))
+    val extract = udf((url: String, h: String) =>
+      graft.crawl.HtmlParser.mediaLinks(url, h))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(extract(pageUrl, html)).as("media_url"))
+  }
+
+  val mediaLinksProbeSql: String =
+    """SELECT doc_id, unnest([
+      |  'http://img.example.com/i' || doc_id || '.jpg',
+      |  'http://site' || (doc_id % 10) || '.example.com/media/v'
+      |    || (doc_id % 50) || '.mp4',
+      |  'http://site' || (doc_id % 10) || '.example.com/pages/thumbs/t'
+      |    || doc_id || '.png']) AS media_url
+      |FROM documents
+      |WHERE doc_id % 13 <> 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
     "q16_frontier_merge" -> (frontierMerge _),
     "q17_schedule_topk" -> (scheduleTopK _),
     "q32_surt_key" -> (surtKeys _),
-    "q39_header_charset" -> (headerCharset _)
+    "q39_header_charset" -> (headerCharset _),
+    "q54_media_links" -> (mediaLinksProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -296,6 +335,7 @@ object Crawler {
     "q16_frontier_merge" -> frontierMergeSql,
     "q17_schedule_topk" -> scheduleTopKSql,
     "q32_surt_key" -> surtKeysSql,
-    "q39_header_charset" -> headerCharsetSql
+    "q39_header_charset" -> headerCharsetSql,
+    "q54_media_links" -> mediaLinksProbeSql
   )
 }

@@ -211,8 +211,10 @@ object TextQueries {
         dim = 64, k = 3, nprobe = 2)
     }),
     "q35_token_bpe" -> ((s, d) =>
+      // pre-tokens (GPT-2-style pretokenizer units), not merged BPE —
+      // column name kept for oracle stability
       docs(s, d).select(col("doc_id"),
-        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+        TextOps.preTokenCount(col("text")).as("n_bpe_tokens"))),
     "q36_rolling_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextOps.rollingFingerprintUdf(col("text")).as("rhash"))),

@@ -66,6 +66,29 @@ object FetchStatus {
     * Negative codes are Fetcher's exception-kind sentinels
     * (ExceptionUtils.java:64-120 analog): -1 IO, -2 bad URL, -3 timeout.
     */
+  /** Inverse of [[fromHttpStatus]] onto representative codes, for
+    * archive (WARC) round-trips: `fromHttpStatus(toHttpStatus(s)) == s`
+    * for every fetch-attempt status, so a replayed crawl reconstructs the
+    * exact FetchStatus the original crawl recorded — including redirects
+    * and errors, not just 200s. Lifecycle/skip statuses (never produced
+    * by a fetch attempt) map to 0.
+    */
+  def toHttpStatus(status: String): Int = status match {
+    case FETCHED => 200
+    case HTTP_MOVED => 301
+    case HTTP_REDIRECTED => 302
+    case HTTP_UNAUTHORIZED => 401
+    case HTTP_FORBIDDEN => 403
+    case HTTP_NOTFOUND => 404
+    case HTTP_GONE => 410
+    case HTTP_TOO_MANY_REQUESTS => 429
+    case HTTP_SERVER_ERROR => 500
+    case ERROR_INVALID_URL => -2
+    case ABORTED_FETCH => -3
+    case ERROR_IOEXCEPTION => -1
+    case _ => 0
+  }
+
   def fromHttpStatus(code: Int): String = code match {
     case c if c >= 200 && c < 300 => FETCHED
     case 301 | 308 => HTTP_MOVED

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Output sinks mirroring the reference's two writers (SURVEY.md §2.13):
@@ -18,8 +18,17 @@ object Sinks {
     * expression (reference WARCRecord.java:35, CreateWARCWritableFunction
     * .java:87-110). Expects columns: url, contentType, content (string),
     * fetchTimeMs (long).
+    *
+    * Three extension fields (WARC/1.0 §4 named-field extensibility) make
+    * the archive REPLAY-complete: the archived HTTP status code, the
+    * redirect target, and the millisecond fetch time (WARC-Date is
+    * second-resolution — recrawls within one second need the real stamp
+    * to pick "newest" correctly on replay, [[graft.crawl.ArchiveFetch
+    * .fromWarc]]).
     */
-  def warcRecordCol = {
+  def warcRecordCol(
+      statusCode: Column = lit(200),
+      redirectedTo: Column = lit("")) = {
     val body = col("content")
     // WARC Content-Length is the OCTET count of the block — length() on a
     // string counts characters, wrong for any non-ASCII body
@@ -31,6 +40,13 @@ object Sinks {
       concat(lit("WARC-Date: "),
         date_format(timestamp_millis(col("fetchTimeMs")), WarcDate),
         lit("\r\n")),
+      concat(lit("WARC-Graft-Status-Code: "),
+        statusCode.cast("string"), lit("\r\n")),
+      when(coalesce(redirectedTo, lit("")) === "", lit(""))
+        .otherwise(concat(lit("WARC-Graft-Redirect: "), redirectedTo,
+          lit("\r\n"))),
+      concat(lit("WARC-Graft-Fetch-Ms: "),
+        col("fetchTimeMs").cast("string"), lit("\r\n")),
       concat(lit("Content-Type: "), col("contentType"), lit("\r\n")),
       concat(lit("Content-Length: "), len, lit("\r\n")),
       lit("\r\n"),
@@ -57,7 +73,7 @@ object Sinks {
       fetched: DataFrame, path: String,
       maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
     val writer = fetched
-      .select(warcRecordCol.as("value"))
+      .select(warcRecordCol().as("value"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (gzip) writer.option("compression", "gzip") else writer).text(path)
@@ -65,11 +81,14 @@ object Sinks {
 
   /** WARC sink for the crawl's `contentSink` tap (CrawlConfig.contentSink
     * frame: url, statusCode, contentType, headers, content binary,
-    * fetchTimeMs): decodes each body with the response-header charset
-    * (headers outrank the contentType field, exactly like the parse
-    * stage) and APPENDS records, so a multi-round crawl accumulates one
-    * archive — the writer half of the archive-and-replay loop closed by
-    * [[graft.crawl.ArchiveFetch.fromWarc]].
+    * fetchTimeMs, redirectedTo): decodes each body with the
+    * response-header charset (headers outrank the contentType field,
+    * exactly like the parse stage) and APPENDS records, so a multi-round
+    * crawl accumulates one archive — the writer half of the
+    * archive-and-replay loop closed by [[graft.crawl.ArchiveFetch
+    * .fromWarc]]. Status code and redirect target travel in the record's
+    * extension fields so non-200 outcomes replay faithfully (frames from
+    * older taps without `redirectedTo` still write, as 200s-only did).
     */
   def writeWarcContent(
       content: DataFrame, path: String,
@@ -79,12 +98,15 @@ object Sinks {
         new String(bytes,
           graft.functions.UrlFunctions.charsetFromHeaders(headers, ct))
     }
+    val redirect =
+      if (content.columns.contains("redirectedTo")) col("redirectedTo")
+      else lit("")
     val frame = content.select(
       col("url"), col("contentType"),
       decode(col("content"), col("headers"), col("contentType")).as("content"),
-      col("fetchTimeMs"))
+      col("fetchTimeMs"), col("statusCode"), redirect.as("redirectedTo"))
     val writer = frame
-      .select(warcRecordCol.as("value"))
+      .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (gzip) writer.option("compression", "gzip") else writer).text(path)

@@ -19,7 +19,13 @@ object WarcSource {
 
   final case class WarcRecord(
       warcType: String, url: String, contentType: String,
-      warcDate: String, content: String)
+      warcDate: String, content: String,
+      // replay-fidelity extension fields (writer: Sinks.warcRecordCol).
+      // Records from other writers default to 200/""/0L — the pre-round-7
+      // "every record is a 200" behavior, now the fallback instead of the
+      // rule.
+      statusCode: Int = 200, redirectedTo: String = "",
+      fetchTimeMs: Long = 0L)
 
   /** Split one file's text into WARC records. */
   private[sources] def parseFile(text: String): Seq[WarcRecord] = {
@@ -62,7 +68,12 @@ object WarcSource {
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("content-type", ""),
           headers.getOrElse("warc-date", ""),
-          body)
+          body,
+          headers.get("warc-graft-status-code")
+            .flatMap(s => s.trim.toIntOption).getOrElse(200),
+          headers.getOrElse("warc-graft-redirect", ""),
+          headers.get("warc-graft-fetch-ms")
+            .flatMap(s => s.trim.toLongOption).getOrElse(0L))
         pos = text.indexOf(marker, math.max(i, bodyStart))
       }
     }
@@ -70,8 +81,9 @@ object WarcSource {
   }
 
   /** Read a WARC directory into one row per `resource` record:
-    * (url, contentType, warcDate, content). warcinfo headers are dropped
-    * (pass `keepAllTypes = true` to surface every record with its type).
+    * (url, contentType, warcDate, content, statusCode, redirectedTo,
+    * fetchTimeMs). warcinfo headers are dropped (pass `keepAllTypes =
+    * true` to surface every record with its type).
     */
   def read(spark: SparkSession, path: String,
       keepAllTypes: Boolean = false): DataFrame = {
@@ -82,6 +94,7 @@ object WarcSource {
       .toDF()
     if (keepAllTypes) all
     else all.filter(col("warcType") === "resource")
-      .select(col("url"), col("contentType"), col("warcDate"), col("content"))
+      .select(col("url"), col("contentType"), col("warcDate"), col("content"),
+        col("statusCode"), col("redirectedTo"), col("fetchTimeMs"))
   }
 }

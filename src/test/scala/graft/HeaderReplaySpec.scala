@@ -150,4 +150,67 @@ class WarcReplaySpec extends AnyFunSuite {
     assert(parsedMap(a) == parsedMap(b))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("redirects and errors replay with their real archived status codes") {
+    // a graph with a 301 hop and a 404: the archive must carry both
+    // outcomes (not flatten them to 200/404) so crawl B's frontier —
+    // including the redirect TARGET discovered through the archived
+    // redirectedTo — matches crawl A's exactly
+    val graph = WebGraph(
+      "rr.com" -> Seq("rr.com/old", "rr.com/missing"),
+      "rr.com/new" -> Seq("rr.com/deep"),
+      "rr.com/deep" -> Seq.empty)
+    val redirects = Map("http://rr.com/old" -> "http://rr.com/new")
+    val dir = java.nio.file.Files.createTempDirectory("warc_redir").toString
+
+    val a = CrawlTopology.run(
+      spark, Seq(("rr.com", 1.0f)),
+      new WebGraphFetcher(graph, redirects), new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8,
+        contentSink = Some(df =>
+          graft.sinks.Sinks.writeWarcContent(df, s"$dir/warc"))))
+    val archive = ArchiveFetch.fromWarc(spark, s"$dir/warc")
+    val b = CrawlTopology.run(
+      spark, Seq(("rr.com", 1.0f)),
+      new WebGraphFetcher(WebGraph()), // never consulted
+      new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8),
+      fetchStage = Some(ArchiveFetch.stage(archive)))
+
+    def facts(r: CrawlResult): Map[String, String] =
+      r.frontier.select("url", "status").collect()
+        .map(row => row.getString(0) -> row.getString(1)).toMap
+    val fa = facts(a)
+    val fb = facts(b)
+    assert(fa == fb, s"replayed frontier differs:\n a=$fa\n b=$fb")
+    assert(fb("http://rr.com/old") == FS.HTTP_MOVED,
+      "archived redirect must replay as HTTP_MOVED, not HTTP_NOTFOUND")
+    assert(fb("http://rr.com/new") == FS.FETCHED,
+      "redirect target must be discovered through the archived redirectedTo")
+    assert(fb("http://rr.com/deep") == FS.FETCHED)
+    assert(fb("http://rr.com/missing") == FS.HTTP_NOTFOUND)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("fromWarc picks the newest record by millisecond fetch time within one second") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_ms").toString
+    // two records for one URL inside the same WARC-Date second, where the
+    // NEWER fetch has the lexicographically LARGER body — the legacy
+    // (warcDate desc, content asc) ordering would replay the stale body,
+    // only the millisecond stamp discriminates
+    val base = 1700000000000L
+    Seq(
+      ("http://ms.com/p", "text/html", "aaa old body", base + 100),
+      ("http://ms.com/p", "text/html", "zzz new body", base + 900)
+    ).toDF("url", "contentType", "content", "fetchTimeMs")
+      .coalesce(1)
+      .createOrReplaceTempView("ms_rows")
+    graft.sinks.Sinks.writeWarc(spark.table("ms_rows"), dir)
+    val picked = ArchiveFetch.fromWarc(spark, dir)
+      .select("content").as[String].collect()
+    assert(picked.toSeq == Seq("zzz new body"),
+      s"must keep the higher fetchTimeMs record: ${picked.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -192,7 +192,7 @@ class TextOpsSpec extends AnyFunSuite {
   test("bpe token count: contractions and punctuation split off") {
     val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
-      TextOps.bpeTokenCount(col("text")).as("n")).collect()
+      TextOps.preTokenCount(col("text")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // Don|'t| stop|,| it|'s| 42| tokens|!
     assert(got == Map(1L -> 9L, 2L -> 0L))
