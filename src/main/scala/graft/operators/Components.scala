@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge/pair frame — the cluster-assignment
+  * step that turns near-dup PAIRS (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, cosine — every dedup op in [[TextOps]]/[[Similarity]] emits
+  * `(id_a, id_b)` pairs) into "one canonical document per duplicate
+  * cluster": every member of a transitively-connected group gets the
+  * group's minimum id as its cluster id, so `keep = (id == cluster_id)`
+  * and the drop set is everything else.
+  *
+  * Algorithm: hash-min label propagation — every node starts labeled with
+  * itself, each round takes the min of its own and its neighbors' labels,
+  * until a fixpoint. Each round is one equi-join plus one aggregation
+  * (two shuffles), fully distributed; lineage is truncated per round with
+  * `localCheckpoint` so plans don't grow with the iteration count.
+  * Rounds needed = the graph diameter. Dedup graphs are the favorable
+  * case: LSH band buckets and equal-hash groups produce clique-like
+  * clusters whose diameter is small and independent of corpus size, so
+  * the round count stays O(few) at 100 TB while each round scales as a
+  * plain shuffle. (For general high-diameter graphs the large-star/
+  * small-star variant halves rounds; not needed for dedup shapes.)
+  */
+object Components {
+
+  /** Label every node reachable through `pairs` with the minimum id in
+    * its component. Output: (id, component); ids keep the pair columns'
+    * type (min works on any ordered type, longs and strings included).
+    * Nodes not mentioned in any pair are absent — unpaired docs are their
+    * own cluster by definition and need no shuffle to learn it.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.component").as("component"))
+        .union(labels.select(col("id"), col("component")))
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no row changed" is the fixpoint
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup selection over a pair frame: one row per clustered doc with
+    * its cluster id and whether it is the KEPT canonical representative
+    * (the cluster's minimum id — deterministic, engine-independent).
+    */
+  def dedupClusters(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("keep"))
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, TextOps}
+import graft.operators.{Components, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
@@ -133,6 +133,15 @@ object TextQueries {
       // PII the corpus happens to contain
       docs(s, d).select(col("doc_id"),
         expr(TextOps.scrubPiiSql(piiProbe)).as("scrubbed"))),
+    "q55_dedup_clusters" -> ((s, d) =>
+      // pairs -> clusters: hash-min connected components over the q25
+      // LSH candidate pairs; cluster_id = min doc_id in the component
+      // (the canonical doc a dedup pass would keep)
+      Components.connectedComponents(
+        TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bandSize = 4),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -372,6 +381,27 @@ object TextQueries {
     "q53_pii_scrub" ->
       s"""SELECT doc_id, ${dScrubPii(piiProbe)} AS scrubbed
          |FROM documents""".stripMargin,
+    "q55_dedup_clusters" ->
+      // transitive closure via recursive CTE over the q25 candidate
+      // pairs; min reachable id == the hash-min fixpoint label
+      s"""WITH RECURSIVE
+         |sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |walk(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v)
+         |SELECT u AS doc_id, min(label) AS cluster_id
+         |FROM walk GROUP BY u""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Hash-min connected components: the pairs→clusters step of every dedup
+  * pipeline (cluster id = min id in the transitive group).
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains, cliques and isolated pairs cluster to their min id") {
+    val got = cc(Seq(
+      (1L, 2L), (2L, 3L),           // chain: {1,2,3}
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique: {10,11,12}
+      (20L, 21L)))                  // pair: {20,21}
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (propagation crosses the full diameter)") {
+    // a 12-hop path: hash-min needs ~diameter rounds; the min label (100)
+    // must reach the far end
+    val path = (100L until 112L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.values.toSet == Set(100L))
+    assert(got.keySet == (100L to 112L).toSet)
+  }
+
+  test("pair order does not matter (edges treated as undirected)") {
+    assert(cc(Seq((5L, 3L), (3L, 4L))) == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("string ids cluster by lexicographic min") {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+      Seq(("docB", "docA"), ("docB", "docC")).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
+  }
+
+  test("dedupClusters marks exactly one keeper per cluster") {
+    import spark.implicits._
+    val got = Components.dedupClusters(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == Set(1L, 7L))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $cid keepers: $rows")
+      assert(rows.find(_._3).get._1 == cid, "keeper must be the min id")
+    }
+  }
+}
