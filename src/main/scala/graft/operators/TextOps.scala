@@ -655,6 +655,33 @@ object TextOps {
        | '$phone', '<PHONE>')""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * k-shingle with an evaluation/benchmark set — the standard "remove
+    * test-set leakage before training" pass. Returns one row per
+    * contaminated doc with its distinct-overlapping-shingle count (the
+    * caller anti-joins to drop, or thresholds on `n_overlap`).
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets are
+    * thousands of docs, not billions), so its distinct shingles BROADCAST
+    * — the corpus side is one scan + explode with no shuffle before the
+    * per-doc count (partial agg combines map-side). For a benchmark too
+    * large to broadcast, put [[BloomPrefilter]] in front: bloom the
+    * benchmark shingles, prefilter the corpus explode, and let the
+    * residual equi-join shuffle only survivors.
+    */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 8): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(shingleUdf(k)(col(benchTextCol))).as("shingle"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(shingleUdf(k)(col(textCol))).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Per-key top-K by a score column with total-order tie-break. */
   def topKPerKey(df: DataFrame, key: String, score: Column, tieBreak: Column,
       k: Int): DataFrame =

@@ -142,6 +142,13 @@ object TextQueries {
           shingleK = 3, numHashes = 16, bandSize = 4),
         "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
+    "q56_decontaminate" -> ((s, d) => {
+      // test-set leakage: docs sharing any 3-shingle with the synthetic
+      // "benchmark" subset (doc_id % 97 == 0); production uses k=8
+      val all = docs(s, d)
+      TextOps.decontaminate(all, "doc_id", "text",
+        all.filter(col("doc_id") % 97 === 0), "text", k = 3)
+    }),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -402,6 +409,13 @@ object TextQueries {
          |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v)
          |SELECT u AS doc_id, min(label) AS cluster_id
          |FROM walk GROUP BY u""".stripMargin,
+    "q56_decontaminate" ->
+      s"""WITH bench AS (SELECT DISTINCT unnest($dShingles) AS shingle
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |d AS (SELECT doc_id, unnest($dShingles) AS shingle FROM documents)
+         |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |FROM d JOIN bench USING (shingle)
+         |GROUP BY d.doc_id""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

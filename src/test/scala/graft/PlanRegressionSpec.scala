@@ -58,6 +58,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("q56: benchmark shingles broadcast — corpus side joins without a shuffle") {
+    // decontamination's scale contract: the (small) benchmark side
+    // broadcasts, so the corpus explode flows straight into the join and
+    // the only shuffle is the final per-doc partial->final count
+    val plan = planOf("q56_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "benchmark join degraded to SMJ:\n" + plan.take(3000))
+  }
+
   test("q52: running sum sees only WindowGroupLimit-bounded rows per stratum") {
     // packTokenBudget's running-sum window partitions by stratum
     // (cardinality ~languages), which serializes each stratum onto one

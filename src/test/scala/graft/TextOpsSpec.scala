@@ -189,6 +189,21 @@ class TextOpsSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("decontaminate counts distinct overlapping shingles against the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "totally unrelated words here now"),
+      (3L, "quick brown fox runs away")
+    ).toDF("doc_id", "text")
+    // benchmark shingles (k=3): "the quick brown", "quick brown fox"
+    val bench = Seq(Tuple1("the quick brown fox")).toDF("text")
+    val got = TextOps.decontaminate(docs, "doc_id", "text", bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares both benchmark shingles, doc 3 one, doc 2 none (absent)
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("bpe token count: contractions and punctuation split off") {
     val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
