@@ -634,6 +634,53 @@ object TextOps {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= budget)
 
+  /** Per-stratum token-distribution profile — doc count, total/mean token
+    * counts, min/max, and exact discrete quantiles (p50/p95) — the summary
+    * a mixture designer reads before setting [[sampleByHash]] rates and
+    * [[packTokenBudget]] budgets.
+    *
+    * Quantiles are computed from the (stratum, n_tokens) HISTOGRAM, not
+    * from per-doc rows: one map-side-combined groupBy collapses the corpus
+    * to at most |strata| x max_doc_length rows, and the cumulative-count
+    * window then sorts only that bounded set — so unlike an exact
+    * `percentile` aggregate (whose per-group state is a value-count map
+    * carried through the shuffle) the expensive pass over 100 TB is a
+    * plain partial-aggregated count. `pNN_tokens` is the LOWER discrete
+    * quantile: the smallest token count v such that >= NN% of the
+    * stratum's docs have n_tokens <= v. The quantile comparisons are pure
+    * integer arithmetic (`cum*20 >= n_docs*19` for p95), so results are
+    * hash-exact across engines — no interpolation, no float drift; the
+    * one double (mean) is a single IEEE division, identical everywhere.
+    */
+  def tokenStats(
+      df: DataFrame, textCol: String, strataCol: String): DataFrame = {
+    val hist = df
+      .select(col(strataCol).as("stratum"),
+        size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
+      .groupBy("stratum", "n_tokens")
+      .agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(
+        Window.partitionBy("stratum").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = hist.groupBy("stratum").agg(
+      sum("n").as("n_docs"),
+      sum(col("n") * col("n_tokens")).as("total_tokens"))
+    cum.join(broadcast(totals), Seq("stratum"))
+      .groupBy("stratum")
+      .agg(
+        max("n_docs").as("n_docs"),
+        max("total_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        min(when(col("cum") * 2 >= col("n_docs"), col("n_tokens")))
+          .as("p50_tokens"),
+        min(when(col("cum") * 20 >= col("n_docs") * 19, col("n_tokens")))
+          .as("p95_tokens"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+  }
+
   /** PII scrub for training corpora: emails, phone-ish digit runs, and
     * IPv4 literals replaced by stable tags — the standard pre-training
     * redaction pass. Pure regexp_replace chain (codegen), composing into

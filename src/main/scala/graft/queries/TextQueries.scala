@@ -149,6 +149,10 @@ object TextQueries {
       TextOps.decontaminate(all, "doc_id", "text",
         all.filter(col("doc_id") % 97 === 0), "text", k = 3)
     }),
+    "q57_token_stats" -> ((s, d) =>
+      // per-source token-distribution profile: histogram-based exact
+      // discrete quantiles (integer arithmetic — hash-exact vs oracle)
+      TextOps.tokenStats(docs(s, d), "text", "source")),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -416,6 +420,27 @@ object TextQueries {
          |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
          |FROM d JOIN bench USING (shingle)
          |GROUP BY d.doc_id""".stripMargin,
+    "q57_token_stats" ->
+      s"""WITH t AS (SELECT source AS stratum,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT stratum, n_tokens, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t GROUP BY 1, 2),
+         |c AS (SELECT stratum, n_tokens, n,
+         |    CAST(SUM(n) OVER (PARTITION BY stratum ORDER BY n_tokens
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum FROM h),
+         |tot AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n * n_tokens) AS BIGINT) AS total_tokens
+         |  FROM h GROUP BY 1)
+         |SELECT c.stratum, MAX(n_docs) AS n_docs,
+         |  MAX(total_tokens) AS total_tokens,
+         |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         |  MIN(CASE WHEN cum * 2 >= n_docs THEN n_tokens END) AS p50_tokens,
+         |  MIN(CASE WHEN cum * 20 >= n_docs * 19 THEN n_tokens END)
+         |    AS p95_tokens,
+         |  CAST(MAX(total_tokens) AS DOUBLE) / MAX(n_docs) AS mean_tokens
+         |FROM c JOIN tot USING (stratum)
+         |GROUP BY 1""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -204,6 +204,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("tokenStats: histogram-exact discrete quantiles per stratum") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = (Seq(1, 2, 3, 4, 5).map(n => ("a", words(n))) ++
+      Seq(("b", words(2)), ("b", words(2)))).toDF("src", "text")
+    val got = TextOps.tokenStats(docs, "text", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // strata a: counts 1..5 -> p50 = 3 (cum 3 of 5), p95 = 5, mean 3.0
+    assert(a.getLong(a.fieldIndex("n_docs")) == 5L)
+    assert(a.getLong(a.fieldIndex("total_tokens")) == 15L)
+    assert(a.getLong(a.fieldIndex("p50_tokens")) == 3L)
+    assert(a.getLong(a.fieldIndex("p95_tokens")) == 5L)
+    assert(a.getDouble(a.fieldIndex("mean_tokens")) == 3.0)
+    val b = got("b")
+    assert(b.getLong(b.fieldIndex("p50_tokens")) == 2L &&
+      b.getLong(b.fieldIndex("p95_tokens")) == 2L &&
+      b.getLong(b.fieldIndex("min_tokens")) == 2L &&
+      b.getLong(b.fieldIndex("max_tokens")) == 2L)
+  }
+
   test("bpe token count: contractions and punctuation split off") {
     val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
