@@ -129,6 +129,69 @@ object TextOps {
   def canonicalFingerprintSql(c: String): String =
     s"md5(regexp_replace(lower($c), '[^a-z0-9]', ''))"
 
+  /** Non-overlapping `w`-token segments of an already-tokenized array
+    * column, in order, final partial segment included — the deterministic
+    * "pseudo-paragraph" unit for corpus-frequency boilerplate removal when
+    * the text has no native line structure. Pure Catalyst sequence/slice,
+    * mirrored 1:1 by a DuckDB range/list-slice expression.
+    */
+  def segmentsSql(toksCol: String, w: Int): String =
+    s"""CASE WHEN size($toksCol) = 0 THEN cast(array() as array<string>)
+       | ELSE transform(
+       |   sequence(0, cast(ceil(size($toksCol) / cast($w as double)) as int) - 1),
+       |   i -> concat_ws(' ', slice($toksCol, i * $w + 1, $w))) END"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** RefinedWeb/C4-style boilerplate removal: drop every text segment whose
+    * corpus document frequency reaches `minDocFrequency` (navigation bars,
+    * cookie banners, share buttons — content that repeats across unrelated
+    * pages), and reassemble each document from its surviving segments in
+    * original order. Returns (id, clean_text, n_segments, n_removed); a
+    * fully-boilerplate document survives with `clean_text = ""` so the
+    * caller can threshold instead of silently losing rows.
+    *
+    * Scale shape: three hash shuffles, all on bounded keys — (id, seg)
+    * distinct + segment doc-frequency count (partial agg combines
+    * map-side), the seg-keyed mark join, and the per-doc positional
+    * rebuild. No window over the corpus, no driver state; the frequent-
+    * segment set is never collected or broadcast by construction (its size
+    * is corpus-dependent), so the plan is shuffle-bound and linear.
+    */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDocFrequency: Int = 3,
+      minDocFraction: Option[Double] = None): DataFrame = {
+    val segs = df
+      .select(col(idCol), expr(tokensSql(textCol)).as("toks"))
+      .select(col(idCol),
+        posexplode(expr(segmentsSql("toks", segTokens))).as(Seq("pos", "seg")))
+    // minDocFraction makes the threshold scale with the corpus (an absolute
+    // "appears in >= 3 docs" is boilerplate at 1k docs but noise at 1B);
+    // the corpus count joins in as a broadcast 1-row aggregate, so the
+    // fractional form costs one cheap global count, no extra corpus pass.
+    val segDf = segs.select(col(idCol), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("seg_df"))
+    val thresholded = minDocFraction match {
+      case None => segDf.filter(col("seg_df") >= minDocFrequency)
+      case Some(frac) =>
+        segDf
+          .crossJoin(broadcast(df.select(count(lit(1)).as("n_docs_total"))))
+          .filter(col("seg_df") >= greatest(lit(minDocFrequency.toLong),
+            ceil(col("n_docs_total") * frac).cast("long")))
+    }
+    val boiler = thresholded.select(col("seg"), lit(1).as("bp"))
+    segs.join(boiler, Seq("seg"), "left")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("bp").isNull, struct(col("pos"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(col("bp")), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Default shingle doc-frequency cap for n-gram dedup: a shingle present
     * in more than this fraction of the corpus is a stop-phrase (boilerplate,
     * navigation text) whose join bucket pair-fans-out quadratically — at

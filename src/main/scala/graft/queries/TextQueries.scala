@@ -153,6 +153,12 @@ object TextQueries {
       // per-source token-distribution profile: histogram-based exact
       // discrete quantiles (integer arithmetic — hash-exact vs oracle)
       TextOps.tokenStats(docs(s, d), "text", "source")),
+    "q58_boilerplate" -> ((s, d) =>
+      // corpus-frequent segment removal; 2-token segments + 4%-of-corpus
+      // doc-frequency threshold so the synthetic vocabulary produces real
+      // boilerplate at every SF (production: 10-token segments, df>=3 abs)
+      TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
+        segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -440,6 +446,25 @@ object TextQueries {
          |    AS p95_tokens,
          |  CAST(MAX(total_tokens) AS DOUBLE) / MAX(n_docs) AS mean_tokens
          |FROM c JOIN tot USING (stratum)
+         |GROUP BY 1""".stripMargin,
+    "q58_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+         |sidx AS (SELECT doc_id, toks, unnest(range(0,
+         |    CAST(ceil(len(toks) / CAST(2 AS DOUBLE)) AS BIGINT))) AS pos
+         |  FROM t),
+         |s AS (SELECT doc_id, pos,
+         |    array_to_string(toks[pos*2+1 : pos*2+2], ' ') AS seg
+         |  FROM sidx),
+         |bp AS (SELECT seg, 1 AS bp FROM (
+         |    SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM s GROUP BY 1)
+         |  WHERE seg_df >= GREATEST(3, CAST(ceil(
+         |    0.04 * (SELECT COUNT(*) FROM documents)) AS BIGINT)))
+         |SELECT s.doc_id,
+         |  COALESCE(string_agg(CASE WHEN bp.bp IS NULL THEN s.seg END, ' '
+         |    ORDER BY s.pos), '') AS clean_text,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
+         |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),

@@ -68,6 +68,20 @@ class PlanRegressionSpec extends AnyFunSuite {
       "benchmark join degraded to SMJ:\n" + plan.take(3000))
   }
 
+  test("q58: no window over the corpus; global doc count broadcasts") {
+    // removeBoilerplate's scale contract: segment doc-frequency is a
+    // partial->final hash aggregate (never a per-seg window over the
+    // exploded corpus), and the fractional threshold's 1-row corpus count
+    // arrives by broadcast, not a shuffle
+    val plan = planOf("q58_boilerplate")
+    assert(!plan.contains("WindowExec"),
+      "seg df regressed to a window:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "corpus-count join not broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q52: running sum sees only WindowGroupLimit-bounded rows per stratum") {
     // packTokenBudget's running-sum window partitions by stratum
     // (cardinality ~languages), which serializes each stratum onto one

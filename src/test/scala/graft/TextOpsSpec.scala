@@ -225,6 +225,39 @@ class TextOpsSpec extends AnyFunSuite {
       b.getLong(b.fieldIndex("max_tokens")) == 2L)
   }
 
+  test("removeBoilerplate drops corpus-frequent segments, keeps order and empty docs") {
+    import spark.implicits._
+    // 5-token boilerplate prefix aligned on the w=5 segment boundary in
+    // three docs; doc 4 is unrelated; doc 5 is boilerplate-only
+    val bp = "subscribe to our newsletter now"
+    val docs = Seq(
+      (1L, s"$bp alpha beta gamma delta epsilon"),
+      (2L, s"$bp zeta eta theta iota kappa"),
+      (3L, s"$bp lambda mu nu xi omicron"),
+      (4L, "completely unrelated body text here"),
+      (5L, bp)
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeBoilerplate(docs, "doc_id", "text",
+        segTokens = 5, minDocFrequency = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("alpha beta gamma delta epsilon", 2L, 1L)))
+    assert(got(2L) == (("zeta eta theta iota kappa", 2L, 1L)))
+    assert(got(4L) == (("completely unrelated body text here", 1L, 0L)))
+    // boilerplate-only doc survives as an empty row, not a dropped one
+    assert(got(5L) == (("", 1L, 1L)))
+
+    // fractional threshold scales with the corpus: bp seg df=4 of 5 docs;
+    // frac 0.8 -> ceil(4.0)=4 removes it, frac 0.9 -> ceil(4.5)=5 keeps it
+    def removedAt(frac: Double) =
+      TextOps.removeBoilerplate(docs, "doc_id", "text", segTokens = 5,
+          minDocFrequency = 3, minDocFraction = Some(frac))
+        .agg(org.apache.spark.sql.functions.sum("n_removed"))
+        .collect()(0).getLong(0)
+    assert(removedAt(0.8) == 4L)
+    assert(removedAt(0.9) == 0L)
+  }
+
   test("bpe token count: contractions and punctuation split off") {
     val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
