@@ -72,4 +72,26 @@ object Components {
     connectedComponents(pairs, aCol, bCol, maxIter)
       .select(col("id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))
+
+  /** The materialization step: the corpus that SURVIVES dedup. Drops every
+    * clustered document except its cluster's canonical representative
+    * (minimum id); documents in no pair pass through untouched. This is
+    * the "write the deduplicated corpus" end of the pipeline that
+    * [[TextOps.minhashCandidates]]/[[TextOps.minhashDedupPairsApprox]]
+    * start.
+    *
+    * Scale shape: the drop set is `clustered docs - clusters` — bounded by
+    * the duplicate rate, not the corpus — so at a typical 10-30% dup rate
+    * the anti-join's build side is a fraction of the corpus and hashes on
+    * id in one shuffle (AQE converts it to broadcast when it fits). The
+    * corpus itself is scanned once and never sorted.
+    */
+  def dedupedCorpus(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val drop = dedupClusters(pairs, aCol, bCol, maxIter)
+      .filter(!col("keep")).select(col("id").as("__drop_id"))
+    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 }

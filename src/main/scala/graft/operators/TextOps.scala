@@ -377,6 +377,53 @@ object TextOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental (batch-vs-corpus) near-dup: which NEW documents are
+    * near-duplicates of something already in the corpus — the shape a
+    * continuous crawl needs, where the corpus is a standing signature
+    * index and each micro-batch/segment is checked against it without
+    * ever re-shingling (or re-reading) corpus text. Same estimator math
+    * as [[minhashDedupPairsApprox]], but the band join is new×corpus
+    * instead of a self-join. Output: (new_id, corpus_id, jaccard_est)
+    * for every match ≥ threshold; novel docs = `newDf` anti-joined on
+    * new_id.
+    *
+    * Scale shape: corpus band keys are a precomputable, bucketable index
+    * (signatures only — text is read once, at corpus build); per-batch
+    * cost is batch_size × bands plus the bucket join, independent of
+    * corpus text size. A small batch side broadcasts under AQE.
+    */
+  def crossDedupPairs(
+      newDf: DataFrame, corpusDf: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    def sigsOf(df: DataFrame) =
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+        .filter(element_at(col("sig"), 1).isNotNull)
+        .localCheckpoint(true)
+    def bandsOf(sigs: DataFrame) = sigs
+      .select(col("doc_id"),
+        explode(bandKeysUdf(numBands, bandSize)(col("sig"))).as("band_key"))
+      .distinct()
+    val newSigs = sigsOf(newDf)
+    val corpusSigs = sigsOf(corpusDf)
+    bandsOf(newSigs).as("x")
+      .join(bandsOf(corpusSigs).as("y"), col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a")),
+        Seq("new_id"))
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")),
+        Seq("corpus_id"))
+      .withColumn("jaccard_est",
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),
+                 | m -> m)) / cast($numHashes as double)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .filter(col("jaccard_est") >= threshold)
+      .select("new_id", "corpus_id", "jaccard_est")
+  }
+
   /** Per-document 32-bit SimHash over distinct token hashes (staged). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
@@ -697,6 +744,41 @@ object TextOps {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_tokens") <= budget)
 
+  /** Training-shard assignment + concat-then-chunk sequence packing — the
+    * "write the training shards" pass at the end of a data pipeline. Each
+    * document gets (shard, pos, seq_id): `shard` = md5-hash of the id mod
+    * `numShards` (a deterministic global shuffle — reproducible across
+    * runs, engines, and retried tasks, unlike rand()-ordering), `pos` =
+    * the document's rank within its shard in hash order, and `seq_id` =
+    * which fixed-`seqTokens` training sequence the document STARTS in when
+    * the shard's documents are laid end-to-end in `pos` order (the
+    * standard concat-then-chunk packing; a doc spanning a boundary belongs
+    * to the sequence it starts in).
+    *
+    * Scale shape: one shuffle on `shard` and a per-shard ordered window —
+    * per-task work is corpus/numShards, so `numShards` is the parallelism
+    * dial (pick shards of ~100k docs; 100 TB at 1M-doc shards = 100k
+    * tasks, each independent). Everything is integer arithmetic on
+    * md5-derived hashes: hash-exact across engines.
+    */
+  def shardAndPack(
+      df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, seqTokens: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("hkey"), col(idCol))
+    df
+      .select(col(idCol),
+        size(expr(tokensSql(textCol))).cast("long").as("n_tokens"),
+        expr(hash32Sql(s"cast($idCol as string)")).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - col("n_tokens")) / seqTokens))
+      .select(col(idCol), col("shard"), col("pos"), col("seq_id"),
+        col("n_tokens"))
+  }
+
   /** Per-stratum token-distribution profile — doc count, total/mean token
     * counts, min/max, and exact discrete quantiles (p50/p95) — the summary
     * a mixture designer reads before setting [[sampleByHash]] rates and
@@ -742,6 +824,47 @@ object TextOps {
           .as("p95_tokens"))
       .withColumn("mean_tokens",
         col("total_tokens").cast("double") / col("n_docs"))
+  }
+
+  /** Per-stratum discrete-quantile length gate: drop each stratum's
+    * shortest `pNum/pDen` fraction of documents (the "too short to train
+    * on" filter, applied per language/source so a short-doc language
+    * isn't wiped out by a global threshold). The threshold is the
+    * stratum's exact discrete (pNum/pDen)-quantile of token counts,
+    * computed the same way [[tokenStats]] computes p50/p95 — cumulative
+    * counts over the token-count HISTOGRAM, all integer arithmetic, so
+    * Spark and a SQL oracle agree hash-exactly. Kept docs satisfy
+    * `n_tokens >= threshold(stratum)`.
+    *
+    * Scale shape: the histogram is a partial-aggregated groupBy over
+    * (stratum, n_tokens) — cardinality ≤ strata × max-doc-tokens, NOT
+    * corpus size — its cumulative window runs over that bounded set, and
+    * the resulting per-stratum threshold table (one row per stratum) is
+    * broadcast back. The corpus is scanned once, never sorted or
+    * windowed.
+    */
+  def stratumLengthGate(
+      df: DataFrame, idCol: String, textCol: String, strataCol: String,
+      pNum: Int, pDen: Int): DataFrame = {
+    require(pNum >= 0 && pNum < pDen, "need 0 <= pNum/pDen < 1")
+    val toks = df.select(col(idCol), col(strataCol).as("stratum"),
+      size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
+    val hist = toks.groupBy("stratum", "n_tokens").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(
+        Window.partitionBy("stratum").orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thresholds = cum
+      .join(broadcast(hist.groupBy("stratum").agg(sum("n").as("n_docs"))),
+        Seq("stratum"))
+      // smallest token count whose cumulative share reaches pNum/pDen —
+      // the discrete quantile, same selector expression as the oracle
+      .groupBy("stratum")
+      .agg(min(when(col("cum") * pDen >= col("n_docs") * pNum,
+        col("n_tokens"))).as("min_keep_tokens"))
+    toks.join(broadcast(thresholds), Seq("stratum"))
+      .filter(col("n_tokens") >= col("min_keep_tokens"))
+      .select(col(idCol), col("stratum"), col("n_tokens"))
   }
 
   /** PII scrub for training corpora: emails, phone-ish digit runs, and

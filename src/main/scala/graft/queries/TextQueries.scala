@@ -153,6 +153,33 @@ object TextQueries {
       // per-source token-distribution profile: histogram-based exact
       // discrete quantiles (integer arithmetic — hash-exact vs oracle)
       TextOps.tokenStats(docs(s, d), "text", "source")),
+    "q59_shard_pack" -> ((s, d) =>
+      // training-shard writer pass: 8 shards, 64-token packed sequences
+      // (synthetic docs run ~40 tokens, so sequences span 1-2 docs)
+      TextOps.shardAndPack(docs(s, d), "doc_id", "text",
+        numShards = 8, seqTokens = 64)),
+    "q60_dedup_corpus" -> ((s, d) =>
+      // the corpus that SURVIVES dedup: q55's clusters reduced to their
+      // canonical members, anti-joined against the full table
+      Components.dedupedCorpus(docs(s, d), "doc_id",
+        TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bandSize = 4),
+        "id_a", "id_b")
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "q61_length_gate" -> ((s, d) =>
+      // drop each language's shortest 20% by exact discrete quantile
+      TextOps.stratumLengthGate(docs(s, d), "doc_id", "text", "lang",
+        pNum = 1, pDen = 5)),
+    "q62_incr_dedup" -> ((s, d) => {
+      // continuous-crawl shape: odd doc_ids are the "new batch", even the
+      // standing corpus; which new docs near-dup something already held
+      val all = docs(s, d)
+      TextOps.crossDedupPairs(
+        all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleK = 3, numHashes = 16, bandSize = 4,
+        threshold = 0.5)
+    }),
     "q58_boilerplate" -> ((s, d) =>
       // corpus-frequent segment removal; 2-token segments + 4%-of-corpus
       // doc-frequency threshold so the synthetic vocabulary produces real
@@ -447,6 +474,86 @@ object TextQueries {
          |  CAST(MAX(total_tokens) AS DOUBLE) / MAX(n_docs) AS mean_tokens
          |FROM c JOIN tot USING (stratum)
          |GROUP BY 1""".stripMargin,
+    "q59_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |    ${dHash32("CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens, hkey, hkey % 8 AS shard FROM t)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER
+         |    (PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+         |  CAST(FLOOR((CAST(SUM(n_tokens) OVER
+         |      (PARTITION BY shard ORDER BY hkey, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) - n_tokens) / 64) AS BIGINT) AS seq_id,
+         |  n_tokens
+         |FROM s""".stripMargin,
+    "q60_dedup_corpus" ->
+      // q55's transitive closure, then keep docs that are unclustered or
+      // their cluster's minimum id
+      s"""WITH RECURSIVE
+         |sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |walk(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+         |comp AS (SELECT u AS doc_id, min(label) AS cluster_id
+         |  FROM walk GROUP BY u)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)""".stripMargin,
+    "q61_length_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang AS stratum,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT stratum, n_tokens, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t GROUP BY 1, 2),
+         |c AS (SELECT stratum, n_tokens, n,
+         |    CAST(SUM(n) OVER (PARTITION BY stratum ORDER BY n_tokens
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM h),
+         |tot AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS n_docs
+         |  FROM h GROUP BY 1),
+         |thr AS (SELECT stratum,
+         |    MIN(CASE WHEN cum * 5 >= n_docs * 1 THEN n_tokens END)
+         |      AS min_keep
+         |  FROM c JOIN tot USING (stratum) GROUP BY 1)
+         |SELECT t.doc_id, t.stratum, t.n_tokens
+         |FROM t JOIN thr USING (stratum)
+         |WHERE t.n_tokens >= thr.min_keep""".stripMargin,
+    "q62_incr_dedup" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |s AS (SELECT * FROM sigs WHERE sig[1] IS NOT NULL),
+         |nb AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM s WHERE doc_id % 2 = 1),
+         |cb AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM s WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+         |  FROM nb x JOIN cb y ON x.band_key = y.band_key),
+         |j AS (SELECT c.new_id, c.corpus_id,
+         |    CAST(len(list_filter(range(0, 16),
+         |      i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 16.0 AS jaccard_est
+         |  FROM cand c
+         |  JOIN s a ON a.doc_id = c.new_id
+         |  JOIN s b ON b.doc_id = c.corpus_id)
+         |SELECT new_id, corpus_id, jaccard_est FROM j
+         |WHERE jaccard_est >= 0.5""".stripMargin,
     "q58_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |sidx AS (SELECT doc_id, toks, unnest(range(0,

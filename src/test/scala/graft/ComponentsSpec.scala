@@ -60,4 +60,17 @@ class ComponentsSpec extends AnyFunSuite {
       assert(rows.find(_._3).get._1 == cid, "keeper must be the min id")
     }
   }
+
+  test("dedupedCorpus keeps cluster minima and all unclustered docs") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"text$i")).toDF("doc_id", "body")
+    val pairs = Seq((2L, 3L), (3L, 5L), (8L, 9L)).toDF("a", "b")
+    val kept = Components.dedupedCorpus(docs, "doc_id", pairs, "a", "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {2,3,5} -> keep 2; {8,9} -> keep 8; rest untouched
+    assert(kept == Set(1L, 2L, 4L, 6L, 7L, 8L, 10L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(Components.dedupedCorpus(docs, "doc_id", pairs, "a", "b")
+      .columns.toSeq == Seq("doc_id", "body"))
+  }
 }

@@ -258,6 +258,66 @@ class TextOpsSpec extends AnyFunSuite {
     assert(removedAt(0.9) == 0L)
   }
 
+  test("shardAndPack: deterministic hash shards, dense pos, concat-chunk seq ids") {
+    import spark.implicits._
+    val nt = (1L to 20L).map(i => i -> (i % 5 + 1) * 3).toMap
+    val docs = (1L to 20L)
+      .map(i => (i, Seq.fill(nt(i).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.shardAndPack(docs, "doc_id", "text",
+        numShards = 4, seqTokens = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // recompute from the same md5-hash formula in plain Scala: shard =
+    // h%4, pos = rank in (h, id) order, seq_id = floor(startOffset/10)
+    val hk = docs
+      .select(col("doc_id"),
+        expr(TextOps.hash32Sql("cast(doc_id as string)")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 20L).groupBy(i => hk(i) % 4).flatMap {
+      case (shard, ids) =>
+        var cum = 0L
+        ids.sortBy(i => (hk(i), i)).zipWithIndex.map { case (i, idx) =>
+          val start = cum; cum += nt(i)
+          (i, shard, (idx + 1).toLong, start / 10, nt(i))
+        }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("stratumLengthGate: per-stratum discrete quantile threshold") {
+    import spark.implicits._
+    // stratum a: token counts 1..10 -> p20 threshold: min v with
+    // cum(v)*5 >= 10 is v=2 (cum=2), so doc with 1 token drops;
+    // stratum b: counts (5,5,5,7) -> threshold 5 (cum=3 at first value,
+    // 15 >= 4), nothing drops
+    val docs =
+      (1L to 10L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "), "a")) ++
+      Seq((21L, 5), (22L, 5), (23L, 5), (24L, 7))
+        .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" "), "b") }
+    val got = TextOps.stratumLengthGate(
+        docs.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", 1, 5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == ((2L to 10L) ++ Seq(21L, 22L, 23L, 24L)).toSet)
+  }
+
+  test("crossDedupPairs: new-vs-corpus matches only, sub-shingle docs out") {
+    import spark.implicits._
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over it"),
+      (4L, "totally different words appear here now"),
+      (6L, "too short")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over it"), // dup of 2
+      (3L, "unrelated fresh content with novel tokens"),
+      (5L, "too short")).toDF("doc_id", "text")  // sub-shingleK: excluded
+    val got = TextOps.crossDedupPairs(batch, corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bandSize = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
   test("bpe token count: contractions and punctuation split off") {
     val df = Seq((1L, "Don't stop, it's 42 tokens!"), (2L, "")).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
