@@ -221,6 +221,50 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Lloyd's k-means refinement of IVF centroids — the "train the coarse
+    * quantizer" step. [[ivfTopK]]/[[ivfTopKProbed]] take whatever
+    * centroids they're given; hash-sampled corpus members (the q34/q48
+    * default) are unbiased but ignore the data's cluster structure, so
+    * cells are unevenly sized and recall@k suffers. A few Lloyd rounds —
+    * assign every vector to its nearest centroid (cosine), recompute each
+    * centroid as its cell's element-wise mean — move the centroids onto
+    * the actual density modes.
+    *
+    * Scale shape, per iteration: assignment is [[ivfAssign]] (broadcast
+    * centroids, one narrow corpus pass); the mean is posexplode to
+    * (cell, dim) then a partially-aggregated sum/count — map-side combine
+    * collapses the shuffle to |cells| × dim rows regardless of corpus
+    * size — then collect_list(dim-sorted) rebuilds the vectors. Nothing
+    * ever sorts or windows the corpus. Empty cells drop out (their
+    * centroid attracted nothing); callers needing a fixed k re-seed.
+    *
+    * Float caveat: the per-cell mean is a parallel double sum, so exact
+    * bit equality across partitionings is NOT guaranteed — this is a
+    * training step, not a query operator; it is spec-tested on geometry
+    * (centroids land on cluster means) rather than oracle-hashed.
+    */
+  def kmeansRefine(
+      corpus: DataFrame, initCentroids: DataFrame,
+      idCol: String, vecCol: String, dim: Int, iters: Int): DataFrame = {
+    var cents = initCentroids
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, idCol, vecCol,
+        cents, "cent_id", "cv", dim)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell").as("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          expr("transform(pm, e -> cast(e.m as float))").as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

@@ -52,12 +52,28 @@ object RecallBench {
       queries, e, centroids, "vec_id", "embedding", "vec_id", "embedding",
       64, k, nprobe = 4)))
 
+    // k-means-trained coarse quantizer: same centroid COUNT, 5 Lloyd
+    // rounds from the hash-sampled init — isolates how much recall the
+    // training step buys at fixed probe cost
+    val (km, kmTrainSec) = timed(
+      Similarity.kmeansRefine(e, centroids, "vec_id", "embedding", 64, 5)
+        .localCheckpoint(true))
+    val (ivfKm1, ivfKm1Sec) = timed(pairs(Similarity.ivfTopKProbed(
+      queries, e, km, "vec_id", "embedding", "cent_id", "cv", 64, k,
+      nprobe = 1)))
+    val (ivfKm2, ivfKm2Sec) = timed(pairs(Similarity.ivfTopKProbed(
+      queries, e, km, "vec_id", "embedding", "cent_id", "cv", 64, k,
+      nprobe = 2)))
+
     println(f"""{"bench":"ann_recall","k":$k,"truth_pairs":${truth.size},""" +
       f""""exact_sec":$exactSec%.2f,""" +
       f""""lsh16":{"recall":${recallOf(lsh)}%.3f,"sec":$lshSec%.2f},""" +
       f""""ivf_np1":{"recall":${recallOf(ivf1)}%.3f,"sec":$ivf1Sec%.2f},""" +
       f""""ivf_np2":{"recall":${recallOf(ivf2)}%.3f,"sec":$ivf2Sec%.2f},""" +
-      f""""ivf_np4":{"recall":${recallOf(ivf4)}%.3f,"sec":$ivf4Sec%.2f}}""")
+      f""""ivf_np4":{"recall":${recallOf(ivf4)}%.3f,"sec":$ivf4Sec%.2f},""" +
+      f""""kmeans_train_sec":$kmTrainSec%.2f,""" +
+      f""""ivf_km_np1":{"recall":${recallOf(ivfKm1)}%.3f,"sec":$ivfKm1Sec%.2f},""" +
+      f""""ivf_km_np2":{"recall":${recallOf(ivfKm2)}%.3f,"sec":$ivfKm2Sec%.2f}}""")
     spark.stop()
   }
 }

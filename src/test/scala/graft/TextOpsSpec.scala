@@ -382,6 +382,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(2L, 5L)), s"candidates must come from cell B: $ids")
   }
 
+  test("kmeansRefine moves centroids onto cluster means") {
+    // two tight clusters around e1 and e2; init centroids are OFF-CENTER
+    // members of each cluster — after Lloyd rounds each centroid must be
+    // its cluster's element-wise mean
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, -0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.1f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, -0.1f)),
+      (12L, Array(0.0f, 0.0f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val init = vecs.filter(col("vec_id") === 0L || col("vec_id") === 10L)
+    val refined = Similarity.kmeansRefine(
+        vecs, init, "vec_id", "embedding", dim = 4, iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(refined.size == 2)
+    def approx(a: Array[Float], b: Array[Float]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5 }
+    val meanA = Array(0.9666667f, 0.0f, 0.0f, 0.0f)
+    val meanB = Array(0.0f, 0.0f, 0.9666667f, 0.0f)
+    assert(refined.values.exists(approx(_, meanA)),
+      s"no centroid at cluster-A mean: ${refined.values.map(_.toSeq)}")
+    assert(refined.values.exists(approx(_, meanB)),
+      s"no centroid at cluster-B mean: ${refined.values.map(_.toSeq)}")
+  }
+
   test("ivf multi-probe recovers the true neighbor across a cell boundary") {
     // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
     // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
