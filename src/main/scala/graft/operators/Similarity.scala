@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 import graft.plans.VectorExpressions
 
@@ -263,6 +263,181 @@ object Similarity {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Second-moment buffer for [[momentsMatrix]]: `m` is laid out as
+    * [gram (dim*dim, row-major), per-dim sums (dim), count (1)].
+    */
+  case class MomentBuf(m: Array[Long])
+
+  private class MomentAgg(dim: Int)
+      extends Aggregator[Seq[Long], MomentBuf, MomentBuf] {
+    private val gramLen = dim * dim
+    override def zero: MomentBuf = MomentBuf(new Array[Long](gramLen + dim + 1))
+    override def reduce(b: MomentBuf, v: Seq[Long]): MomentBuf = {
+      val a = b.m
+      val x = v.toArray
+      var i = 0
+      while (i < dim) {
+        val xi = x(i)
+        a(gramLen + i) += xi
+        var j = 0
+        val row = i * dim
+        while (j < dim) { a(row + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      a(gramLen + dim) += 1L
+      b
+    }
+    override def merge(p: MomentBuf, q: MomentBuf): MomentBuf = {
+      val a = p.m; val c = q.m
+      var i = 0
+      while (i < a.length) { a(i) += c(i); i += 1 }
+      p
+    }
+    override def finish(b: MomentBuf): MomentBuf = b
+    override def bufferEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
+    override def outputEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
+  }
+
+  /** Globally-scaled int8 quantization of a vector column: every element
+    * becomes `floor(x / globalScale * 127 + 0.5)` with ONE scale for the
+    * whole corpus (max |x| over every vector — an order-independent MAX,
+    * so cross-engine deterministic, unlike a parallel float SUM). Uniform
+    * scaling preserves geometry: the quantized covariance is the raw
+    * covariance times (127/scale)^2 up to rounding, so PCA directions
+    * survive. Contrast [[quantizeUdf]] (q41), whose per-row scale is right
+    * for storage/dot-products but wrong for cross-row statistics.
+    *
+    * Returns `df` with `qvCol` (array<bigint>) appended; the global max
+    * rides in as a broadcast 1-row aggregate (the q44 pattern), never a
+    * driver collect.
+    */
+  def quantizeGlobal(
+      df: DataFrame, vecCol: String, qvCol: String): DataFrame = {
+    val g = df.agg(
+      max(expr(s"aggregate(transform($vecCol, x -> abs(cast(x as double)))," +
+        " cast(0 as double), (s, v) -> greatest(s, v))")).as("gscale"))
+    df.crossJoin(broadcast(g))
+      .withColumn(qvCol, expr(
+        s"CASE WHEN gscale = 0 THEN transform($vecCol, x -> 0L) " +
+          s"ELSE transform($vecCol, x -> " +
+          s"CAST(floor(cast(x as double) / gscale * 127.0 + 0.5) AS BIGINT)) END"))
+      .drop("gscale")
+  }
+
+  /** One-pass corpus second moments over an integer vector column: a
+    * single typed Aggregator whose buffer is the full [gram | sums | n]
+    * array, so the map side does all dim^2 multiply-adds locally and the
+    * shuffle carries ONE (dim^2+dim+1)-long array per task — corpus size
+    * never appears in the shuffle. Integer arithmetic makes the result
+    * order-independent (exact oracle parity) and overflow-safe to ~1e12
+    * rows at |q| <= 127 (127^2 * 1e12 < 2^63).
+    */
+  def momentsMatrix(df: DataFrame, qvCol: String, dim: Int): DataFrame = {
+    val agg = udaf(new MomentAgg(dim))
+    df.agg(agg(col(qvCol)).as("mm")).select(col("mm.m").as("m"))
+  }
+
+  /** Gram entries as (i, j, s) rows, 1-based, from [[momentsMatrix]] —
+    * the SQL-comparable surface of the moment pass (dim^2 rows total).
+    */
+  def gramEntries(df: DataFrame, qvCol: String, dim: Int): DataFrame =
+    momentsMatrix(df, qvCol, dim)
+      .select(posexplode(expr(s"slice(m, 1, ${dim * dim})")).as(Seq("p", "s")))
+      .select(
+        expr(s"CAST(p div $dim AS BIGINT) + 1").as("i"),
+        expr(s"CAST(p % $dim AS BIGINT) + 1").as("j"),
+        col("s"))
+
+  /** Top-k principal components from one [[momentsMatrix]] result —
+    * power iteration with Gram-Schmidt deflation on the dim x dim
+    * covariance, driver-side (bounded: dim^2 longs, never the corpus).
+    * Deterministic: starts from the covariance column with the largest
+    * diagonal. Returns (eigenvalue, unit eigenvector) descending.
+    */
+  def pcaComponents(
+      moments: Array[Long], dim: Int, k: Int,
+      iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val gramLen = dim * dim
+    val n = math.max(moments(gramLen + dim), 1L).toDouble
+    val mean = Array.tabulate(dim)(i => moments(gramLen + i) / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      moments(i * dim + j) / n - mean(i) * mean(j))
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      }
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    for (_ <- 0 until math.min(k, dim)) {
+      val start = (0 until dim).maxBy(i => cov(i)(i))
+      var v = Array.tabulate(dim)(i => if (i == start) 1.0 else 0.0)
+      // deflate the start vector against found components too
+      for (_ <- 0 until iters) {
+        var w = matVec(v)
+        found.foreach { case (_, u) =>
+          val d = u.zip(w).map { case (a, b) => a * b }.sum
+          w = w.zip(u).map { case (wi, ui) => wi - d * ui }
+        }
+        val nw = norm(w)
+        if (nw > 1e-12) v = w.map(_ / nw)
+      }
+      val lambda = v.zip(matVec(v)).map { case (a, b) => a * b }.sum
+      found += ((lambda, v))
+      // deflate cov so the next dominant direction emerges
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    found.toSeq
+  }
+
+  /** Project a float-vector column onto PCA components (mean-centered):
+    * broadcast-closure matrix multiply per row, output array<float> of
+    * length components.size. Pure projection — no shuffle.
+    */
+  def pcaProject(
+      df: DataFrame, vecCol: String, outCol: String,
+      mean: Array[Double], components: Seq[Array[Double]]): DataFrame = {
+    val comps = components.toArray
+    val mu = mean
+    val proj = udf { (vec: Seq[Float]) =>
+      val centered = Array.tabulate(mu.length)(i => vec(i).toDouble - mu(i))
+      comps.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * centered(i); i += 1 }
+        s.toFloat
+      }.toSeq
+    }
+    df.withColumn(outCol, proj(col(vecCol)))
+  }
+
+  /** Fit-and-project PCA over an embedding column: global-scale int8
+    * quantize -> one-pass moments -> driver eigensolve on the dim x dim
+    * matrix -> projection. The only collect is the (dim^2+dim+1)-long
+    * moment array — invariant to corpus size.
+    */
+  def pcaFitProject(
+      df: DataFrame, vecCol: String, outCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val q = quantizeGlobal(df, vecCol, "__qv")
+    val m = momentsMatrix(q, "__qv", dim)
+      .collect()(0).getSeq[Long](0).toArray
+    val comps = pcaComponents(m, dim, k)
+    val gramLen = dim * dim
+    val n = math.max(m(gramLen + dim), 1L).toDouble
+    // mean in QUANTIZED space; projection input must live there too
+    val mean = Array.tabulate(dim)(i => m(gramLen + i) / n)
+    pcaProject(
+      q.withColumn("__qf", expr("transform(__qv, x -> cast(x as float))")),
+      "__qf", outCol, mean, comps.map(_._2))
+      .drop("__qv", "__qf")
   }
 
   /** Approximate top-K: candidates share the query's bucket (equi-join on

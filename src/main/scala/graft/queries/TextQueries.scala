@@ -186,6 +186,15 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q63_embed_gram" -> ((s, d) =>
+      // corpus second-moment (Gram) matrix of globally-int8-quantized
+      // embeddings: ONE typed-Aggregator pass, shuffle = one
+      // (dim^2+dim+1)-long array per task regardless of corpus size;
+      // integer sums are order-independent -> exact oracle parity. This
+      // is the distributed half of PCA (Similarity.pcaFitProject)
+      Similarity.gramEntries(
+        Similarity.quantizeGlobal(embs(s, d), "embedding", "qv"),
+        "qv", dim = 64)),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -573,6 +582,20 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q63_embed_gram" ->
+      """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),
+        |q AS (SELECT CASE WHEN g.gs = 0
+        |    THEN list_transform(embedding, x -> 0::BIGINT)
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) / g.gs * 127.0 + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM embeddings, g)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS s
+        |FROM q, generate_series(1, 64) AS g1(i),
+        |  generate_series(1, 64) AS g2(j)
+        |GROUP BY 1, 2""".stripMargin,
     "q50_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |f AS (SELECT doc_id,

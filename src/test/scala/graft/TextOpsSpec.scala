@@ -410,6 +410,46 @@ class TextOpsSpec extends AnyFunSuite {
       s"no centroid at cluster-B mean: ${refined.values.map(_.toSeq)}")
   }
 
+  test("gramEntries matches a hand-computed integer Gram matrix") {
+    // global max |x| = 2.0 -> quantized: [1,2]->[64,127], [2,0]->[127,0]
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val gram = Similarity.gramEntries(
+        Similarity.quantizeGlobal(vecs, "embedding", "qv"), "qv", dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // G = sum of qq^T: [64,127]·[64,127]^T + [127,0]·[127,0]^T
+    assert(gram((1L, 1L)) == 64L * 64 + 127L * 127)
+    assert(gram((1L, 2L)) == 64L * 127)
+    assert(gram((2L, 1L)) == 64L * 127)
+    assert(gram((2L, 2L)) == 127L * 127)
+  }
+
+  test("pcaFitProject finds the dominant variance direction") {
+    // points spread along axis 0 (variance ~ spread^2), tiny noise on
+    // axis 1, constant axes 2-3 — PC1 must align with axis 0, and the
+    // 1-D projection must preserve the rank order along that axis
+    val pts = Seq(
+      (0L, Array(-9.0f, 0.1f, 5.0f, 0.0f)),
+      (1L, Array(-3.0f, -0.1f, 5.0f, 0.0f)),
+      (2L, Array(3.0f, 0.1f, 5.0f, 0.0f)),
+      (3L, Array(9.0f, -0.1f, 5.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaFitProject(pts, "embedding", "pc", dim = 4, k = 1)
+      .select("vec_id", "pc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    assert(out.size == 4)
+    // alignment with axis 0 => projections ordered like (or exactly
+    // opposite to) the axis-0 coordinates, and spread >> the 0.1 noise
+    val sorted = Seq(0L, 1L, 2L, 3L).map(out)
+    val mono = sorted.sliding(2).forall(p => p(0) < p(1)) ||
+      sorted.sliding(2).forall(p => p(0) > p(1))
+    assert(mono, s"PC1 projection not monotone along axis 0: $sorted")
+    assert(math.abs(sorted.head - sorted.last) > 100,
+      s"PC1 spread too small (axis-0 not dominant): $sorted")
+  }
+
   test("ivf multi-probe recovers the true neighbor across a cell boundary") {
     // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
     // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
