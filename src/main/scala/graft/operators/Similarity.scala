@@ -440,6 +440,97 @@ object Similarity {
       .drop("__qv", "__qf")
   }
 
+  /** Product-quantization codebooks: the vector is split into `m`
+    * subspaces of dim/m dims; each subspace gets its own `ksub`-centroid
+    * codebook ([[kmeansRefine]] on the slice). A corpus vector then
+    * compresses to m small codes ([[pqEncode]]) — m bytes instead of
+    * dim*4, a 32x memory cut at dim=64/m=8 — and queries score corpus
+    * rows by summing per-subspace table lookups ([[pqTopK]], ADC). The
+    * composition with IVF (coarse cells restrict candidates, PQ
+    * compresses what is scanned) is the standard billion-scale layout;
+    * here the pieces compose: ivfAssign -> filter cell -> pqTopK.
+    *
+    * Returns (sub, code, cv): sub in [0,m), code in [0,ksub), cv the
+    * dsub-length float centroid. Training = m independent kmeansRefine
+    * runs over slices — iters*m narrow corpus passes, shuffles bounded
+    * by |cells| x dsub each (see kmeansRefine).
+    */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol).as("vid"),
+        expr(s"slice($vecCol, ${s * dsub + 1}, $dsub)").as("sv"))
+      val init = sliced.orderBy(col("vid")).limit(ksub)
+      val trained = kmeansRefine(sliced, init, "vid", "sv", dsub, iters)
+      val w = Window.orderBy(col("cent_id"))
+      trained.select(lit(s).as("sub"),
+        (row_number().over(w) - 1).as("code"), col("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every corpus vector as m PQ codes: nearest sub-centroid by
+    * L2 on each slice (L2, not cosine — subvector norms carry signal).
+    * Broadcast codebook (m*ksub rows), min_by per (row, subspace), codes
+    * collected dim-order into an array<int>. One narrow pass + one
+    * groupBy(vid) shuffle of m-int rows.
+    */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(codebook))
+      .select(col("vid"), col("sub"), col("code"),
+        expr(s"aggregate(transform(sequence(0, ${dsub - 1}), d -> " +
+          s"pow(cast(element_at(slice(v, sub * $dsub + 1, $dsub), d + 1) " +
+          "as double) - cast(element_at(cv, d + 1) as double), 2)), " +
+          "cast(0 as double), (s, x) -> s + x)").as("d2"))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("vid"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
+        "e -> e.code)").as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-K: each query precomputes its m x ksub
+    * inner-product table against the codebook (|Q| * m * ksub rows,
+    * broadcast); a corpus row's score is the sum of m table lookups by
+    * its codes — m adds per (query, row) instead of dim multiplies, over
+    * vectors stored 32x smaller. Shape: explode codes (m rows each),
+    * broadcast-join the table on (sub, code) fanning out per query,
+    * partial-agg the m-term sums — the shuffle carries (qid, vid)
+    * partial sums, never vectors. Approximation note: scores are inner
+    * products against reconstructed (quantized) vectors; for cosine
+    * semantics normalize corpus vectors before encoding.
+    */
+  def pqTopK(
+      queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val table = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(codebook)
+      .select(col("query_id"), col("sub"), col("code"),
+        expr(s"aggregate(transform(sequence(0, ${dsub - 1}), d -> " +
+          s"cast(element_at(slice(qv, sub * $dsub + 1, $dsub), d + 1) " +
+          "as double) * cast(element_at(cv, d + 1) as double)), " +
+          "cast(0 as double), (s, x) -> s + x)").as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    encoded
+      .select(col("vid").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

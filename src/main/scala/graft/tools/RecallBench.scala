@@ -65,6 +65,31 @@ object RecallBench {
       queries, e, km, "vec_id", "embedding", "cent_id", "cv", 64, k,
       nprobe = 2)))
 
+    // PQ (m=8 subspaces, 16 codes each): 8 bytes/vector vs 256 — the
+    // 32x memory path. Normalize first so ADC inner product ~ cosine.
+    val en = e
+      .withColumn("n", graft.plans.VectorExpressions.norm(col("embedding")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x / n as float))")
+          .as("embedding"))
+      .localCheckpoint(true)
+    val enq = en.filter(col("vec_id") % 50 === 0)
+    val (pqCb, pqTrainSec) = timed(Similarity.pqTrain(
+      en, "vec_id", "embedding", 64, m = 8, ksub = 16, iters = 3)
+      .localCheckpoint(true))
+    val (pqEnc, pqEncSec) = timed(Similarity.pqEncode(
+      en, "vec_id", "embedding", pqCb, 64, m = 8).localCheckpoint(true))
+    val (pq, pqSec) = timed(pairs(Similarity.pqTopK(
+      enq, pqEnc, pqCb, "vec_id", "embedding", 64, m = 8, k)))
+    // finer grain: m=16 (4-dim subspaces) = 16 bytes/vector, 16x
+    val (pqCb16, pqTrain16Sec) = timed(Similarity.pqTrain(
+      en, "vec_id", "embedding", 64, m = 16, ksub = 16, iters = 3)
+      .localCheckpoint(true))
+    val (pqEnc16, _) = timed(Similarity.pqEncode(
+      en, "vec_id", "embedding", pqCb16, 64, m = 16).localCheckpoint(true))
+    val (pq16, pq16Sec) = timed(pairs(Similarity.pqTopK(
+      enq, pqEnc16, pqCb16, "vec_id", "embedding", 64, m = 16, k)))
+
     println(f"""{"bench":"ann_recall","k":$k,"truth_pairs":${truth.size},""" +
       f""""exact_sec":$exactSec%.2f,""" +
       f""""lsh16":{"recall":${recallOf(lsh)}%.3f,"sec":$lshSec%.2f},""" +
@@ -73,7 +98,11 @@ object RecallBench {
       f""""ivf_np4":{"recall":${recallOf(ivf4)}%.3f,"sec":$ivf4Sec%.2f},""" +
       f""""kmeans_train_sec":$kmTrainSec%.2f,""" +
       f""""ivf_km_np1":{"recall":${recallOf(ivfKm1)}%.3f,"sec":$ivfKm1Sec%.2f},""" +
-      f""""ivf_km_np2":{"recall":${recallOf(ivfKm2)}%.3f,"sec":$ivfKm2Sec%.2f}}""")
+      f""""ivf_km_np2":{"recall":${recallOf(ivfKm2)}%.3f,"sec":$ivfKm2Sec%.2f},""" +
+      f""""pq_m8_k16":{"recall":${recallOf(pq)}%.3f,"train_sec":$pqTrainSec%.2f,""" +
+      f""""enc_sec":$pqEncSec%.2f,"sec":$pqSec%.2f},""" +
+      f""""pq_m16_k16":{"recall":${recallOf(pq16)}%.3f,""" +
+      f""""train_sec":$pqTrain16Sec%.2f,"sec":$pq16Sec%.2f}}""")
     spark.stop()
   }
 }

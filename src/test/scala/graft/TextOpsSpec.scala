@@ -450,6 +450,36 @@ class TextOpsSpec extends AnyFunSuite {
       s"PC1 spread too small (axis-0 not dominant): $sorted")
   }
 
+  test("product quantization: encode picks subspace-nearest codes, ADC ranks the true neighbor first") {
+    // dim=4, m=2 subspaces of 2 dims. Two clusters per subspace -> 2x2
+    // codebook. Vector 3 shares vector 0's cells; ADC must rank 0 as 3's
+    // top neighbor over the far vectors 1/2.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.9f, 0.9f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 3)
+    val cbRows = cb.collect()
+    assert(cbRows.map(_.getInt(0)).toSet == Set(0, 1), "both subspaces trained")
+    assert(cbRows.length == 4, s"2 codes x 2 subs expected: ${cbRows.length}")
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb,
+      dim = 4, m = 2)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes(0L) == codes(3L), "co-clustered vectors share codes")
+    assert(codes(1L) == codes(2L), "co-clustered vectors share codes")
+    assert(codes(0L) != codes(1L), "distinct clusters get distinct codes")
+    val top = Similarity.pqTopK(
+        vecs.filter(col("vec_id") === 3L), enc, cb,
+        "vec_id", "embedding", dim = 4, m = 2, k = 1)
+      .select("query_id", "neighbor_id").collect()
+    assert(top.length == 1 && top(0).getLong(1) == 0L,
+      s"ADC should rank vec 0 first for query 3: ${top.toSeq}")
+  }
+
   test("ivf multi-probe recovers the true neighbor across a cell boundary") {
     // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
     // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
