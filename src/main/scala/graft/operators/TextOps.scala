@@ -915,6 +915,65 @@ object TextOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Exact duplicated-substring detection, the distributed shape of the
+    * suffix-array dedup in Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022): every w-token window is hashed
+    * (md5 of the space-joined window — engine-portable), and a window is
+    * duplicated when the SAME hash occurs >= minCount times anywhere in
+    * the corpus (across or within docs). Returns (doc_id, pos, whash) for
+    * every duplicated window occurrence.
+    *
+    * Scale shape: explode is linear in token count (one row per window),
+    * the frequency pass is one groupBy(whash) with map-side partial agg,
+    * and the join back is co-partitioned on whash — no sort, no window
+    * over the corpus, no suffix array. At 100 TB the duplicated-hash set
+    * is the small side in practice; Catalyst/AQE can broadcast it when
+    * stats allow.
+    */
+  def duplicatedWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minCount: Int = 2): DataFrame = {
+    val h = df
+      .select(col(idCol).as("doc_id"), expr(tokensSql(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        expr(s"explode(sequence(0, size(toks) - $w))").as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", expr(s"slice(toks, pos + 1, $w)"))).as("whash"))
+    val dup = h.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("whash"))
+    h.join(dup, Seq("whash")).select(col("doc_id"), col("pos"), col("whash"))
+  }
+
+  /** Remove every token covered by a duplicated window ([[duplicatedWindows]]):
+    * covered token indices are exploded per duplicated window (w rows
+    * each, bounded), dedup'd, set-collected per doc (bounded by doc
+    * length), and the original token array is filtered by index — overlap
+    * merging falls out of the set union, no interval logic. Docs with no
+    * duplicated window pass through unchanged (left join).
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minCount: Int = 2): DataFrame = {
+    val covered = duplicatedWindows(df, idCol, textCol, w, minCount)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("ti"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ti")).as("cov"))
+    df.select(col(idCol).as("doc_id"), expr(tokensSql(textCol)).as("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", expr(
+          "filter(toks, (x, i) -> NOT array_contains(" +
+            "coalesce(cov, array()), cast(i as bigint)))")).as("clean_text"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
+
   /** Per-key top-K by a score column with total-order tie-break. */
   def topKPerKey(df: DataFrame, key: String, score: Column, tieBreak: Column,
       k: Int): DataFrame =

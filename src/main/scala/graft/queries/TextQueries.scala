@@ -186,6 +186,11 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q64_dup_spans" -> ((s, d) =>
+      // Lee-et-al-style exact duplicated substring detection: every
+      // 5-token window hashed, hashes occurring >=2 times anywhere in
+      // the corpus are duplicated spans (within- or cross-doc)
+      TextOps.duplicatedWindows(docs(s, d), "doc_id", "text", w = 5)),
     "q63_embed_gram" -> ((s, d) =>
       // corpus second-moment (Gram) matrix of globally-int8-quantized
       // embeddings: ONE typed-Aggregator pass, shuffle = one
@@ -582,6 +587,16 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q64_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks
+         |  FROM t WHERE len(toks) >= 5),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(toks[pos+1:pos+5], ' ')) AS whash
+         |  FROM w),
+         |d AS (SELECT whash FROM h GROUP BY whash HAVING COUNT(*) >= 2)
+         |SELECT h.doc_id, h.pos, h.whash
+         |FROM h JOIN d USING (whash)""".stripMargin,
     "q63_embed_gram" ->
       """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),

@@ -258,6 +258,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(removedAt(0.9) == 0L)
   }
 
+  test("duplicatedWindows + removeDuplicatedSpans excise cross-doc repeated substrings") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-token run "one two three four five" at
+    // different offsets; doc 3 is clean. Overlapping windows inside the
+    // run merge via the covered-index union.
+    val run = "one two three four five"
+    val docs = Seq(
+      (1L, s"intro words here $run tail a"),
+      (2L, s"$run totally different ending here"),
+      (3L, "no repeated content in this document at all")
+    ).toDF("doc_id", "text")
+    val dw = TextOps.duplicatedWindows(docs, "doc_id", "text", w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly one duplicated window per doc: the run itself
+    assert(dw == Set((1L, 3L), (2L, 0L)), s"got $dw")
+    val cleaned = TextOps.removeDuplicatedSpans(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cleaned(1L) == (("intro words here tail a", 5L, 10L)))
+    assert(cleaned(2L) == (("totally different ending here", 5L, 9L)))
+    assert(cleaned(3L) == (("no repeated content in this document at all", 0L, 8L)))
+  }
+
   test("shardAndPack: deterministic hash shards, dense pos, concat-chunk seq ids") {
     import spark.implicits._
     val nt = (1L to 20L).map(i => i -> (i % 5 + 1) * 3).toMap
