@@ -531,6 +531,62 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF+PQ composed index — the billion-scale ANN layout (FAISS
+    * IndexIVFPQ): the coarse quantizer restricts each query to its
+    * `nprobe` nearest cells, and inside those cells corpus rows are
+    * scored from their m-byte PQ codes (ADC table lookups), so the scan
+    * touches neither full vectors nor out-of-cell rows. Index build =
+    * one [[ivfAssign]] pass + one [[pqEncode]] pass joined on id (a
+    * one-time shuffle at build, amortized over every query); query =
+    * broadcast probes + broadcast ADC tables over the cell-filtered code
+    * rows, partial-agg sums, per-query top-k. For cosine semantics
+    * normalize corpus and query vectors first (see RecallBench).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String,
+      dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val dsub = dim / m
+    val corpusIdx = ivfAssign(corpus, idCol, vecCol,
+      centroids, centIdCol, centVecCol, dim)
+      .select(col("vid"), col("cell"))
+      .join(pqEncode(corpus, idCol, vecCol, codebook, dim, m), Seq("vid"))
+      .localCheckpoint(true) // the persisted index: (vid, cell, codes)
+    val c = centroids.select(col(centIdCol).as("cent_id"),
+      col(centVecCol).as("cv_c"),
+      VectorExpressions.norm(col(centVecCol)).as("cn"))
+    val q0 = queries.select(col(idCol).as("qvid"), col(vecCol).as("qv"),
+      VectorExpressions.norm(col(vecCol)).as("qn"))
+    val pw = Window.partitionBy(col("qvid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = q0.join(broadcast(c))
+      .select(col("qvid"), col("cent_id"),
+        (VectorExpressions.dot(col("qv"), col("cv_c")) /
+          (col("qn") * col("cn"))).as("cent_cos"))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qvid"), col("cent_id").as("cell"))
+    val table = q0.join(codebook)
+      .select(col("qvid"), col("sub"), col("code"),
+        expr(s"aggregate(transform(sequence(0, ${dsub - 1}), d -> " +
+          s"cast(element_at(slice(qv, sub * $dsub + 1, $dsub), d + 1) " +
+          "as double) * cast(element_at(cv, d + 1) as double)), " +
+          "cast(0 as double), (s, x) -> s + x)").as("part"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    corpusIdx
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qvid") =!= col("vid"))
+      .select(col("qvid"), col("vid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("qvid", "sub", "code"))
+      .groupBy(col("qvid").as("query_id"), col("vid").as("neighbor_id"))
+      .agg(sum(col("part")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

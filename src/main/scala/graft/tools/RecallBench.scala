@@ -90,6 +90,12 @@ object RecallBench {
     val (pq16, pq16Sec) = timed(pairs(Similarity.pqTopK(
       enq, pqEnc16, pqCb16, "vec_id", "embedding", 64, m = 16, k)))
 
+    // composed IVF+PQ (km-trained cells, m=16 codes, nprobe=4): cell cut
+    // AND compressed scan — the billion-scale layout
+    val (ivfpq, ivfpqSec) = timed(pairs(Similarity.ivfPqTopK(
+      enq, en, km, pqCb16, "vec_id", "embedding", "cent_id", "cv",
+      64, m = 16, k, nprobe = 4)))
+
     println(f"""{"bench":"ann_recall","k":$k,"truth_pairs":${truth.size},""" +
       f""""exact_sec":$exactSec%.2f,""" +
       f""""lsh16":{"recall":${recallOf(lsh)}%.3f,"sec":$lshSec%.2f},""" +
@@ -102,7 +108,8 @@ object RecallBench {
       f""""pq_m8_k16":{"recall":${recallOf(pq)}%.3f,"train_sec":$pqTrainSec%.2f,""" +
       f""""enc_sec":$pqEncSec%.2f,"sec":$pqSec%.2f},""" +
       f""""pq_m16_k16":{"recall":${recallOf(pq16)}%.3f,""" +
-      f""""train_sec":$pqTrain16Sec%.2f,"sec":$pq16Sec%.2f}}""")
+      f""""train_sec":$pqTrain16Sec%.2f,"sec":$pq16Sec%.2f},""" +
+      f""""ivfpq_m16_np4":{"recall":${recallOf(ivfpq)}%.3f,"sec":$ivfpqSec%.2f}}""")
     spark.stop()
   }
 }

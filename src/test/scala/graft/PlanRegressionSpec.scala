@@ -104,4 +104,36 @@ class PlanRegressionSpec extends AnyFunSuite {
       "WindowGroupLimit should run partial (map-side) then final:\n" +
         plan.take(3000))
   }
+
+  test("q63: moment pass is one partial->final aggregate; global scale broadcasts") {
+    // the Gram/moments contract: the corpus is read once, the typed
+    // aggregator runs partial (map-side, full dim^2 multiply-adds) then
+    // final — so the only corpus-wide exchange carries ONE buffer row per
+    // task — and the 1-row global-scale aggregate arrives by broadcast
+    // (the q44 pattern), never a cartesian or a corpus shuffle
+    val plan = planOf("q63_embed_gram")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "typed aggregator missing:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "global-scale join not broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+  }
+
+  test("q64: duplicated-window join is an equi-join, frequency a hash aggregate") {
+    // exact-substring dedup's scale contract: window hashes meet their
+    // frequency filter through a co-partitioned equi-join on whash (SMJ
+    // or SHJ — both fine, both linear) with the frequency side a
+    // partial->final hash aggregate; never a cartesian, never a window
+    // over the exploded corpus
+    val plan = planOf("q64_dup_spans")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "whash join shape unexpected:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(plan.contains("HashAggregate"),
+      "frequency count should be a hash aggregate:\n" + plan.take(3000))
+  }
 }

@@ -503,6 +503,29 @@ class TextOpsSpec extends AnyFunSuite {
       s"ADC should rank vec 0 first for query 3: ${top.toSeq}")
   }
 
+  test("ivfPqTopK scores only in-cell candidates from codes and finds the co-cluster neighbor") {
+    // two well-separated clusters = two IVF cells; PQ codebook per
+    // subspace. Query 3 must retrieve its co-cluster member 0 — and must
+    // NOT see cluster-B rows at all (cell filter), even at k=10
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.0f, 0.0f, 0.9f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.9f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") === 0L || col("vec_id") === 1L)
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 3)
+    val got = Similarity.ivfPqTopK(
+        vecs.filter(col("vec_id") === 3L), vecs, cents, cb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 4, m = 2, k = 10, nprobe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((3L, 0L)),
+      s"expected only the co-cluster neighbor 0 (cell-filtered): ${got.toSeq}")
+  }
+
   test("ivf multi-probe recovers the true neighbor across a cell boundary") {
     // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
     // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
