@@ -186,6 +186,12 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q65_quality_feats" -> ((s, d) =>
+      // the quality classifier's featurization (hashed bag-of-words,
+      // tf-normalized) — the oracle-checkable half of QualityClassifier;
+      // training/scoring are float-GD and spec-tested instead
+      graft.operators.QualityClassifier.featurize(
+        docs(s, d), "doc_id", "text", hashDim = 4096)),
     "q64_dup_spans" -> ((s, d) =>
       // Lee-et-al-style exact duplicated substring detection: every
       // 5-token window hashed, hashes occurring >=2 times anywhere in
@@ -587,6 +593,15 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q65_quality_feats" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents WHERE len(string_split_regex(trim(lower(text)),
+         |    '\\s+')) > 0),
+         |e AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS tok FROM t)
+         |SELECT doc_id, ${dHash32("tok")} % 4096 AS feat,
+         |  CAST(COUNT(*) AS DOUBLE) / MAX(len) AS v
+         |FROM e GROUP BY doc_id, feat""".stripMargin,
     "q64_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
          |w AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks
