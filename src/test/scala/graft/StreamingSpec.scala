@@ -144,6 +144,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming ingest pipeline: quality gate + lang-id + PII scrub + dedup compose on a stream") {
+    // the always-on training-data ingest path: the BATCH operators
+    // (quality features, language id, PII scrub — all projections) run
+    // unchanged under Structured Streaming, with dedupStream's
+    // watermarked state as the only stateful stage. This is the
+    // Spark-first payoff the reference's separate stream topology needs
+    // custom operators for.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDS().toDF("ts", "doc_id", "text")
+    val en = "the quick study describes the data and the careful analysis plainly"
+    val gated = docs
+      .withColumn("pred_lang", graft.operators.TextOps.predictLangUdf(col("text")))
+      .withColumn("n_tokens",
+        graft.operators.TextOps.preTokenCount(col("text")))
+      .filter(col("n_tokens") >= 5 && col("pred_lang") === "en")
+      .withColumn("clean_text",
+        expr(graft.operators.TextOps.scrubPiiSql("text")))
+    val query = StreamingOps
+      .dedupStream(gated, "clean_text", "10 minutes")
+      .writeStream.format("memory").queryName("singest")
+      .outputMode("append").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+      input.addData(Seq(
+        (t(0), 1L, s"$en contact bob@example.com for details"),
+        (t(1), 2L, "le chat et le chien sont dans la maison avec le garcon"),
+        (t(2), 3L, "too short")))
+      query.processAllAvailable()
+      input.addData(Seq(
+        // same text as doc 1 after scrubbing (different email) -> dup
+        (t(3), 4L, s"$en contact alice@other.org for details"),
+        (t(4), 5L, s"$en with genuinely new content appended here")))
+      query.processAllAvailable()
+      val out = spark.table("singest")
+        .select("doc_id", "clean_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 2 fails lang-id, doc 3 fails length, doc 4 dedups against 1
+      assert(out.keySet == Set(1L, 5L), s"got ${out.keySet}")
+      assert(!out(1L).contains("bob@example.com"),
+        s"PII not scrubbed: ${out(1L)}")
+    } finally query.stop()
+  }
+
   test("warc source parses written records back, octet-exact") {
     import spark.implicits._
     val fetched = Seq(
