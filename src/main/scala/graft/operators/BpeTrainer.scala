@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training — the tokenizer-construction step a
+  * training-data pipeline runs over its own corpus (GPT-2/RoBERTa
+  * recipe: Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units"). [[TextOps.preTokenCount]] counts GPT-2
+  * pre-tokens; this learns the merge table that turns pre-tokens into
+  * actual BPE tokens.
+  *
+  * The classic trainer is a single-machine frequency loop; the corpus
+  * statistics it needs (pair counts) are what distribute. Shape per
+  * merge round:
+  *   - adjacent-pair counts: one explode over word symbol arrays + one
+  *     partial->final hash aggregate, weighted by word frequency — the
+  *     shuffle carries distinct pairs, not corpus tokens;
+  *   - argmax pair: TakeOrderedAndProject(1) — no global sort;
+  *   - applying the merge rewrites the (distinct-word, symbols) table —
+  *     a projection; word frequencies never recount.
+  * Training runs on the DISTINCT-word table (vocabulary-sized, built
+  * with one groupBy from the corpus), so merge rounds never rescan the
+  * corpus — the standard trick that makes N merge rounds affordable:
+  * round cost scales with |vocab|, not |corpus|.
+  *
+  * Determinism: counts are exact integers; argmax ties break on the
+  * pair's lexicographic order — same corpus, same merges, any cluster.
+  */
+object BpeTrainer {
+
+  /** (word, freq) vocabulary from a text column: ONE corpus pass. */
+  def wordFrequencies(
+      df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(TextOps.tokensSql(s"lower($textCol)")))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` BPE merges from a (word, freq) vocabulary.
+    * Returns the ordered merge table Seq((left, right)) — apply with
+    * [[encode]]. `</w>` end-of-word marker per the original recipe.
+    */
+  def trainMerges(
+      vocab: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    val spark = vocab.sparkSession
+    // split(word, '') keeps a trailing '' (Java split with limit -1) —
+    // filter it before appending the end-of-word marker
+    var words = vocab.select(col("word"), col("freq"),
+        expr("concat(filter(split(word, ''), c -> c != ''), " +
+          "array('</w>'))").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), expr(
+          "transform(sequence(0, size(syms) - 2), i -> " +
+            "struct(element_at(syms, i + 1) as l, " +
+            "element_at(syms, i + 2) as r))").as("pairs"))
+        .select(col("freq"), explode(col("pairs")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        // merge every adjacent (l, r) occurrence left-to-right; the
+        // aggregate-fold carries (acc array, skip flag) so overlapping
+        // occurrences ("a a a" under a+a) merge non-overlapping, as the
+        // reference implementation does
+        val applied = mergeSymsExpr("syms", l, r)
+        words = words
+          .select(col("word"), col("freq"), expr(applied).as("syms"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** SQL expression merging adjacent (l, r) in a symbol array via a
+    * left fold: state = (rebuilt array, just-merged flag).
+    */
+  private def mergeSymsExpr(symsCol: String, l: String, r: String): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    s"""aggregate(
+       |  sequence(0, size($symsCol) - 1),
+       |  struct(cast(array() as array<string>) as acc, false as merged),
+       |  (st, i) -> CASE
+       |    WHEN st.merged THEN struct(st.acc as acc, false as merged)
+       |    WHEN i < size($symsCol) - 1
+       |      AND element_at($symsCol, i + 1) = ${q(l)}
+       |      AND element_at($symsCol, i + 2) = ${q(r)}
+       |    THEN struct(concat(st.acc, array(${q(l + r)})) as acc,
+       |      true as merged)
+       |    ELSE struct(concat(st.acc,
+       |      array(element_at($symsCol, i + 1))) as acc, false as merged)
+       |  END,
+       |  st -> st.acc)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** Encode words with a learned merge table: broadcast-closure UDF
+    * applying merges in training order (the standard greedy encode) —
+    * pure projection over the corpus, zero shuffle. Returns the BPE
+    * symbol array per input word.
+    */
+  def encodeWordUdf(merges: Seq[(String, String)]) = udf { (word: String) =>
+    var syms = word.map(_.toString).toArray :+ "</w>"
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms.toSeq
+  }
+
+  /** True merged-BPE token count per document under a learned merge
+    * table — the honest version of the count [[TextOps.preTokenCount]]
+    * approximates. Distinct words encode once (vocabulary-sized work),
+    * then a broadcast join prices every corpus word — the corpus itself
+    * is never re-encoded.
+    */
+  def bpeTokenCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(expr(TextOps.tokensSql(s"lower($textCol)"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val lens = words.select(col("word")).distinct()
+      .withColumn("n_bpe", size(encodeWordUdf(merges)(col("word")))
+        .cast("long"))
+    words.join(broadcast(lens), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_bpe")).as("n_bpe_tokens"))
+  }
+}

@@ -186,6 +186,11 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q66_bpe_vocab" -> ((s, d) =>
+      // the BPE trainer's input statistic: corpus TERM frequencies
+      // (q42 counts DOC frequencies — different measure). Training
+      // itself (BpeTrainer.trainMerges) is iterative argmax, spec-tested
+      graft.operators.BpeTrainer.wordFrequencies(docs(s, d), "text")),
     "q65_quality_feats" -> ((s, d) =>
       // the quality classifier's featurization (hashed bag-of-words,
       // tf-normalized) — the oracle-checkable half of QualityClassifier;
@@ -593,6 +598,12 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q66_bpe_vocab" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word""".stripMargin,
     "q65_quality_feats" ->
       s"""WITH t AS (SELECT doc_id,
          |    string_split_regex(trim(lower(text)), '\\s+') AS toks

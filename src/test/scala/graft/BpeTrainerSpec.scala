@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrainer
+
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("trainMerges learns the frequency-ordered merges on a known vocabulary") {
+    // ("aaab", 3), ("aab", 2):
+    //   round 1 pair counts: (a,a) = 2*3 + 1*2 = 8 (non-overlap counting
+    //   happens at APPLY time; counting counts all adjacent positions),
+    //   (a,b) = 5, (b,</w>) = 5 -> merge (a,a)
+    //   round 2 on [aa,a,b,</w>]x3, [aa,b,</w>]x2:
+    //   (b,</w>) = 5 beats (aa,a)=3, (a,b)=3, (aa,b)=2 -> merge (b,</w>)
+    val vocab = Seq(("aaab", 3L), ("aab", 2L)).toDF("word", "freq")
+    val merges = BpeTrainer.trainMerges(vocab, numMerges = 2)
+    assert(merges == Seq(("a", "a"), ("b", "</w>")), s"got $merges")
+  }
+
+  test("overlapping occurrences merge left-to-right non-overlapping") {
+    // "aaaa" under merge (a,a) must become [aa, aa, </w>], not [aa, a, a…]
+    val vocab = Seq(("aaaa", 5L)).toDF("word", "freq")
+    val merges = BpeTrainer.trainMerges(vocab, numMerges = 2)
+    assert(merges.head == (("a", "a")), s"got $merges")
+    // post-merge symbols must be [aa aa </w>]: pairs (aa,aa) and
+    // (aa,</w>) tie at 5 and '<' sorts before 'a', so the deterministic
+    // winner is (aa,</w>). Had the apply merged overlapping ("aa a a"),
+    // (a,a) would win round 2 again — assert that cannot happen.
+    assert(merges(1) == (("aa", "</w>")), s"got $merges")
+    assert(merges(1) != (("a", "a")), "overlapping merge leaked a (a,a) pair")
+  }
+
+  test("trainMerges stops when no pair repeats") {
+    val vocab = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "freq")
+    val merges = BpeTrainer.trainMerges(vocab, numMerges = 10)
+    assert(merges.isEmpty, s"nothing repeats, got $merges")
+  }
+
+  test("encodeWordUdf applies merges in training order; bpeTokenCounts prices docs") {
+    val docs = Seq(
+      (1L, "aaab aab"),
+      (2L, "aaab aaab aaab")
+    ).toDF("doc_id", "text")
+    val vocab = BpeTrainer.wordFrequencies(docs, "text")
+    val got = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("aaab" -> 4L, "aab" -> 1L))
+    val merges = BpeTrainer.trainMerges(vocab, numMerges = 2)
+    // "aaab" under [(a,a), then round-2 winner] — just verify the counts
+    // agree with a direct UDF application
+    val enc = BpeTrainer.encodeWordUdf(merges)
+    val lens = Seq("aaab", "aab").toDF("word")
+      .select(col("word"), size(enc(col("word"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val counts = BpeTrainer.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == lens("aaab") + lens("aab"), s"$counts vs $lens")
+    assert(counts(2L) == 3L * lens("aaab"), s"$counts vs $lens")
+    // merged counts are strictly below character counts (compression)
+    assert(counts(2L) < 3L * 5)
+  }
+}
