@@ -186,6 +186,10 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q67_bigram_counts" -> ((s, d) =>
+      // the perplexity filter's trainable statistic (NgramLm.fit input);
+      // interpolated scoring itself is float math, spec-tested
+      graft.operators.NgramLm.bigramCounts(docs(s, d), "text")),
     "q66_bpe_vocab" -> ((s, d) =>
       // the BPE trainer's input statistic: corpus TERM frequencies
       // (q42 counts DOC frequencies — different measure). Training
@@ -598,6 +602,14 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q67_bigram_counts" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS toks FROM documents),
+        |w AS (SELECT unnest(range(0, len(toks) - 1)) AS pos, toks
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT toks[pos+1] AS l, toks[pos+2] AS r,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY l, r""".stripMargin,
     "q66_bpe_vocab" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)),

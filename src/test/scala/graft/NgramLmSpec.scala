@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.NgramLm
+
+class NgramLmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val reference = Seq(
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the cat and the dog sat")
+
+  test("bigramCounts counts adjacent lowercased pairs") {
+    val got = NgramLm.bigramCounts(
+        Seq("The cat the CAT").toDF("text"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("the", "cat") -> 2L, ("cat", "the") -> 1L))
+  }
+
+  test("reference-like text scores lower perplexity than shuffled junk") {
+    val model = NgramLm.fit(reference.toDF("text"), "text")
+    assert(model.bigrams(("sat", "on")) == 2L)
+    assert(model.unigrams("the") == 6L)
+    val scored = NgramLm.perplexity(
+        Seq(
+          (1L, "the cat sat on the rug"), // seen bigrams throughout
+          (2L, "rug the on sat cat the"), // same words, unseen order
+          (3L, "zx qv wk jm pt")          // fully out of vocabulary
+        ).toDF("doc_id", "text"), "text", "ppl", model)
+      .select("doc_id", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) < scored(2L),
+      s"in-order text must beat shuffled: $scored")
+    assert(scored(2L) < scored(3L),
+      s"gibberish must score worse than shuffled in-vocab text: $scored")
+    assert(scored(1L) < 50.0, s"seen-bigram ppl unexpectedly high: $scored")
+  }
+
+  test("short and empty docs get the unseen ceiling, not an exception") {
+    val model = NgramLm.fit(reference.toDF("text"), "text")
+    val got = NgramLm.perplexity(
+        Seq((1L, "word"), (2L, ""), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "text", "ppl", model)
+      .select("ppl")
+      .collect().map(_.getDouble(0))
+    assert(got.distinct.length == 1 && got.head > 1.0)
+  }
+
+  test("maxBigrams truncation keeps the most frequent pairs") {
+    val model = NgramLm.fit(reference.toDF("text"), "text", maxBigrams = 2)
+    assert(model.bigrams.size == 2)
+    // five pairs tie at cnt=2; (l asc, r asc) keeps (dog,sat), (on,the)
+    assert(model.bigrams.keySet == Set(("dog", "sat"), ("on", "the")),
+      s"got ${model.bigrams.keySet}")
+    assert(model.bigrams.values.forall(_ == 2L))
+  }
+}
