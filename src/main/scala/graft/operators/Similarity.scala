@@ -587,6 +587,35 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * near-duplicate pairs found INSIDE k-means cells — cluster the
+    * corpus, then compare only within-cell pairs against a cosine
+    * threshold. The cell partition bounds the quadratic term by cell
+    * size (the paper's design point), and cells are a plain equi-join
+    * key here, so the join is co-partitioned and shuffle-linear; pair
+    * output feeds [[graft.operators.Components]] for transitive
+    * clustering and `dedupedCorpus` for materialization, same as the
+    * MinHash path. Train `centroids` with [[kmeansRefine]] for
+    * density-following cells; any centroid set works (assignment is
+    * deterministic: argmax cosine, id tie-break).
+    */
+  def semanticDedupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centIdCol: String, centVecCol: String,
+      dim: Int, threshold: Double): DataFrame = {
+    val cells = ivfAssign(corpus, idCol, vecCol,
+      centroids, centIdCol, centVecCol, dim)
+      .localCheckpoint(true) // one assignment pass feeds both join sides
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        (VectorExpressions.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-K: candidates share the query's bucket (equi-join on
     * bucket — co-partitioned, linear), exact cosine re-rank inside.
     */

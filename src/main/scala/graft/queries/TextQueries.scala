@@ -186,6 +186,16 @@ object TextQueries {
       // boilerplate at every SF (production: 10-token segments, df>=3 abs)
       TextOps.removeBoilerplate(docs(s, d), "doc_id", "text",
         segTokens = 2, minDocFrequency = 3, minDocFraction = Some(0.04))),
+    "q68_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: near-dup pairs inside k-means cells (here the q34
+      // hash-sampled centroid set, so the oracle can reproduce the
+      // assignment); pair frame feeds Components like the MinHash path
+      val e = embs(s, d)
+      Similarity.semanticDedupPairs(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        dim = 64, threshold = 0.3)
+    }),
     "q67_bigram_counts" -> ((s, d) =>
       // the perplexity filter's trainable statistic (NgramLm.fit input);
       // interpolated scoring itself is float math, spec-tested
@@ -602,6 +612,19 @@ object TextQueries {
          |  CAST(COALESCE(SUM(bp.bp), 0) AS BIGINT) AS n_removed
          |FROM s LEFT JOIN bp USING (seg)
          |GROUP BY 1""".stripMargin,
+    "q68_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |a AS (SELECT e.vec_id AS vid, e.embedding AS ve, c.cent_id,
+         |    ${dCos("e.embedding", "c.cv")} AS cent_cos
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |    ORDER BY cent_cos DESC, cent_id ASC) AS crn FROM a),
+         |cells AS (SELECT vid, ve, cent_id AS cell FROM r WHERE crn = 1),
+         |p AS (SELECT x.vid AS id_a, y.vid AS id_b,
+         |    ${dCos("x.ve", "y.ve")} AS cos
+         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
     "q67_bigram_counts" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
         |    AS toks FROM documents),

@@ -526,6 +526,26 @@ class TextOpsSpec extends AnyFunSuite {
       s"expected only the co-cluster neighbor 0 (cell-filtered): ${got.toSeq}")
   }
 
+  test("semanticDedupPairs finds in-cell near-dups and never crosses cells") {
+    // cluster A around e1, cluster B around e3; 0/3 near-identical in A,
+    // 1/2 near-identical in B. A-B cross pairs (cos 0) must not appear
+    // even at threshold 0 — the cell partition, not the threshold,
+    // excludes them
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.02f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, -0.02f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.02f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, -0.02f))
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") === 0L || col("vec_id") === 1L)
+    val pairs = Similarity.semanticDedupPairs(
+        vecs, "vec_id", "embedding", cents, "vec_id", "embedding",
+        dim = 4, threshold = 0.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L), (1L, 2L)), s"got $pairs")
+  }
+
   test("ivf multi-probe recovers the true neighbor across a cell boundary") {
     // q sits in cell A (cos .8 vs .6) but its TRUE nearest neighbor n sits
     // in cell B — nprobe=1 returns only the cell-A filler; nprobe=2 must
