@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call end-to-end training-corpus construction — the composition a
+  * pipeline user actually runs, wiring the individual operators in the
+  * order the large-corpus literature settled on (C4 → Gopher/RefinedWeb
+  * → CCNet ordering: cheap projections first, shuffles on the shrunken
+  * survivor set, benchmark decontamination last before mixing):
+  *
+  *   1. quality + language gate (projection filters; [[TextOps.cleanCorpus]]
+  *      semantics) and Gopher repetition gate
+  *   2. boilerplate segment removal ([[TextOps.removeBoilerplate]])
+  *   3. exact + near-duplicate removal (MinHash candidates →
+  *      [[Components]] transitive clusters → keep cluster minimum)
+  *   4. benchmark decontamination ([[TextOps.decontaminate]] anti-join)
+  *   5. optional perplexity gate against a reference LM ([[NgramLm]])
+  *   6. mixture sampling ([[MixturePlanner]] rates over the SURVIVOR
+  *      token counts — rates solved after filtering, or the mixture
+  *      under-delivers by exactly the filtered fraction)
+  *
+  * Each stage consumes the previous stage's output, so every shuffle
+  * after stage 1 runs on the surviving fraction only. Returns the final
+  * corpus plus per-stage survival counts (the audit trail a data card
+  * needs).
+  */
+object TrainingCorpus {
+
+  final case class Config(
+    minTokens: Long = 5,
+    minAlphaRatio: Double = 0.5,
+    lang: String = "en",
+    maxRepRatio: Double = 0.5,
+    boilerplateSegTokens: Int = 2,
+    boilerplateMinDf: Int = 3,
+    shingleK: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
+    dedupThreshold: Double = 0.5,
+    decontamShingleK: Int = 8,
+    maxPerplexity: Option[Double] = None,
+    mixtureWeights: Map[String, Double] = Map.empty,
+    budgetTokens: Long = Long.MaxValue)
+
+  final case class Result(
+    corpus: DataFrame,
+    /** (stage name, docs surviving) in pipeline order. */
+    audit: Seq[(String, Long)])
+
+  def build(
+      docs: DataFrame, idCol: String, textCol: String, strataCol: String,
+      benchmark: Option[DataFrame], benchTextCol: String,
+      referenceLm: Option[NgramLm.Model],
+      cfg: Config = Config()): Result = {
+    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def step(name: String, df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      audit += ((name, pinned.count()))
+      pinned
+    }
+
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(strataCol).as("stratum"))
+    audit += (("input", base.count()))
+
+    // 1. projection gates: quality + language + repetition, one pass
+    val gated = step("quality_lang_repetition", base
+      .withColumn("n_tokens", TextOps.preTokenCount(col("text")))
+      .withColumn("pred_lang", TextOps.predictLangUdf(col("text")))
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("pred_lang") === cfg.lang)
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+      .filter(col("alpha_ratio") >= cfg.minAlphaRatio)
+      .drop("n_tokens", "pred_lang", "alpha_ratio"))
+    val unrepeated = step("repetition_gate",
+      gated.join(
+        TextOps.repetitionFeatures(gated, "doc_id", "text")
+          .filter(col("rep_ratio") <= cfg.maxRepRatio)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
+
+    // 2. boilerplate removal rewrites text in place
+    val deboiled = step("boilerplate_removal",
+      TextOps.removeBoilerplate(unrepeated, "doc_id", "text",
+          segTokens = cfg.boilerplateSegTokens,
+          minDocFrequency = cfg.boilerplateMinDf)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(unrepeated.select("doc_id", "stratum"), Seq("doc_id"))
+        .filter(length(trim(col("text"))) > 0))
+
+    // 3. exact + near dedup: candidate pairs -> transitive clusters ->
+    //    keep each cluster's minimum id (plus all unclustered docs)
+    val pairs = TextOps.minhashCandidates(deboiled, "doc_id", "text",
+      cfg.shingleK, cfg.numHashes, cfg.bandSize)
+    val deduped = step("dedup",
+      Components.dedupedCorpus(deboiled, "doc_id", pairs, "id_a", "id_b"))
+
+    // 4. benchmark decontamination: drop any doc sharing shingles
+    val decontaminated = benchmark match {
+      case Some(bm) =>
+        step("decontamination", deduped.join(
+          TextOps.decontaminate(deduped, "doc_id", "text",
+            bm, benchTextCol, cfg.decontamShingleK)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti"))
+      case None => deduped
+    }
+
+    // 5. optional perplexity gate
+    val fluent = referenceLm match {
+      case Some(m) =>
+        val maxPpl = cfg.maxPerplexity.getOrElse(Double.MaxValue)
+        step("perplexity_gate",
+          NgramLm.perplexity(decontaminated, "text", "ppl", m)
+            .filter(col("ppl") <= maxPpl).drop("ppl"))
+      case None => decontaminated
+    }
+
+    // 6. mixture: solve rates over SURVIVOR token counts, then hash-gate
+    val mixed =
+      if (cfg.mixtureWeights.isEmpty) fluent
+      else step("mixture_sample", MixturePlanner.applyPlan(
+        fluent, "doc_id", "stratum",
+        MixturePlanner.plan(
+          MixturePlanner.tokenTotals(fluent, "stratum", "text"),
+          cfg.mixtureWeights, cfg.budgetTokens)))
+
+    Result(mixed, audit.toSeq)
+  }
+}

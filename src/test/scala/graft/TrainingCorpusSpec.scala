@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{NgramLm, TrainingCorpus}
+
+class TrainingCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("end-to-end build: every gate fires on its planted victim, audit tracks each stage") {
+    val bench = "question answer pairs for the benchmark evaluation suite items"
+    val docs = Seq(
+      // 1, 2: clean English — must survive everything
+      (1L, "web", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "web", "a careful study of the historical documents reveals patterns the researchers describe"),
+      // 3: French — language gate
+      (3L, "web", "le chat et le chien sont dans la maison avec le garcon ce soir"),
+      // 4: English but degenerate repetition — repetition gate
+      (4L, "web", "the cat the cat the cat the cat the cat the cat"),
+      // 5: near-duplicate of 1 — dedup keeps the cluster minimum (1)
+      (5L, "web", "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // 6: contains a full benchmark sentence — decontamination
+      (6L, "web", s"some filler text comes first and then $bench")
+    ).toDF("doc_id", "stratum", "text")
+
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = Some(Seq(bench).toDF("text")), benchTextCol = "text",
+      referenceLm = None)
+
+    val survivors = result.corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L),
+      s"got $survivors; audit=${result.audit}")
+
+    val audit = result.audit.toMap
+    assert(audit("input") == 6L)
+    assert(audit("quality_lang_repetition") == 5L, s"${result.audit}") // -doc3
+    assert(audit("repetition_gate") == 4L, s"${result.audit}")         // -doc4
+    assert(audit("boilerplate_removal") == 4L, s"${result.audit}")
+    assert(audit("dedup") == 3L, s"${result.audit}")                   // -doc5
+    assert(audit("decontamination") == 2L, s"${result.audit}")         // -doc6
+    // counts never increase through the pipeline
+    val seq = result.audit.map(_._2)
+    assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"$seq")
+  }
+
+  test("perplexity gate drops shuffled text when a reference LM is supplied") {
+    val reference = Seq(
+      "the cat sat on the mat near the door",
+      "the dog sat on the rug near the wall").toDF("text")
+    val model = NgramLm.fit(reference, "text")
+    val docs = Seq(
+      (1L, "web", "the cat sat on the rug near the door"),
+      (2L, "web", "rug the on sat cat the near door the")
+    ).toDF("doc_id", "stratum", "text")
+    // threshold between the two scores: in-order text scores low,
+    // shuffled scores high (NgramLmSpec pins the ordering)
+    val ppl = NgramLm.perplexity(docs, "text", "p", model)
+      .select("doc_id", "p").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = (ppl(1L) + ppl(2L)) / 2
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = None, benchTextCol = "text",
+      referenceLm = Some(model),
+      cfg = TrainingCorpus.Config(maxPerplexity = Some(cut)))
+    val survivors = result.corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == Set(1L), s"got $survivors; audit=${result.audit}")
+  }
+}
