@@ -136,4 +136,33 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"),
       "frequency count should be a hash aggregate:\n" + plan.take(3000))
   }
+
+  test("q65/q66/q67: statistics passes are explode + hash aggregate, nothing else") {
+    // the classifier featurization, BPE word-frequency table, and bigram
+    // LM counts share one scale contract: one corpus scan exploding to
+    // terms/pairs, one partial->final hash aggregate — no window over the
+    // exploded rows, no join at all in the statistics pass
+    for (q <- Seq("q65_quality_feats", "q66_bpe_vocab", "q67_bigram_counts")) {
+      val plan = planOf(q)
+      assert(plan.contains("HashAggregate"), s"$q: " + plan.take(3000))
+      assert(!plan.contains("WindowExec"),
+        s"$q statistics regressed to a window:\n" + plan.take(3000))
+      assert(!plan.contains("Join"), // no join operator of any kind
+        s"$q should be scan+explode+aggregate only:\n" + plan.take(3000))
+    }
+  }
+
+  test("q68: SemDeDup pair join is cell-equi, never cartesian") {
+    // the quadratic term must stay bounded by cell size: the self-join's
+    // equality on `cell` has to survive as an equi-join key (SMJ/SHJ/BHJ
+    // all fine), with `vid < vid` only as a post-join residual — a
+    // CartesianProduct or BroadcastNestedLoopJoin here means the cell
+    // bound is gone and the pair count is corpus-quadratic
+    val plan = planOf("q68_semantic_dedup")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "cell join lost its equi key:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
