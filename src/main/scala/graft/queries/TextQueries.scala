@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Similarity, TextOps}
+import graft.operators.{Bm25, Components, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
@@ -200,6 +200,15 @@ object TextQueries {
       // the perplexity filter's trainable statistic (NgramLm.fit input);
       // interpolated scoring itself is float math, spec-tested
       graft.operators.NgramLm.bigramCounts(docs(s, d), "text")),
+    "q69_bm25_match" -> ((s, d) => {
+      // BM25 retrieval's integer candidate statistics (inverted-index
+      // join + per-pair aggregates); the float idf/score fold on top is
+      // spec-tested (Bm25Spec), same split as q65/q67
+      import s.implicits._
+      val q = Seq((1L, "spark window agg"), (2L, "hash join merge"),
+        (3L, "stream batch vector")).toDF("query_id", "qtext")
+      Bm25.matchStats(docs(s, d), "doc_id", "text", q, "query_id", "qtext")
+    }),
     "q66_bpe_vocab" -> ((s, d) =>
       // the BPE trainer's input statistic: corpus TERM frequencies
       // (q42 counts DOC frequencies — different measure). Training
@@ -625,6 +634,25 @@ object TextQueries {
          |    ${dCos("x.ve", "y.ve")} AS cos
          |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "q69_bm25_match" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'spark window agg'),
+        |    (2, 'hash join merge'), (3, 'stream batch vector')),
+        |qt AS (SELECT DISTINCT query_id, term FROM
+        |  (SELECT query_id, unnest(string_split_regex(trim(lower(qtext)),
+        |     '\s+')) AS term FROM q)),
+        |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    MAX(len) AS len
+        |  FROM (SELECT doc_id,
+        |      CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |        AS BIGINT) AS len,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT qt.query_id, dt.doc_id, CAST(SUM(dt.tf) AS BIGINT) AS sum_tf,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms, MAX(dt.len) AS doc_len
+        |FROM qt JOIN dt USING (term)
+        |GROUP BY 1, 2""".stripMargin,
     "q67_bigram_counts" ->
       """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
         |    AS toks FROM documents),

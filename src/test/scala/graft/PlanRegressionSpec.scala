@@ -152,6 +152,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q69: query terms broadcast onto the doc-term frame — no corpus-side SMJ") {
+    // BM25's scale contract: the (small) query-term side broadcasts, so
+    // the corpus-wide doc-term aggregate flows straight into the match
+    // join; candidate aggregation is a partial->final hash aggregate
+    val plan = planOf("q69_bm25_match")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "query-term join degraded to SMJ:\n" + plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("q68: SemDeDup pair join is cell-equi, never cartesian") {
     // the quadratic term must stay bounded by cell size: the self-join's
     // equality on `cell` has to survive as an equi-join key (SMJ/SHJ/BHJ
