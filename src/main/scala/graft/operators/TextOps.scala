@@ -707,6 +707,38 @@ object TextOps {
         round(rateCol * 1000000, 0).cast("long"))
   }
 
+  /** Deterministic train/validation/test assignment: every row gets a
+    * split label from its md5-hash ppm bucket against cumulative
+    * fraction fences (fractions must sum to 1). Same engine-portable,
+    * retry-safe hash gate as [[sampleByHash]], with one addition: the
+    * hash input is salted (`id + ":split"`) so the split is INDEPENDENT
+    * of the sampling gate — unsalted, `sampleByHash` survivors are
+    * exactly the low hash buckets and would all land in the first
+    * split. Pure projection: no shuffle at any corpus size.
+    */
+  def assignSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket =
+      expr(hash32Sql(s"concat(cast($idCol as string), ':split')")) % 1000000
+    // fences rounded ONCE from the cumulative sums, so engines (and the
+    // oracle) agree on every boundary bucket
+    val fences = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 1000000))
+    val pairs = splits.map(_._1).zip(fences)
+    val splitExpr = pairs.dropRight(1)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (name, fence)) => Some(when(bucket < fence, name))
+        case (Some(acc), (name, fence)) => Some(acc.when(bucket < fence, name))
+      }
+      .map(_.otherwise(pairs.last._1))
+      .getOrElse(lit(pairs.last._1))
+    df.withColumn(splitCol, splitExpr)
+  }
+
   /** Token-budget packing per stratum: longest documents first
     * (deterministic id tie-break), keep while the stratum's cumulative
     * token count fits the budget — the "fill N tokens per language/

@@ -200,6 +200,12 @@ object TextQueries {
       // the perplexity filter's trainable statistic (NgramLm.fit input);
       // interpolated scoring itself is float math, spec-tested
       graft.operators.NgramLm.bigramCounts(docs(s, d), "text")),
+    "q70_split_assign" -> ((s, d) =>
+      // deterministic 90/5/5 train/val/test assignment; salted hash gate
+      // so it stays independent of q51's sampling buckets
+      TextOps.assignSplit(docs(s, d), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
     "q69_bm25_match" -> ((s, d) => {
       // BM25 retrieval's integer candidate statistics (inverted-index
       // join + per-pair aggregates); the float idf/score fold on top is
@@ -634,6 +640,15 @@ object TextQueries {
          |    ${dCos("x.ve", "y.ve")} AS cos
          |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "q70_split_assign" ->
+      s"""SELECT doc_id, CASE
+         |    WHEN bucket < 900000 THEN 'train'
+         |    WHEN bucket < 950000 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |    ${dHash32("concat(CAST(doc_id AS VARCHAR), ':split')")}
+         |      % 1000000 AS bucket
+         |  FROM documents)""".stripMargin,
     "q69_bm25_match" ->
       """WITH q(query_id, qtext) AS (VALUES
         |    (CAST(1 AS BIGINT), 'spark window agg'),

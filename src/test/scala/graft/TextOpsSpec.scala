@@ -64,6 +64,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(c1.size - 100) < 40, s"kept ${c1.size} of 200 en")
   }
 
+  test("split assignment: total coverage, fraction-shaped, independent of sampling") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val split = TextOps.assignSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row gets exactly one label; fractions roughly honored
+    assert(byName.values.sum == 1000L, byName)
+    assert(math.abs(byName("train") - 800) < 80, byName)
+    assert(byName.contains("val") && byName.contains("test"), byName)
+    // deterministic: identical on re-run
+    val a = split.filter($"split" === "test").collect().map(_.getLong(0)).toSet
+    val b = split.filter($"split" === "test").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // salted hash: sampleByHash survivors (low UNSALTED buckets) must NOT
+    // pile into the first split — they spread across all three
+    val sampled = TextOps.sampleByHash(df, "doc_id", "lang",
+      Map("en" -> 0.3), defaultRate = 0.0)
+    val sampledSplits = TextOps.assignSplit(sampled, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sampledSplits == Set("train", "val", "test"), sampledSplits)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      TextOps.assignSplit(df, "doc_id", Seq("train" -> 0.5))
+    }
+  }
+
   test("token budget packing keeps longest docs within each stratum") {
     import spark.implicits._
     val df = Seq(
