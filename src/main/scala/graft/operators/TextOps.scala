@@ -739,6 +739,25 @@ object TextOps {
     df.withColumn(splitCol, splitExpr)
   }
 
+  /** Exactly-N-per-stratum deterministic sampling — the eval-set
+    * construction primitive ("500 held-out docs per language", fixed
+    * size regardless of stratum skew): rank rows inside each stratum by
+    * salted md5 hash (id tie-break) and keep rank ≤ n. Hash order is a
+    * uniform shuffle that every engine/retry reproduces; the rank
+    * pre-trims map-side via WindowGroupLimit, so no task ever holds more
+    * than n rows per stratum even though the window partitions by a
+    * low-cardinality stratum column (the q52 bound).
+    */
+  def sampleFixedPerStratum(
+      df: DataFrame, idCol: String, strataCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(expr(hash32Sql(s"concat(cast($idCol as string), ':fix')")).asc,
+        col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Token-budget packing per stratum: longest documents first
     * (deterministic id tie-break), keep while the stratum's cumulative
     * token count fits the budget — the "fill N tokens per language/

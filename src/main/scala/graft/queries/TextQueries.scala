@@ -200,6 +200,11 @@ object TextQueries {
       // the perplexity filter's trainable statistic (NgramLm.fit input);
       // interpolated scoring itself is float math, spec-tested
       graft.operators.NgramLm.bigramCounts(docs(s, d), "text")),
+    "q71_fixed_sample" -> ((s, d) =>
+      // exactly 20 docs per language by salted hash order — fixed-size
+      // held-out sets no matter how skewed the strata are
+      TextOps.sampleFixedPerStratum(docs(s, d), "doc_id", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))),
     "q70_split_assign" -> ((s, d) =>
       // deterministic 90/5/5 train/val/test assignment; salted hash gate
       // so it stays independent of q51's sampling buckets
@@ -640,6 +645,13 @@ object TextQueries {
          |    ${dCos("x.ve", "y.ve")} AS cos
          |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "q71_fixed_sample" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${dHash32("concat(CAST(doc_id AS VARCHAR), ':fix')")}
+         |        ASC, doc_id ASC) AS BIGINT) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= 20""".stripMargin,
     "q70_split_assign" ->
       s"""SELECT doc_id, CASE
          |    WHEN bucket < 900000 THEN 'train'

@@ -163,6 +163,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q71: fixed-size sampling rank prunes map-side via WindowGroupLimit") {
+    // same bound as q52: the window partitions by a low-cardinality
+    // stratum, survivable only because WindowGroupLimit caps each task's
+    // contribution at n rows BEFORE the stratum shuffle
+    val plan = planOf("q71_fixed_sample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      "WindowGroupLimit should run partial (map-side) then final:\n" +
+        plan.take(3000))
+  }
+
   test("q68: SemDeDup pair join is cell-equi, never cartesian") {
     // the quadratic term must stay bounded by cell size: the self-join's
     // equality on `cell` has to survive as an equi-join key (SMJ/SHJ/BHJ

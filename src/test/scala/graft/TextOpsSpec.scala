@@ -93,6 +93,25 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-per-stratum sampling: exact size, deterministic, skew-proof") {
+    import spark.implicits._
+    // skewed strata: 300 en, 10 zh
+    val df = ((0L until 300L).map(i => (i, "en")) ++
+      (1000L until 1010L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val s = TextOps.sampleFixedPerStratum(df, "doc_id", "lang", n = 25)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 25L, byLang) // exactly n from the big stratum
+    assert(byLang("zh") == 10L, byLang) // whole stratum when smaller than n
+    // deterministic across invocations
+    val a = s.collect().map(_.getLong(0)).toSet
+    val b = TextOps.sampleFixedPerStratum(df, "doc_id", "lang", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // hash order, not id order: the kept en set is not just the first 25
+    assert(a.filter(_ < 300L) != (0L until 25L).toSet, a.toSeq.sorted.take(30))
+  }
+
   test("token budget packing keeps longest docs within each stratum") {
     import spark.implicits._
     val df = Seq(
