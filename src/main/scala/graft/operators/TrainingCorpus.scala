@@ -39,7 +39,12 @@ object TrainingCorpus {
     decontamShingleK: Int = 8,
     maxPerplexity: Option[Double] = None,
     mixtureWeights: Map[String, Double] = Map.empty,
-    budgetTokens: Long = Long.MaxValue)
+    budgetTokens: Long = Long.MaxValue,
+    /** Optional final stage: label every surviving doc train/val/test
+      * ([[TextOps.assignSplit]] — salted, so independent of the mixture
+      * gate). Empty = no split column.
+      */
+    splits: Seq[(String, Double)] = Seq.empty)
 
   final case class Result(
     corpus: DataFrame,
@@ -89,10 +94,11 @@ object TrainingCorpus {
         .join(unrepeated.select("doc_id", "stratum"), Seq("doc_id"))
         .filter(length(trim(col("text"))) > 0))
 
-    // 3. exact + near dedup: candidate pairs -> transitive clusters ->
-    //    keep each cluster's minimum id (plus all unclustered docs)
-    val pairs = TextOps.minhashCandidates(deboiled, "doc_id", "text",
-      cfg.shingleK, cfg.numHashes, cfg.bandSize)
+    // 3. exact + near dedup: signature-estimate pairs above the
+    //    threshold (the scale default — no second text pass) ->
+    //    transitive clusters -> keep each cluster's minimum id
+    val pairs = TextOps.minhashDedupPairsApprox(deboiled, "doc_id", "text",
+      cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dedupThreshold)
     val deduped = step("dedup",
       Components.dedupedCorpus(deboiled, "doc_id", pairs, "id_a", "id_b"))
 
@@ -126,6 +132,12 @@ object TrainingCorpus {
           MixturePlanner.tokenTotals(fluent, "stratum", "text"),
           cfg.mixtureWeights, cfg.budgetTokens)))
 
-    Result(mixed, audit.toSeq)
+    // 7. optional split labeling — a projection, never drops rows, so it
+    //    sits outside the audit trail
+    val labeled =
+      if (cfg.splits.isEmpty) mixed
+      else TextOps.assignSplit(mixed, "doc_id", cfg.splits)
+
+    Result(labeled, audit.toSeq)
   }
 }

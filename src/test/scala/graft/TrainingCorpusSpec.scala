@@ -46,6 +46,24 @@ class TrainingCorpusSpec extends AnyFunSuite {
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"$seq")
   }
 
+  test("split stage labels every survivor without dropping rows") {
+    val docs = (1L to 40L).map(i =>
+      (i, "web", s"document number $i with the common english words the and of"))
+      .toDF("doc_id", "stratum", "text")
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = None, benchTextCol = "text", referenceLm = None,
+      cfg = TrainingCorpus.Config(
+        dedupThreshold = 1.1, // templated docs: keep them all
+        splits = Seq("train" -> 0.8, "val" -> 0.2)))
+    val rows = result.corpus.select("doc_id", "split").collect()
+    val preSplit = result.audit.last._2
+    assert(rows.length.toLong == preSplit, result.audit)
+    val labels = rows.map(_.getString(1)).toSet
+    assert(labels.subsetOf(Set("train", "val")) && labels.contains("train"),
+      labels)
+  }
+
   test("perplexity gate drops shuffled text when a reference LM is supplied") {
     val reference = Seq(
       "the cat sat on the mat near the door",
