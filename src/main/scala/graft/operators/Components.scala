@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge/pair frame — the cluster-assignment
@@ -72,6 +73,55 @@ object Components {
     connectedComponents(pairs, aCol, bCol, maxIter)
       .select(col("id"), col("component").as("cluster_id"),
         (col("id") === col("component")).as("keep"))
+
+  /** Quality-aware dedup selection: like [[dedupClusters]], but the kept
+    * representative is chosen by a caller-supplied score — highest score
+    * wins, minimum id breaks ties — instead of blindly keeping the
+    * minimum id. This is how production pipelines pick WHICH near-dup to
+    * keep (longest document, highest quality-classifier score, newest
+    * fetch); min-id keeps whichever happened to be crawled first.
+    * Output: (id, cluster_id, <scoreCol>, keep), one row per clustered
+    * doc; the score column keeps its caller-facing name. Deterministic
+    * for any score type with a total order.
+    *
+    * Scale shape: the clusters frame is bounded by the duplicate rate,
+    * not the corpus; scores join in by id (AQE broadcasts the smaller
+    * side), and the keeper rank windows per cluster_id — cardinality ~
+    * number of clusters, group size ~ cluster size, so no task ever sees
+    * more than one cluster's members: the opposite of the low-cardinality
+    * window shape packTokenBudget had to bound away.
+    */
+  def dedupClustersBy(
+      pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, idCol: String, scoreCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+    val scored = cc.join(
+      scores.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+    val keeperRank = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col("id").asc)
+    scored
+      .withColumn("__rn", row_number().over(keeperRank))
+      .select(col("id"), col("component").as("cluster_id"), col(scoreCol),
+        (col("__rn") === 1).as("keep"))
+  }
+
+  /** Dedup audit: how big are the duplicate clusters? Output one row per
+    * observed cluster size — (cluster_size, n_clusters, n_docs) — the
+    * profile a corpus build reports alongside its survival counts (a fat
+    * tail of huge clusters means boilerplate or a crawler trap, not
+    * ordinary duplication). Two hash aggregations, both keyed on bounded
+    * domains (clusters, then distinct sizes); n_docs is a projection,
+    * not a third pass.
+    */
+  def clusterSizeProfile(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxIter)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
   /** The materialization step: the corpus that SURVIVES dedup. Drops every
     * clustered document except its cluster's canonical representative

@@ -918,6 +918,38 @@ object TextOps {
       .select(col(idCol), col("stratum"), col("n_tokens"))
   }
 
+  /** Domain/source-level quality gate: drop every stratum (source domain,
+    * crawl snapshot, shard) whose aggregate statistics fail a floor —
+    * here doc count and mean document length, the cheap proxies pipelines
+    * apply before any per-document scoring (a domain of uniformly tiny
+    * pages is a link farm; a source with three documents is noise). The
+    * reference crawls per-PLD and scores per-domain (DomainScore, SURVEY
+    * §2.3); this is the corpus-side twin of that domain-level judgment.
+    *
+    * The mean-length floor compares `stratum_tokens >= minMeanTokens *
+    * stratum_docs` in integers — no division, so the gate evaluates
+    * bit-identically on any engine. Output: surviving docs with their
+    * stratum's stats attached (the audit columns a survival report wants).
+    *
+    * Scale shape: one partial-aggregated count to stratum cardinality
+    * (domains ≪ docs), the verdict broadcast back onto the corpus — a
+    * single corpus-side scan, no corpus shuffle at all.
+    */
+  def stratumGate(
+      df: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      minDocs: Long, minMeanTokens: Long): DataFrame = {
+    val t = df.select(col(idCol), col(stratumCol),
+      size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
+    val stats = t.groupBy(stratumCol)
+      .agg(count(lit(1)).as("stratum_docs"),
+        sum(col("n_tokens")).as("stratum_tokens"))
+    val ok = stats.filter(col("stratum_docs") >= minDocs &&
+      col("stratum_tokens") >= lit(minMeanTokens) * col("stratum_docs"))
+    t.join(broadcast(ok), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        col("stratum_docs"), col("stratum_tokens"))
+  }
+
   /** PII scrub for training corpora: emails, phone-ish digit runs, and
     * IPv4 literals replaced by stable tags — the standard pre-training
     * redaction pass. Pure regexp_replace chain (codegen), composing into

@@ -55,6 +55,30 @@ object TextQueries {
        | x -> x IN ($lst))) AS BIGINT)""".stripMargin.replaceAll("\n", " ")
   }
 
+  /** The q55 transitive-closure pipeline as a reusable CTE chain:
+    * MinHash sigs → band keys → candidate pairs → recursive min-label
+    * walk → `cc(doc_id, cluster_id)`. Prepend `WITH RECURSIVE` and
+    * compose further CTEs/selects after it.
+    */
+  private val dClusterCc =
+    s"""sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+       |  FROM documents),
+       |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+       |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+       |    AS band_key
+       |  FROM sigs),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM cand
+       |  UNION SELECT id_b, id_a FROM cand),
+       |walk(u, label) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY u)""".stripMargin
+
   /** Deterministic PII-bearing text: doc text plus a synthesized email,
     * IPv4, and phone derived from doc_id. Engine-portable SQL (concat /
     * cast / %), evaluated identically by Spark and DuckDB so the q53
@@ -200,6 +224,35 @@ object TextQueries {
       // the perplexity filter's trainable statistic (NgramLm.fit input);
       // interpolated scoring itself is float math, spec-tested
       graft.operators.NgramLm.bigramCounts(docs(s, d), "text")),
+    "q74_cluster_sizes" -> ((s, d) =>
+      // dedup audit: the cluster-size profile over the q25 candidate
+      // graph (a fat tail here means boilerplate/crawler traps, not
+      // ordinary duplication)
+      Components.clusterSizeProfile(
+        TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bandSize = 4),
+        "id_a", "id_b")),
+    "q73_source_gate" -> ((s, d) =>
+      // domain-level gate: drop sources with < 5 docs or mean doc length
+      // under 50 tokens (integer cross-multiplied mean — engine-exact)
+      TextOps.stratumGate(docs(s, d), "doc_id", "text", "source",
+        minDocs = 5, minMeanTokens = 50)),
+    "q72_keeper_quality" -> ((s, d) => {
+      // quality-aware dedup representative: per cluster keep the LONGEST
+      // member (token count, min doc_id tie-break) instead of the
+      // min-id default — the "which near-dup survives" policy seam
+      val all = docs(s, d)
+      Components.dedupClustersBy(
+        TextOps.minhashCandidates(all, "doc_id", "text",
+          shingleK = 3, numHashes = 16, bandSize = 4),
+        "id_a", "id_b",
+        all.select(col("doc_id"),
+          size(expr(TextOps.tokensSql("text"))).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("n_tokens"), col("keep"))
+    }),
     "q71_fixed_sample" -> ((s, d) =>
       // exactly 20 docs per language by salted hash order — fixed-size
       // held-out sets no matter how skewed the strata are
@@ -645,6 +698,34 @@ object TextQueries {
          |    ${dCos("x.ve", "y.ve")} AS cos
          |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vid < y.vid)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "q74_cluster_sizes" ->
+      s"""WITH RECURSIVE
+         |$dClusterCc,
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+         |    AS cluster_size FROM cc GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1""".stripMargin,
+    "q73_source_gate" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stratum_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens
+         |  FROM t GROUP BY 1),
+         |ok AS (SELECT * FROM s
+         |  WHERE stratum_docs >= 5 AND stratum_tokens >= 50 * stratum_docs)
+         |SELECT t.doc_id, t.source, t.n_tokens,
+         |  ok.stratum_docs, ok.stratum_tokens
+         |FROM t JOIN ok USING (source)""".stripMargin,
+    "q72_keeper_quality" ->
+      s"""WITH RECURSIVE
+         |$dClusterCc,
+         |t AS (SELECT doc_id, CAST(len($dTokens) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT cc.doc_id, cc.cluster_id, t.n_tokens,
+         |  (ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+         |     ORDER BY t.n_tokens DESC, cc.doc_id ASC)) = 1 AS keep
+         |FROM cc JOIN t USING (doc_id)""".stripMargin,
     "q71_fixed_sample" ->
       s"""SELECT doc_id, lang, sample_rank FROM (
          |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang

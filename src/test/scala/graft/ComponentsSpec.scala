@@ -61,6 +61,37 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupClustersBy keeps the highest-scored member, min id on ties") {
+    import spark.implicits._
+    // cluster {1,2,3}: scores 5,9,9 -> keeper 2 (top score, min id tie)
+    // cluster {7,8}:   scores 1,4  -> keeper 8 (score beats min id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (8L, 4L))
+      .toDF("doc_id", "quality")
+    val got = Components.dedupClustersBy(
+      pairs, "a", "b", scores, "doc_id", "quality")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.count(_._4) == 2)
+    assert(got.filter(_._4).map(t => t._2 -> t._1).toMap ==
+      Map(1L -> 2L, 7L -> 8L))
+    // score column keeps its caller-facing name
+    assert(Components.dedupClustersBy(
+      pairs, "a", "b", scores, "doc_id", "quality").columns.toSeq ==
+      Seq("id", "cluster_id", "quality", "keep"))
+  }
+
+  test("clusterSizeProfile counts clusters per size, docs as a product") {
+    import spark.implicits._
+    // sizes: {1,2,3}=3, {10,11}=2, {20,21}=2 -> (3,1,3), (2,2,4)
+    val got = Components.clusterSizeProfile(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b"),
+      "a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 1L, 3L), (2L, 2L, 4L)))
+  }
+
   test("dedupedCorpus keeps cluster minima and all unclustered docs") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"text$i")).toDF("doc_id", "body")

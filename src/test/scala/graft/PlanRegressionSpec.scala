@@ -187,4 +187,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q73: stratum verdict broadcasts back — no corpus-side join shuffle") {
+    // the gate's only corpus pass is scan + broadcast-join + filter; the
+    // one shuffle in the plan is the stats aggregation down to stratum
+    // cardinality. An SMJ here means the whole corpus re-sorted to join
+    // against a ~20-row verdict frame.
+    val plan = planOf("q73_source_gate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "stratum verdict join degraded to SMJ:\n" + plan.take(3000))
+  }
+
+  test("q72: keeper rank windows per cluster_id (high-cardinality key)") {
+    // the keeper-selection window partitions by cluster_id — fine at any
+    // scale because a task sees one cluster's members, never a whole
+    // stratum; assert the window survived and nothing degraded to a
+    // cartesian pair join upstream
+    val plan = planOf("q72_keeper_quality")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

@@ -373,6 +373,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == ((2L to 10L) ++ Seq(21L, 22L, 23L, 24L)).toSet)
   }
 
+  test("stratumGate: drops low-volume and short-mean strata, keeps stats") {
+    import spark.implicits._
+    // srcA: 3 docs, mean 6 tokens -> passes (minDocs=2, minMean=5)
+    // srcB: 1 doc               -> fails minDocs
+    // srcC: 2 docs, mean 3      -> fails mean floor (6+0? no: 3+3=6 < 10)
+    val docs = Seq(
+      (1L, "a b c d e f", "srcA"), (2L, "a b c d e f g h", "srcA"),
+      (3L, "a b c d", "srcA"),
+      (4L, "plenty of words in this one doc", "srcB"),
+      (5L, "a b c", "srcC"), (6L, "x y z", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.stratumGate(docs, "doc_id", "text", "source",
+      minDocs = 2, minMeanTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    // survivors carry their stratum's audit stats: 3 docs, 18 tokens
+    assert(got.forall(t => t._2 == "srcA" && t._4 == 3L && t._5 == 18L))
+    // the integer mean floor is a strict cross-multiply: srcC has mean
+    // exactly 3 < 5; a stratum at exactly the floor passes
+    val atFloor = Seq((7L, "a b c d e", "srcD"), (8L, "a b c d e", "srcD"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.stratumGate(atFloor, "doc_id", "text", "source",
+      minDocs = 2, minMeanTokens = 5).count() == 2L)
+  }
+
   test("crossDedupPairs: new-vs-corpus matches only, sub-shingle docs out") {
     import spark.implicits._
     val corpus = Seq(
