@@ -55,8 +55,13 @@ object Bench {
     // and nothing in-band flagged it).
     val sentinelName = "q09_join_multi_revenue"
     val sentinelFirst = timed(sentinelName)
+    // progressive per-query lines on stderr: even if stdout is truncated
+    // or the JVM dies mid-suite, every completed measurement survives in
+    // the captured log (round 7's artifact lost q01-q16 to tail capture)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
-      name -> timed(name)
+      val sec = timed(name)
+      System.err.println(f"""bench-progress {"query":"$name%s","sec":$sec%.3f}""")
+      name -> sec
     }
     val sentinelLast = timed(sentinelName)
     val ratio =
@@ -68,10 +73,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
       s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
-      s""""noisy":$noisy,"sf":"$sfDir"}""")
+      s""""noisy":$noisy,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy: the stdout line has been tail-truncated in round
+    // artifacts twice; target/bench-<sf>.json is the canonical record
+    val sfName = new java.io.File(sfDir).getName
+    val outFile = new java.io.File(s"target/bench-$sfName.json")
+    outFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(json) finally w.close()
+    System.err.println(s"bench JSON written to ${outFile.getAbsolutePath}")
     spark.stop()
   }
 }

@@ -289,6 +289,10 @@ object TextQueries {
       // 5-token window hashed, hashes occurring >=2 times anywhere in
       // the corpus are duplicated spans (within- or cross-doc)
       TextOps.duplicatedWindows(docs(s, d), "doc_id", "text", w = 5)),
+    "q75_span_excision" -> ((s, d) =>
+      // the rebuild half of q64: every token covered by a duplicated
+      // window excised, remaining tokens re-joined positionally
+      TextOps.removeDuplicatedSpans(docs(s, d), "doc_id", "text", w = 5)),
     "q63_embed_gram" -> ((s, d) =>
       // corpus second-moment (Gram) matrix of globally-int8-quantized
       // embeddings: ONE typed-Aggregator pass, shuffle = one
@@ -794,6 +798,29 @@ object TextQueries {
          |d AS (SELECT whash FROM h GROUP BY whash HAVING COUNT(*) >= 2)
          |SELECT h.doc_id, h.pos, h.whash
          |FROM h JOIN d USING (whash)""".stripMargin,
+    "q75_span_excision" ->
+      // positional rebuild mirrors q58's string_agg shape: token stream
+      // with index, left join the covered-index set, keep uncovered
+      s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos, toks
+         |  FROM t WHERE len(toks) >= 5),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(toks[pos+1:pos+5], ' ')) AS whash
+         |  FROM w),
+         |d AS (SELECT whash FROM h GROUP BY whash HAVING COUNT(*) >= 2),
+         |covt AS (SELECT DISTINCT h.doc_id, unnest(range(h.pos, h.pos + 5))
+         |    AS ti FROM h JOIN d USING (whash)),
+         |tokidx AS (SELECT doc_id, toks, unnest(range(0, len(toks))) AS ti
+         |  FROM t),
+         |tok AS (SELECT doc_id, CAST(ti AS BIGINT) AS ti, toks[ti+1] AS tok
+         |  FROM tokidx)
+         |SELECT tok.doc_id,
+         |  COALESCE(string_agg(CASE WHEN c.ti IS NULL THEN tok.tok END, ' '
+         |    ORDER BY tok.ti), '') AS clean_text,
+         |  CAST(COUNT(c.ti) AS BIGINT) AS n_removed_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM tok LEFT JOIN covt c ON tok.doc_id = c.doc_id AND tok.ti = c.ti
+         |GROUP BY 1""".stripMargin,
     "q63_embed_gram" ->
       """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),
@@ -878,10 +905,12 @@ object TextQueries {
          |  MAX(sqrt(${dDot("embedding", "embedding")})) AS max_norm
          |FROM embeddings GROUP BY label""".stripMargin,
     "q30_multimodal_meta" ->
+      // strlen = BYTE length in DuckDB (length() counts characters);
+      // Spark's length(binary) counts bytes, so non-ASCII text agrees
       """SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(length(text) AS BIGINT) % 640 AS width,
-        |  CAST(length(text) AS BIGINT) % 480 AS height,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(strlen(text) AS BIGINT) % 640 AS width,
+        |  CAST(strlen(text) AS BIGINT) % 480 AS height,
         |  substr(md5(text), 1, 6) AS format_tag
         |FROM documents""".stripMargin,
     "q33_cosine_dedup" ->

@@ -675,6 +675,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(frames.length == expected)
   }
 
+  test("binary-column byte length counts UTF-8 bytes, not characters (q30)") {
+    // q30's oracle measures strlen (bytes); the Spark side casts to binary
+    // and takes length — on non-ASCII text these agree only if BOTH count
+    // bytes. "héllo wörld 日本語" = 13 chars beyond ASCII coverage:
+    // é/ö are 2 UTF-8 bytes each, each CJK char is 3.
+    import spark.implicits._
+    val doc = Seq((1L, "héllo wörld 日本語")).toDF("doc_id", "text")
+    val row = doc
+      .select(length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        length(col("text")).cast("long").as("n_chars"))
+      .head()
+    val utf8Bytes = "héllo wörld 日本語".getBytes("UTF-8").length.toLong
+    assert(row.getLong(0) == utf8Bytes)   // 14 ASCII-ish + 2*1 + 3*3 extra
+    assert(row.getLong(1) < row.getLong(0), "chars must undercount bytes")
+  }
+
   test("multimodal feature extraction yields normalized fixed-width vectors") {
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
     val feats = Multimodal.extractFeatures(media, "doc_id", "content", dim = 16)
