@@ -40,6 +40,27 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(merges.isEmpty, s"nothing repeats, got $merges")
   }
 
+  test("trainMergesLocal produces identical merges to the distributed loop") {
+    // real-ish vocabulary with ties, overlaps, shared prefixes/suffixes,
+    // and single-char words; run both paths to exhaustion and compare
+    // the full ordered merge tables
+    val entries = Seq(
+      ("the", 120L), ("then", 40L), ("them", 35L), ("these", 20L),
+      ("a", 300L), ("an", 90L), ("and", 150L), ("band", 12L),
+      ("banana", 9L), ("bandana", 4L), ("aaaa", 7L), ("aaab", 3L),
+      ("aab", 2L), ("lowest", 11L), ("low", 44L), ("lower", 17L),
+      ("newest", 13L), ("new", 61L), ("widest", 5L), ("wide", 22L))
+    val vocabDf = spark.createDataFrame(entries).toDF("word", "freq")
+    val distributed = BpeTrainer.trainMerges(vocabDf, numMerges = 60)
+    val local = BpeTrainer.trainMergesLocal(vocabDf, numMerges = 60)
+    assert(local == distributed,
+      s"local $local\n!= distributed $distributed")
+    // both must have exhausted below the cap the same way
+    assert(local.size < 60, "fixture should exhaust before the cap")
+    // auto routes small vocabularies to the local loop, same answer
+    assert(BpeTrainer.trainMergesAuto(vocabDf, numMerges = 60) == distributed)
+  }
+
   test("encodeWordUdf applies merges in training order; bpeTokenCounts prices docs") {
     val docs = Seq(
       (1L, "aaab aab"),
