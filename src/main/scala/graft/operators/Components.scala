@@ -34,7 +34,24 @@ object Components {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * executed — the iteration budget a dedup audit wants pinned (rounds =
+    * cluster diameter; > a handful on an LSH graph means the candidate
+    * generator is linking things it shouldn't).
+    *
+    * One job per round: the convergence probe rides the label aggregation
+    * itself via `observe` — each node's previous label travels through
+    * the union tagged as `old`, and a CollectMetrics sum of
+    * (component != old) comes back with the round's materializing action,
+    * so no separate join+count job runs (labels decrease monotonically,
+    * so zero changed rows IS the fixpoint).
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -42,25 +59,35 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val idType = labels.schema("component").dataType
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      // every id occurs exactly once in the labels branch (edges are
+      // symmetric, so dst ids are src ids), hence max(old) recovers the
+      // previous label and min(component) the new one in ONE aggregate
       val next = edges.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.component").as("component"))
-        .union(labels.select(col("id"), col("component")))
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("e.src").as("id"), col("l.component").as("component"),
+          lit(null).cast(idType).as("old"))
+        .union(labels.select(col("id"), col("component"),
+          col("component").as("old")))
+        .groupBy("id")
+        .agg(min("component").as("component"), max("old").as("old"))
+        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      // labels only ever decrease, so "no row changed" is the fixpoint
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
+      val changed = obs.get.getOrElse("changed", null) match {
+        case n: java.lang.Long => n.longValue()
+        case _                 => 0L // empty frame: sum over no rows is null
+      }
       labels = next
-      converged = changed == 0
+      converged = changed == 0L
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** Dedup selection over a pair frame: one row per clustered doc with

@@ -36,6 +36,35 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.keySet == (100L to 112L).toSet)
   }
 
+  test("round count: diameter-bounded on paths, observed probe matches") {
+    import spark.implicits._
+    // 12-hop path: needs ~log/diameter rounds, must report them honestly
+    val path = (100L until 112L).map(i => (i, i + 1))
+    val (labels, rounds) = Components.connectedComponentsWithStats(
+      path.toDF("a", "b"), "a", "b")
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(100L))
+    // hash-min on a 12-edge path: strictly more than 2, bounded by
+    // diameter+1 (the +1 is the fixpoint-confirming round)
+    assert(rounds > 2 && rounds <= 13, s"rounds=$rounds")
+    // clique: one propagation round + one confirming round
+    val (_, r2) = Components.connectedComponentsWithStats(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    assert(r2 == 2, s"clique rounds=$r2")
+  }
+
+  test("round count on the sf0.1 LSH candidate graph stays <= 4") {
+    // the scale claim the dedup family rests on: LSH band buckets emit
+    // clique-like clusters whose diameter does not grow with the corpus,
+    // so the CC iteration budget is O(few) rounds at any SF
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val pairs = graft.operators.TextOps.minhashCandidates(
+      docs, "doc_id", "text", shingleK = 3, numHashes = 16, bandSize = 4)
+    val (labels, rounds) = Components.connectedComponentsWithStats(
+      pairs, "id_a", "id_b")
+    assert(labels.count() > 0)
+    assert(rounds <= 4, s"LSH graph took $rounds rounds")
+  }
+
   test("pair order does not matter (edges treated as undirected)") {
     assert(cc(Seq((5L, 3L), (3L, 4L))) == Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
