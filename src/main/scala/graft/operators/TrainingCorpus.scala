@@ -34,6 +34,12 @@ object TrainingCorpus {
     maxRepRatio: Double = 0.5,
     boilerplateSegTokens: Int = 2,
     boilerplateMinDf: Int = 3,
+    /** When set, a segment is boilerplate only if its doc frequency also
+      * reaches this fraction of the corpus (df >= max(minDf, ceil(f*N))).
+      * Small shared vocabularies need this: an absolute df over a corpus
+      * with few distinct segments marks nearly everything boilerplate.
+      */
+    boilerplateMinDfFraction: Option[Double] = None,
     shingleK: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
     dedupThreshold: Double = 0.5,
     decontamShingleK: Int = 8,
@@ -49,7 +55,20 @@ object TrainingCorpus {
   final case class Result(
     corpus: DataFrame,
     /** (stage name, docs surviving) in pipeline order. */
-    audit: Seq[(String, Long)])
+    audit: Seq[(String, Long)],
+    /** Label-propagation rounds the dedup clustering ran — the iteration
+      * budget of the one iterative stage (= candidate-graph diameter;
+      * small and corpus-size-independent on LSH graphs).
+      */
+    dedupRounds: Int = 0,
+    /** (stage name, physical plan) per audited stage, captured before the
+      * stage's checkpoint truncates lineage — what the flat-plan
+      * regression assertions read (no corpus-sized WindowExec, no
+      * cartesian product may appear in any stage).
+      */
+    plans: Seq[(String, String)] = Seq.empty,
+    /** (stage name, seconds to materialize) per audited stage. */
+    timings: Seq[(String, Double)] = Seq.empty)
 
   def build(
       docs: DataFrame, idCol: String, textCol: String, strataCol: String,
@@ -57,9 +76,14 @@ object TrainingCorpus {
       referenceLm: Option[NgramLm.Model],
       cfg: Config = Config()): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def step(name: String, df: DataFrame): DataFrame = {
+      plans += ((name, df.queryExecution.executedPlan.toString))
+      val t0 = System.nanoTime()
       val pinned = df.localCheckpoint(true)
       audit += ((name, pinned.count()))
+      timings += ((name, (System.nanoTime() - t0) / 1e9))
       pinned
     }
 
@@ -89,7 +113,8 @@ object TrainingCorpus {
     val deboiled = step("boilerplate_removal",
       TextOps.removeBoilerplate(unrepeated, "doc_id", "text",
           segTokens = cfg.boilerplateSegTokens,
-          minDocFrequency = cfg.boilerplateMinDf)
+          minDocFrequency = cfg.boilerplateMinDf,
+          minDocFraction = cfg.boilerplateMinDfFraction)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(unrepeated.select("doc_id", "stratum"), Seq("doc_id"))
         .filter(length(trim(col("text"))) > 0))
@@ -99,8 +124,16 @@ object TrainingCorpus {
     //    transitive clusters -> keep each cluster's minimum id
     val pairs = TextOps.minhashDedupPairsApprox(deboiled, "doc_id", "text",
       cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dedupThreshold)
+    val tCc = System.nanoTime()
+    val (ccLabels, ccRounds) =
+      Components.connectedComponentsWithStats(pairs, "id_a", "id_b")
+    timings += (("dedup_clustering", (System.nanoTime() - tCc) / 1e9))
+    val drop = ccLabels
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
     val deduped = step("dedup",
-      Components.dedupedCorpus(deboiled, "doc_id", pairs, "id_a", "id_b"))
+      deboiled.join(drop, deboiled("doc_id") === col("__drop_id"),
+        "left_anti"))
 
     // 4. benchmark decontamination: drop any doc sharing shingles
     val decontaminated = benchmark match {
@@ -138,6 +171,6 @@ object TrainingCorpus {
       if (cfg.splits.isEmpty) mixed
       else TextOps.assignSplit(mixed, "doc_id", cfg.splits)
 
-    Result(labeled, audit.toSeq)
+    Result(labeled, audit.toSeq, ccRounds, plans.toSeq, timings.toSeq)
   }
 }

@@ -46,6 +46,54 @@ class TrainingCorpusSpec extends AnyFunSuite {
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"$seq")
   }
 
+  test("sf0.1 capstone: full-stage build pins survival counts, CC rounds, flat plans") {
+    // the CorpusBench configuration run at sf0.1: every stage enabled,
+    // benchmark + reference LM derived from the corpus by hash-slice.
+    // One deliberate difference: a FIXED 32.0 perplexity cut (the bench
+    // derives p90 at runtime) so the run is deterministic end to end
+    // (hash gates, exact counts, min-id CC) and the per-stage survivor
+    // counts are pinnable constants — a drift here means a stage's
+    // semantics changed, not noise.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val benchmark = docs.filter(abs(xxhash64(col("doc_id"))) % 100 === 0)
+      .select(col("text"))
+    val lmSlice = docs.filter(abs(xxhash64(col("doc_id"))) % 100 between(1, 10))
+    val lm = NgramLm.fit(lmSlice, "text")
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "source",
+      benchmark = Some(benchmark), benchTextCol = "text",
+      referenceLm = Some(lm),
+      cfg = TrainingCorpus.Config(
+        boilerplateMinDfFraction = Some(0.04),
+        maxPerplexity = Some(32.0),
+        mixtureWeights = (0 until 20).map(i => s"src$i" -> 0.05).toMap,
+        budgetTokens = 150000L,
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    assert(result.audit == Seq(
+      "input" -> 5000L,
+      "quality_lang_repetition" -> 5000L,
+      "repetition_gate" -> 5000L,
+      "boilerplate_removal" -> 5000L,
+      "dedup" -> 4755L,
+      "decontamination" -> 4712L,
+      "perplexity_gate" -> 4531L,
+      "mixture_sample" -> 2692L), s"audit drifted: ${result.audit}")
+    // LSH candidate graph: clique-shaped, 2 rounds (1 propagate + 1 confirm)
+    assert(result.dedupRounds == 2, s"cc rounds = ${result.dedupRounds}")
+    // no stage may inherit a corpus-sized window or a cartesian product —
+    // the two plan shapes that do not survive a 100x scale-up
+    val violations = result.plans.flatMap { case (name, plan) =>
+      Seq("WindowExec", "CartesianProduct").collect {
+        case bad if plan.contains(bad) => s"$name:$bad"
+      }
+    }
+    assert(violations.isEmpty, violations.mkString(", "))
+    // split labeling covers every survivor
+    val n = result.corpus.count()
+    assert(n == result.audit.last._2)
+  }
+
   test("split stage labels every survivor without dropping rows") {
     val docs = (1L to 40L).map(i =>
       (i, "web", s"document number $i with the common english words the and of"))
