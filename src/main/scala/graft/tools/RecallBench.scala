@@ -89,6 +89,13 @@ object RecallBench {
       en, "vec_id", "embedding", pqCb16, 64, m = 16).localCheckpoint(true))
     val (pq16, pq16Sec) = timed(pairs(Similarity.pqTopK(
       enq, pqEnc16, pqCb16, "vec_id", "embedding", 64, m = 16, k)))
+    // same codes + exact rerank of a 20k-deep ADC shortlist: isolates how
+    // much recall ADC RANKING loses vs what survives into the shortlist
+    // (shortlist must cover the semantic cluster the true neighbors live
+    // in — ~100 members in the clustered fixture)
+    val (pq16r, pq16rSec) = timed(pairs(Similarity.pqTopKRerank(
+      enq, pqEnc16, pqCb16, en, "vec_id", "embedding", 64, m = 16, k,
+      shortlist = 20 * k)))
 
     // composed IVF+PQ (km-trained cells, m=16 codes, nprobe=4): cell cut
     // AND compressed scan — the billion-scale layout
@@ -109,6 +116,7 @@ object RecallBench {
       f""""enc_sec":$pqEncSec%.2f,"sec":$pqSec%.2f},""" +
       f""""pq_m16_k16":{"recall":${recallOf(pq16)}%.3f,""" +
       f""""train_sec":$pqTrain16Sec%.2f,"sec":$pq16Sec%.2f},""" +
+      f""""pq_m16_rerank":{"recall":${recallOf(pq16r)}%.3f,"sec":$pq16rSec%.2f},""" +
       f""""ivfpq_m16_np4":{"recall":${recallOf(ivfpq)}%.3f,"sec":$ivfpqSec%.2f}}""")
     spark.stop()
   }

@@ -578,6 +578,33 @@ class TextOpsSpec extends AnyFunSuite {
       s"ADC should rank vec 0 first for query 3: ${top.toSeq}")
   }
 
+  test("pqTopKRerank: exact pass reorders an ADC-scrambled shortlist") {
+    // 6 vectors in one PQ cell-structure: 0/3/4/5 cluster, 1/2 cluster.
+    // With ksub=2 every cluster member shares codes, so ADC CANNOT rank
+    // within the cluster (all tied) — the exact rerank must order query
+    // 3's neighbors by true cosine: 4 (0.999...) before 0 before 5.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.9f)),
+      (4L, Array(0.9f, 0.1f, 0.0f, 0.91f)),
+      (5L, Array(1.0f, 0.3f, 0.0f, 0.7f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.9f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 3)
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb,
+      dim = 4, m = 2)
+    val got = Similarity.pqTopKRerank(
+        vecs.filter(col("vec_id") === 3L), enc, cb, vecs,
+        "vec_id", "embedding", dim = 4, m = 2, k = 2, shortlist = 5)
+      .orderBy(col("rn")).collect()
+      .map(r => r.getAs[Long]("neighbor_id"))
+    assert(got.head == 4L, s"exact rerank must put 4 first: ${got.toSeq}")
+    assert(got.toSet.subsetOf(Set(0L, 4L, 5L)),
+      s"rerank must stay within the cluster shortlist: ${got.toSeq}")
+  }
+
   test("ivfPqTopK scores only in-cell candidates from codes and finds the co-cluster neighbor") {
     // two well-separated clusters = two IVF cells; PQ codebook per
     // subspace. Query 3 must retrieve its co-cluster member 0 — and must
