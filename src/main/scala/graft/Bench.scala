@@ -17,11 +17,28 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // OS page-cache warmup: count() reads only parquet metadata, so at
+    // larger SFs the first timed queries still paid cold data-page reads
+    // (sf1: sentinel-first ran 2x sentinel-last purely from disk, which
+    // the canary then flagged as noise). Stream every table's bytes once.
+    def warmBytes(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(warmBytes)
+      else if (f.getName.endsWith(".parquet")) {
+        val in = new java.io.FileInputStream(f)
+        val buf = new Array[Byte](1 << 20)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    try warmBytes(new java.io.File(sfDir)) catch { case _: Throwable => }
     // codegen warmup: run the whole inventory once at the smallest SF.
     // Generated code is path-independent, so Janino compilation (the
     // dominant per-query fixed cost, 0.3-1 s each) is cached before the
     // timed pass; the timed numbers then measure the data path.
-    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    // derived dirs (e.g. target/bench-sf1) don't match the sf suffix —
+    // fall back to the smallest driver SF so the suite never runs cold
+    // (a cold first half shows up as a sentinel-ratio "noise" flag)
+    val warmDir0 = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    val warmDir =
+      if (warmDir0 != sfDir) warmDir0 else "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
@@ -54,6 +71,13 @@ object Bench {
     // recorded 311.7 s for a 46 s suite with exactly this decay shape,
     // and nothing in-band flagged it).
     val sentinelName = "q09_join_multi_revenue"
+    // one untimed sentinel pass at the TARGET SF first: the sf0.001
+    // codegen warmup runs too few rows for C2 JIT tiering, so at larger
+    // SFs the first timed run measured compilation ramp (sf1: 3.3 s
+    // first vs 1.8 s last, flagged as noise). The canary exists to
+    // detect EXTERNAL load shifts between suite start and end — warm
+    // everything else out of its signal.
+    timed(sentinelName)
     val sentinelFirst = timed(sentinelName)
     // progressive per-query lines on stderr: even if stdout is truncated
     // or the JVM dies mid-suite, every completed measurement survives in
