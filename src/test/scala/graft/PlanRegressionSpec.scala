@@ -199,6 +199,29 @@ class PlanRegressionSpec extends AnyFunSuite {
       "stratum verdict join degraded to SMJ:\n" + plan.take(3000))
   }
 
+  test("pqTopKRerank: shortlist broadcasts onto the corpus — no SMJ, no cartesian") {
+    // the refine stage's scale contract: the |queries| x shortlist
+    // candidate frame is the broadcast side of the id-equi-join back to
+    // original vectors; the corpus streams through exactly once
+    import org.apache.spark.sql.functions._
+    val e = graft.queries.Tables.table(spark, sf, "embeddings")
+    val cb = graft.operators.Similarity.pqTrain(
+      e, "vec_id", "embedding", dim = 64, m = 8, ksub = 4, iters = 1)
+      .localCheckpoint(true)
+    val enc = graft.operators.Similarity.pqEncode(
+      e, "vec_id", "embedding", cb, dim = 64, m = 8).localCheckpoint(true)
+    val df = graft.operators.Similarity.pqTopKRerank(
+      e.filter(col("vec_id") % 50 === 0), enc, cb, e,
+      "vec_id", "embedding", dim = 64, m = 8, k = 3, shortlist = 9)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val fin = s.indexOf("== Final Plan ==")
+    val init = s.indexOf("== Initial Plan ==")
+    val plan = if (fin >= 0 && init > fin) s.substring(fin, init) else s
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q72: keeper rank windows per cluster_id (high-cardinality key)") {
     // the keeper-selection window partitions by cluster_id — fine at any
     // scale because a task sees one cluster's members, never a whole
