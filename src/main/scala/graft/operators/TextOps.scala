@@ -424,6 +424,131 @@ object TextOps {
       .select("new_id", "corpus_id", "jaccard_est")
   }
 
+  /** Near-dup pairs verified by EDIT DISTANCE instead of Jaccard: LSH
+    * candidates from banded MinHash signatures, then a banded Levenshtein
+    * check (`levenshtein(a, b, maxEdits)` — O(len × maxEdits), not
+    * O(len²)) restricted to candidate pairs. The verify-by-edit-distance
+    * form is what short-document dedup (titles, queries, code lines)
+    * wants, where Jaccard over shingles is too coarse: a 4-edit mutation
+    * of a 200-char doc keeps jaccard ≈ 0.9 but a 4-edit mutation of a
+    * 20-char doc destroys every shingle.
+    *
+    * Scale shape: candidate generation is the banded equi-join
+    * ([[minhashCandidates]]); verification joins text back by id (two
+    * shuffle equi-joins, the q31 shape) and runs the thresholded
+    * Levenshtein per pair — cost scales with candidates × maxEdits, never
+    * with the all-pairs product, and the threshold form caps the DP band
+    * so one pathological long doc can't go quadratic.
+    */
+  def editVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bandSize: Int,
+      maxEdits: Int): DataFrame = {
+    val txt = df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+    minhashCandidates(df, idCol, textCol, shingleK, numHashes, bandSize)
+      .join(txt.select(col("doc_id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(txt.select(col("doc_id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      // 3-arg levenshtein returns -1 when the distance exceeds the cap:
+      // the filter and the value land in one banded DP pass
+      .withColumn("edits", levenshtein(col("ta"), col("tb"), maxEdits))
+      .filter(col("edits") >= 0)
+      .select(col("id_a"), col("id_b"), col("edits").cast("long").as("edits"))
+  }
+
+  /** Keyword-extraction candidates — the integer core of TF-IDF: per-doc
+    * term frequency, corpus document frequency, stopword guard (df above
+    * `maxDocFrequencyFrac` of the corpus is a stopword, mirroring
+    * [[DefaultShingleDocFrequency]]), and a deterministic per-doc ranking
+    * (tf desc, then RARER term wins, then lexicographic) truncated to
+    * `topK`. This ordering IS the tf-idf ordering whenever tf differs
+    * (idf is monotone in 1/df), and breaks tf ties toward the more
+    * informative term; the float `tf·ln(N/df)` fold on top is
+    * [[tfidfKeywords]] (spec-tested — the q65/q67 split keeps the
+    * driver-gated core order-independent integer arithmetic).
+    *
+    * Scale shape: one hash shuffle on (doc, term) for tf, one on term for
+    * df (both partial-agg combine map-side), a term-keyed equi-join whose
+    * df side is vocabulary-sized, and a per-doc ranking window that
+    * WindowGroupLimit prunes to topK rows per doc map-side. The corpus
+    * count joins in as a broadcast 1-row aggregate.
+    */
+  def keywordCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 5, maxDocFrequencyFrac: Double = 0.5): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(expr(tokensSql(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term) — df is a count, not a
+    // count-distinct, so the partial aggregation combines map-side
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(df.select(
+        count(lit(1)).cast("long").as("n_docs"))))
+      .filter(col("df") <= col("n_docs") * maxDocFrequencyFrac)
+      .select("term", "df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("kw_rank").cast("long").as("kw_rank"))
+  }
+
+  /** Float TF-IDF fold over [[keywordCandidates]]: score = tf · ln(N/df).
+    * Spec-tested (float, engine-rounding-sensitive); the integer
+    * candidate core is the oracle-gated part.
+    */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 5, maxDocFrequencyFrac: Double = 0.5): DataFrame = {
+    val n = df.select(count(lit(1)).cast("double").as("n_docs"))
+    keywordCandidates(df, idCol, textCol, topK, maxDocFrequencyFrac)
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .drop("n_docs")
+  }
+
+  /** CCNet-style keep-first segment dedup: across the WHOLE corpus, every
+    * repeated segment keeps only its first occurrence (ordered by
+    * (doc_id, pos) — a stable global order), and each document is rebuilt
+    * from its surviving segments. Complements [[removeBoilerplate]]:
+    * boilerplate removal deletes EVERY occurrence of corpus-frequent
+    * segments; keep-first preserves exactly one copy of each distinct
+    * segment, which is the CCNet paragraph-dedup semantics (the first
+    * crawl of a syndicated article keeps the text, later copies lose it).
+    * Intra-doc repeats dedup the same way. Docs whose every segment is a
+    * later duplicate survive with `clean_text = ""`.
+    *
+    * Scale shape: one hash shuffle on the segment key for the
+    * first-occurrence ranking (WindowGroupLimit cannot apply — every
+    * occurrence row must come back out — but the sort is per-segment-group
+    * over tiny groups), then the per-doc positional rebuild aggregation.
+    * No corpus-wide window, no join: two shuffles total, both on
+    * high-cardinality keys.
+    */
+  def keepFirstSegmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc_id"), expr(tokensSql(textCol)).as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(segmentsSql("toks", segTokens))).as(Seq("pos", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("pos"))
+    segs
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Per-document 32-bit SimHash over distinct token hashes (staged). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality + language gate (projection filters; [[TextOps.cleanCorpus]]
   *      semantics) and Gopher repetition gate
-  *   2. boilerplate segment removal ([[TextOps.removeBoilerplate]])
+  *   2. boilerplate segment removal ([[TextOps.removeBoilerplate]]),
+  *      optionally followed by CCNet keep-first segment dedup
+  *      ([[TextOps.keepFirstSegmentDedup]])
   *   3. exact + near-duplicate removal (MinHash candidates →
   *      [[Components]] transitive clusters → keep cluster minimum)
   *   4. benchmark decontamination ([[TextOps.decontaminate]] anti-join)
@@ -40,6 +42,13 @@ object TrainingCorpus {
       * with few distinct segments marks nearly everything boilerplate.
       */
     boilerplateMinDfFraction: Option[Double] = None,
+    /** When set, run CCNet-style keep-first segment dedup
+      * ([[TextOps.keepFirstSegmentDedup]] at this segment width) after
+      * boilerplate removal: repeated segments keep only their first
+      * corpus occurrence, so syndicated/mirrored passages are priced
+      * once before document-level dedup sees them. None = skip.
+      */
+    keepFirstSegTokens: Option[Int] = None,
     shingleK: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
     dedupThreshold: Double = 0.5,
     decontamShingleK: Int = 8,
@@ -119,10 +128,22 @@ object TrainingCorpus {
         .join(unrepeated.select("doc_id", "stratum"), Seq("doc_id"))
         .filter(length(trim(col("text"))) > 0))
 
+    // 2b. optional CCNet-style segment-level keep-first dedup: repeated
+    //     segments survive only at their first (doc_id, pos) occurrence
+    val segDeduped = cfg.keepFirstSegTokens match {
+      case Some(w) =>
+        step("segment_keep_first",
+          TextOps.keepFirstSegmentDedup(deboiled, "doc_id", "text", w)
+            .select(col("doc_id"), col("clean_text").as("text"))
+            .join(deboiled.select("doc_id", "stratum"), Seq("doc_id"))
+            .filter(length(trim(col("text"))) > 0))
+      case None => deboiled
+    }
+
     // 3. exact + near dedup: signature-estimate pairs above the
     //    threshold (the scale default — no second text pass) ->
     //    transitive clusters -> keep each cluster's minimum id
-    val pairs = TextOps.minhashDedupPairsApprox(deboiled, "doc_id", "text",
+    val pairs = TextOps.minhashDedupPairsApprox(segDeduped, "doc_id", "text",
       cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dedupThreshold)
     val tCc = System.nanoTime()
     val (ccLabels, ccRounds) =
@@ -132,7 +153,7 @@ object TrainingCorpus {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
     val deduped = step("dedup",
-      deboiled.join(drop, deboiled("doc_id") === col("__drop_id"),
+      segDeduped.join(drop, segDeduped("doc_id") === col("__drop_id"),
         "left_anti"))
 
     // 4. benchmark decontamination: drop any doc sharing shingles

@@ -293,6 +293,39 @@ object TextQueries {
       // the rebuild half of q64: every token covered by a duplicated
       // window excised, remaining tokens re-joined positionally
       TextOps.removeDuplicatedSpans(docs(s, d), "doc_id", "text", w = 5)),
+    "q76_edit_verified" -> ((s, d) =>
+      // near-dup verified by banded edit distance over LSH candidates —
+      // the short-document complement of Jaccard verification (q31)
+      TextOps.editVerifiedPairs(docs(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bandSize = 4, maxEdits = 20)),
+    "q77_keywords" -> ((s, d) =>
+      // TF-IDF's integer core: per-doc tf, corpus df, stopword guard,
+      // deterministic (tf desc, df asc, term) top-5; the float
+      // tf·ln(N/df) fold is TextOps.tfidfKeywords (spec-tested).
+      // 0.9 guard: the synthetic 30-word vocabulary puts most terms in
+      // most docs, so the production 0.5 default would gate nearly all
+      TextOps.keywordCandidates(docs(s, d), "doc_id", "text",
+        topK = 5, maxDocFrequencyFrac = 0.9)),
+    "q78_keep_first" -> ((s, d) =>
+      // CCNet-style segment dedup: repeated segments keep only their
+      // first (doc_id, pos) occurrence corpus-wide; 2-token segments so
+      // the synthetic vocabulary produces real repeats at every SF
+      TextOps.keepFirstSegmentDedup(docs(s, d), "doc_id", "text",
+        segTokens = 2)),
+    "q79_link_rank" -> ((s, d) => {
+      // fixed-point integer PageRank (3 rounds) over a deterministic
+      // synthetic outlink graph: doc i links to (31i + 7k) mod N for
+      // k = 1..3 — arithmetic both engines evaluate identically
+      val dd = docs(s, d)
+      val edges = dd.select(col("doc_id"))
+        .crossJoin(broadcast(dd.select(count(lit(1)).as("n"))))
+        .select(col("doc_id").as("src"),
+          explode(expr("array(1L, 2L, 3L)")).as("k"), col("n"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
+      graft.operators.LinkRank.pageRankFixedPoint(edges, "src", "dst",
+        iters = 3)
+    }),
     "q63_embed_gram" -> ((s, d) =>
       // corpus second-moment (Gram) matrix of globally-int8-quantized
       // embeddings: ONE typed-Aggregator pass, shuffle = one
@@ -821,6 +854,79 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_tokens
          |FROM tok LEFT JOIN covt c ON tok.doc_id = c.doc_id AND tok.ti = c.ti
          |GROUP BY 1""".stripMargin,
+    "q76_edit_verified" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |bands AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edits
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.id_a
+         |JOIN documents b ON b.doc_id = c.id_b
+         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "q77_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest($dTokens) AS term FROM documents),
+         |f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM t WHERE length(term) > 0 GROUP BY 1, 2),
+         |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM f GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |g AS (SELECT term, df FROM d, n WHERE df <= n.n_docs * 0.9),
+         |r AS (SELECT f.doc_id, f.term, f.tf, g.df,
+         |    ROW_NUMBER() OVER (PARTITION BY f.doc_id
+         |      ORDER BY f.tf DESC, g.df ASC, f.term ASC) AS krank
+         |  FROM f JOIN g USING (term))
+         |SELECT doc_id, term, tf, df, CAST(krank AS BIGINT) AS kw_rank
+         |FROM r WHERE krank <= 5""".stripMargin,
+    "q78_keep_first" ->
+      s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+         |sidx AS (SELECT doc_id, toks, unnest(range(0,
+         |    CAST(ceil(len(toks) / CAST(2 AS DOUBLE)) AS BIGINT))) AS pos
+         |  FROM t),
+         |s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(toks[pos*2+1 : pos*2+2], ' ') AS seg
+         |  FROM sidx),
+         |m AS (SELECT doc_id, pos, seg, ROW_NUMBER() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM s)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+         |    ORDER BY pos), '') AS clean_text,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM m GROUP BY 1""".stripMargin,
+    "q79_link_rank" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id * 31 + k * 7) % nn.n AS dst
+        |  FROM documents, nn, (VALUES (1), (2), (3)) t(k)),
+        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT v AS node_id FROM (
+        |  SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+        |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
+        |  FROM edges e JOIN r0 r ON r.node_id = e.src
+        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node_id,
+        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 c USING (node_id)),
+        |c2 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
+        |  FROM edges e JOIN r1 r ON r.node_id = e.src
+        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node_id,
+        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 c USING (node_id)),
+        |c3 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
+        |  FROM edges e JOIN r2 r ON r.node_id = e.src
+        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node_id,
+        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 c USING (node_id))
+        |SELECT node_id, r AS rank_fp FROM r3""".stripMargin,
     "q63_embed_gram" ->
       """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),

@@ -231,4 +231,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q76: edit-distance verify rides equi-joins — no cartesian pair blowup") {
+    // candidate generation is the banded equi-join; text joins back by id.
+    // A regression to a cartesian (all-pairs levenshtein) passes the
+    // value oracle at sf0.001 and melts at corpus scale.
+    val plan = planOf("q76_edit_verified")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q77: per-doc keyword rank prunes map-side via WindowGroupLimit") {
+    val plan = planOf("q77_keywords")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q78: keep-first dedup is two hash shuffles — no join, no cartesian") {
+    // the first-occurrence ranking partitions by segment (high-cardinality
+    // key, tiny groups) and the rebuild aggregates per doc; there is no
+    // join of any kind in the plan
+    val plan = planOf("q78_keep_first")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

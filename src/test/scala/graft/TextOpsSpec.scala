@@ -900,4 +900,102 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((900L, 901L)), s"got $pairs")
   }
+
+  test("edit-verified pairs: LSH candidates filtered by banded levenshtein") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("tok20 ", "tokXX ")), // 2 char substitutions
+      (3L, "entirely different unrelated content words here"),
+      (4L, base), // identical to 1
+      (5L, base.replace("tok20 ", "completelydifferentverylongtoken "))
+    ).toDF("doc_id", "text")
+    val verified = TextOps.editVerifiedPairs(d, "doc_id", "text",
+      shingleK = 3, numHashes = 16, bandSize = 4, maxEdits = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(verified.get((1L, 4L)).contains(0L), s"got $verified")
+    assert(verified.get((1L, 2L)).contains(2L), s"got $verified")
+    assert(verified.get((2L, 4L)).contains(2L), s"got $verified")
+    // doc 5 is an LSH candidate of 1/2/4 (one token differs) but its
+    // edit distance blows the cap; doc 3 is never even a candidate
+    assert(!verified.keys.exists(p => p._1 == 5L || p._2 == 5L), s"$verified")
+    assert(!verified.keys.exists(p => p._1 == 3L || p._2 == 3L), s"$verified")
+  }
+
+  test("keyword candidates: df guard drops stopwords, rare terms rank first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple apple common zebra"),
+      (2L, "banana banana common zebra zebra"),
+      (3L, "common cherry cherry cherry"),
+      (4L, "xx xx yy yy common")
+    ).toDF("doc_id", "text")
+    // df: common=4 (guarded: > 4*0.5), zebra=2, rest=1
+    val kw = TextOps.keywordCandidates(d, "doc_id", "text",
+      topK = 2, maxDocFrequencyFrac = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kw((1L, 1L)) == (("apple", 3L, 1L)))
+    assert(kw((1L, 2L)) == (("zebra", 1L, 2L))) // rarer beats nothing else left
+    assert(kw((2L, 1L)) == (("banana", 2L, 1L)))
+    assert(kw((2L, 2L)) == (("zebra", 2L, 2L)))
+    assert(kw((3L, 1L)) == (("cherry", 3L, 1L)))
+    // tf tie (xx=2, yy=2) and df tie -> lexicographic term breaks it
+    assert(kw((4L, 1L)) == (("xx", 2L, 1L)))
+    assert(kw((4L, 2L)) == (("yy", 2L, 1L)))
+    assert(!kw.values.exists(_._1 == "common"), s"stopword leaked: $kw")
+
+    // float fold: tfidf = tf * ln(N/df)
+    val scores = TextOps.tfidfKeywords(d, "doc_id", "text",
+      topK = 2, maxDocFrequencyFrac = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        r.getAs[Double]("tfidf")).toMap
+    assert(math.abs(scores((1L, "apple")) - 3.0 * math.log(4.0)) < 1e-12)
+    assert(math.abs(scores((2L, "zebra")) - 2.0 * math.log(2.0)) < 1e-12)
+  }
+
+  test("keep-first segment dedup: first corpus occurrence survives") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),   // segs: "a b", "c d" — both first occurrences
+      (2L, "a b e f"),   // "a b" already seen in doc 1 -> dropped
+      (3L, "c d c d"),   // both occurrences later than doc 1 -> empty doc
+      (4L, "g h g h")    // intra-doc repeat: first kept, second dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.keepFirstSegmentDedup(d, "doc_id", "text", segTokens = 2)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_segments"),
+          x.getAs[Long]("n_kept")))).toMap
+    assert(r(1L) == (("a b c d", 2L, 2L)))
+    assert(r(2L) == (("e f", 2L, 1L)))
+    assert(r(3L) == (("", 2L, 0L)))
+    assert(r(4L) == (("g h", 2L, 1L)))
+  }
+
+  test("keep-first invariant: kept count equals distinct segments corpus-wide") {
+    import spark.implicits._
+    // 80 docs over a 6-word vocabulary -> massive segment reuse
+    val vocab = Vector("red", "blue", "green", "fish", "bird", "tree")
+    val d = (0L until 80L).map { i =>
+      val words = (0 until 7).map(j => vocab(((i * 13 + j * 5 + j * j) % 6).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val res = TextOps.keepFirstSegmentDedup(d, "doc_id", "text", segTokens = 2)
+    // every distinct segment survives exactly once across the whole corpus
+    val kept = res.agg(sum("n_kept")).first().getLong(0)
+    val distinctSegs = d
+      .selectExpr(s"posexplode(${TextOps.segmentsSql(TextOps.tokensSql("text"), 2)}) AS (pos, seg)")
+      .select("seg").distinct().count()
+    assert(kept == distinctSegs, s"kept $kept != distinct $distinctSegs")
+    // and nothing is invented: total segments unchanged
+    val total = res.agg(sum("n_segments")).first().getLong(0)
+    val rawSegs = d
+      .selectExpr(s"posexplode(${TextOps.segmentsSql(TextOps.tokensSql("text"), 2)}) AS (pos, seg)")
+      .count()
+    assert(total == rawSegs)
+  }
 }

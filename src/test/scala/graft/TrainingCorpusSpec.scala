@@ -112,6 +112,35 @@ class TrainingCorpusSpec extends AnyFunSuite {
       labels)
   }
 
+  test("keep-first segment stage rewrites repeats and feeds dedup downstream") {
+    // docs 1 and 2 share an opening passage; keep-first leaves it only in
+    // doc 1 (lower doc_id), so doc 2 shrinks to its unique tail — and the
+    // stage lands in the audit between boilerplate and dedup
+    val shared = "the committee approved the annual budget for the coming year"
+    val docs = Seq(
+      (1L, "web", s"$shared and thanked the retiring treasurer for the service"),
+      (2L, "web", s"$shared while the members debated the proposed building works"),
+      (3L, "web", "a completely separate report covered the harvest festival plans")
+    ).toDF("doc_id", "stratum", "text")
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = None, benchTextCol = "text", referenceLm = None,
+      cfg = TrainingCorpus.Config(
+        dedupThreshold = 1.1, // isolate the segment stage from doc dedup
+        keepFirstSegTokens = Some(2)))
+    val names = result.audit.map(_._1)
+    assert(names.indexOf("segment_keep_first") > names.indexOf("boilerplate_removal"),
+      names.toString)
+    assert(names.indexOf("segment_keep_first") < names.indexOf("dedup"),
+      names.toString)
+    val texts = result.corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L).contains("committee approved"), texts.toString)
+    assert(!texts(2L).contains("committee approved"), texts.toString)
+    assert(texts(2L).contains("building works"), texts.toString)
+    assert(texts(3L).contains("harvest festival"), texts.toString)
+  }
+
   test("perplexity gate drops shuffled text when a reference LM is supplied") {
     val reference = Seq(
       "the cat sat on the mat near the door",
