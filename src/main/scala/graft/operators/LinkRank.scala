@@ -36,18 +36,30 @@ import org.apache.spark.sql.functions._
 object LinkRank {
 
   /** `iters` rounds of fixed-point PageRank over `edges(srcCol, dstCol)`.
-    * Self-loops dropped, duplicate edges collapsed. Returns
-    * (node_id, rank_fp) with rank_fp in units of 1/scale.
+    * Self-loops dropped, duplicate edges collapsed. Node ids keep the
+    * caller's type (numeric page ids, string PLDs — anything joinable).
+    * Returns (node_id, rank_fp) with rank_fp in units of 1/scale.
     */
   def pageRankFixedPoint(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    pageRankWithPlan(edges, srcCol, dstCol, iters, scale, dampNum, dampDen)._1
+
+  /** [[pageRankFixedPoint]] plus the first round's physical plan, captured
+    * BEFORE checkpoint truncation hides it — what plan-regression tests
+    * assert (equi-joins and hash aggregation only; a cartesian or
+    * nested-loop shape here multiplies by the round count at scale).
+    * Every later round runs the identical plan over new inputs.
+    */
+  def pageRankWithPlan(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): (DataFrame, String) = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 0 and 0 <= dampNum <= dampDen")
     val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
     // out-degree rides each edge row so the per-round join needs no
@@ -62,20 +74,22 @@ object LinkRank {
       .localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
-    for (_ <- 1 to iters) {
+    var roundPlan = ""
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
         .select(col("dst").as("node_id"), expr("r div deg").as("c"))
         .groupBy("node_id").agg(sum(col("c")).as("s"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node_id"), "left")
         .select(col("node_id"),
           expr(s"cast($base as bigint) + (($dampNum * coalesce(s, " +
             s"cast(0 as bigint))) div $dampDen)").as("r"))
-        // each round's result replaces the last — truncate lineage so the
-        // driver plan stays O(1) across rounds (the Components discipline)
-        .localCheckpoint(true)
+      if (i == 1) roundPlan = next.queryExecution.executedPlan.toString
+      // each round's result replaces the last — truncate lineage so the
+      // driver plan stays O(1) across rounds (the Components discipline)
+      ranks = next.localCheckpoint(true)
     }
-    ranks.select(col("node_id"), col("r").as("rank_fp"))
+    (ranks.select(col("node_id"), col("r").as("rank_fp")), roundPlan)
   }
 }

@@ -1123,6 +1123,37 @@ object TextOps {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-benchmark-item leakage report — the triage view of
+    * [[decontaminate]]: for each eval item, how many corpus documents
+    * share at least one word k-shingle with it (`n_docs`) and how many
+    * distinct (doc, shingle) overlaps exist in total (`n_shingle_hits`).
+    * Decontamination tells you which corpus docs to drop; this tells you
+    * WHICH benchmark items are compromised and how badly — the number a
+    * data card / eval-integrity review reports per task.
+    *
+    * Scale shape: identical to [[decontaminate]] — benchmark shingles
+    * broadcast (eval sets are small by nature), corpus side is one scan +
+    * explode, and the aggregation keys on the benchmark id (eval-set
+    * cardinality, tiny).
+    */
+  def contaminationReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 8): DataFrame = {
+    val benchShingles = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(shingleUdf(k)(col(benchTextCol))).as("shingle"))
+    docs
+      // shingleUdf emits DISTINCT shingles per doc, so each (doc, shingle,
+      // bench item) overlap counts exactly once
+      .select(col(idCol).as("doc"),
+        explode(shingleUdf(k)(col(textCol))).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_shingle_hits"))
+  }
+
   /** Exact duplicated-substring detection, the distributed shape of the
     * suffix-array dedup in Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022): every w-token window is hashed

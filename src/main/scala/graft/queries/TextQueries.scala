@@ -79,6 +79,30 @@ object TextQueries {
        |cc AS (SELECT u AS doc_id, min(label) AS cluster_id
        |  FROM walk GROUP BY u)""".stripMargin
 
+  /** The q79/q80 fixed-point PageRank iteration as a DuckDB CTE chain:
+    * expects an `edges(src, dst)` CTE (distinct, self-loop-free) to be
+    * already defined; emits outdeg/nodes/r0 then `iters` rounds of the
+    * integer damping update (mirroring [[graft.operators.LinkRank]]'s
+    * scale=10⁶, d=85/100 arithmetic exactly — `//` floor division equals
+    * Spark's `div` truncation on the non-negative values here). The last
+    * CTE is `r<iters>`.
+    */
+  private def dPageRankRounds(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
+         |  FROM edges e JOIN r${i - 1} r ON r.node_id = e.src
+         |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node_id,
+         |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT v AS node_id FROM (
+       |  SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+       |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds""".stripMargin
+  }
+
   /** Deterministic PII-bearing text: doc text plus a synthesized email,
     * IPv4, and phone derived from doc_id. Engine-portable SQL (concat /
     * cast / %), evaluated identically by Spark and DuckDB so the q53
@@ -172,6 +196,13 @@ object TextQueries {
       val all = docs(s, d)
       TextOps.decontaminate(all, "doc_id", "text",
         all.filter(col("doc_id") % 97 === 0), "text", k = 3)
+    }),
+    "q81_contamination" -> ((s, d) => {
+      // the q56 leakage check flipped to the EVAL side: per benchmark
+      // item, how many corpus docs share a shingle and how many overlaps
+      val all = docs(s, d)
+      TextOps.contaminationReport(all, "doc_id", "text",
+        all.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
     }),
     "q57_token_stats" -> ((s, d) =>
       // per-source token-distribution profile: histogram-based exact
@@ -324,6 +355,21 @@ object TextQueries {
         .select(col("src"),
           ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
       graft.operators.LinkRank.pageRankFixedPoint(edges, "src", "dst",
+        iters = 3)
+    }),
+    "q80_domain_rank" -> ((s, d) => {
+      // the crawl integration end-to-end: synthetic page URLs (doc i on
+      // site i%40 links to sites (7i+k)%40) -> DomainRank's native-PLD
+      // edge derivation -> the q79 fixed-point rank, keyed by domain
+      val links = docs(s, d)
+        .select(col("doc_id"), explode(expr("array(1L, 2L)")).as("k"))
+        .select(
+          concat(lit("http://site"), (col("doc_id") % 40).cast("string"),
+            lit(".com/p"), col("doc_id").cast("string")).as("src_url"),
+          concat(lit("http://site"),
+            ((col("doc_id") * 7 + col("k")) % 40).cast("string"),
+            lit(".com/q"), col("doc_id").cast("string")).as("dst_url"))
+      graft.crawl.DomainRank.domainRank(links, "src_url", "dst_url",
         iters = 3)
     }),
     "q63_embed_gram" -> ((s, d) =>
@@ -602,6 +648,16 @@ object TextQueries {
          |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
          |FROM d JOIN bench USING (shingle)
          |GROUP BY d.doc_id""".stripMargin,
+    "q81_contamination" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, unnest($dShingles)
+         |    AS shingle
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |d AS (SELECT doc_id, unnest($dShingles) AS shingle FROM documents)
+         |SELECT b.bench_id,
+         |  CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingle_hits
+         |FROM d JOIN bench b USING (shingle)
+         |GROUP BY 1""".stripMargin,
     "q57_token_stats" ->
       s"""WITH t AS (SELECT source AS stratum,
          |    CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
@@ -900,33 +956,31 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM m GROUP BY 1""".stripMargin,
     "q79_link_rank" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-        |e0 AS (SELECT doc_id AS src, (doc_id * 31 + k * 7) % nn.n AS dst
-        |  FROM documents, nn, (VALUES (1), (2), (3)) t(k)),
-        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
-        |nodes AS (SELECT DISTINCT v AS node_id FROM (
-        |  SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
-        |r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
-        |  FROM edges e JOIN r0 r ON r.node_id = e.src
-        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
-        |r1 AS (SELECT n.node_id,
-        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c1 c USING (node_id)),
-        |c2 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
-        |  FROM edges e JOIN r1 r ON r.node_id = e.src
-        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
-        |r2 AS (SELECT n.node_id,
-        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c2 c USING (node_id)),
-        |c3 AS (SELECT e.dst AS node_id, SUM(r.r // d.deg) AS s
-        |  FROM edges e JOIN r2 r ON r.node_id = e.src
-        |  JOIN outdeg d ON d.src = e.src GROUP BY 1),
-        |r3 AS (SELECT n.node_id,
-        |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c3 c USING (node_id))
-        |SELECT node_id, r AS rank_fp FROM r3""".stripMargin,
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 31 + k * 7) % nn.n AS dst
+         |  FROM documents, nn, (VALUES (1), (2), (3)) t(k)),
+         |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |${dPageRankRounds(3)}
+         |SELECT node_id, r AS rank_fp FROM r3""".stripMargin,
+    "q80_domain_rank" ->
+      // same fixed-point rank as q79, over a URL-derived DOMAIN graph:
+      // the oracle extracts the host from the synthetic URLs by regexp
+      // (the engine's native PLD extraction reduces to the host for
+      // single-label .com sites by construction)
+      s"""WITH l0 AS (SELECT
+         |    'http://site' || CAST(doc_id % 40 AS VARCHAR) || '.com/p'
+         |      || CAST(doc_id AS VARCHAR) AS src_url,
+         |    'http://site' || CAST((doc_id * 7 + k) % 40 AS VARCHAR)
+         |      || '.com/q' || CAST(doc_id AS VARCHAR) AS dst_url
+         |  FROM documents, (VALUES (1), (2)) t(k)),
+         |edges AS (SELECT DISTINCT
+         |    regexp_extract(src_url, 'http://([^/]+)/', 1) AS src,
+         |    regexp_extract(dst_url, 'http://([^/]+)/', 1) AS dst
+         |  FROM l0
+         |  WHERE regexp_extract(src_url, 'http://([^/]+)/', 1)
+         |    <> regexp_extract(dst_url, 'http://([^/]+)/', 1)),
+         |${dPageRankRounds(3)}
+         |SELECT node_id AS pld, r AS rank_fp FROM r3""".stripMargin,
     "q63_embed_gram" ->
       """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),

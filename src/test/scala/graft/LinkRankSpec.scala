@@ -65,3 +65,67 @@ class LinkRankSpec extends AnyFunSuite {
     assert(a.values.sum >= n * 150000L, s"mass below teleport floor")
   }
 }
+
+class LinkRankPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("per-round plan: equi-join + hash aggregation, no cartesian shapes") {
+    val edges = (0L until 500L).map(i => (i, (i * 31 + 7) % 500))
+      .toDF("src", "dst")
+    val (_, plan) = graft.operators.LinkRank.pageRankWithPlan(
+      edges, "src", "dst", iters = 2)
+    assert(plan.nonEmpty)
+    // the round cost multiplies by the iteration budget — a cartesian or
+    // nested-loop regression here is a scale-killer times iters
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+}
+
+class DomainRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val outlinks = Seq(
+    // three sites point at popular.com; popular.com points at niche.org;
+    // intra-site links and a junk URL must not become edges
+    ("http://a.com/page1", "http://popular.com/x"),
+    ("http://a.com/page2", "http://a.com/page3"), // intra-domain: dropped
+    ("http://b.net/p", "https://www.popular.com/y"), // same PLD as above
+    ("http://c.io/p", "http://popular.com/z"),
+    ("http://popular.com/x", "http://niche.org/only"),
+    ("http://c.io/p2", "not a url at all") // unparseable: dropped
+  ).toDF("src", "dst")
+
+  test("domain edges: pld-collapsed, cross-domain only, junk dropped") {
+    val edges = graft.crawl.DomainRank.domainEdges(outlinks, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(
+      ("a.com", "popular.com"), ("b.net", "popular.com"),
+      ("c.io", "popular.com"), ("popular.com", "niche.org")), edges.toString)
+  }
+
+  test("domain rank: link-fed domains outrank unlinked ones, rank flows on") {
+    val rank = graft.crawl.DomainRank.domainRank(outlinks, "src", "dst",
+      iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // three in-links beat zero
+    assert(rank("popular.com") > rank("a.com"), rank.toString)
+    // popular.com's SOLE outlink receives its whole (damped) rank, so the
+    // downstream domain tops the graph — rank flows, it doesn't pool
+    assert(rank("niche.org") > rank("popular.com"), rank.toString)
+    // the unlinked linkers sit at the teleport base
+    assert(rank("a.com") == 150000L, rank.toString)
+  }
+
+  test("seed scores normalize into (0, 1] with the top domain at 1.0") {
+    val scores = graft.crawl.DomainRank.seedScores(
+      graft.crawl.DomainRank.domainRank(outlinks, "src", "dst", iters = 5))
+      .collect().map(r => r.getString(0) -> r.getFloat(1)).toMap
+    assert(scores("niche.org") == 1.0f, scores.toString)
+    assert(scores.values.forall(s => s > 0f && s <= 1.0f), scores.toString)
+    assert(scores("popular.com") > scores("a.com"), scores.toString)
+  }
+}

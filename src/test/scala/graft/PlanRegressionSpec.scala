@@ -247,6 +247,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q81: contamination report keeps the q56 broadcast shape") {
+    // the report flips q56's aggregation to the benchmark side but the
+    // scale contract is the same: bench shingles broadcast, corpus side
+    // never shuffles before the join
+    val plan = planOf("q81_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "benchmark join degraded to SMJ:\n" + plan.take(3000))
+  }
+
   test("q78: keep-first dedup is two hash shuffles — no join, no cartesian") {
     // the first-occurrence ranking partitions by segment (high-cardinality
     // key, tiny groups) and the rebuild aggregates per doc; there is no

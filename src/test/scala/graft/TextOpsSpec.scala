@@ -976,6 +976,26 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
     assert(r(4L) == (("g h", 2L, 1L)))
   }
 
+  test("contamination report: per-item doc and shingle-hit counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" + "beta gamma delta" with item 10
+      (2L, "alpha beta gamma zzz"),       // shares "alpha beta gamma" with item 10
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "never seen in corpus text")
+    ).toDF("bench_id", "btext")
+    val rep = TextOps.contaminationReport(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // item 10: docs 1 and 2 overlap; hits = doc1 x 2 shingles + doc2 x 1
+    assert(rep(10L) == ((2L, 3L)), rep.toString)
+    // item 11 has no overlap -> absent from the report
+    assert(!rep.contains(11L), rep.toString)
+  }
+
   test("keep-first invariant: kept count equals distinct segments corpus-wide") {
     import spark.implicits._
     // 80 docs over a 6-word vocabulary -> massive segment reuse
