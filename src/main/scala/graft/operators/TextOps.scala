@@ -1154,6 +1154,104 @@ object TextOps {
         count(lit(1)).as("n_shingle_hits"))
   }
 
+  /** Count-min sketch of the corpus term-occurrence stream: a fixed
+    * `depth × width` grid of counters where every token occurrence
+    * increments one counter per row (row j's bucket = the j-th member of
+    * the same universal hash family the MinHash signatures use). The
+    * sketch answers "how often does term t occur?" within +ε·N at
+    * constant memory — the bounded-state frequency structure a 100 TB
+    * stream needs where an exact (term, count) table is vocabulary-sized
+    * and a hot-key risk. Deterministic hashing (md5-derived, no RNG)
+    * makes the whole grid bit-exact across engines and retries, so the
+    * sketch itself is oracle-checkable; counters are mergeable by
+    * elementwise addition, so shards/streams combine without re-reading
+    * text (the same property the partial aggregation exploits map-side).
+    *
+    * Scale shape: one projection (explode + hash) and ONE hash shuffle
+    * whose key space is at most depth×width cells — the reduce side is
+    * constant-size regardless of corpus. Returns (row, col, cnt), only
+    * touched cells.
+    */
+  def countMinSketch(
+      df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    df.select(explode(expr(tokensSql(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(expr(hash32Sql("term")).as("h"))
+      .select(col("h"), explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .select(col("j").cast("long").as("row"),
+        expr(s"(((j * 2654435761 + 1) % 1000000007) * h + j * 97 + 13)" +
+          s" % 1000000007 % $width").as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+
+  /** Point lookups against a [[countMinSketch]]: the estimate for each
+    * term is the MINIMUM of its `depth` counters (collisions only ever
+    * inflate, so est >= true count always, with equality when any row is
+    * collision-free for that term). The sketch side is depth×width cells
+    * — it broadcasts; the lookup is a projection plus one tiny join.
+    */
+  def cmsLookup(
+      sketch: DataFrame, terms: DataFrame, termCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    terms.select(col(termCol).as("term")).distinct()
+      .select(col("term"), expr(hash32Sql("term")).as("h"))
+      .select(col("term"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("j"), col("h"))
+      .select(col("term"), col("j").cast("long").as("row"),
+        expr(s"(((j * 2654435761 + 1) % 1000000007) * h + j * 97 + 13)" +
+          s" % 1000000007 % $width").as("col"))
+      .join(broadcast(sketch), Seq("row", "col"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** HyperLogLog-style distinct-cardinality registers over the corpus
+    * vocabulary: each token occurrence hashes into one of `buckets`
+    * registers, whose value is the max of rho = trailing-zero-count + 1
+    * of the remaining hash bits — the geometric "rarity" observation HLL
+    * estimates from. No pre-distinct is needed (max over occurrences =
+    * max over distinct values), so the whole pass is one projection plus
+    * one hash aggregation onto at most `buckets` cells, mergeable across
+    * shards/streams by elementwise max — the bounded-memory form of
+    * "how many distinct terms" at 100 TB, where exact count-distinct
+    * (q42's vocabulary) shuffles the full term table. Deterministic
+    * md5-derived hashing keeps the register table bit-exact across
+    * engines: the registers are oracle-gated, the float estimate fold
+    * ([[hllEstimate]]) is spec-tested (the q65/q67 split). The x = 0
+    * hash remainder pins rho at 27 (26 usable bits + 1) identically on
+    * both engines.
+    */
+  def hllRegisters(
+      df: DataFrame, textCol: String, buckets: Int = 64): DataFrame =
+    df.select(explode(expr(tokensSql(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(expr(hash32Sql("term")).as("h"))
+      .select(expr(s"h % $buckets").cast("long").as("bucket"),
+        expr(s"h div $buckets").as("x"))
+      .select(col("bucket"),
+        expr("case when x = 0 then 27 else " +
+          "length(bin(x)) - length(rtrim('0', bin(x))) + 1 end")
+          .cast("long").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("register"))
+
+  /** The HLL estimate over [[hllRegisters]] output: bias-corrected
+    * harmonic mean with the standard linear-counting fallback for the
+    * small range. Driver-side on a provably bounded set (≤ `buckets`
+    * rows). Relative error ~ 1.04/√buckets; spec-tested against the
+    * exact vocabulary count.
+    */
+  def hllEstimate(registers: DataFrame, buckets: Int = 64): Double = {
+    val regs = registers.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = buckets.toDouble
+    val untouched = buckets - regs.size
+    val sum = (0 until buckets)
+      .map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && untouched > 0) m * math.log(m / untouched)
+    else raw
+  }
+
   /** Exact duplicated-substring detection, the distributed shape of the
     * suffix-array dedup in Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022): every w-token window is hashed

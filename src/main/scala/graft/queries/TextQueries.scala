@@ -204,6 +204,16 @@ object TextQueries {
       TextOps.contaminationReport(all, "doc_id", "text",
         all.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
     }),
+    "q82_count_min" -> ((s, d) =>
+      // constant-memory frequency sketch of the term stream: the whole
+      // 4x64 counter grid is the result (deterministic hashing -> the
+      // sketch itself oracle-hashes); point estimates = TextOps.cmsLookup
+      TextOps.countMinSketch(docs(s, d), "text", depth = 4, width = 64)),
+    "q83_hll_registers" -> ((s, d) =>
+      // bounded-memory distinct-counting registers (deterministic HLL);
+      // the float estimate fold is TextOps.hllEstimate (spec-tested
+      // against the exact q42 vocabulary count)
+      TextOps.hllRegisters(docs(s, d), "text", buckets = 64)),
     "q57_token_stats" -> ((s, d) =>
       // per-source token-distribution profile: histogram-based exact
       // discrete quantiles (integer arithmetic — hash-exact vs oracle)
@@ -658,6 +668,27 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_shingle_hits
          |FROM d JOIN bench b USING (shingle)
          |GROUP BY 1""".stripMargin,
+    "q82_count_min" ->
+      s"""WITH tok AS (SELECT unnest($dTokens) AS term FROM documents),
+         |h AS (SELECT ${dHash32("term")} AS h FROM tok
+         |  WHERE length(term) > 0),
+         |e AS (SELECT h, unnest(range(0, 4)) AS j FROM h)
+         |SELECT CAST(j AS BIGINT) AS row,
+         |  CAST((((j * 2654435761 + 1) % 1000000007) * h + j * 97 + 13)
+         |    % 1000000007 % 64 AS BIGINT) AS col,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q83_hll_registers" ->
+      s"""WITH tok AS (SELECT unnest($dTokens) AS term FROM documents),
+         |h AS (SELECT ${dHash32("term")} AS h FROM tok
+         |  WHERE length(term) > 0),
+         |b AS (SELECT h % 64 AS bucket, h // 64 AS x FROM h),
+         |r AS (SELECT bucket, CASE WHEN x = 0 THEN 27
+         |    ELSE length(bin(x)) - length(rtrim(bin(x), '0')) + 1 END AS rho
+         |  FROM b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(MAX(rho) AS BIGINT) AS register
+         |FROM r GROUP BY 1""".stripMargin,
     "q57_token_stats" ->
       s"""WITH t AS (SELECT source AS stratum,
          |    CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),

@@ -1,0 +1,13 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Ad-hoc SQL expression probe: prints each arg's evaluation (one row). */
+object SqlProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach(e => println(s"$e => " +
+      spark.sql(s"SELECT $e").collect().head.get(0)))
+    spark.stop()
+  }
+}

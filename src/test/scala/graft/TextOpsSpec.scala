@@ -996,6 +996,68 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
     assert(!rep.contains(11L), rep.toString)
   }
 
+  test("count-min sketch: mass conserved per row, lookups never undercount") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple apple banana cherry"),
+      (2L, "apple banana banana date elderberry fig"),
+      (3L, "grape grape kiwi lemon mango peach plum")
+    ).toDF("doc_id", "text")
+    val sketch = TextOps.countMinSketch(d, "text", depth = 4, width = 64)
+      .localCheckpoint(true)
+    // every row of the grid sees every one of the 18 token occurrences
+    val perRow = sketch.groupBy("row").agg(sum("cnt").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == Map(0L -> 18L, 1L -> 18L, 2L -> 18L, 3L -> 18L), perRow)
+    // point estimates: est >= true frequency for present terms, and the
+    // never-seen term can only collide upward from zero
+    val truth = Map("apple" -> 4L, "banana" -> 3L, "grape" -> 2L,
+      "fig" -> 1L)
+    val est = TextOps.cmsLookup(sketch,
+      (truth.keys.toSeq :+ "zzz").toDF("t"), "t", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"undercount for $t: ${est(t)} < $n")
+    }
+    assert(est("zzz") >= 0L)
+    // 13 distinct terms over 4x64 buckets: at least one row is
+    // collision-free for each, so the estimates are exact here
+    assert(truth.forall { case (t, n) => est(t) == n }, s"$est vs $truth")
+    // mergeability: sketching two halves and adding counters equals
+    // sketching the whole (counters are sums — order/shard independent)
+    val left = TextOps.countMinSketch(d.filter($"doc_id" <= 1), "text")
+    val right = TextOps.countMinSketch(d.filter($"doc_id" > 1), "text")
+    val merged = left.unionByName(right)
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sketch.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
+  test("hll registers: merge by max, estimate tracks exact distinct count") {
+    import spark.implicits._
+    // 2000 distinct tokens spread over 100 docs, heavy repetition
+    val d = (0L until 100L).map { i =>
+      val toks = (0 until 60).map(j => s"w${(i * 60 + j) % 2000}")
+      (i, (toks ++ toks.take(20)).mkString(" ")) // repeats don't matter
+    }.toDF("doc_id", "text")
+    val regs = TextOps.hllRegisters(d, "text", buckets = 64)
+      .localCheckpoint(true)
+    // registers from two shards merge by elementwise max
+    val left = TextOps.hllRegisters(d.filter($"doc_id" < 50), "text")
+    val right = TextOps.hllRegisters(d.filter($"doc_id" >= 50), "text")
+    val merged = left.unionByName(right)
+      .groupBy("bucket").agg(max("register").as("register"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = regs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+    // estimate within HLL's error band of the exact vocabulary (2000);
+    // 1.04/sqrt(64) = 13% standard error — assert a generous 3 sigma
+    val est = TextOps.hllEstimate(regs, buckets = 64)
+    assert(math.abs(est / 2000.0 - 1.0) < 0.4, s"est $est vs 2000")
+  }
+
   test("keep-first invariant: kept count equals distinct segments corpus-wide") {
     import spark.implicits._
     // 80 docs over a 6-word vocabulary -> massive segment reuse
