@@ -56,6 +56,10 @@ object CorpusBench {
       referenceLm = Some(lm),
       cfg = TrainingCorpus.Config(
         boilerplateMinDfFraction = Some(0.04),
+        // CCNet segment keep-first between boilerplate and doc dedup;
+        // 5-token segments: wide enough that only genuinely shared
+        // passages collide on the synthetic vocabulary
+        keepFirstSegTokens = Some(5),
         maxPerplexity = Some(pplCut),
         mixtureWeights = weights,
         budgetTokens = 1500000L,
@@ -67,12 +71,11 @@ object CorpusBench {
     val splitCounts = corpus.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // flat-plan scan: corpus-sized windows and cartesian products are the
-    // two shapes that do not survive a 100x scale-up
+    // flat-plan scan: global windows and cartesian products are the two
+    // shapes that do not survive a 100x scale-up (plans print node names
+    // without the Exec suffix — PlanChecks owns the detection)
     val flatViolations = result.plans.flatMap { case (name, plan) =>
-      Seq("WindowExec", "CartesianProduct").collect {
-        case bad if plan.contains(bad) => s"$name:$bad"
-      }
+      graft.plans.PlanChecks.scaleViolations(plan).map(v => s"$name:$v")
     }
 
     def jmap(kvs: Seq[(String, Any)]): String =

@@ -6,8 +6,16 @@ object SqlProbe {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach(e => println(s"$e => " +
-      spark.sql(s"SELECT $e").collect().head.get(0)))
+    args.foreach {
+      case q if q.startsWith("plan:") =>
+        // full query after the prefix: print its executed physical plan
+        val df = spark.sql(q.stripPrefix("plan:"))
+        df.collect()
+        println(s"== plan for ${q.stripPrefix("plan:")} ==")
+        println(df.queryExecution.executedPlan.toString)
+      case e =>
+        println(s"$e => " + spark.sql(s"SELECT $e").collect().head.get(0))
+    }
     spark.stop()
   }
 }

@@ -74,7 +74,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     // exploded corpus), and the fractional threshold's 1-row corpus count
     // arrives by broadcast, not a shuffle
     val plan = planOf("q58_boilerplate")
-    assert(!plan.contains("WindowExec"),
+    // plans print "Window", never "WindowExec" — match the real node
+    assert(!plan.contains("Window ["),
       "seg df regressed to a window:\n" + plan.take(3000))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"),
@@ -118,7 +119,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       "global-scale join not broadcast:\n" + plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
   }
 
   test("q64: duplicated-window join is an equi-join, frequency a hash aggregate") {
@@ -132,7 +133,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"),
       "whash join shape unexpected:\n" + plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("Window ["), plan.take(3000))
     assert(plan.contains("HashAggregate"),
       "frequency count should be a hash aggregate:\n" + plan.take(3000))
   }
@@ -145,7 +146,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     for (q <- Seq("q65_quality_feats", "q66_bpe_vocab", "q67_bigram_counts")) {
       val plan = planOf(q)
       assert(plan.contains("HashAggregate"), s"$q: " + plan.take(3000))
-      assert(!plan.contains("WindowExec"),
+      assert(!plan.contains("Window ["),
         s"$q statistics regressed to a window:\n" + plan.take(3000))
       assert(!plan.contains("Join"), // no join operator of any kind
         s"$q should be scan+explode+aggregate only:\n" + plan.take(3000))
@@ -255,6 +256,42 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"),
       "benchmark join degraded to SMJ:\n" + plan.take(3000))
+  }
+
+  test("PlanChecks: the global-window detector fires on real plan strings") {
+    // the previous flat-plan scans greped "WindowExec", which Spark plan
+    // strings never contain — a silent false-green. Pin the detector
+    // against ACTUAL executed plans so it cannot rot the same way.
+    val spark2 = SparkTestSession.spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark2.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("x", "k")
+    def planStr(d: org.apache.spark.sql.DataFrame) = {
+      d.collect(); d.queryExecution.executedPlan.toString
+    }
+    val global = planStr(df.withColumn("s",
+      sum("x").over(Window.orderBy("x"))))
+    assert(graft.plans.PlanChecks.scaleViolations(global)
+      .exists(_.startsWith("GlobalWindow")), global)
+    val partitioned = planStr(df.withColumn("s",
+      sum("x").over(Window.partitionBy("k").orderBy("x"))))
+    assert(graft.plans.PlanChecks.scaleViolations(partitioned).isEmpty,
+      partitioned)
+    assert(graft.plans.PlanChecks
+      .scaleViolations("CartesianProduct\n") == Seq("CartesianProduct"))
+  }
+
+  test("q82/q83: sketch passes are projection + one hash aggregate, no join") {
+    // the sketches' scale contract: nothing between the scan and the
+    // constant-size aggregation — a join or window here means the
+    // "bounded memory" claim silently became corpus-sized state
+    Seq("q82_count_min", "q83_hll_registers").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("HashAggregate"), s"$q:\n" + plan.take(3000))
+      assert(!plan.contains("Join"), s"$q:\n" + plan.take(3000))
+      assert(!plan.contains("Window"), s"$q:\n" + plan.take(3000))
+    }
   }
 
   test("q78: keep-first dedup is two hash shuffles — no join, no cartesian") {

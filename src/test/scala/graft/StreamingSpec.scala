@@ -144,6 +144,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("count-min sketch runs unchanged on a stream, converging to the batch grid") {
+    // the sketch is projection + one aggregation, so Structured Streaming
+    // maintains it incrementally (complete mode); state is the constant
+    // depth x width grid — the always-on frequency monitor shape
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = graft.operators.TextOps.countMinSketch(
+      input.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      val batch2 = Seq((3L, "alpha delta epsilon"))
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val streamed = spark.table("scms").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.TextOps.countMinSketch(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming ingest pipeline: quality gate + lang-id + PII scrub + dedup compose on a stream") {
     // the always-on training-data ingest path: the BATCH operators
     // (quality features, language id, PII scrub — all projections) run
