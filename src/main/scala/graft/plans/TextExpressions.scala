@@ -63,6 +63,20 @@ object TextCodegen {
     while (i < arr.length) { boxed(i) = arr(i); i += 1 }
     new GenericArrayData(boxed)
   }
+
+  /** Unicode NFC normalization (codegen entry point): composes combining
+    * sequences to their canonical precomposed forms — the CCNet-style
+    * text-canonicalization step that makes fingerprints and shingles
+    * agree across sources that emit the same text in NFC vs NFD. The
+    * already-normalized fast path (`isNormalized`) skips the rebuild,
+    * which is the common case on crawled ASCII-heavy text.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** MinHash signature as a first-class Catalyst expression with whole-stage
@@ -85,10 +99,29 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a codegen'd Catalyst expression (no
+  * ScalaUDF wrapper in the canonicalization hot path); value-parity with
+  * DuckDB's `nfc_normalize` is oracle-gated (q85).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize_native"
+  override protected def nullSafeEval(input: Any): Any =
+    TextCodegen.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextCodegen.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def minhash_sig(c: Column, shingleK: Int, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSigExpr(ColumnBridge.expression(c), shingleK, numHashes))
+
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 
   /** SQL builder: `minhash_sig_native(text, shingleK, numHashes)` with
     * literal int parameters (shared by runtime registration and
@@ -102,9 +135,12 @@ object TextExpressions {
   /** SQL surface (runtime registration, same contract as
     * [[UrlExpressions.register]]).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig_native", sqlBuilder _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize_native", exprs => NfcNormalize(exprs.head), "scala_udf")
+  }
 }
 
 /** Literal-int extraction for SQL function builders whose expressions take

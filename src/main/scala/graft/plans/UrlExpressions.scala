@@ -119,6 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ExtractPld(exprs.head))
     inject("minhash_sig_native", classOf[MinHashSigExpr],
       TextExpressions.sqlBuilder)
+    inject("nfc_normalize_native", classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs.head))
     inject("vec_dot", classOf[DotProduct],
       exprs => DotProduct(exprs.head, exprs(1)))
     inject("vec_lsh_bucket", classOf[LshBucketExpr],

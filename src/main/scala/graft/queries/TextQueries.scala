@@ -204,6 +204,24 @@ object TextQueries {
       TextOps.contaminationReport(all, "doc_id", "text",
         all.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
     }),
+    "q85_nfc_normalize" -> ((s, d) =>
+      // Unicode canonicalization through the native codegen expression:
+      // a decomposed "e"+combining-acute probe is appended to every doc,
+      // NFC composes it to the single-char form (char count drops by 1)
+      docs(s, d).select(
+        col("doc_id"),
+        graft.plans.TextExpressions.nfc_normalize(
+          concat(col("text"), lit(" café"))).as("clean"),
+        length(concat(col("text"), lit(" café"))).cast("long")
+          .as("n_raw"),
+        length(graft.plans.TextExpressions.nfc_normalize(
+          concat(col("text"), lit(" café")))).cast("long")
+          .as("n_nfc"))),
+    "q84_continuation" -> ((s, d) =>
+      // Kneser-Ney continuation counts (distinct left contexts per word)
+      // — the integer KN base; the discounted scoring fold is
+      // NgramLm.perplexityKn (spec-tested, q65/q67 split)
+      graft.operators.NgramLm.continuationCounts(docs(s, d), "text")),
     "q82_count_min" -> ((s, d) =>
       // constant-memory frequency sketch of the term stream: the whole
       // 4x64 counter grid is the result (deterministic hashing -> the
@@ -668,6 +686,22 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_shingle_hits
          |FROM d JOIN bench b USING (shingle)
          |GROUP BY 1""".stripMargin,
+    "q85_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769)) AS clean,
+        |  CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+        |    AS BIGINT) AS n_nfc
+        |FROM documents""".stripMargin,
+    "q84_continuation" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS toks FROM documents),
+        |w AS (SELECT unnest(range(0, len(toks) - 1)) AS pos, toks
+        |  FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT toks[pos+1] AS l, toks[pos+2] AS r FROM w
+        |  GROUP BY 1, 2)
+        |SELECT r AS word, CAST(COUNT(*) AS BIGINT) AS n_contexts
+        |FROM bg GROUP BY 1""".stripMargin,
     "q82_count_min" ->
       s"""WITH tok AS (SELECT unnest($dTokens) AS term FROM documents),
          |h AS (SELECT ${dHash32("term")} AS h FROM tok

@@ -58,4 +58,49 @@ class NgramLmSpec extends AnyFunSuite {
       s"got ${model.bigrams.keySet}")
     assert(model.bigrams.values.forall(_ == 2L))
   }
+
+  test("continuation counts measure context versatility, not frequency") {
+    import spark.implicits._
+    // "francisco" occurs 4 times but ONLY after "san"; "house" occurs 4
+    // times after 4 different words — same frequency, opposite KN base
+    val ref = Seq(
+      "san francisco is nice and san francisco is big",
+      "we saw san francisco from san francisco bay",
+      "red house green house small house my house").toDF("text")
+    val cont = NgramLm.continuationCounts(ref, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont("francisco") == 1L, cont.toString)
+    assert(cont("house") == 4L, cont.toString)
+    val uni = NgramLm.unigramCounts(ref, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni("francisco") == uni("house"), uni.toString) // same raw freq
+  }
+
+  test("KN scoring punishes versatile-frequency words in novel contexts less") {
+    import spark.implicits._
+    val ref = Seq(
+      "san francisco is nice and san francisco is big",
+      "we saw san francisco from san francisco bay",
+      "red house green house small house my house").toDF("text")
+    val model = NgramLm.fit(ref, "text")
+    val contMap = NgramLm.continuationCounts(ref, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both test docs put the target word after the SAME unseen context;
+    // KN should find "zzz house" less surprising than "zzz francisco"
+    // (house follows many things; francisco only ever follows san)
+    val scored = NgramLm.perplexityKn(
+      Seq((1L, "zzz francisco"), (2L, "zzz house")).toDF("doc_id", "text"),
+      "text", "ppl", model, contMap)
+      .select("doc_id", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(2L) < scored(1L), scored.toString)
+    // and the headline filter ordering still holds under KN
+    val order = NgramLm.perplexityKn(
+      Seq((1L, "san francisco is nice"),
+          (2L, "nice francisco san is")).toDF("doc_id", "text"),
+      "text", "ppl", model, contMap)
+      .select("doc_id", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(order(1L) < order(2L), order.toString)
+  }
 }

@@ -101,7 +101,8 @@ class UrlExpressionsSpec extends AnyFunSuite {
           |  minhash_sig_native('a b c d e', 3, 4) AS sig,
           |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
-          |  vec_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 8) AS b
+          |  vec_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 8) AS b,
+          |  nfc_normalize_native(concat('cafe', '́')) AS nfc
           |""".stripMargin).collect().head
       assert(row.getAs[Long]("h") == UrlFunctions.urlHash64("http://a.com/x"))
       assert(row.getAs[String]("n") == UrlFunctions.normalizeUrl("HTTP://A.com/x"))
@@ -111,6 +112,10 @@ class UrlExpressionsSpec extends AnyFunSuite {
       assert(row.getAs[Double]("d") == 11.0)
       val b = row.getAs[Long]("b")
       assert(b >= 0 && b < 256, s"8-plane bucket out of range: $b")
+      // NFC: decomposed e + U+0301 composes to the single-char U+00E9
+      assert(row.getAs[String]("nfc") == "caf" + '\u00e9',
+        row.getAs[String]("nfc").map(_.toInt).mkString(","))
+      assert(row.getAs[String]("nfc").length == 4)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
