@@ -1252,6 +1252,46 @@ object TextOps {
     else raw
   }
 
+  /** C4-style blocklist statistics: per document, total tokens and how
+    * many are on the (lowercased, distinct) blocklist. C4 dropped any
+    * page containing a banned word; real pipelines usually threshold on
+    * count or ratio instead — this returns the integer stats so the
+    * caller picks the policy ([[blocklistGate]] is the drop-on-any
+    * default).
+    *
+    * Scale shape: blocklists are thousands of words — the list
+    * broadcasts, the corpus side is one scan + explode straight into the
+    * broadcast join (no pre-join shuffle), and the per-doc count is a
+    * partial->final hash aggregate. Same contract as decontamination.
+    */
+  def blocklistHits(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, wordCol: String): DataFrame = {
+    val bl = broadcast(
+      blocklist.select(lower(col(wordCol)).as("tok"), lit(1).as("bad"))
+        .distinct())
+    df.select(col(idCol).as("doc_id"),
+        explode(expr(tokensSql(s"lower($textCol)"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(bl, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("bad")), lit(0)).cast("long").as("n_flagged"))
+  }
+
+  /** Drop every document with more than `maxHits` blocklisted tokens
+    * (default 0 = the strict C4 policy). Anti-join on the flagged id set,
+    * whose size is bounded by the flagged rate.
+    */
+  def blocklistGate(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: DataFrame, wordCol: String, maxHits: Long = 0): DataFrame =
+    df.join(
+      blocklistHits(df, idCol, textCol, blocklist, wordCol)
+        .filter(col("n_flagged") > maxHits)
+        .select(col("doc_id").as("__flagged_id")),
+      df(idCol) === col("__flagged_id"), "left_anti")
+
   /** Exact duplicated-substring detection, the distributed shape of the
     * suffix-array dedup in Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2022): every w-token window is hashed

@@ -49,6 +49,11 @@ object TrainingCorpus {
       * once before document-level dedup sees them. None = skip.
       */
     keepFirstSegTokens: Option[Int] = None,
+    /** Blocklist tolerance when a blocklist is passed to [[build]]:
+      * docs with MORE than this many blocklisted tokens drop (0 = the
+      * strict C4 any-hit policy).
+      */
+    blocklistMaxHits: Long = 0,
     shingleK: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
     dedupThreshold: Double = 0.5,
     decontamShingleK: Int = 8,
@@ -83,7 +88,12 @@ object TrainingCorpus {
       docs: DataFrame, idCol: String, textCol: String, strataCol: String,
       benchmark: Option[DataFrame], benchTextCol: String,
       referenceLm: Option[NgramLm.Model],
-      cfg: Config = Config()): Result = {
+      cfg: Config = Config(),
+      /** Optional C4-style banned-wordlist gate, applied with the other
+        * cheap gates before any shuffle-heavy stage: (wordlist frame,
+        * word column). Tolerance via [[Config.blocklistMaxHits]].
+        */
+      blocklist: Option[(DataFrame, String)] = None): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -111,9 +121,17 @@ object TrainingCorpus {
           greatest(length(col("text")), lit(1)).cast("double"))
       .filter(col("alpha_ratio") >= cfg.minAlphaRatio)
       .drop("n_tokens", "pred_lang", "alpha_ratio"))
+    // 1b. optional banned-wordlist gate (C4): broadcast list, cheap, runs
+    //     with the other gates before anything shuffle-heavy
+    val unblocked = blocklist match {
+      case Some((bl, wordCol)) => step("blocklist_gate",
+        TextOps.blocklistGate(gated, "doc_id", "text", bl, wordCol,
+          cfg.blocklistMaxHits))
+      case None => gated
+    }
     val unrepeated = step("repetition_gate",
-      gated.join(
-        TextOps.repetitionFeatures(gated, "doc_id", "text")
+      unblocked.join(
+        TextOps.repetitionFeatures(unblocked, "doc_id", "text")
           .filter(col("rep_ratio") <= cfg.maxRepRatio)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi"))

@@ -204,6 +204,13 @@ object TextQueries {
       TextOps.contaminationReport(all, "doc_id", "text",
         all.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
     }),
+    "q86_blocklist" -> ((s, d) => {
+      // C4-style banned-wordlist stats: per-doc token and hit counts
+      // against a broadcast blocklist; blocklistGate thresholds on top
+      import s.implicits._
+      TextOps.blocklistHits(docs(s, d), "doc_id", "text",
+        Seq("slow", "big", "junk").toDF("word"), "word")
+    }),
     "q85_nfc_normalize" -> ((s, d) =>
       // Unicode canonicalization through the native codegen expression:
       // a decomposed "e"+combining-acute probe is appended to every doc,
@@ -686,6 +693,19 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_shingle_hits
          |FROM d JOIN bench b USING (shingle)
          |GROUP BY 1""".stripMargin,
+    "q86_blocklist" ->
+      """WITH bl AS (SELECT lower(word) AS tok
+        |  FROM (VALUES ('slow'), ('big'), ('junk')) v(word)),
+        |t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN bl.tok IS NOT NULL THEN 1 ELSE 0 END AS bad
+        |  FROM t LEFT JOIN bl ON t.tok = bl.tok
+        |  WHERE length(t.tok) > 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bad) AS BIGINT) AS n_flagged
+        |FROM f GROUP BY 1""".stripMargin,
     "q85_nfc_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769)) AS clean,

@@ -120,6 +120,41 @@ class DomainRankSpec extends AnyFunSuite {
     assert(rank("a.com") == 150000L, rank.toString)
   }
 
+  test("cold-start integration: link-rank priors drive the fetch scheduler") {
+    import graft.crawl._
+    // outlinks from an earlier crawl snapshot: everyone points at hub.com
+    val snapshot = Seq(
+      ("http://a.com/p", "http://hub.com/x"),
+      ("http://b.com/p", "http://hub.com/y"),
+      ("http://c.com/p", "http://hub.com/z"),
+      ("http://hub.com/x", "http://a.com/p")
+    ).toDF("src", "dst")
+    val priors = DomainRank.seedScores(
+      DomainRank.domainRank(snapshot, "src", "dst", iters = 3))
+      .collect().map(r => r.getString(0) -> r.getFloat(1)).toMap
+    assert(priors("hub.com") == 1.0f, priors.toString)
+    // seed a FRESH crawl of never-fetched domains with those priors as
+    // initial scores; one round, one queue slot -> the scheduler must
+    // spend its only fetch on the top-prior domain
+    val graph = WebGraph(
+      "a.com" -> Seq.empty, "b.com" -> Seq.empty,
+      "c.com" -> Seq.empty, "hub.com" -> Seq.empty)
+    val robots = new MapRobotsFetcher(
+      Seq("a.com", "b.com", "c.com", "hub.com")
+        .map(d => s"http://$d/robots.txt" -> "User-agent: *\n").toMap)
+    val result = CrawlTopology.run(
+      spark,
+      seeds = Seq("a.com", "b.com", "c.com", "hub.com")
+        .map(d => (d, priors.getOrElse(d, 0.0f))),
+      pageFetcher = new WebGraphFetcher(graph),
+      robotsFetcher = robots,
+      cfg = CrawlConfig(maxRounds = 1, maxQueueSize = 1))
+    val fetched = result.frontier
+      .filter(org.apache.spark.sql.functions.col("status") === "FETCHED")
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(fetched == Seq("http://hub.com/"), s"fetched $fetched")
+  }
+
   test("seed scores normalize into (0, 1] with the top domain at 1.0") {
     val scores = graft.crawl.DomainRank.seedScores(
       graft.crawl.DomainRank.domainRank(outlinks, "src", "dst", iters = 5))

@@ -294,6 +294,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q86: blocklist broadcasts — corpus explode flows straight into the join") {
+    val plan = planOf("q86_blocklist")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "blocklist join degraded to SMJ:\n" + plan.take(3000))
+  }
+
   test("q78: keep-first dedup is two hash shuffles — no join, no cartesian") {
     // the first-occurrence ranking partitions by segment (high-cardinality
     // key, tiny groups) and the rebuild aggregates per doc; there is no

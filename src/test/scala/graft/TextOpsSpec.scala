@@ -1058,6 +1058,31 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
     assert(math.abs(est / 2000.0 - 1.0) < 0.4, s"est $est vs 2000")
   }
 
+  test("blocklist gate: strict C4 policy drops any-hit docs, stats count hits") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "perfectly clean text here"),
+      (2L, "one BADWORD in the middle"),       // case-insensitive hit
+      (3L, "badword badword badword spam"),
+      (4L, "")                                  // empty: no tokens, absent
+    ).toDF("doc_id", "text")
+    val bl = Seq("BadWord", "unused").toDF("word")
+    val hits = TextOps.blocklistHits(d, "doc_id", "text", bl, "word")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hits(1L) == ((4L, 0L)), hits.toString)
+    assert(hits(2L) == ((5L, 1L)), hits.toString)
+    assert(hits(3L) == ((4L, 3L)), hits.toString)
+    assert(!hits.contains(4L), hits.toString)
+    val kept = TextOps.blocklistGate(d, "doc_id", "text", bl, "word")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), kept.toString) // no-token docs survive
+    // threshold policy: allow a single slip
+    val lenient = TextOps.blocklistGate(d, "doc_id", "text", bl, "word",
+      maxHits = 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lenient == Set(1L, 2L, 4L), lenient.toString)
+  }
+
   test("keep-first invariant: kept count equals distinct segments corpus-wide") {
     import spark.implicits._
     // 80 docs over a 6-word vocabulary -> massive segment reuse

@@ -149,6 +149,27 @@ class TrainingCorpusSpec extends AnyFunSuite {
     assert(texts(3L).contains("harvest festival"), texts.toString)
   }
 
+  test("blocklist stage drops banned-word docs before the heavy stages") {
+    val docs = Seq(
+      (1L, "web", "a perfectly ordinary document about the weather today"),
+      (2L, "web", "this document mentions the gambling site rather often"),
+      (3L, "web", "another clean document that should survive the gate")
+    ).toDF("doc_id", "stratum", "text")
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = None, benchTextCol = "text", referenceLm = None,
+      cfg = TrainingCorpus.Config(dedupThreshold = 1.1),
+      blocklist = Some((Seq("gambling").toDF("word"), "word")))
+    val survivors = result.corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L), s"$survivors; ${result.audit}")
+    val names = result.audit.map(_._1)
+    assert(names.indexOf("blocklist_gate") > names.indexOf("quality_lang_repetition"),
+      names.toString)
+    assert(names.indexOf("blocklist_gate") < names.indexOf("repetition_gate"),
+      names.toString)
+  }
+
   test("perplexity gate drops shuffled text when a reference LM is supplied") {
     val reference = Seq(
       "the cat sat on the mat near the door",
