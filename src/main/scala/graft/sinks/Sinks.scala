@@ -133,4 +133,20 @@ object Sinks {
       .write.mode("overwrite")
       .partitionBy("pld_bucket")
       .parquet(path)
+
+  /** Training-corpus export: parquet laid out by split (and shard, when
+    * a shard column is present — [[graft.operators.TextOps.shardAndPack]]
+    * assigns one), so a training job reads its split with partition
+    * pruning and each shard is an independently consumable file set.
+    * One writer job, no repartition beyond the layout columns — the
+    * directory structure IS the index.
+    */
+  def writeTrainingSplits(
+      corpus: DataFrame, path: String,
+      splitCol: String = "split", shardCol: String = "shard"): Unit = {
+    val layout =
+      if (corpus.columns.contains(shardCol)) Seq(splitCol, shardCol)
+      else Seq(splitCol)
+    corpus.write.mode("overwrite").partitionBy(layout: _*).parquet(path)
+  }
 }

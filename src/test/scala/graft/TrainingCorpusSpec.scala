@@ -170,6 +170,48 @@ class TrainingCorpusSpec extends AnyFunSuite {
       names.toString)
   }
 
+  test("export round-trip: build -> shard -> split/shard-partitioned parquet") {
+    import graft.operators.TextOps
+    import graft.sinks.Sinks
+    val docs = (1L to 60L).map(i =>
+      (i, "web", s"document number $i holds several common english words"))
+      .toDF("doc_id", "stratum", "text")
+    val result = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum",
+      benchmark = None, benchTextCol = "text", referenceLm = None,
+      cfg = TrainingCorpus.Config(
+        dedupThreshold = 1.1, // templated docs: keep all
+        splits = Seq("train" -> 0.8, "val" -> 0.2)))
+    val sharded = result.corpus.join(
+      TextOps.shardAndPack(result.corpus, "doc_id", "text",
+        numShards = 4, seqTokens = 16).select("doc_id", "shard"),
+      Seq("doc_id"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-export").toString
+    try {
+      Sinks.writeTrainingSplits(sharded, out)
+      // layout: split=<s>/shard=<k> directories — the partition index
+      val splitDirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(splitDirs.exists(_.startsWith("split=")), splitDirs.toString)
+      // reading ONE split path prunes to that split (no filter needed)
+      val train = spark.read.parquet(s"$out/split=train")
+      assert(train.count() ==
+        result.corpus.filter($"split" === "train").count())
+      assert(train.columns.contains("shard")) // partition col surfaces
+      // whole-corpus round-trip: every doc_id survives exactly once
+      val back = spark.read.parquet(out)
+      assert(back.count() == result.corpus.count())
+      assert(back.select("doc_id").distinct().count() == back.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("perplexity gate drops shuffled text when a reference LM is supplied") {
     val reference = Seq(
       "the cat sat on the mat near the door",
