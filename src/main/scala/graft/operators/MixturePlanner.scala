@@ -64,4 +64,36 @@ object MixturePlanner {
       plans: Seq[StratumPlan]): DataFrame =
     TextOps.sampleByHash(df, idCol, strataCol,
       plans.map(p => p.stratum -> p.rate).toMap, defaultRate = 0.0)
+
+  /** Temperature-flattened mixture shares (the multilingual-LM sampling
+    * scheme of Conneau & Lample 2019 / mT5: sample source s with
+    * probability ∝ share_s^(1/T), T=2 — boosts small sources, damps the
+    * head). Computed entirely in integer arithmetic so the plan table
+    * oracle-hashes: weight_s = isqrt(token_s) (integer square root =
+    * floor of the correctly-rounded IEEE sqrt — exact for counts < 2^52,
+    * i.e. any real corpus), share_ppm = weight_s * 1e6 div Σ weights.
+    * The integer Σ is order-independent, so no float-summation-order
+    * hazard exists anywhere in the plan.
+    *
+    * Scale shape: one partial->final token aggregate onto ~#sources
+    * cells, then a 1-row global-sum broadcast joined back (the q44
+    * quota-ratio shape) — the corpus is scanned once, the plan side is
+    * source-cardinality-sized. Feed the resulting ppm shares to
+    * [[plan]]/[[applyPlan]] (rate = target_s / available_s) to realize
+    * the mixture with the deterministic hash gate.
+    */
+  def temperaturePlan(
+      df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val totals = df.select(col(strataCol).as("stratum"),
+        TextOps.preTokenCount(col(textCol)).as("n"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .select(col("stratum"), col("n_tokens"),
+        expr("cast(floor(sqrt(cast(n_tokens as double))) as bigint)")
+          .as("weight"))
+    totals.crossJoin(
+        broadcast(totals.agg(sum(col("weight")).as("weight_sum"))))
+      .select(col("stratum"), col("n_tokens"), col("weight"),
+        expr("(weight * 1000000) div weight_sum").as("share_ppm"))
+  }
 }

@@ -1358,4 +1358,135 @@ object TextOps {
       row_number().over(Window.partitionBy(col(key))
         .orderBy(score.desc, tieBreak.asc)))
       .filter(col("rn") <= k)
+
+  /** DSIR-style importance scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): rank raw
+    * documents by how target-like their hashed-token distribution is.
+    * Token occurrences hash into `buckets` cells; the target set and the
+    * raw corpus each yield a bucket histogram; each bucket gets an
+    * add-one-smoothed likelihood ratio in fixed point
+    * (`ratio = (p_b+1)*scale div (q_b+1)`), and a document's score is the
+    * count-weighted sum of its buckets' ratios — the fixed-point analogue
+    * of DSIR's sum of log-ratios (monotone per bucket, integer-exact, so
+    * the whole score column oracle-hashes; the float log-sum variant
+    * belongs to the spec tier, the q65/q67 split). Selection on top of
+    * the score is policy: [[topKPerKey]] / [[sampleFixedPerStratum]] for
+    * fixed budgets, or a threshold filter.
+    *
+    * Scale shape: both histograms are at most `buckets` rows — each is
+    * ONE partial->final hash aggregate that collapses map-side to
+    * `buckets` cells, and the ratio table broadcasts. Scoring is one
+    * explode + broadcast join + per-doc hash aggregate: corpus-linear,
+    * a single doc-keyed shuffle, nothing vocabulary-sized anywhere
+    * (the hashing trick is exactly what makes DSIR run at web scale).
+    */
+  def dsirScores(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 128, scale: Long = 1000000L): DataFrame = {
+    def bucketCounts(df: DataFrame, c: String) =
+      df.select(explode(expr(tokensSql(c))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select((expr(hash32Sql("tok")) % buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val p = bucketCounts(target, targetTextCol)
+      .withColumnRenamed("cnt", "p_cnt")
+    val q = bucketCounts(raw, textCol).withColumnRenamed("cnt", "q_cnt")
+    // full outer on <= buckets rows: a bucket unseen in either side still
+    // gets its smoothed ratio
+    val ratios = broadcast(
+      q.join(p, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          expr(s"((coalesce(p_cnt, 0) + 1) * $scale)" +
+            " div (coalesce(q_cnt, 0) + 1)").as("ratio")))
+    raw.select(col(idCol).as("doc_id"),
+        explode(expr(tokensSql(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), (expr(hash32Sql("tok")) % buckets).as("bucket"))
+      .join(ratios, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio")).as("dsir_score"))
+  }
+
+  /** The literal DSIR estimator: per-doc Σ count_b · ln((p_b+1)/(q_b+1))
+    * — the paper's sum of hashed-ngram log-likelihood ratios. Float fold
+    * ⇒ spec tier (sum order is partition-dependent in the last ulp; the
+    * oracle-hashed column is [[dsirScores]]), same plan shape as the
+    * fixed-point variant.
+    */
+  def dsirLogScores(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 128): DataFrame = {
+    def bucketCounts(df: DataFrame, c: String) =
+      df.select(explode(expr(tokensSql(c))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select((expr(hash32Sql("tok")) % buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val p = bucketCounts(target, targetTextCol)
+      .withColumnRenamed("cnt", "p_cnt")
+    val q = bucketCounts(raw, textCol).withColumnRenamed("cnt", "q_cnt")
+    val ratios = broadcast(
+      q.join(p, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          log(expr("(coalesce(p_cnt, 0) + 1)" +
+              " / cast(coalesce(q_cnt, 0) + 1 as double)")).as("log_ratio")))
+    raw.select(col(idCol).as("doc_id"),
+        explode(expr(tokensSql(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), (expr(hash32Sql("tok")) % buckets).as("bucket"))
+      .join(ratios, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("log_ratio")).as("dsir_log_score"))
+  }
+
+  /** Choose LSH banding (bands b, rows-per-band r with b·r = numHashes)
+    * for a target Jaccard threshold: the S-curve's inflection sits at
+    * t ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS §3.4.3); pick the
+    * divisor pair whose inflection lands closest to the requested
+    * threshold (ties → more bands = recall-leaning). Driver-side pure
+    * arithmetic over the divisors of numHashes — feeds bandSize/numBands
+    * choices for [[minhashCandidates]] instead of hand-tuning.
+    */
+  def lshBandPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      "need numHashes > 0 and threshold in (0,1)")
+    val pairs = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    pairs.minBy { case (b, r) =>
+      (math.abs(threshold - math.pow(1.0 / b, 1.0 / r)), -b)
+    }
+  }
+
+  /** Per-document n-gram novelty: of a document's distinct k-shingles,
+    * how many occur in NO other document (corpus document-frequency 1)?
+    * High novelty = content the corpus hasn't seen — the inverse signal
+    * of the duplication family, useful both as a quality feature (near-
+    * boilerplate pages score ~0) and as a cheap "what did this crawl
+    * batch actually add?" audit. `novelty_pct` is integer fixed-point
+    * (`100*unique div shingles`) so the column oracle-hashes.
+    *
+    * Scale shape: same skeleton as [[decontaminate]] — one explode, one
+    * shingle-keyed doc-frequency aggregate (partial agg collapses
+    * per-doc duplicates map-side), one co-partitioned join back, one
+    * doc-keyed count. All joins equi, nothing quadratic; the df table is
+    * vocabulary-of-shingles-sized but never collected.
+    */
+  def noveltyScores(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(shingleUdf(k)(col(textCol))).as("shingle"))
+    val docFreq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    sh.join(docFreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(100 * n_unique) div greatest(n_shingles, 1)")
+          .as("novelty_pct"))
+  }
 }

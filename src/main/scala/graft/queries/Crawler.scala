@@ -319,6 +319,60 @@ object Crawler {
       |FROM documents
       |WHERE doc_id % 13 <> 0""".stripMargin
 
+  /** Inlink anchor-text aggregation — the classic web-graph training
+    * signal (anchors of pages linking TO a url describe that url better
+    * than its own text; reference link extraction carries the anchor on
+    * every ExtractedUrl, SimplePageParser.java:169-183) — driven through
+    * the REAL [[graft.crawl.HtmlParser.parse]] over deterministic
+    * synthesized HTML so the whole extract→resolve→aggregate path has a
+    * closed-form oracle. Each page links to a shared "hub" target
+    * (doc_id % 37 — many inlinks per hub) with a markup-wrapped anchor
+    * (pins the tag-strip), and to a page-RELATIVE target (doc_id % 20 —
+    * pins base-URL resolution); a rel=nofollow decoy must never appear,
+    * and meta-robots-nofollow pages (doc_id % 13 == 0) contribute
+    * nothing — the same gates the crawl parse stage applies.
+    *
+    * Scale shape: parse is a per-row projection, explode is outlink-
+    * linear, and the aggregation is one hash shuffle keyed by target url
+    * (anchor sets bounded per target by inlink count; production callers
+    * cap with a slice/top-K if hubs are unbounded).
+    */
+  def anchorTextAgg(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pageUrl = concat(lit("http://site"), id % 10,
+      lit(".example.com/pages/p"), id)
+    val html = concat(
+      when(id % 13 === 0,
+        lit("<meta name=\"robots\" content=\"nofollow\">")).otherwise(lit("")),
+      lit("<a href=\"http://hub.example.com/t"), id % 37,
+      lit("\"><b>hub "), id % 37, lit(" via "), id % 100, lit("</b></a>"),
+      lit("<a rel=\"nofollow\" href=\"http://spam.example.com/x\">skip</a>"),
+      lit("<a href=\"more/m"), id % 20, lit("\">more "), id % 20, lit("</a>"))
+    val outlinks = udf((url: String, h: String) =>
+      graft.crawl.HtmlParser.parse(url, h, 1.0f)
+        .outlinks.map(o => (o.url, o.anchorText)))
+    t(spark, dir, "documents")
+      .select(explode(outlinks(pageUrl, html)).as("link"))
+      .select(col("link._1").as("url"), col("link._2").as("anchor"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        array_join(array_sort(collect_set(col("anchor"))), "|").as("anchors"))
+  }
+
+  val anchorTextAggSql: String =
+    """WITH links AS (
+      |  SELECT 'http://hub.example.com/t' || (doc_id % 37) AS url,
+      |    'hub ' || (doc_id % 37) || ' via ' || (doc_id % 100) AS anchor
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT 'http://site' || (doc_id % 10) || '.example.com/pages/more/m'
+      |      || (doc_id % 20),
+      |    'more ' || (doc_id % 20)
+      |  FROM documents WHERE doc_id % 13 <> 0)
+      |SELECT url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+      |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+      |FROM links GROUP BY url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -326,7 +380,8 @@ object Crawler {
     "q17_schedule_topk" -> (scheduleTopK _),
     "q32_surt_key" -> (surtKeys _),
     "q39_header_charset" -> (headerCharset _),
-    "q54_media_links" -> (mediaLinksProbe _)
+    "q54_media_links" -> (mediaLinksProbe _),
+    "q87_anchor_text" -> (anchorTextAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -336,6 +391,7 @@ object Crawler {
     "q17_schedule_topk" -> scheduleTopKSql,
     "q32_surt_key" -> surtKeysSql,
     "q39_header_charset" -> headerCharsetSql,
-    "q54_media_links" -> mediaLinksProbeSql
+    "q54_media_links" -> mediaLinksProbeSql,
+    "q87_anchor_text" -> anchorTextAggSql
   )
 }

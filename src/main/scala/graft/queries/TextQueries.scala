@@ -407,6 +407,24 @@ object TextQueries {
       graft.crawl.DomainRank.domainRank(links, "src_url", "dst_url",
         iters = 3)
     }),
+    "q88_dsir_scores" -> ((s, d) => {
+      // DSIR importance scores: target = the q56 synthetic "benchmark"
+      // slice (doc_id % 97 == 0); fixed-point likelihood ratios over 128
+      // hashed-token buckets (the float log-sum fold is spec-tested —
+      // the q65/q67 integer/float split)
+      val all = docs(s, d)
+      TextOps.dsirScores(all, "doc_id", "text",
+        all.filter(col("doc_id") % 97 === 0), "text")
+    }),
+    "q89_temperature_mix" -> ((s, d) =>
+      // T=2 temperature-flattened per-source sampling shares, all-integer
+      // (isqrt weights, ppm shares) so the plan table oracle-hashes
+      graft.operators.MixturePlanner.temperaturePlan(
+        docs(s, d), "source", "text")),
+    "q90_novelty" -> ((s, d) =>
+      // inverse-duplication signal: share of a doc's distinct 3-shingles
+      // with corpus document-frequency 1
+      TextOps.noveltyScores(docs(s, d), "doc_id", "text", k = 3)),
     "q63_embed_gram" -> ((s, d) =>
       // corpus second-moment (Gram) matrix of globally-int8-quantized
       // embeddings: ONE typed-Aggregator pass, shuffle = one
@@ -706,6 +724,46 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |  CAST(SUM(bad) AS BIGINT) AS n_flagged
         |FROM f GROUP BY 1""".stripMargin,
+    "q88_dsir_scores" ->
+      s"""WITH tb AS (SELECT doc_id,
+         |    ${dHash32("tok")} % 128 AS bucket
+         |  FROM (SELECT doc_id,
+         |      unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE length(tok) > 0),
+         |qc AS (SELECT bucket, COUNT(*) AS q_cnt FROM tb GROUP BY 1),
+         |pc AS (SELECT bucket, COUNT(*) AS p_cnt FROM tb
+         |  WHERE doc_id % 97 = 0 GROUP BY 1),
+         |r AS (SELECT COALESCE(qc.bucket, pc.bucket) AS bucket,
+         |    ((COALESCE(p_cnt, 0) + 1) * 1000000)
+         |      // (COALESCE(q_cnt, 0) + 1) AS ratio
+         |  FROM qc FULL OUTER JOIN pc ON qc.bucket = pc.bucket)
+         |SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(r.ratio) AS BIGINT) AS dsir_score
+         |FROM tb JOIN r USING (bucket) GROUP BY 1""".stripMargin,
+    "q89_temperature_mix" ->
+      """WITH t AS (SELECT source AS stratum,
+        |    CAST(SUM(len(regexp_extract_all(text,
+        |      '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM t),
+        |s AS (SELECT CAST(SUM(weight) AS BIGINT) AS weight_sum FROM w)
+        |SELECT stratum, n_tokens, weight,
+        |  (weight * 1000000) // weight_sum AS share_ppm
+        |FROM w CROSS JOIN s""".stripMargin,
+    "q90_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($dShingles) AS shingle
+         |  FROM documents),
+         |f AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  (100 * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS novelty_pct
+         |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin,
     "q85_nfc_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769)) AS clean,

@@ -134,6 +134,47 @@ object Sinks {
       .partitionBy("pld_bucket")
       .parquet(path)
 
+  /** CDX capture index over an archive's records (the web-archive lookup
+    * sidecar: CommonCrawl publishes exactly this next to its WARC
+    * segments; the reference's CommonCrawlFetcher navigates the crawl via
+    * the secondary index over these files, SecondaryIndexMap.java /
+    * CommonCrawlFetcher.java:86-118). One row per record: canonicalized
+    * SURT key, 14-digit timestamp, original url, mime, archived status,
+    * md5 content digest, octet length. Input is [[graft.sources
+    * .WarcSource.read]]'s frame (or any frame with those columns).
+    *
+    * Scale shape: pure projection — surt/digest/length are per-row
+    * expressions; ordering happens only in [[writeCdx]] via a range
+    * repartition so the emitted shards are globally sorted by
+    * (surt, ts), the property CDX binary-search lookup needs.
+    */
+  def cdxIndex(records: DataFrame): DataFrame = {
+    val surt = udf((u: String) => graft.functions.UrlFunctions.surtKey(u))
+    records.select(
+      surt(col("url")).as("surt"),
+      date_format(timestamp_millis(col("fetchTimeMs")), "yyyyMMddHHmmss")
+        .as("ts"),
+      col("url"),
+      col("contentType").as("mime"),
+      col("statusCode").cast("long").as("status"),
+      md5(col("content")).as("digest"),
+      length(encode(col("content"), "UTF-8")).cast("long").as("n_octets"))
+  }
+
+  /** Render + write the CDX index for an archive directory: space-joined
+    * text lines (the classic CDX line shape: key, timestamp, url, mime,
+    * status, digest, length), range-partitioned and sorted so the file
+    * set reads back in global (surt, ts) order.
+    */
+  def writeCdx(spark: org.apache.spark.sql.SparkSession,
+      archiveDir: String, path: String, shards: Int = 1): Unit =
+    cdxIndex(graft.sources.WarcSource.read(spark, archiveDir))
+      .repartitionByRange(shards, col("surt"), col("ts"))
+      .sortWithinPartitions(col("surt"), col("ts"))
+      .select(concat_ws(" ", col("surt"), col("ts"), col("url"), col("mime"),
+        col("status"), col("digest"), col("n_octets")).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** Training-corpus export: parquet laid out by split (and shard, when
     * a shard column is present — [[graft.operators.TextOps.shardAndPack]]
     * assigns one), so a training job reads its split with partition

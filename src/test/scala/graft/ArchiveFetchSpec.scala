@@ -72,6 +72,33 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(parsedTitles(cycled) == parsedTitles(live))
   }
 
+  test("cdx index: one sorted line per archived record, fields faithful") {
+    import org.apache.spark.sql.functions.lit
+    val archive = ArchiveFetch.archiveFromGraph(spark, graph)
+      .filter(col("statusCode") === 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+    graft.sinks.Sinks.writeWarc(
+      archive.select(col("url"), col("contentType"), col("content"),
+        lit(1700000000000L).as("fetchTimeMs")),
+      s"$dir/warc")
+    graft.sinks.Sinks.writeCdx(spark, s"$dir/warc", s"$dir/cdx", shards = 2)
+    // read shard files in name order: lines must be globally sorted
+    val files = new java.io.File(s"$dir/cdx").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val lines = files.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.length == archive.count())
+    val keys = lines.map(_.split(" ").take(2).mkString(" "))
+    assert(keys.toSeq == keys.sorted.toSeq, "cdx not globally sorted")
+    // a concrete record round-trips: url, status, ts, digest present
+    val p2 = lines.find(_.contains("http://a.com/p2")).get.split(" ")
+    assert(p2(0).startsWith("com,a)/"), p2(0)) // surt key
+    assert(p2(1) == "20231114221320") // 1700000000000 ms UTC
+    assert(p2(4) == "200")
+    assert(p2(5).matches("[0-9a-f]{32}")) // md5 digest
+    assert(p2(6).toLong > 0)
+  }
+
   test("crawl resumes from a store-persisted frontier without refetching") {
     // the Fetcher is captured in serialized task closures, so a captured
     // var would record into per-task COPIES; a JVM-global object is

@@ -46,4 +46,23 @@ class MixturePlannerSpec extends AnyFunSuite {
       MixturePlanner.plan(totals, Map("en" -> 1.0), 0L))
     assert(none.count() == 0)
   }
+
+  test("temperature plan boosts small sources with exact integer shares") {
+    // big: 100 docs x 16 pre-tokens = 1600; small: 1 doc x 16 = 16.
+    // raw share of small = 16/1616 ~ 0.99%; T=2 share = sqrt-flattened.
+    val docs = (
+      (0 until 100).map(i => (i.toLong, "big",
+        "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp")) :+
+        (100L, "small", "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp")
+      ).toDF("doc_id", "source", "text")
+    val plan = MixturePlanner.temperaturePlan(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(plan("big") == ((1600L, 40L, 909090L)), plan.toString)
+    assert(plan("small") == ((16L, 4L, 90909L)), plan.toString)
+    // T=2 lifts the small source's share ~9x over its raw token share
+    val raw = 16.0 / 1616.0
+    assert(plan("small")._3 / 1e6 > raw * 8)
+  }
 }

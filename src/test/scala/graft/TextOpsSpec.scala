@@ -1105,4 +1105,65 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
       .count()
     assert(total == rawSegs)
   }
+
+  test("dsir scores rank target-like docs above off-distribution docs") {
+    import spark.implicits._
+    // target distribution: "alpha beta" prose; off-distribution: "zz yy"
+    val raw = (0L until 40L).map { i =>
+      val text =
+        if (i % 2 == 0) s"alpha beta gamma alpha beta delta t$i"
+        else s"zz yy xx ww vv uu n$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" % 10 === 0) // all even => alpha-like
+    val scores = TextOps.dsirScores(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dsir_score").toDouble / r.getAs[Long]("n_tokens")))
+      .toMap
+    val meanLike = (0L until 40L by 2).map(scores).sum / 20
+    val meanOff = (1L until 40L by 2).map(scores).sum / 20
+    assert(meanLike > meanOff * 2,
+      s"target-like $meanLike vs off $meanOff")
+    // the float log-sum estimator agrees on the ordering
+    val ls = TextOps.dsirLogScores(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("dsir_log_score") / r.getAs[Long]("n_tokens")))
+      .toMap
+    val logLike = (0L until 40L by 2).map(ls).sum / 20
+    val logOff = (1L until 40L by 2).map(ls).sum / 20
+    assert(logLike > logOff, s"log: target-like $logLike vs off $logOff")
+    // deterministic: integer column identical across runs
+    val again = TextOps.dsirScores(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dsir_score").toDouble / r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(again == scores)
+  }
+
+  test("lsh band plan lands the S-curve inflection near the threshold") {
+    // 16 hashes: t=0.5 -> 4 bands of 4 ((1/4)^(1/4) = 0.707.. vs
+    // (1/8)^(1/2) = 0.354 vs (1/2)^(1/8) = 0.917): 8x2 is closest to 0.5
+    assert(TextOps.lshBandPlan(16, 0.5) == ((8, 2)))
+    // high precision threshold -> few bands, long rows
+    val (bHi, rHi) = TextOps.lshBandPlan(16, 0.95)
+    assert(bHi < 8 && bHi * rHi == 16)
+    // recall-leaning threshold -> many bands
+    val (bLo, rLo) = TextOps.lshBandPlan(16, 0.2)
+    assert(bLo >= 8 && bLo * rLo == 16)
+    // the q25/q31 default (16 hashes, 4x4) is the planner's 0.7 answer
+    assert(TextOps.lshBandPlan(16, 0.7) == ((4, 4)))
+  }
+
+  test("novelty: all-unique doc scores 100, duplicated docs score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff"), // unique shingles
+      (2L, "one two three four five"),
+      (3L, "one two three four five"), // dup of 2 -> df 2 everywhere
+      (4L, "xx yy") // < k tokens: no shingles, absent from output
+    ).toDF("doc_id", "text")
+    val out = TextOps.noveltyScores(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("novelty_pct")).toMap
+    assert(out == Map(1L -> 100L, 2L -> 0L, 3L -> 0L), out.toString)
+  }
 }
