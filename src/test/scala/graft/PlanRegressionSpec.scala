@@ -310,4 +310,48 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q87: anchor aggregation is parse-explode + one hash shuffle, no join") {
+    // the inlink aggregation's scale contract: parse is a projection,
+    // explode is outlink-linear, and the only shuffle is the final
+    // groupBy(target url) — nothing joins, nothing windows
+    val plan = planOf("q87_anchor_text")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q88: dsir ratio table broadcasts — corpus tokens never sort-merge") {
+    // both histograms collapse map-side to <= buckets cells; the per-token
+    // scoring join must be a broadcast of that bounded ratio table, never
+    // an SMJ that sorts the exploded corpus. The p⋈q FULL OUTER between
+    // the two histograms MAY sort-merge — both inputs are aggregates
+    // bounded at `buckets` rows, so that sort is constant-size at any
+    // corpus scale; only an INNER (corpus-side) SMJ is a regression.
+    val plan = planOf("q88_dsir_scores")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val smjInner = plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).filter(_.contains("Inner"))
+    assert(smjInner.isEmpty,
+      "corpus-side scoring join degraded to SMJ:\n" + plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q89: temperature plan is two bounded aggregates + 1-row broadcast") {
+    // the weight-sum is a 1-row broadcast joined back (the q44 shape);
+    // a Window or non-broadcast join here would serialize the plan table
+    val plan = planOf("q89_temperature_mix")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q90: novelty df join is equi, never cartesian; no corpus window") {
+    val plan = planOf("q90_novelty")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
 }
