@@ -1442,6 +1442,81 @@ object TextOps {
         sum(col("log_ratio")).as("dsir_log_score"))
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1: repetitious documents are
+    * low-quality — machine-generated spam and scraper echo): per doc,
+    * the mass fraction of the single most frequent bigram
+    * (`top_bigram_pct`) and the occurrence fraction of `w`-token windows
+    * whose text repeats WITHIN the document (`dup_window_pct`). Both are
+    * integer fixed-point, so the frame oracle-hashes; the cross-document
+    * complements are [[duplicatedWindows]] (corpus-wide spans) and
+    * [[repetitionFeatures]] (distinct-bigram ratio).
+    *
+    * Scale shape: two explodes, each into a (doc, gram)-keyed hash
+    * aggregate then a doc-keyed one — all partial->final, everything
+    * keyed by doc_id or finer, then one co-partitioned doc_id join to
+    * stitch the two widths. No corpus-wide key anywhere (the grams are
+    * scoped per-doc), so hot-shingle skew cannot arise.
+    */
+  def gopherRepetition(
+      df: DataFrame, idCol: String, textCol: String, w: Int = 5): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      expr(tokensSql(textCol)).as("toks"))
+    def gramStats(width: Int, dup: Boolean) = {
+      val grams = base.filter(size(col("toks")) >= width)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(toks) - $width)," +
+            s" i -> concat_ws(' ', slice(toks, i + 1, $width)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      if (dup)
+        grams.groupBy("doc_id").agg(sum(col("c")).as("n_grams"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_grams"))
+      else
+        grams.groupBy("doc_id").agg(sum(col("c")).as("n_grams"),
+          max(col("c")).as("top_gram"))
+    }
+    val bi = gramStats(2, dup = false)
+      .select(col("doc_id"), col("n_grams").as("n_bigrams"),
+        col("top_gram").as("top_bigram"))
+    val win = gramStats(w, dup = true)
+      .select(col("doc_id"), col("n_grams").as("n_windows"),
+        col("dup_grams").as("dup_windows"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(win, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        expr("(100 * coalesce(top_bigram, 0))" +
+          " div greatest(coalesce(n_bigrams, 0), 1)").as("top_bigram_pct"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        expr("(100 * coalesce(dup_windows, 0))" +
+          " div greatest(coalesce(n_windows, 0), 1)").as("dup_window_pct"))
+  }
+
+  /** Cross-source duplication matrix — the corpus-composition audit
+    * ("how much of source A is already in source B?" — the number that
+    * decides whether a new crawl/source is worth ingesting): for every
+    * source pair, the count of distinct fingerprints present in both.
+    * The fingerprint column is caller-chosen — exact md5 of the text
+    * (the q18 key) for strict duplication, [[canonicalFingerprintSql]]
+    * for formatting-insensitive, or a truncated/lead-in fingerprint for
+    * a looser shared-content probe.
+    *
+    * Scale shape: the distinct (fingerprint, source) projection is one
+    * shuffle; the self-join is co-partitioned on fingerprint with
+    * per-key fan-out bounded by the source count (≤ sources² pairs per
+    * fingerprint, sources ~ tens); output is at most sources² rows.
+    */
+  def sourceOverlapMatrix(
+      df: DataFrame, fingerprint: Column, sourceCol: String): DataFrame = {
+    def fp(as: String) = df.select(fingerprint.as("fingerprint"),
+      col(sourceCol).as(as)).distinct()
+    fp("source_a").join(fp("source_b"), Seq("fingerprint"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Choose LSH banding (bands b, rows-per-band r with b·r = numHashes)
     * for a target Jaccard threshold: the S-curve's inflection sits at
     * t ≈ (1/b)^(1/r) (Leskovec/Rajaraman/Ullman, MMDS §3.4.3); pick the

@@ -373,6 +373,53 @@ object Crawler {
       |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
       |FROM links GROUP BY url""".stripMargin
 
+  /** URL-shape quality features ([[graft.operators.UrlQuality]]) over
+    * deterministic synthesized URLs that exercise every branch: optional
+    * www label, optional path (2 segments), and three query shapes
+    * (2 params / 1 param / none). The oracle builds the SAME strings and
+    * computes the same integer features with its own string functions —
+    * both engines parse real URLs, nothing is closed-formed away.
+    */
+  def urlQualityProbe(spark: SparkSession, dir: String): DataFrame = {
+    val o = col("o_orderkey")
+    val url = concat(lit("http://"),
+      when(o % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("d"), col("o_custkey") % 20, lit(".shop.com"),
+      when(o % 4 === 0, lit(""))
+        .otherwise(concat(lit("/c"), o % 5, lit("/item"), o)),
+      when(o % 2 === 0,
+        concat(lit("?x="), o % 7, lit("&y="), o % 11))
+        .when(o % 5 === 0, concat(lit("?z="), o % 13))
+        .otherwise(lit("")))
+    graft.operators.UrlQuality.features(
+      t(spark, dir, "orders").select(url.as("url")), "url")
+  }
+
+  val urlQualityProbeSql: String =
+    """WITH u AS (SELECT 'http://'
+      |    || (CASE WHEN o_orderkey % 3 = 0 THEN 'www.' ELSE '' END)
+      |    || 'd' || (o_custkey % 20) || '.shop.com'
+      |    || (CASE WHEN o_orderkey % 4 = 0 THEN ''
+      |        ELSE '/c' || (o_orderkey % 5) || '/item' || o_orderkey END)
+      |    || (CASE WHEN o_orderkey % 2 = 0
+      |          THEN '?x=' || (o_orderkey % 7) || '&y=' || (o_orderkey % 11)
+      |        WHEN o_orderkey % 5 = 0 THEN '?z=' || (o_orderkey % 13)
+      |        ELSE '' END) AS url
+      |  FROM orders)
+      |SELECT url, CAST(length(url) AS BIGINT) AS url_len,
+      |  CAST(len(string_split(
+      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')) AS BIGINT)
+      |    AS n_host_labels,
+      |  CAST(len(list_filter(string_split(
+      |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+      |    x -> x <> '')) AS BIGINT) AS path_depth,
+      |  CAST(CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN 0
+      |    ELSE len(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'))
+      |    END AS BIGINT) AS n_params,
+      |  (100 * CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS BIGINT))
+      |    // GREATEST(CAST(length(url) AS BIGINT), 1) AS digit_pct
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -381,7 +428,8 @@ object Crawler {
     "q32_surt_key" -> (surtKeys _),
     "q39_header_charset" -> (headerCharset _),
     "q54_media_links" -> (mediaLinksProbe _),
-    "q87_anchor_text" -> (anchorTextAgg _)
+    "q87_anchor_text" -> (anchorTextAgg _),
+    "q91_url_quality" -> (urlQualityProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -392,6 +440,7 @@ object Crawler {
     "q32_surt_key" -> surtKeysSql,
     "q39_header_charset" -> headerCharsetSql,
     "q54_media_links" -> mediaLinksProbeSql,
-    "q87_anchor_text" -> anchorTextAggSql
+    "q87_anchor_text" -> anchorTextAggSql,
+    "q91_url_quality" -> urlQualityProbeSql
   )
 }

@@ -425,6 +425,20 @@ object TextQueries {
       // inverse-duplication signal: share of a doc's distinct 3-shingles
       // with corpus document-frequency 1
       TextOps.noveltyScores(docs(s, d), "doc_id", "text", k = 3)),
+    "q92_gopher_rep" -> ((s, d) =>
+      // Gopher §A1.1 within-doc repetition: top-bigram mass fraction +
+      // duplicated-5-token-window occurrence fraction (integer fixed
+      // point); complements q50 (distinct-bigram ratio) and q64
+      // (cross-doc spans)
+      TextOps.gopherRepetition(docs(s, d), "doc_id", "text", w = 5)),
+    "q93_source_overlap" -> ((s, d) =>
+      // corpus-composition audit: distinct 3-token lead-in fingerprints
+      // shared per source pair (the loose probe — md5-of-text is the
+      // strict form, vacuous on the all-distinct synthetic corpus)
+      TextOps.sourceOverlapMatrix(docs(s, d),
+        md5(expr("concat_ws(' ', slice(" +
+          TextOps.tokensSql("text") + ", 1, 3))")),
+        "source")),
     "q63_embed_gram" -> ((s, d) =>
       // corpus second-moment (Gram) matrix of globally-int8-quantized
       // embeddings: ONE typed-Aggregator pass, shuffle = one
@@ -764,6 +778,42 @@ object TextQueries {
          |  (100 * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT))
          |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS novelty_pct
          |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin,
+    "q92_gopher_rep" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |    AS t FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+        |    FROM tk WHERE len(t) >= 2)),
+        |bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+        |  FROM bgc GROUP BY 1),
+        |w5 AS (SELECT doc_id, array_to_string(t[i+1:i+5], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i
+        |    FROM tk WHERE len(t) >= 5)),
+        |w5c AS (SELECT doc_id, g, COUNT(*) AS c FROM w5 GROUP BY 1, 2),
+        |wstat AS (SELECT doc_id, SUM(c) AS n_windows,
+        |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_windows
+        |  FROM w5c GROUP BY 1)
+        |SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(top_bigram, 0) AS BIGINT) AS top_bigram,
+        |  (100 * CAST(COALESCE(top_bigram, 0) AS BIGINT))
+        |    // GREATEST(CAST(COALESCE(n_bigrams, 0) AS BIGINT), 1)
+        |    AS top_bigram_pct,
+        |  CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  (100 * CAST(COALESCE(dup_windows, 0) AS BIGINT))
+        |    // GREATEST(CAST(COALESCE(n_windows, 0) AS BIGINT), 1)
+        |    AS dup_window_pct
+        |FROM tk LEFT JOIN bstat USING (doc_id)
+        |LEFT JOIN wstat USING (doc_id)""".stripMargin,
+    "q93_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT
+        |    md5(array_to_string(
+        |      string_split_regex(trim(text), '\s+')[1:3], ' ')) AS f,
+        |    source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q85_nfc_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769)) AS clean,

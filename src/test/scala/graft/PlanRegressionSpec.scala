@@ -354,4 +354,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("Window"), plan.take(3000))
   }
+
+  test("q91: url quality is a pure projection — no join, agg, or exchange") {
+    val plan = planOf("q91_url_quality")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("Aggregate"), plan.take(3000))
+  }
+
+  test("q92: repetition grams are doc-scoped — only equi joins on doc_id") {
+    val plan = planOf("q92_gopher_rep")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q93: source overlap self-join is fingerprint-equi, never cartesian") {
+    val plan = planOf("q93_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

@@ -1166,4 +1166,44 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("novelty_pct")).toMap
     assert(out == Map(1L -> 100L, 2L -> 0L, 3L -> 0L), out.toString)
   }
+
+  test("gopher repetition: spam doc maxes both signals, prose stays low") {
+    import spark.implicits._
+    val d = Seq(
+      // "buy now" * 8: every bigram lands in {buy now, now buy}; every
+      // 5-window repeats
+      (1L, Seq.fill(8)("buy now").mkString(" ")),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "tiny") // 1 token: no bigrams, no windows — zeros, not absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(d, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("top_bigram_pct"),
+          r.getAs[Long]("dup_window_pct")))).toMap
+    val (n1, top1, dup1) = out(1L)
+    assert(n1 == 16 && top1 >= 50 && dup1 == 100, out(1L).toString)
+    val (n2, top2, dup2) = out(2L)
+    assert(n2 == 10 && top2 <= 20 && dup2 == 0, out(2L).toString)
+    assert(out(3L) == ((1L, 0L, 0L)), out(3L).toString)
+  }
+
+  test("source overlap matrix counts shared fingerprints per source pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "web", "shared page one"),
+      (2L, "books", "shared page one"), // dup across web/books
+      (3L, "web", "another shared text"),
+      (4L, "code", "another shared text"), // dup across web/code
+      (5L, "books", "another shared text"), // and books/code + web/books
+      (6L, "web", "unique to web only")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlapMatrix(d, md5(col("text")), "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(out == Map(
+      ("books", "web") -> 2L, // "shared page one" + "another shared text"
+      ("books", "code") -> 1L,
+      ("code", "web") -> 1L), out.toString)
+  }
 }

@@ -172,4 +172,29 @@ class SurtKeySpec extends AnyFunSuite {
       "com,example)/")
     assert(graft.functions.UrlFunctions.surtKey("garbage") == "garbage")
   }
+
+  test("url quality gate drops trap-shaped urls, keeps ordinary ones") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val urls = Seq(
+      "http://example.com/articles/2024/intro", // ordinary: keep
+      "http://example.com/a/b/c/d/e/f/g/h/i/j", // depth 10 > 8: drop
+      "http://shop.example.com/p?a=1&b=2&c=3&d=4&e=5", // 5 params: drop
+      "http://t.co/1234567890123456789012345678901234567890", // digits: drop
+      "http://example.com/" // root: keep
+    ).toDF("url")
+    val kept = graft.operators.UrlQuality.gate(urls, "url")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set(
+      "http://example.com/articles/2024/intro", "http://example.com/"),
+      kept.toString)
+    // features frame agrees with the gate's arithmetic
+    val f = graft.operators.UrlQuality.features(urls, "url")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val deep = f("http://example.com/a/b/c/d/e/f/g/h/i/j")
+    assert(deep.getAs[Long]("path_depth") == 10)
+    val params = f("http://shop.example.com/p?a=1&b=2&c=3&d=4&e=5")
+    assert(params.getAs[Long]("n_params") == 5)
+    assert(params.getAs[Long]("n_host_labels") == 3)
+  }
 }
