@@ -34,6 +34,15 @@ object TrainingCorpus {
     minAlphaRatio: Double = 0.5,
     lang: String = "en",
     maxRepRatio: Double = 0.5,
+    /** Optional Gopher §A1.1 repetition ceilings ([[TextOps
+      * .gopherRepetition]] fixed-point percents): docs whose single most
+      * frequent bigram carries more than `maxTopBigramPct` of bigram
+      * mass, or whose duplicated-5-token-window share exceeds
+      * `maxDupWindowPct`, drop with the other repetition signals.
+      * None = that signal ungated.
+      */
+    maxTopBigramPct: Option[Long] = None,
+    maxDupWindowPct: Option[Long] = None,
     boilerplateSegTokens: Int = 2,
     boilerplateMinDf: Int = 3,
     /** When set, a segment is boilerplate only if its doc frequency also
@@ -129,12 +138,22 @@ object TrainingCorpus {
           cfg.blocklistMaxHits))
       case None => gated
     }
+    val repOk = TextOps.repetitionFeatures(unblocked, "doc_id", "text")
+      .filter(col("rep_ratio") <= cfg.maxRepRatio)
+      .select(col("doc_id"))
+    // optional Gopher ceilings ride the same semi-join set: intersect the
+    // survivors of both signal families before touching the corpus rows
+    val gopherOk =
+      if (cfg.maxTopBigramPct.isEmpty && cfg.maxDupWindowPct.isEmpty) None
+      else Some(
+        TextOps.gopherRepetition(unblocked, "doc_id", "text")
+          .filter(
+            col("top_bigram_pct") <= cfg.maxTopBigramPct.getOrElse(100L) &&
+              col("dup_window_pct") <= cfg.maxDupWindowPct.getOrElse(100L))
+          .select(col("doc_id")))
+    val repKeep = gopherOk.fold(repOk)(g => repOk.join(g, Seq("doc_id")))
     val unrepeated = step("repetition_gate",
-      unblocked.join(
-        TextOps.repetitionFeatures(unblocked, "doc_id", "text")
-          .filter(col("rep_ratio") <= cfg.maxRepRatio)
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_semi"))
+      unblocked.join(repKeep, Seq("doc_id"), "left_semi"))
 
     // 2. boilerplate removal rewrites text in place
     val deboiled = step("boilerplate_removal",

@@ -44,6 +44,23 @@ class RelationalSpec extends AnyFunSuite {
       s"queries without oracle: ${missing -- rowsOnlyAllowed}")
   }
 
+  test("suite-wide flat-plan audit: no cartesian or global window anywhere") {
+    // every driver-gate query's FINAL adaptive plan passes the
+    // scale-killer scan — the per-query pins above catch specific
+    // regressions; this catches the ones nobody thought to pin
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val df = fn(spark, sf)
+        df.collect()
+        val s = df.queryExecution.executedPlan.toString
+        val fin = s.indexOf("== Final Plan ==")
+        val init = s.indexOf("== Initial Plan ==")
+        val plan = if (fin >= 0 && init > fin) s.substring(fin, init) else s
+        graft.plans.PlanChecks.scaleViolations(plan).map(v => s"$name: $v")
+      }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("q02 aggregates all six flag/status groups") {
     val got = SparkEntry.queries("q02_agg_sum")(spark, sf).collect()
     assert(got.length == 6)

@@ -46,6 +46,26 @@ class TrainingCorpusSpec extends AnyFunSuite {
     assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, s"$seq")
   }
 
+  test("gopher ceilings drop window-repeaters the distinct-bigram ratio passes") {
+    // doc 2 repeats a 5-token window ("a b c d e" at pos 0 and 10) while
+    // keeping enough distinct bigrams to clear maxRepRatio — only the
+    // optional dup-window ceiling catches it
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog near the bank"),
+      (2L, "web", "aa bb cc dd ee ff gg hh ii jj aa bb cc dd ee")
+    ).toDF("doc_id", "stratum", "text")
+    def survivors(cfg: TrainingCorpus.Config) = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum", None, "text", None,
+      cfg.copy(lang = "en", minAlphaRatio = 0.0, minTokens = 1,
+        boilerplateMinDf = 99)).corpus
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // lang note: doc 2's nonsense tokens hit no lexicon; predictLang
+    // falls back to en, so both docs reach the repetition stage
+    assert(survivors(TrainingCorpus.Config()) == Set(1L, 2L))
+    assert(survivors(TrainingCorpus.Config(maxDupWindowPct = Some(10)))
+      == Set(1L))
+  }
+
   test("sf0.1 capstone: full-stage build pins survival counts, CC rounds, flat plans") {
     // the CorpusBench configuration run at sf0.1: every stage enabled,
     // benchmark + reference LM derived from the corpus by hash-slice.
