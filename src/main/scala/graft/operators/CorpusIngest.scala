@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous corpus ingestion — the crawl-to-training-corpus bridge run
+  * per batch/segment, against a STANDING corpus represented only by its
+  * MinHash signature index (text is read once, when a doc is first
+  * accepted; afterwards the corpus costs `numHashes` longs per doc):
+  *
+  *   1. cheap projection gates (token floor, optional language,
+  *      repetition ceiling — the stage-1 semantics of
+  *      [[TrainingCorpus.build]] at per-batch cost)
+  *   2. within-batch exact dedup (md5 keep-min-id)
+  *   3. within-batch near-dup dedup (signature-estimate pairs →
+  *      [[Components]] clusters → keep cluster minimum)
+  *   4. cross dedup against the signature index (band equi-join +
+  *      estimator threshold; the [[TextOps.crossDedupPairs]] math with
+  *      the corpus side PRECOMPUTED)
+  *   5. append survivors' signatures to the index
+  *
+  * Returns survivors, the updated index, and the per-stage audit — the
+  * loop state a scheduler persists between batches. Scale shape:
+  * per-batch cost is batch-sized for every stage except the band join,
+  * whose corpus side is the (bucketable, pre-partitionable) index —
+  * nothing ever re-reads or re-shingles corpus text, which is what makes
+  * the loop viable when the standing corpus is 100 TB and batches are
+  * gigabytes.
+  */
+object CorpusIngest {
+
+  final case class Config(
+    shingleK: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
+    threshold: Double = 0.5,
+    minTokens: Long = 5,
+    lang: Option[String] = None,
+    maxRepRatio: Double = 0.5)
+
+  final case class Result(
+    accepted: DataFrame,
+    /** The standing index plus the accepted docs' signatures. */
+    updatedIndex: DataFrame,
+    /** (stage, docs surviving) in pipeline order. */
+    audit: Seq[(String, Long)])
+
+  /** Build the standing signature index from corpus text: one scan, one
+    * (doc_id, sig) row per doc with a non-degenerate signature. Persist
+    * this (parquet, bucketed by a band key at large scale) and never
+    * touch corpus text again.
+    */
+  def signatureIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame =
+    TextOps.minhashSignatures(corpus, idCol, textCol,
+        cfg.shingleK, cfg.numHashes)
+      .filter(element_at(col("sig"), 1).isNotNull)
+
+  /** (new_id, corpus_id, jaccard_est ≥ threshold) pairs between a batch
+    * signature frame and the standing index — band equi-join, estimator
+    * verify, no text on either side.
+    */
+  def crossPairs(
+      batchSigs: DataFrame, index: DataFrame, cfg: Config): DataFrame = {
+    val numBands = cfg.numHashes / cfg.bandSize
+    def bandsOf(sigs: DataFrame) = sigs
+      .select(col("doc_id"),
+        explode(TextOps.bandKeysUdf(numBands, cfg.bandSize)(col("sig")))
+          .as("band_key"))
+      .distinct()
+    bandsOf(batchSigs).as("x")
+      .join(bandsOf(index).as("y"), col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+      .join(batchSigs.select(col("doc_id").as("new_id"),
+        col("sig").as("sig_a")), Seq("new_id"))
+      .join(index.select(col("doc_id").as("corpus_id"),
+        col("sig").as("sig_b")), Seq("corpus_id"))
+      .withColumn("jaccard_est",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b)," +
+          s" m -> m)) / cast(${cfg.numHashes} as double)"))
+      .filter(col("jaccard_est") >= cfg.threshold)
+      .select("new_id", "corpus_id", "jaccard_est")
+  }
+
+  def ingest(
+      batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, cfg: Config = Config()): Result = {
+    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def step(name: String, df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      audit += ((name, pinned.count()))
+      pinned
+    }
+    val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    audit += (("input", base.count()))
+
+    // 1. projection gates at batch cost
+    val langOk = cfg.lang.fold(lit(true))(l =>
+      TextOps.predictLangUdf(col("text")) === l)
+    val gated = step("gates", base
+      .filter(TextOps.preTokenCount(col("text")) >= cfg.minTokens && langOk)
+      .join(TextOps.repetitionFeatures(base, "doc_id", "text")
+          .filter(col("rep_ratio") <= cfg.maxRepRatio).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+
+    // 2. exact within-batch dedup: keep each fingerprint's min id
+    val exact = step("exact_dedup", gated
+      .withColumn("__fp", md5(col("text")))
+      .join(gated.groupBy(md5(col("text")).as("__fp"))
+          .agg(min(col("doc_id")).as("__keep")),
+        Seq("__fp"))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__fp", "__keep"))
+
+    // 3. near-dup within batch: estimator pairs -> clusters -> keep min
+    val pairs = TextOps.minhashDedupPairsApprox(exact, "doc_id", "text",
+      cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.threshold)
+    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
+    val batchDeduped = step("batch_dedup",
+      exact.join(drop, exact("doc_id") === col("__drop_id"), "left_anti"))
+
+    // 4. cross dedup against the standing index (no corpus text)
+    val sigs = signatureIndex(batchDeduped, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    val matched = crossPairs(sigs, index, cfg)
+      .select(col("new_id").as("__dup_id")).distinct()
+    val accepted = step("cross_dedup",
+      batchDeduped.join(matched,
+        batchDeduped("doc_id") === col("__dup_id"), "left_anti"))
+
+    // 5. index append: survivors' signatures only
+    val updated = index.unionByName(
+      sigs.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi"))
+    Result(accepted, updated, audit.toSeq)
+  }
+}
