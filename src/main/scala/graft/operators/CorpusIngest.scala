@@ -135,4 +135,58 @@ object CorpusIngest {
       sigs.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi"))
     Result(accepted, updated, audit.toSeq)
   }
+
+  /** An empty signature index with the right schema — the seed for a
+    * corpus built from nothing by the ingest loop.
+    */
+  def emptyIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("sig", ArrayType(LongType)))))
+  }
+
+  /** The ingest loop under Structured Streaming: each micro-batch runs
+    * [[ingest]] against the latest durable index version, appends
+    * survivors under `acceptedDir/batch=<id>` and writes the updated
+    * index as `indexDir/v=<id>` — versioned, so a retried batch
+    * overwrites its own outputs instead of compounding them (the
+    * LiveCrawl durability discipline), and the newest `v=` below the
+    * current batch id is always a consistent snapshot to resume from.
+    * Hadoop FS API throughout, so indexDir/acceptedDir live on any
+    * Hadoop-compatible filesystem (object storage included).
+    *
+    * Scale note: the index rewrite per batch is index-sized; at standing-
+    * corpus scale the production layout partitions the index by a stable
+    * hash of doc_id (or a band-key bucket) so the append touches only new
+    * files — [[graft.crawl.FrontierStore]] is the worked example of that
+    * merge-on-read layout, carried here as the documented scale path.
+    */
+  def streaming(
+      batches: DataFrame, idCol: String, textCol: String,
+      indexDir: String, acceptedDir: String,
+      cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val spark = b.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (!fs.exists(hPath)) Array.empty[Long]
+          else fs.listStatus(hPath).map(_.getPath.getName)
+            .filter(_.startsWith("v="))
+            .map(_.stripPrefix("v=").toLong)
+            .filter(_ < batchId)
+        val index =
+          if (versions.isEmpty) emptyIndex(spark)
+          else spark.read.parquet(s"$indexDir/v=${versions.max}")
+        val r = ingest(b, idCol, textCol, index, cfg)
+        r.accepted.write.mode("overwrite")
+          .parquet(s"$acceptedDir/batch=$batchId")
+        r.updatedIndex.write.mode("overwrite")
+          .parquet(s"$indexDir/v=$batchId")
+      }
+      .start()
 }

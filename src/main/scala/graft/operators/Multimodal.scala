@@ -120,6 +120,23 @@ object Multimodal {
       }
   }
 
+  /** Media near-duplicate pairs: [[extractFeatures]] vectors through the
+    * embedding cosine-dedup path ([[Similarity.cosineDedupPairs]] —
+    * hyperplane-LSH buckets, exact cosine gate, never a cross product).
+    * With the stub histogram extractor this catches byte-level
+    * re-encodes/crops of the same payload; a real extractor (CLIP, mel
+    * stats) drops into the same composition unchanged — this is the
+    * image/audio twin of the text MinHash dedup family, one operator
+    * call away from the decode seam.
+    */
+  def mediaNearDupPairs(
+      df: DataFrame, idCol: String, binCol: String,
+      threshold: Double = 0.95, dim: Int = 16,
+      numPlanes: Int = 8): DataFrame =
+    Similarity.cosineDedupPairs(
+      extractFeatures(df, idCol, binCol, dim).toDF(),
+      "id", "features", dim, numPlanes, threshold)
+
   /** Resize/downsample the media payload (STUB: deterministic byte-stride
     * stand-in for a pixel resampler). The Spark-side contract is the real
     * part: binary in, smaller binary + new dimensions out, partition-

@@ -322,7 +322,9 @@ object Crawler {
   /** Inlink anchor-text aggregation — the classic web-graph training
     * signal (anchors of pages linking TO a url describe that url better
     * than its own text; reference link extraction carries the anchor on
-    * every ExtractedUrl, SimplePageParser.java:169-183) — driven through
+    * every ExtractedUrl — BaseLinkExtractor.java:142 builds
+    * `ExtractedUrl(url, _curAnchor, _curRelAttributes)`,
+    * ExtractedUrl.java:6) — driven through
     * the REAL [[graft.crawl.HtmlParser.parse]] over deterministic
     * synthesized HTML so the whole extract→resolve→aggregate path has a
     * closed-form oracle. Each page links to a shared "hub" target

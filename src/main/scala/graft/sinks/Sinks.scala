@@ -138,7 +138,7 @@ object Sinks {
     * sidecar: CommonCrawl publishes exactly this next to its WARC
     * segments; the reference's CommonCrawlFetcher navigates the crawl via
     * the secondary index over these files, SecondaryIndexMap.java /
-    * CommonCrawlFetcher.java:86-118). One row per record: canonicalized
+    * CommonCrawlFetcher.java:67,146). One row per record: canonicalized
     * SURT key, 14-digit timestamp, original url, mime, archived status,
     * md5 content digest, octet length. Input is [[graft.sources
     * .WarcSource.read]]'s frame (or any frame with those columns).

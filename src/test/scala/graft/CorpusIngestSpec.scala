@@ -73,4 +73,34 @@ class CorpusIngestSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(staleIds == Set(30L, 31L), staleIds.toString)
   }
+
+  test("streaming loop: micro-batches thread the durable index, dedup across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusIngest.streaming(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg)
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "a careful study of historical documents reveals many patterns")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        // near-dup of batch-0's doc 1: the durable index must block it
+        (10L, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (11L, "novel observations about glacier movement and seasonal melt")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L, 2L, 11L), accepted.toString)
+    // latest index version carries exactly the accepted docs' signatures
+    val latest = new java.io.File(s"$dir/index").listFiles()
+      .map(_.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).max
+    val idx = spark.read.parquet(s"$dir/index/v=$latest")
+    assert(idx.count() == 3)
+  }
 }

@@ -718,6 +718,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(row.getLong(1) < row.getLong(0), "chars must undercount bytes")
   }
 
+  test("media near-dup pairs: re-encoded payload found, distinct payload not") {
+    import spark.implicits._
+    // a: deterministic pseudo-noise; b: a with every 10th byte dropped
+    // (a "re-encode" — byte histogram barely moves); c: constant filler
+    val a = Array.tabulate(1000)(i => ((i * 31 + 7) % 251).toByte)
+    val b = a.zipWithIndex.collect { case (x, i) if i % 10 != 0 => x }
+    val c = Array.fill(1000)(42.toByte)
+    val media = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "content")
+    val pairs = Multimodal.mediaNearDupPairs(media, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("multimodal feature extraction yields normalized fixed-width vectors") {
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("content"))
     val feats = Multimodal.extractFeatures(media, "doc_id", "content", dim = 16)
