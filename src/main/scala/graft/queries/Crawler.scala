@@ -422,6 +422,103 @@ object Crawler {
       |    // GREATEST(CAST(length(url) AS BIGINT), 1) AS digit_pct
       |FROM u""".stripMargin
 
+  /** CDX capture-index fields ([[graft.sinks.Sinks.cdxIndex]] — the
+    * CommonCrawl-style lookup sidecar) over a synthesized archive frame:
+    * the REAL surt/timestamp/digest/octet projection runs on rows whose
+    * expected values are closed-form. The content carries a non-ASCII
+    * char so `n_octets` is pinned to OCTET (not character) semantics —
+    * the same distinction WARC Content-Length requires.
+    */
+  def cdxFieldsProbe(spark: SparkSession, dir: String): DataFrame = {
+    val o = col("o_orderkey")
+    graft.sinks.Sinks.cdxIndex(
+      t(spark, dir, "orders").select(
+        concat(lit("http://d"), col("o_custkey") % 20, lit(".shop.com/o/"), o)
+          .as("url"),
+        lit("text/html").as("contentType"),
+        concat(lit("page "), o, lit(" body é")).as("content"),
+        when(o % 7 === 0, 404).otherwise(200).as("statusCode"),
+        (lit(1700000000000L) + o * 1000).as("fetchTimeMs")))
+  }
+
+  val cdxFieldsProbeSql: String =
+    """SELECT
+      |  'com,shop,d' || (o_custkey % 20) || ')/o/' || o_orderkey AS surt,
+      |  strftime(epoch_ms(1700000000000 + o_orderkey * 1000),
+      |    '%Y%m%d%H%M%S') AS ts,
+      |  'http://d' || (o_custkey % 20) || '.shop.com/o/' || o_orderkey
+      |    AS url,
+      |  'text/html' AS mime,
+      |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 404 ELSE 200 END AS BIGINT)
+      |    AS status,
+      |  md5('page ' || o_orderkey || ' body é') AS digest,
+      |  CAST(octet_length(encode('page ' || o_orderkey || ' body é'))
+      |    AS BIGINT) AS n_octets
+      |FROM orders""".stripMargin
+
+  /** Content-text extraction (SURVEY §2.6 P4) through the REAL
+    * [[graft.crawl.HtmlParser.parse]] over synthesized HTML whose
+    * stripped text is closed-form: script/style bodies must vanish,
+    * every tag becomes whitespace, runs collapse, title text stays in
+    * the flow. Upgrades P4 from spec-tier to oracle-gated.
+    */
+  def parseTextProbe(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>T"), id % 50, lit("</title>"),
+      lit("<script>var hidden = "), id, lit(";</script>"),
+      lit("<style>p { color: red }</style></head>"),
+      lit("<body><h1>Hello "), id % 50, lit("</h1>"),
+      lit("<p>item "), id % 7, lit(" overview</p></body></html>"))
+    val parse = udf((h: String) => {
+      val r = graft.crawl.HtmlParser.parse("http://x.com/p", h, 1.0f)
+      (r.title, r.text)
+    })
+    t(spark, dir, "documents")
+      .select(col("doc_id"), parse(html).as("p"))
+      .select(col("doc_id"), col("p._1").as("title"), col("p._2").as("text"))
+  }
+
+  val parseTextProbeSql: String =
+    """SELECT doc_id, 'T' || (doc_id % 50) AS title,
+      |  'T' || (doc_id % 50) || ' Hello ' || (doc_id % 50) || ' item '
+      |    || (doc_id % 7) || ' overview' AS text
+      |FROM documents""".stripMargin
+
+  /** RFC 9309 robots evaluation (SURVEY §2.5 A1) through the REAL
+    * [[graft.crawl.RobotsRules]] parser+matcher: one synthesized robots
+    * body (prefix disallow, longer allow carve-out, wildcard+anchor
+    * rule, crawl-delay) evaluated against five path shapes that each pin
+    * one rule-resolution branch — longest-match wins, Allow beats
+    * Disallow at a tie, `$` anchors, no-match allows. Upgrades A1's
+    * rule semantics from spec-tier to oracle-gated.
+    */
+  def robotsDecisionProbe(spark: SparkSession, dir: String): DataFrame = {
+    val o = col("o_orderkey")
+    val robotsBody = concat(
+      lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /tmp*.html$\nCrawl-delay: "), o % 5)
+    val path = when(o % 5 === 0, lit("/private/x"))
+      .when(o % 5 === 1, lit("/private/ok/page"))
+      .when(o % 5 === 2, lit("/tmp123.html"))
+      .when(o % 5 === 3, lit("/tmp123.htmlx"))
+      .otherwise(concat(lit("/public/p"), o))
+    val eval = udf((body: String, p: String) => {
+      val rules = graft.crawl.RobotsRules.parse(body)
+      (rules.isAllowed(p), rules.crawlDelayMs.getOrElse(-1L))
+    })
+    t(spark, dir, "orders")
+      .select(o.as("o_orderkey"), eval(robotsBody, path).as("r"))
+      .select(col("o_orderkey"), col("r._1").as("allowed"),
+        col("r._2").as("crawl_delay_ms"))
+  }
+
+  val robotsDecisionProbeSql: String =
+    """SELECT o_orderkey,
+      |  (o_orderkey % 5) IN (1, 3, 4) AS allowed,
+      |  CAST((o_orderkey % 5) * 1000 AS BIGINT) AS crawl_delay_ms
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -431,7 +528,10 @@ object Crawler {
     "q39_header_charset" -> (headerCharset _),
     "q54_media_links" -> (mediaLinksProbe _),
     "q87_anchor_text" -> (anchorTextAgg _),
-    "q91_url_quality" -> (urlQualityProbe _)
+    "q91_url_quality" -> (urlQualityProbe _),
+    "q94_cdx_fields" -> (cdxFieldsProbe _),
+    "q95_parse_text" -> (parseTextProbe _),
+    "q96_robots_rules" -> (robotsDecisionProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -443,6 +543,9 @@ object Crawler {
     "q39_header_charset" -> headerCharsetSql,
     "q54_media_links" -> mediaLinksProbeSql,
     "q87_anchor_text" -> anchorTextAggSql,
-    "q91_url_quality" -> urlQualityProbeSql
+    "q91_url_quality" -> urlQualityProbeSql,
+    "q94_cdx_fields" -> cdxFieldsProbeSql,
+    "q95_parse_text" -> parseTextProbeSql,
+    "q96_robots_rules" -> robotsDecisionProbeSql
   )
 }
