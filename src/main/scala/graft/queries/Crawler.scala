@@ -519,6 +519,60 @@ object Crawler {
       |  CAST((o_orderkey % 5) * 1000 AS BIGINT) AS crawl_delay_ms
       |FROM orders""".stripMargin
 
+  /** Parsed-text TSV sink lines (SURVEY §2.13 W2 / L6 — reference
+    * CrawlTopologyBuilder.java:441-453 with the tab/newline scrub at
+    * :81) through the REAL [[graft.sinks.Sinks.parsedTextTsv]]: text
+    * carries planted tab/CR/newline probes, so the scrub-to-space and
+    * the `url<TAB>text` line shape are value-exact against the oracle.
+    */
+  def tsvLinesProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.sinks.Sinks.parsedTextTsv(
+      t(spark, dir, "documents").select(
+        concat(lit("http://site"), col("doc_id") % 10, lit(".com/p"),
+          col("doc_id")).as("url"),
+        concat(col("text"), lit("\ttabbed\r\nwrapped "), col("doc_id"))
+          .as("text")))
+
+  val tsvLinesProbeSql: String =
+    """SELECT 'http://site' || (doc_id % 10) || '.com/p' || doc_id
+      |  || chr(9)
+      |  || regexp_replace(text || chr(9) || 'tabbed' || chr(13) || chr(10)
+      |       || 'wrapped ' || doc_id, '[\t\r\n]', ' ', 'g') AS value
+      |FROM documents""".stripMargin
+
+  /** Sitemap parsing (SURVEY §2.6 P2, reference SimpleSiteMapParser
+    * .java:48-76) through the REAL [[graft.crawl.HtmlParser
+    * .parseSitemap]]: XML bodies exercise `<loc>` extraction with
+    * whitespace trim; every third row is a PLAIN-TEXT sitemap (url per
+    * line, junk lines dropped) exercising the fallback branch.
+    */
+  def sitemapParseProbe(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val body = when(id % 3 === 0,
+      concat(lit("http://t"), id, lit(".com/x\nnot a url line\nhttps://t"),
+        id, lit(".com/y")))
+      .otherwise(concat(
+        lit("<urlset><url><loc> http://s"), id % 10, lit(".com/a"), id,
+        lit(" </loc></url><url><loc>http://s"), id % 10, lit(".com/b"),
+        id % 5, lit("</loc></url></urlset>")))
+    val parse = udf((b: String) => graft.crawl.HtmlParser.parseSitemap(b))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(parse(body)).as(Seq("pos", "url")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("url"))
+  }
+
+  val sitemapParseProbeSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |    ['http://t' || doc_id || '.com/x', 'https://t' || doc_id || '.com/y']
+      |  ELSE
+      |    ['http://s' || (doc_id % 10) || '.com/a' || doc_id,
+      |     'http://s' || (doc_id % 10) || '.com/b' || (doc_id % 5)]
+      |  END AS urls FROM documents),
+      |p AS (SELECT doc_id, urls, unnest(range(0, 2)) AS pos FROM u)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, urls[pos + 1] AS url
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -531,7 +585,9 @@ object Crawler {
     "q91_url_quality" -> (urlQualityProbe _),
     "q94_cdx_fields" -> (cdxFieldsProbe _),
     "q95_parse_text" -> (parseTextProbe _),
-    "q96_robots_rules" -> (robotsDecisionProbe _)
+    "q96_robots_rules" -> (robotsDecisionProbe _),
+    "q97_tsv_lines" -> (tsvLinesProbe _),
+    "q98_sitemap_parse" -> (sitemapParseProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -546,6 +602,8 @@ object Crawler {
     "q91_url_quality" -> urlQualityProbeSql,
     "q94_cdx_fields" -> cdxFieldsProbeSql,
     "q95_parse_text" -> parseTextProbeSql,
-    "q96_robots_rules" -> robotsDecisionProbeSql
+    "q96_robots_rules" -> robotsDecisionProbeSql,
+    "q97_tsv_lines" -> tsvLinesProbeSql,
+    "q98_sitemap_parse" -> sitemapParseProbeSql
   )
 }
