@@ -91,7 +91,12 @@ object TrainingCorpus {
       */
     plans: Seq[(String, String)] = Seq.empty,
     /** (stage name, seconds to materialize) per audited stage. */
-    timings: Seq[(String, Double)] = Seq.empty)
+    timings: Seq[(String, Double)] = Seq.empty,
+    /** Stages whose outputs were READ from `workDir` instead of computed
+      * (durable-resume runs only; such stages have no plan/timing entry
+      * and don't contribute dedupRounds).
+      */
+    cachedStages: Seq[String] = Seq.empty)
 
   def build(
       docs: DataFrame, idCol: String, textCol: String, strataCol: String,
@@ -102,17 +107,63 @@ object TrainingCorpus {
         * cheap gates before any shuffle-heavy stage: (wordlist frame,
         * word column). Tolerance via [[Config.blocklistMaxHits]].
         */
-      blocklist: Option[(DataFrame, String)] = None): Result = {
+      blocklist: Option[(DataFrame, String)] = None,
+      /** When set, every stage output (and the dedup drop-set) is
+        * materialized as parquet under this directory, and a stage whose
+        * output already exists (committed `_SUCCESS`) is READ instead of
+        * recomputed — so a build that dies at stage k resumes from stage
+        * k-1's durable output rather than re-running the corpus from the
+        * top (at 100 TB, the difference between a retry and a re-run).
+        * Stage dirs are indexed (`00_quality…`, `03_dedup`, …) so a
+        * config change is a caller-visible layout change; delete the
+        * workDir (or a suffix of it) to force recomputation. None =
+        * in-memory `localCheckpoint` pinning (the test/iterate mode).
+        */
+      workDir: Option[String] = None): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def step(name: String, df: DataFrame): DataFrame = {
-      plans += ((name, df.queryExecution.executedPlan.toString))
-      val t0 = System.nanoTime()
-      val pinned = df.localCheckpoint(true)
-      audit += ((name, pinned.count()))
-      timings += ((name, (System.nanoTime() - t0) / 1e9))
-      pinned
+    val cached = scala.collection.mutable.ArrayBuffer.empty[String]
+    val spark = docs.sparkSession
+    var stageIdx = -1
+    def stageDir(name: String): Option[String] =
+      workDir.map(root => f"$root/$stageIdx%02d_$name")
+    def committed(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    /** Pin a stage: read it back from the workDir when already committed
+      * (skipping `df`'s computation entirely — it is by-name), else
+      * compute, audit, and (durable mode) materialize.
+      */
+    def step(name: String, df: => DataFrame): DataFrame = {
+      stageIdx += 1
+      stageDir(name) match {
+        case Some(dir) if committed(dir) =>
+          // the thunk is never forced: pair generation / clustering /
+          // joins behind a committed stage do not run at all
+          cached += name
+          val back = spark.read.parquet(dir)
+          audit += ((name, back.count()))
+          back
+        case Some(dir) =>
+          val frame = df // force the by-name ONCE
+          plans += ((name, frame.queryExecution.executedPlan.toString))
+          val t0 = System.nanoTime()
+          frame.write.mode("overwrite").parquet(dir)
+          val back = spark.read.parquet(dir)
+          audit += ((name, back.count()))
+          timings += ((name, (System.nanoTime() - t0) / 1e9))
+          back
+        case None =>
+          val frame = df
+          plans += ((name, frame.queryExecution.executedPlan.toString))
+          val t0 = System.nanoTime()
+          val pinned = frame.localCheckpoint(true)
+          audit += ((name, pinned.count()))
+          timings += ((name, (System.nanoTime() - t0) / 1e9))
+          pinned
+      }
     }
 
     val base = docs.select(col(idCol).as("doc_id"),
@@ -179,19 +230,26 @@ object TrainingCorpus {
 
     // 3. exact + near dedup: signature-estimate pairs above the
     //    threshold (the scale default — no second text pass) ->
-    //    transitive clusters -> keep each cluster's minimum id
-    val pairs = TextOps.minhashDedupPairsApprox(segDeduped, "doc_id", "text",
-      cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dedupThreshold)
-    val tCc = System.nanoTime()
-    val (ccLabels, ccRounds) =
-      Components.connectedComponentsWithStats(pairs, "id_a", "id_b")
-    timings += (("dedup_clustering", (System.nanoTime() - tCc) / 1e9))
-    val drop = ccLabels
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("__drop_id"))
-    val deduped = step("dedup",
+    //    transitive clusters -> keep each cluster's minimum id.
+    //    The whole chain lives inside the step thunk so a durable-resume
+    //    run with a committed dedup output skips pair generation AND the
+    //    iterative clustering, not just the final anti-join.
+    var ccRounds = 0
+    val deduped = step("dedup", {
+      val pairs = TextOps.minhashDedupPairsApprox(segDeduped, "doc_id",
+        "text", cfg.shingleK, cfg.numHashes, cfg.bandSize,
+        cfg.dedupThreshold)
+      val tCc = System.nanoTime()
+      val (ccLabels, rounds) =
+        Components.connectedComponentsWithStats(pairs, "id_a", "id_b")
+      ccRounds = rounds
+      timings += (("dedup_clustering", (System.nanoTime() - tCc) / 1e9))
+      val drop = ccLabels
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("__drop_id"))
       segDeduped.join(drop, segDeduped("doc_id") === col("__drop_id"),
-        "left_anti"))
+        "left_anti")
+    })
 
     // 4. benchmark decontamination: drop any doc sharing shingles
     val decontaminated = benchmark match {
@@ -229,6 +287,7 @@ object TrainingCorpus {
       if (cfg.splits.isEmpty) mixed
       else TextOps.assignSplit(mixed, "doc_id", cfg.splits)
 
-    Result(labeled, audit.toSeq, ccRounds, plans.toSeq, timings.toSeq)
+    Result(labeled, audit.toSeq, ccRounds, plans.toSeq, timings.toSeq,
+      cached.toSeq)
   }
 }

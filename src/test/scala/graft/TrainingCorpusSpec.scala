@@ -66,6 +66,54 @@ class TrainingCorpusSpec extends AnyFunSuite {
       == Set(1L))
   }
 
+  test("durable workDir: committed stages are read, not recomputed; deleting one resumes there") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a careful study of the historical documents reveals clear patterns"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river banks")
+      // ^ near-dup of 1 -> dedup keeps 1
+    ).toDF("doc_id", "text").withColumn("stratum", lit("web"))
+    val work = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    def run(d: org.apache.spark.sql.DataFrame) = TrainingCorpus.build(
+      d, "doc_id", "text", "stratum", None, "text", None,
+      TrainingCorpus.Config(minAlphaRatio = 0.0, boilerplateMinDf = 99),
+      workDir = Some(work))
+    val r1 = run(docs)
+    assert(r1.cachedStages.isEmpty)
+    val ids1 = r1.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(1L, 2L), s"$ids1 / ${r1.audit}")
+    assert(r1.dedupRounds >= 1)
+
+    // run 2 over an EMPTY input: every stage is committed, so the output
+    // must still be run 1's — proof the stages were read, not recomputed
+    val r2 = run(docs.filter(col("doc_id") < 0))
+    assert(r2.cachedStages.toSet ==
+      Set("quality_lang_repetition", "repetition_gate",
+        "boilerplate_removal", "dedup"), r2.cachedStages.toString)
+    assert(r2.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == ids1)
+    assert(r2.dedupRounds == 0) // clustering never ran
+    assert(r2.plans.isEmpty && r2.timings.isEmpty)
+
+    // delete the dedup stage dir: the rebuild reuses everything before it
+    // and recomputes only dedup (real input again)
+    val dedupDir = new java.io.File(work).listFiles()
+      .filter(_.getName.endsWith("_dedup")).head
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(dedupDir)
+    val r3 = run(docs)
+    assert(r3.cachedStages.toSet ==
+      Set("quality_lang_repetition", "repetition_gate",
+        "boilerplate_removal"), r3.cachedStages.toString)
+    assert(r3.plans.map(_._1) == Seq("dedup"))
+    assert(r3.dedupRounds >= 1) // clustering ran again
+    assert(r3.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      == ids1)
+  }
+
   test("sf0.1 capstone: full-stage build pins survival counts, CC rounds, flat plans") {
     // the CorpusBench configuration run at sf0.1: every stage enabled,
     // benchmark + reference LM derived from the corpus by hash-slice.
