@@ -21,11 +21,25 @@ import graft.operators.{NgramLm, TrainingCorpus}
 object CorpusBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/bench-sf1")
+    // optional second arg: durable stage directory — reruns resume from
+    // committed stages (the PERF_NOTES durable-resume experiment)
+    val workDir = args.lift(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // durable mode reads every stage back from parquet; at this SF a
+    // whole stage is a few MB, which the default 128 MB split packs into
+    // 1-2 partitions — collapsing parallelism for the compute-bound
+    // stages that follow (measured: repetition gate 4.2 s in-memory vs
+    // 30 s read-back before this). Size the split so read-back
+    // parallelism ≈ cores, the same data-to-knob sizing
+    // shuffle.partitions gets; at production scale stages exceed
+    // cores × 128 MB and the default is already right.
+    if (workDir.isDefined)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .localCheckpoint(true)
@@ -63,7 +77,8 @@ object CorpusBench {
         maxPerplexity = Some(pplCut),
         mixtureWeights = weights,
         budgetTokens = 1500000L,
-        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+        splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+      workDir = workDir)
     val corpus = result.corpus.localCheckpoint(true)
     val outRows = corpus.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -92,6 +107,8 @@ object CorpusBench {
       "splits" -> jmap(splitCounts.toSeq.map { case (k, v) => k -> v }),
       "flat_plan_violations" ->
         ("\"" + flatViolations.mkString(",") + "\""),
+      "cached_stages" ->
+        ("\"" + result.cachedStages.mkString(",") + "\""),
       "wall_sec" -> f"$wall%.1f")))
     spark.stop()
   }
