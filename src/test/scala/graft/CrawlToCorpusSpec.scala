@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl._
+import graft.operators.TrainingCorpus
+
+/** Serializable page-map fetcher (an anonymous Fetcher inside the suite
+  * would drag the non-serializable scalatest engine into the closure).
+  */
+private class MapPageFetcher(pages: Map[String, String]) extends Fetcher {
+  override def fetch(url: String): FetchedPage = pages.get(url) match {
+    case Some(html) => FetchedPage(200, html, "text/html")
+    case None => FetchedPage(404, "", "text/plain")
+  }
+}
+
+/** The switch-user story end to end: crawl real(istic) HTML with the
+  * crawl topology, then feed `CrawlResult.parsed` straight into
+  * `TrainingCorpus.build` — one library from frontier to training
+  * corpus. Plants one victim per corpus gate INSIDE the crawled web:
+  * a cross-domain mirrored article (near-dup), a repetition-spam page,
+  * an under-length page, and a French page, and asserts each is
+  * removed by the right stage while the clean prose survives.
+  */
+class CrawlToCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val article =
+    "the committee reviewed the annual report and found that the harbor " +
+      "restoration project had exceeded every one of the stated goals " +
+      "while staying well under the approved budget for the second year"
+  private val articleMirror = article.replace("second", "third")
+  private val essay =
+    "a long walk along the coastal path gives the observer time to " +
+      "notice how the tide rearranges the gravel banks and how the " +
+      "light changes the color of the water from hour to hour"
+
+  private def page(title: String, body: String, links: Seq[String]) =
+    s"<html><head><title>$title</title></head><body>" +
+      links.map(l => s"""<a href="$l">more</a>""").mkString +
+      s"<p>$body</p></body></html>"
+
+  private val pages = Map(
+    "http://a.com/" -> page("Home A", essay,
+      Seq("http://a.com/article", "http://a.com/spam", "http://a.com/tiny",
+        "http://a.com/fr")),
+    "http://a.com/article" -> page("Article", article, Seq.empty),
+    "http://a.com/spam" -> page("Spam",
+      Seq.fill(30)("buy now").mkString(" "), Seq.empty),
+    "http://a.com/tiny" -> page("Tiny", "ok", Seq.empty),
+    "http://a.com/fr" -> page("Fr",
+      "le chat et le chien sont dans la maison avec le garcon ce soir",
+      Seq.empty),
+    "http://b.com/" -> page("Home B",
+      "notes from the other coast where the ferry schedule rules the " +
+        "day and every arrival reshuffles the small harbor town entirely",
+      Seq("http://b.com/mirror")),
+    "http://b.com/mirror" -> page("Article", articleMirror, Seq.empty))
+
+  private val fetcher: Fetcher = new MapPageFetcher(pages)
+
+  test("crawl -> parsed -> TrainingCorpus: each gate removes its planted page") {
+    val result = CrawlTopology.run(
+      spark, Seq(("a.com", 1.0f), ("b.com", 1.0f)),
+      fetcher, new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 8))
+    val parsed = result.parsed
+    assert(parsed.count() == 7, "every page should crawl and parse")
+
+    val docs = parsed.select(
+      xxhash64(col("url")).as("doc_id"), col("url"),
+      col("pld").as("stratum"), col("text"))
+    val built = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum", None, "text", None,
+      TrainingCorpus.Config(minAlphaRatio = 0.0, boilerplateMinDf = 99))
+
+    val survivors = built.corpus
+      .join(docs.select("doc_id", "url"), Seq("doc_id"))
+      .select("url").collect().map(_.getString(0)).toSet
+    // gates: tiny (token floor), fr (language), spam (repetition);
+    // dedup: exactly ONE of the mirrored articles survives
+    assert(!survivors("http://a.com/tiny"))
+    assert(!survivors("http://a.com/fr"))
+    assert(!survivors("http://a.com/spam"))
+    val mirrors = Set("http://a.com/article", "http://b.com/mirror")
+    assert((survivors & mirrors).size == 1, survivors.toString)
+    assert(survivors("http://a.com/") && survivors("http://b.com/"))
+    assert(survivors.size == 3, survivors.toString)
+
+    val audit = built.audit.toMap
+    assert(audit("input") == 7L)
+    assert(audit("quality_lang_repetition") == 5L, built.audit.toString)
+    assert(audit("repetition_gate") == 4L, built.audit.toString)
+    assert(audit("dedup") == 3L, built.audit.toString)
+  }
+}
