@@ -131,4 +131,35 @@ class PropertySpec extends AnyFunSuite {
       assert(f(t) == f(t.replace(" ", "  ").replace(",", ";")))
     }
   }
+
+  test("lsh band plan: always a divisor pair, monotone toward bands as threshold drops") {
+    val nGen = Gen.oneOf(4, 8, 16, 32, 64, 128, 100, 30)
+    val tGen = Gen.choose(0.05, 0.95)
+    forAll(nGen, tGen) { (n, t) =>
+      val (b, r) = graft.operators.TextOps.lshBandPlan(n, t)
+      assert(b * r == n && b >= 1 && r >= 1)
+      // a lower threshold can never want FEWER bands (recall-leaning)
+      val (b2, _) = graft.operators.TextOps.lshBandPlan(n, math.max(0.05, t - 0.3))
+      assert(b2 >= b, s"n=$n t=$t: bands $b -> $b2")
+    }
+  }
+
+  test("robots rule resolution: allow-all empty, longest match wins over any order") {
+    import graft.crawl.RobotsRules
+    val pathGen = Gen.oneOf("/a", "/a/b", "/a/b/c", "/x", "/a/b.html")
+    val ruleGen = Gen.listOfN(4, for {
+      pat <- Gen.oneOf("/a", "/a/b", "/a/*", "/x", "/a/b/c", "/*.html$")
+      allow <- Gen.oneOf(true, false)
+    } yield (pat, allow))
+    forAll(ruleGen, pathGen) { (rules, path) =>
+      assert(RobotsRules(Nil, None, Nil).isAllowed(path))
+      val rr = RobotsRules(rules, None, Nil)
+      // rule ORDER never matters (RFC resolution is by specificity)
+      assert(rr.isAllowed(path) ==
+        RobotsRules(rules.reverse, None, Nil).isAllowed(path))
+      // adding an unrelated rule never flips the decision
+      val padded = RobotsRules(rules :+ ("/zzz" -> false), None, Nil)
+      assert(padded.isAllowed(path) == rr.isAllowed(path))
+    }
+  }
 }
