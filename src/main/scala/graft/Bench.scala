@@ -104,7 +104,9 @@ object Bench {
     println(json)
     // durable copy: the stdout line has been tail-truncated in round
     // artifacts twice; target/bench-<sf>.json is the canonical record
-    val sfName = new java.io.File(sfDir).getName
+    // dirs already named bench-* (ScaleUp's target/bench-sf1) would
+    // otherwise double the prefix (bench-bench-sf1.json)
+    val sfName = new java.io.File(sfDir).getName.stripPrefix("bench-")
     val outFile = new java.io.File(s"target/bench-$sfName.json")
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile, "UTF-8")
