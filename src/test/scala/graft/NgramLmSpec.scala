@@ -40,6 +40,28 @@ class NgramLmSpec extends AnyFunSuite {
     assert(scored(1L) < 50.0, s"seen-bigram ppl unexpectedly high: $scored")
   }
 
+  test("ccnet buckets: fluent docs land in the head, gibberish in the tail, per stratum") {
+    val model = NgramLm.fit(reference.toDF("text"), "text")
+    // two strata, each with one fluent / one shuffled / one OOV doc —
+    // fences are PER stratum, so each stratum gets its own 0/1/2 spread
+    val docs = Seq(
+      (1L, "en", "the cat sat on the rug"),
+      (2L, "en", "rug the on sat cat the"),
+      (3L, "en", "zx qv wk jm pt"),
+      (4L, "web", "the cat sat on the mat"),
+      (5L, "web", "mat the on sat cat the"),
+      (6L, "web", "qq ww ee rr tt")
+    ).toDF("doc_id", "stratum", "text")
+    val out = NgramLm.perplexityBuckets(docs, "text", "stratum", model)
+      .select("doc_id", "ppl_bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) < out(3L), out.toString) // fluent beats OOV in en
+    assert(out(4L) < out(6L), out.toString) // and in web
+    assert(out(1L) == 0L && out(4L) == 0L, out.toString) // heads
+    assert(out(3L) == 2L && out(6L) == 2L, out.toString) // tails
+    assert(out.values.forall(b => b >= 0 && b <= 2))
+  }
+
   test("short and empty docs get the unseen ceiling, not an exception") {
     val model = NgramLm.fit(reference.toDF("text"), "text")
     val got = NgramLm.perplexity(
