@@ -83,29 +83,43 @@ object DedupAccuracy {
     def estCol(k: Int) = (size(expr(
       "filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b)"))
       .cast("double") / k).as("j_est")
-    Seq(16, 64).foreach { k =>
+    // (k, bandSize): shipped defaults 4x4 and 16x4, plus the band
+    // planner's t=0.5 answer for 16 hashes (lshBandPlan(16, 0.5) = 8x2,
+    // knee at (1/8)^(1/2) = 0.35) — the measured S-curves validate the
+    // planner's choice at the boundary
+    Seq((16, 4), (16, 2), (64, 4)).foreach { case (k, bandSize) =>
       val s = sigs(k)
+      // the second factor in end-to-end recall: does LSH BANDING even
+      // surface the pair as a candidate? (theory: 1 - (1 - j^r)^b)
+      val cand = TextOps.minhashCandidates(both, "doc_id", "text",
+          3, k, bandSize)
+        .filter(col("id_b") - col("id_a") === 10000000L)
+        .select(col("id_a").as("id"), lit(1).as("cand"))
       val est = pairs
         .join(s.select(col("doc_id").as("id"), col("sig").as("sigb")),
           Seq("id"))
         .join(s.select((col("doc_id") - 10000000L).as("id"),
           col("sig").as("siga")), Seq("id"))
-        .select(col("j_exact"), estCol(k))
+        .join(cand, Seq("id"), "left")
+        .select(col("j_exact"), estCol(k),
+          coalesce(col("cand"), lit(0)).as("cand"))
       val bands = est
         .groupBy(floor(col("j_exact") * 10).cast("int").as("band"))
         .agg(count(lit(1)).as("n"), avg("j_exact").as("mean_exact"),
           avg("j_est").as("mean_est"),
           avg(when((col("j_est") >= 0.5) === (col("j_exact") >= 0.5), 1.0)
-            .otherwise(0.0)).as("agree05"))
+            .otherwise(0.0)).as("agree05"),
+          avg(col("cand").cast("double")).as("band_recall"))
         .orderBy("band").collect()
-      println(s"\ncalibration, numHashes=$k " +
+      println(s"\ncalibration, numHashes=$k, bands=${k / bandSize}x$bandSize " +
         "(band = exact-jaccard decile; agree05 = sig-vs-exact agreement " +
-        "on the 0.5 cut)")
-      println("| j band | n | mean exact | mean est | agree@0.5 |")
+        "on the 0.5 cut; band_recall = fraction surfaced as an LSH " +
+        "candidate at all)")
+      println("| j band | n | mean exact | mean est | agree@0.5 | band recall |")
       bands.foreach { r =>
         println(f"| ${r.getInt(0) / 10.0}%.1f | ${r.getLong(1)} " +
           f"| ${r.getDouble(2)}%.3f | ${r.getDouble(3)}%.3f " +
-          f"| ${r.getDouble(4)}%.3f |")
+          f"| ${r.getDouble(4)}%.3f | ${r.getDouble(5)}%.3f |")
       }
     }
     spark.stop()
