@@ -425,6 +425,19 @@ object TextQueries {
       // inverse-duplication signal: share of a doc's distinct 3-shingles
       // with corpus document-frequency 1
       TextOps.noveltyScores(docs(s, d), "doc_id", "text", k = 3)),
+    "q99_fertility" -> ((s, d) =>
+      // tokenizer fertility per language: pre-tokens per 100 whitespace
+      // words — the "how much does this language cost to tokenize"
+      // statistic behind per-language vocab sizing and byte-premium
+      // mixture corrections; one partial->final aggregate to language
+      // cardinality, integer fixed-point (q35's PRE-token regex)
+      docs(s, d).groupBy(col("lang"))
+        .agg(sum(TextOps.preTokenCount(col("text"))).as("n_pretokens"),
+          sum(size(expr(TextOps.tokensSql("text"))).cast("long"))
+            .as("n_words"))
+        .select(col("lang"), col("n_pretokens"), col("n_words"),
+          expr("(100 * n_pretokens) div greatest(n_words, 1)")
+            .as("fertility_pct"))),
     "q92_gopher_rep" -> ((s, d) =>
       // Gopher §A1.1 within-doc repetition: top-bigram mass fraction +
       // duplicated-5-token-window occurrence fraction (integer fixed
@@ -778,6 +791,19 @@ object TextQueries {
          |  (100 * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT))
          |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS novelty_pct
          |FROM sh JOIN f USING (shingle) GROUP BY 1""".stripMargin,
+    "q99_fertility" ->
+      """SELECT lang,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+        |    AS BIGINT) AS n_pretokens,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_words,
+        |  (100 * CAST(SUM(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+        |    AS BIGINT))
+        |    // GREATEST(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT), 1) AS fertility_pct
+        |FROM documents GROUP BY 1""".stripMargin,
     "q92_gopher_rep" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
         |    AS t FROM documents),
