@@ -34,7 +34,11 @@ object CorpusIngest {
     threshold: Double = 0.5,
     minTokens: Long = 5,
     lang: Option[String] = None,
-    maxRepRatio: Double = 0.5)
+    maxRepRatio: Double = 0.5,
+    /** Bucket count for the durable [[SignatureIndexStore]] layout —
+      * pinned at store creation (see [[SignatureIndexStore.append]]).
+      */
+    indexBuckets: Int = 64)
 
   final case class Result(
     accepted: DataFrame,
@@ -82,10 +86,21 @@ object CorpusIngest {
       .select("new_id", "corpus_id", "jaccard_est")
   }
 
-  def ingest(
-      batch: DataFrame, idCol: String, textCol: String,
-      index: DataFrame, cfg: Config = Config()): Result = {
-    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  /** Stages 1–3 (gates, exact dedup, within-batch near-dup), shared by
+    * both cross-dedup layouts. The returned frame carries a `sig` column
+    * — the signature is computed ONCE, at the gates stage, and reused by
+    * the within-batch band join, the cross join, and the index append.
+    *
+    * Gates also drop docs whose signature is DEGENERATE (fewer than
+    * `shingleK` whitespace tokens ⇒ all-null sig): a doc the signature
+    * index cannot represent must not be accepted, or identical copies of
+    * it in later batches would be re-accepted forever (the cross-batch
+    * dedup invariant is "every accepted doc is indexed").
+    */
+  private def batchPipeline(
+      batch: DataFrame, idCol: String, textCol: String, cfg: Config,
+      audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      : DataFrame = {
     def step(name: String, df: DataFrame): DataFrame = {
       val pinned = df.localCheckpoint(true)
       audit += ((name, pinned.count()))
@@ -94,14 +109,17 @@ object CorpusIngest {
     val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     audit += (("input", base.count()))
 
-    // 1. projection gates at batch cost
+    // 1. projection gates at batch cost (incl. the degenerate-sig drop)
     val langOk = cfg.lang.fold(lit(true))(l =>
       TextOps.predictLangUdf(col("text")) === l)
     val gated = step("gates", base
       .filter(TextOps.preTokenCount(col("text")) >= cfg.minTokens && langOk)
       .join(TextOps.repetitionFeatures(base, "doc_id", "text")
           .filter(col("rep_ratio") <= cfg.maxRepRatio).select("doc_id"),
-        Seq("doc_id"), "left_semi"))
+        Seq("doc_id"), "left_semi")
+      .withColumn("sig", graft.plans.TextExpressions
+        .minhash_sig(col("text"), cfg.shingleK, cfg.numHashes))
+      .filter(element_at(col("sig"), 1).isNotNull))
 
     // 2. exact within-batch dedup: keep each fingerprint's min id
     val exact = step("exact_dedup", gated
@@ -113,17 +131,29 @@ object CorpusIngest {
       .drop("__fp", "__keep"))
 
     // 3. near-dup within batch: estimator pairs -> clusters -> keep min
-    val pairs = TextOps.minhashDedupPairsApprox(exact, "doc_id", "text",
-      cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.threshold)
+    val pairs = TextOps.minhashDedupPairsFromSigs(
+      exact.select("doc_id", "sig"),
+      cfg.numHashes, cfg.bandSize, cfg.threshold)
     val drop = Components.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
-    val batchDeduped = step("batch_dedup",
+    step("batch_dedup",
       exact.join(drop, exact("doc_id") === col("__drop_id"), "left_anti"))
+  }
+
+  def ingest(
+      batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, cfg: Config = Config()): Result = {
+    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def step(name: String, df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      audit += ((name, pinned.count()))
+      pinned
+    }
+    val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
 
     // 4. cross dedup against the standing index (no corpus text)
-    val sigs = signatureIndex(batchDeduped, "doc_id", "text", cfg)
-      .localCheckpoint(true)
+    val sigs = batchDeduped.select("doc_id", "sig")
     val matched = crossPairs(sigs, index, cfg)
       .select(col("new_id").as("__dup_id")).distinct()
     val accepted = step("cross_dedup",
@@ -132,9 +162,45 @@ object CorpusIngest {
 
     // 5. index append: survivors' signatures only
     val updated = index.unionByName(
-      sigs.join(accepted.select("doc_id"), Seq("doc_id"), "left_semi"))
-    Result(accepted, updated, audit.toSeq)
+      accepted.select("doc_id", "sig"))
+    Result(accepted.drop("sig"), updated, audit.toSeq)
   }
+
+  /** [[ingest]] against a durable [[SignatureIndexStore]] instead of an
+    * in-memory index frame: cross-dedup reads only bucket-pruned,
+    * pre-exploded band/sig files of committed batches `< batchId`, and
+    * the append writes ONLY the survivors (batch-sized, never
+    * index-sized). This is the standing-corpus production path — per
+    * batch, nothing index-sized is rewritten, shuffled, or re-exploded.
+    */
+  def ingestIndexed(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, batchId: Long, cfg: Config = Config())
+      : (DataFrame, Seq[(String, Long)]) = {
+    val spark = batch.sparkSession
+    val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
+
+    val matched = SignatureIndexStore
+      .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
+        cfg.threshold, belowBatch = batchId)
+      .select(col("new_id").as("__dup_id")).distinct()
+    val accepted = batchDeduped
+      .join(matched, batchDeduped("doc_id") === col("__dup_id"), "left_anti")
+      .localCheckpoint(true)
+    audit += (("cross_dedup", accepted.count()))
+
+    SignatureIndexStore.append(spark, indexRoot,
+      accepted.select("doc_id", "sig"), batchId,
+      SignatureIndexStore.Meta(indexBuckets(cfg), cfg.numHashes, cfg.bandSize))
+    (accepted.drop("sig"), audit.toSeq)
+  }
+
+  /** Bucket count for the durable store — a persistent store property
+    * (pinned in its _META); exposed so callers building the store
+    * out-of-band (bulk seed, then trickle ingest) agree with the loop.
+    */
+  def indexBuckets(cfg: Config): Int = cfg.indexBuckets
 
   /** An empty signature index with the right schema — the seed for a
     * corpus built from nothing by the ingest loop.
@@ -187,6 +253,31 @@ object CorpusIngest {
           .parquet(s"$acceptedDir/batch=$batchId")
         r.updatedIndex.write.mode("overwrite")
           .parquet(s"$indexDir/v=$batchId")
+      }
+      .start()
+
+  /** The ingest loop against the durable bucketed store — the production
+    * layout [[streaming]]'s scale note promises. Each micro-batch runs
+    * [[ingestIndexed]]: cross-dedup against committed batches
+    * `< batchId` (bucket-pruned reads, batch-side broadcasts), survivors
+    * appended under `indexRoot` (batch-sized write) and written to
+    * `acceptedDir/batch=<id>`. A retried batch overwrites both of its
+    * directories and re-marks, so replays are idempotent; its own
+    * half-committed append is invisible to its cross-dedup (the
+    * `belowBatch` fence). Accepted-set equality with [[streaming]] is
+    * spec-pinned (CorpusIngestSpec).
+    */
+  def streamingIndexed(
+      batches: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, acceptedDir: String,
+      cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val (accepted, _) =
+          ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg)
+        accepted.write.mode("overwrite")
+          .parquet(s"$acceptedDir/batch=$batchId")
       }
       .start()
 }

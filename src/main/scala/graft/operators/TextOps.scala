@@ -320,16 +320,29 @@ object TextOps {
   def minhashDedupPairsApprox(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame =
+    minhashDedupPairsFromSigs(
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes),
+      numHashes, bandSize, threshold)
+
+  /** [[minhashDedupPairsApprox]] with signatures PRECOMPUTED — the form a
+    * pipeline uses once its frame already carries a `sig` column (the
+    * [[CorpusIngest]] batch path computes signatures once at the gates
+    * stage and reuses them here, in the cross join, and in the index
+    * append — text is read exactly once per batch). `sigs`: (doc_id, sig).
+    */
+  def minhashDedupPairsFromSigs(
+      sigs: DataFrame, numHashes: Int, bandSize: Int,
       threshold: Double): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+    val pinned = sigs.select(col("doc_id"), col("sig"))
       // sub-shingleK docs have an all-null sig (no shingles ⇒ jaccard
       // undefined) — excluded, otherwise every pair of them band-collides
       // and "matches" vacuously
       .filter(element_at(col("sig"), 1).isNotNull)
-      .localCheckpoint(true) // one text pass; feeds bands and both estimate sides
-    val bands = sigs
+      .localCheckpoint(true) // one sig pass; feeds bands and both estimate sides
+    val bands = pinned
       .select(col("doc_id"),
         explode(bandKeysUdf(numBands, bandSize)(col("sig"))).as("band_key"))
       .distinct()
@@ -340,8 +353,8 @@ object TextOps {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(pinned.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(pinned.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("jaccard_est",
         expr(s"""size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),
                  | m -> m)) / cast($numHashes as double)"""

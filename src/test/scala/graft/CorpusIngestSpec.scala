@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.CorpusIngest
+import graft.operators.{CorpusIngest, SignatureIndexStore}
 
 class CorpusIngestSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -102,5 +102,154 @@ class CorpusIngestSpec extends AnyFunSuite {
       .map(_.stripPrefix("v=").toLong).max
     val idx = spark.read.parquet(s"$dir/index/v=$latest")
     assert(idx.count() == 3)
+  }
+
+  // ------------------------------------------- durable bucketed store
+
+  private val meta = SignatureIndexStore.Meta(
+    buckets = 8, numHashes = cfg.numHashes, bandSize = cfg.bandSize)
+
+  test("store: append is batch-sized and append-only; matches finds cross-batch near-dups") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns")
+    ).toDF("doc_id", "text")
+    val sigs0 = CorpusIngest.signatureIndex(corpus, "doc_id", "text", cfg)
+    SignatureIndexStore.append(spark, root, sigs0, 0L, meta)
+
+    // batch 1: one near-dup of corpus doc 1, one novel
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the ocean"),
+      (11L, "novel observations about glacier movement and seasonal melt")
+    ).toDF("doc_id", "text")
+    val sigs1 = CorpusIngest.signatureIndex(b1, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    val m = SignatureIndexStore.matches(spark, root, sigs1, cfg.threshold)
+    val matched = m.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched.map(_._1) == Set(10L), matched.toString)
+    assert(matched.map(_._2) == Set(1L), matched.toString)
+
+    // append batch 1 survivors; batch 2 near-dup of BATCH-1 doc 11 must match
+    SignatureIndexStore.append(spark, root,
+      sigs1.filter($"doc_id" === 11L), 1L, meta)
+    val b2 = Seq(
+      (20L, "novel observations about glacier movement and seasonal melts")
+    ).toDF("doc_id", "text")
+    val sigs2 = CorpusIngest.signatureIndex(b2, "doc_id", "text", cfg)
+    val m2 = SignatureIndexStore.matches(spark, root, sigs2, cfg.threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2 == Set((20L, 11L)), m2.toString)
+
+    // append-only: batch 0's files are untouched by batch 1's append
+    val b0Dir = new java.io.File(s"$root/sigs/batch=0")
+    assert(b0Dir.exists())
+    // sigsView over committed batches = exactly the appended signatures
+    val view = SignatureIndexStore.sigsView(spark, root)
+    assert(view.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 11L))
+    // belowBatch fence: a reader at batch 1 must not see batch 1's append
+    assert(SignatureIndexStore.sigsView(spark, root, belowBatch = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("store: retried batch overwrites its own append instead of compounding") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    val sigs = CorpusIngest.signatureIndex(d, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    SignatureIndexStore.append(spark, root, sigs, 0L, meta)
+    SignatureIndexStore.append(spark, root, sigs, 0L, meta) // the retry
+    assert(SignatureIndexStore.sigsView(spark, root).count() == 1)
+    assert(SignatureIndexStore.committedBatches(spark, root) == Seq(0L))
+  }
+
+  test("store: meta is pinned — appending with different parameters throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    val sigs = CorpusIngest.signatureIndex(d, "doc_id", "text", cfg)
+    SignatureIndexStore.append(spark, root, sigs, 0L, meta)
+    intercept[IllegalArgumentException] {
+      SignatureIndexStore.append(spark, root, sigs, 1L,
+        meta.copy(buckets = 16))
+    }
+  }
+
+  test("store: sig-side scan is bucket-pruned to the candidates' partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, s"corpus document number $i about topic $i with body text $i")
+    }.toDF("doc_id", "text")
+    SignatureIndexStore.append(spark, root,
+      CorpusIngest.signatureIndex(corpus, "doc_id", "text", cfg), 0L, meta)
+    val probe = Seq(
+      (100L, "corpus document number 7 about topic 7 with body text 7s")
+    ).toDF("doc_id", "text")
+    val m = SignatureIndexStore.matches(spark, root,
+      CorpusIngest.signatureIndex(probe, "doc_id", "text", cfg), cfg.threshold)
+    m.collect()
+    // the final (sig-side) scan carries a partition filter on `bucket`
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(4000))
+  }
+
+  test("indexed streaming loop: accepted set equals the v=-versioned layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "a careful study of historical documents reveals many patterns"),
+        (3L, "a careful study of historical documents reveals many patterns")),
+      Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (11L, "novel observations about glacier movement and seasonal melt")),
+      Seq(
+        (20L, "novel observations about glacier movement and seasonal melts"),
+        (21L, "fresh reporting on municipal budgets and local road repairs")))
+
+    def runLoop(indexed: Boolean): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ingest-eq").toString
+      val input = MemoryStream[(Long, String)]
+      val df = input.toDF().toDF("doc_id", "text")
+      val q =
+        if (indexed) CorpusIngest.streamingIndexed(
+          df, "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg)
+        else CorpusIngest.streaming(
+          df, "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg)
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.read.parquet(s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    val versioned = runLoop(indexed = false)
+    val bucketed = runLoop(indexed = true)
+    assert(bucketed == versioned, s"bucketed=$bucketed versioned=$versioned")
+    assert(versioned == Set(1L, 2L, 11L, 21L), versioned.toString)
+  }
+
+  test("degenerate-signature docs are dropped at gates: every accepted doc is indexed") {
+    // "alpha, beta." has >= 2 PRE-tokens (passes a minTokens=2 floor) but
+    // only 2 whitespace tokens < shingleK=3 ⇒ all-null signature. Under
+    // the old semantics it was accepted but never indexed, so identical
+    // copies in later batches were re-accepted forever.
+    val lowFloor = cfg.copy(minTokens = 2)
+    val index = CorpusIngest.emptyIndex(spark)
+    val b = Seq((1L, "alpha, beta."),
+      (2L, "a careful study of historical documents reveals many patterns"))
+      .toDF("doc_id", "text")
+    val r = CorpusIngest.ingest(b, "doc_id", "text", index, lowFloor)
+    val ids = r.accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L), s"accepted $ids; audit=${r.audit}")
+    // invariant: accepted ⊆ indexed
+    assert(r.updatedIndex.select("doc_id").collect().map(_.getLong(0)).toSet
+      == ids)
   }
 }
