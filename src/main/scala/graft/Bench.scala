@@ -112,6 +112,12 @@ object Bench {
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(json) finally w.close()
     System.err.println(s"bench JSON written to ${outFile.getAbsolutePath}")
+    // LAST stdout line = compact, complete JSON (no per-query map): round
+    // artifacts tail-truncated the full line twice (r7, r8), losing the
+    // headline total — any tail capture keeps this one
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""nq":${results.size},"sentinel_ratio":$ratio,"noisy":$noisy,""" +
+      s""""sf":"$sfDir","artifact":"${outFile.getAbsolutePath}"}""")
     spark.stop()
   }
 }

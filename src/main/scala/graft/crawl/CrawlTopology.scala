@@ -52,7 +52,23 @@ final case class CrawlConfig(
     // fetchTimeMs) — the reference's WARC-writer tap on the fetch stream
     // (CrawlTopologyBuilder.java:441-453); Sinks.writeWarcContent plugs in
     // here for archive-and-replay crawls
-    contentSink: Option[DataFrame => Unit] = None)
+    contentSink: Option[DataFrame => Unit] = None,
+    // URL-shape quality gate at frontier-insert time (the RefinedWeb/C4
+    // URL-filtering slot, operators.UrlQuality): trap-shaped URLs (deep
+    // paths, parameter explosions, digit-dominated, over-long) are
+    // dropped BEFORE they enter the frontier — where a drop costs
+    // nothing, vs a fetch + parse downstream — and journaled per round
+    // as stage "url_shape" / status DROPPED_SHAPE. The reference's
+    // ValidUrlsFilter slot (SURVEY §2.2 L3) only checks validity/domain;
+    // this is the training-data-crawl extension of it. None = off.
+    urlShapeGate: Option[UrlShapeThresholds] = None)
+
+/** Thresholds for [[graft.operators.UrlQuality.gate]] at the topology's
+  * frontier-insert point (see [[CrawlConfig.urlShapeGate]]).
+  */
+final case class UrlShapeThresholds(
+    maxDepth: Long = 8, maxParams: Long = 4,
+    maxDigitPct: Long = 40, maxLen: Long = 512)
 
 final case class CrawlResult(
     frontier: DataFrame,   // CrawlStateUrl columns
@@ -187,10 +203,25 @@ object CrawlTopology {
 
     cfg.terminator.foreach(_.open())
 
+    // frontier-insert shape gate (CrawlConfig.urlShapeGate): split one
+    // small per-round frame with two filters (no join); drops are
+    // journaled so an operator can audit what the gate is eating
+    def shapeGate(round: Int, rows: DataFrame): DataFrame =
+      cfg.urlShapeGate match {
+        case None => rows
+        case Some(t) =>
+          val ok = graft.operators.UrlQuality.passes(
+            col("url"), t.maxDepth, t.maxParams, t.maxDigitPct, t.maxLen)
+          journal(round, "url_shape", rows.filter(!ok)
+            .select(col("url"), lit("DROPPED_SHAPE").as("status")))
+          rows.filter(ok)
+      }
+
     // merge the seeds (and any caller-held frontier) into the durable
     // store when one is configured: a fresh run against a populated root
     // RESUMES — already-FETCHED rows win the merge and are not refetched
-    val seedRows = cleanUrls(spark, seeds.toDS(), 0L, cfg, lengthener).toDF()
+    val seedRows = shapeGate(0,
+      cleanUrls(spark, seeds.toDS(), 0L, cfg, lengthener).toDF())
     val initialRows = initialFrontier.fold(seedRows)(f => f.unionByName(seedRows))
     var frontier: DataFrame = null
     def commitFrontier(updates: DataFrame): DataFrame = cfg.frontierRoot match {
@@ -568,10 +599,10 @@ object CrawlTopology {
 
         // --- close the loop: clean new URLs, merge everything
         // (the 4-way union at CrawlTopologyBuilder.java:433-437)
-        val newUrls = cleanUrls(
+        val newUrls = shapeGate(round, cleanUrls(
           spark,
           outlinks.union(sitemapLinks).union(redirectTargets),
-          now, cfg, lengthener).toDF()
+          now, cfg, lengthener).toDF())
 
         frontier = commitFrontier(
           blocked.unionByName(statusUpdates).unionByName(newUrls))

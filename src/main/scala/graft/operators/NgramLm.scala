@@ -106,32 +106,24 @@ object NgramLm {
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020: corpora split
     * per language into head/middle/tail by reference-LM perplexity, so
     * downstream mixing can prefer the fluent tier): score with
-    * [[perplexity]], derive per-stratum bucket fences with ONE
-    * `percentile_approx` aggregation (fence table = strata x (buckets-1)
-    * doubles on the driver — bounded), assign by broadcast-closure
-    * comparison. Bucket 0 = lowest perplexity (the "head"). No window,
-    * no per-stratum sort — the same histogram-quantile discipline as
-    * `tokenStats`/`stratumLengthGate`, so the corpus is scanned twice
-    * (fence pass + assignment) and shuffled never. Float ppl => spec
-    * tier (the q65/q67 split; the integer LM core is q67-gated).
+    * [[perplexity]], fix the score to integer milli-units
+    * (`floor(ppl × fpScale)`), then assign tiers with
+    * [[TextOps.fixedPointBuckets]] — EXACT discrete quantile fences from
+    * a per-stratum histogram cumulative count, no `percentile_approx`,
+    * no driver collect, and the whole fence+assignment arithmetic is
+    * integer (oracle-gated via q100's fixed-point tier query). Bucket 0
+    * = lowest perplexity (the "head"); fence ties stay in the lower
+    * tier. The corpus is scanned twice (fence pass + assignment) and
+    * shuffled never — only the histogram moves.
     */
   def perplexityBuckets(
       df: DataFrame, textCol: String, strataCol: String, model: Model,
       buckets: Int = 3, pplCol: String = "ppl",
-      bucketCol: String = "ppl_bucket"): DataFrame = {
-    require(buckets >= 2, "need at least 2 buckets")
+      bucketCol: String = "ppl_bucket", fpScale: Long = 1024L): DataFrame = {
     val scored = perplexity(df, textCol, pplCol, model)
-    val probs = (1 until buckets).map(i => i.toDouble / buckets)
-    val fences = scored
-      .groupBy(col(strataCol).as("__s"))
-      .agg(expr(s"percentile_approx($pplCol," +
-        s" array(${probs.mkString(",")}), 10000)").as("__f"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
-    val assign = udf { (s: String, p: Double) =>
-      fences.get(s).map(f => f.count(p > _).toLong).getOrElse(0L)
-    }
-    scored.withColumn(bucketCol, assign(col(strataCol), col(pplCol)))
+      .withColumn("__ppl_fp", floor(col(pplCol) * fpScale).cast("long"))
+    TextOps.fixedPointBuckets(scored, "__ppl_fp", strataCol, buckets, bucketCol)
+      .drop("__ppl_fp")
   }
 
   /** Kneser–Ney continuation counts: N1+(·, r) = in how many DISTINCT

@@ -251,15 +251,25 @@ object TextOps {
         // buffers O(postings^2) tuples in ONE row — cap*cap can still be
         // an executor OOM (and it narrows the id type) — so the join
         // stays; it degrades in throughput, never in memory.
+        // one corpus pass for the shingle pipeline: frequent-agg and the
+        // join input both read this barrier (same ReuseExchange rationale
+        // as the exact path — unpinned, the UDF pipeline ran twice)
+        val expC = exploded.localCheckpoint(true)
         // floor(N*ratio) but never 0: on tiny corpora a zero cap would
-        // classify every shingle as frequent and drop them all
-        val cap = math.max(1L, (df.count() * ratio).toLong)
-        val frequent = exploded.groupBy("s").count()
-          .filter(col("count") > cap).select("s")
+        // classify every shingle as frequent and drop them all. The doc
+        // count rides in as a broadcast 1-row aggregate (the
+        // removeBoilerplate minDocFraction form) instead of a
+        // driver-side df.count() — no separate corpus-scanning job just
+        // to derive a threshold
+        val frequent = expC.groupBy("s").count()
+          .crossJoin(broadcast(df.select(count(lit(1)).as("n_docs_total"))))
+          .filter(col("count") >
+            greatest(lit(1L), floor(col("n_docs_total") * ratio).cast("long")))
+          .select("s")
         // Jaccard is then over the filtered shingle sets, so set sizes
         // are recomputed post-filter (same barrier rationale as the
         // exact path above)
-        val filtered = exploded
+        val filtered = expC
           .join(broadcast(frequent), Seq("s"), "left_anti")
           .withColumn("n",
             count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -1054,6 +1064,46 @@ object TextOps {
     toks.join(broadcast(thresholds), Seq("stratum"))
       .filter(col("n_tokens") >= col("min_keep_tokens"))
       .select(col(idCol), col("stratum"), col("n_tokens"))
+  }
+
+  /** Per-stratum tier assignment over an INTEGER (fixed-point) score:
+    * split each stratum into `buckets` tiers at the discrete
+    * cumulative-count quantiles of `fpCol` — the CCNet head/middle/tail
+    * construction, made integer-exact so the whole assignment is
+    * oracle-checkable bit-for-bit on any engine (no percentile_approx,
+    * no float fences, no driver collect). Tier 0 = lowest scores; a doc
+    * exactly ON a fence stays in the lower tier (ties never split).
+    *
+    * Scale shape: one hash aggregate to the (stratum × distinct score)
+    * histogram — for fixed-point scores the scale knob bounds the
+    * distinct values — a per-stratum running sum OVER THE HISTOGRAM
+    * (never the corpus), a strata-sized fence table broadcast back, and
+    * a projection. Same discipline as [[stratumLengthGate]].
+    */
+  def fixedPointBuckets(
+      df: DataFrame, fpCol: String, strataCol: String,
+      buckets: Int, bucketCol: String): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val hist = df.groupBy(col(strataCol), col(fpCol))
+      .agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__cum",
+        sum(col("__n")).over(
+          Window.partitionBy(strataCol).orderBy(fpCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(hist.groupBy(strataCol).agg(sum("__n").as("__nd"))),
+        Seq(strataCol))
+    // fence i = smallest score whose cumulative share reaches i/buckets —
+    // the discrete quantile, same selector as the oracle
+    val fenceCols = (1 until buckets).map(i =>
+      min(when(col("__cum") * buckets >= col("__nd") * i, col(fpCol)))
+        .as(s"__f$i"))
+    val fences = cum.groupBy(strataCol).agg(fenceCols.head, fenceCols.tail: _*)
+    df.join(broadcast(fences), Seq(strataCol))
+      .withColumn(bucketCol,
+        (1 until buckets)
+          .map(i => when(col(fpCol) > col(s"__f$i"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select(df.columns.map(col) :+ col(bucketCol): _*)
   }
 
   /** Domain/source-level quality gate: drop every stratum (source domain,

@@ -410,10 +410,10 @@ object Crawler {
       |  FROM orders)
       |SELECT url, CAST(length(url) AS BIGINT) AS url_len,
       |  CAST(len(string_split(
-      |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')) AS BIGINT)
+      |    regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '.')) AS BIGINT)
       |    AS n_host_labels,
       |  CAST(len(list_filter(string_split(
-      |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+      |    regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'),
       |    x -> x <> '')) AS BIGINT) AS path_depth,
       |  CAST(CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN 0
       |    ELSE len(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'))

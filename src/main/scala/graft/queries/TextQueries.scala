@@ -438,6 +438,18 @@ object TextQueries {
         .select(col("lang"), col("n_pretokens"), col("n_words"),
           expr("(100 * n_pretokens) div greatest(n_words, 1)")
             .as("fertility_pct"))),
+    "q100_fp_tiers" -> ((s, d) =>
+      // CCNet-style per-stratum head/middle/tail tiers via the EXACT
+      // integer histogram-quantile (TextOps.fixedPointBuckets — the
+      // machinery perplexityBuckets assigns tiers with, oracle-gated
+      // here on a fixed-point score both engines can derive: milli-chars
+      // per whitespace token)
+      TextOps.fixedPointBuckets(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          expr("(length(text) * 1000) div " +
+            s"greatest(size(${TextOps.tokensSql("text")}), 1)")
+            .cast("long").as("mtl_fp")),
+        "mtl_fp", "lang", buckets = 3, "tier")),
     "q92_gopher_rep" -> ((s, d) =>
       // Gopher §A1.1 within-doc repetition: top-bigram mass fraction +
       // duplicated-5-token-window occurrence fraction (integer fixed
@@ -804,6 +816,28 @@ object TextQueries {
         |    // GREATEST(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
         |      AS BIGINT), 1) AS fertility_pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q100_fp_tiers" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST((length(text) * 1000) // GREATEST(len($dTokens), 1)
+         |      AS BIGINT) AS mtl_fp FROM documents),
+         |h AS (SELECT lang, mtl_fp, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM t GROUP BY 1, 2),
+         |c AS (SELECT lang, mtl_fp, n,
+         |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY mtl_fp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM h),
+         |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs
+         |  FROM h GROUP BY 1),
+         |thr AS (SELECT lang,
+         |    MIN(CASE WHEN cum * 3 >= n_docs * 1 THEN mtl_fp END) AS f1,
+         |    MIN(CASE WHEN cum * 3 >= n_docs * 2 THEN mtl_fp END) AS f2
+         |  FROM c JOIN tot USING (lang) GROUP BY 1)
+         |SELECT t.doc_id, t.lang, t.mtl_fp,
+         |  CAST(CASE WHEN t.mtl_fp > thr.f1 THEN 1 ELSE 0 END
+         |    + CASE WHEN t.mtl_fp > thr.f2 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS tier
+         |FROM t JOIN thr USING (lang)""".stripMargin,
     "q92_gopher_rep" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
         |    AS t FROM documents),

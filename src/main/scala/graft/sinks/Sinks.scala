@@ -152,8 +152,14 @@ object Sinks {
     val surt = udf((u: String) => graft.functions.UrlFunctions.surtKey(u))
     records.select(
       surt(col("url")).as("surt"),
-      date_format(timestamp_millis(col("fetchTimeMs")), "yyyyMMddHHmmss")
-        .as("ts"),
+      // CDX timestamps are defined as UTC; date_format renders wall time
+      // in the SESSION timezone, so shift the instant first such that the
+      // session-tz rendering shows the UTC wall clock — correct under any
+      // spark.sql.session.timeZone, not just the UTC the tests pin
+      date_format(
+        to_utc_timestamp(timestamp_millis(col("fetchTimeMs")),
+          expr("current_timezone()")),
+        "yyyyMMddHHmmss").as("ts"),
       col("url"),
       col("contentType").as("mime"),
       col("statusCode").cast("long").as("status"),

@@ -99,6 +99,25 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(p2(6).toLong > 0)
   }
 
+  test("cdx timestamps are UTC under ANY session timezone") {
+    import org.apache.spark.sql.functions.lit
+    // CDX defines the 14-digit timestamp as UTC; a non-UTC session must
+    // not shift it (interop + the global (surt, ts) sort contract)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ts = graft.sinks.Sinks.cdxIndex(
+        spark.range(1).select(
+          lit("http://a.com/p").as("url"),
+          lit("text/html").as("contentType"),
+          lit(200).as("statusCode"),
+          lit("x".getBytes("UTF-8")).as("content"),
+          lit(1700000000000L).as("fetchTimeMs")))
+        .select("ts").head().getString(0)
+      assert(ts == "20231114221320", s"session-tz-shifted: $ts")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("crawl resumes from a store-persisted frontier without refetching") {
     // the Fetcher is captured in serialized task closures, so a captured
     // var would record into per-task COPIES; a JVM-global object is

@@ -289,3 +289,60 @@ class PolitenessSpec extends AnyFunSuite {
     assert(r.rounds == 8) // continuous mode runs to the round cap
   }
 }
+
+/** CrawlConfig.urlShapeGate: the RefinedWeb/C4 URL-shape filter wired at
+  * the topology's frontier-insert point (the reference's ValidUrlsFilter
+  * slot, SURVEY §2.2 L3) — trap-shaped URLs never enter the frontier and
+  * the drops are journaled per round.
+  */
+class UrlShapeGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val trap = "domain1.com/a/b/c/d/e/f/g/h/i/j"
+  private val graph = WebGraph(
+    "domain1.com" -> Seq("domain1.com/ok", trap),
+    "domain1.com/ok" -> Seq.empty)
+  private val fetcher = new WebGraphFetcher(graph)
+  private val robots = new MapRobotsFetcher(Map.empty)
+
+  test("trap-shaped outlinks are journaled and never reach the frontier; gate off admits them") {
+    val gated = CrawlTopology.run(spark, Seq(("domain1.com", 1.0f)),
+      fetcher, robots,
+      cfg = CrawlConfig(maxRounds = 10,
+        urlShapeGate = Some(UrlShapeThresholds())))
+    val urls = gated.frontier.select("url").collect().map(_.getString(0)).toSet
+    assert(urls.contains("http://domain1.com/ok"), urls.toString)
+    assert(!urls.exists(_.contains("/a/b/c")), urls.toString)
+    val drops = gated.journal
+      .filter(col("stage") === "url_shape" && col("status") === "DROPPED_SHAPE")
+      .select("url").collect().map(_.getString(0))
+    assert(drops.exists(_.contains("/a/b/c")), drops.mkString(","))
+    // and the fetch stage never saw it (a drop at insert costs nothing)
+    val fetchedTrap = gated.journal
+      .filter(col("stage") === "fetch" && col("url").contains("/a/b/c"))
+    assert(fetchedTrap.count() == 0)
+
+    // gate off: the same crawl admits the trap (proves the gate is what
+    // blocked it, not URL validity)
+    val open = CrawlTopology.run(spark, Seq(("domain1.com", 1.0f)),
+      fetcher, robots, cfg = CrawlConfig(maxRounds = 10))
+    val openUrls = open.frontier.select("url").collect().map(_.getString(0)).toSet
+    assert(openUrls.exists(_.contains("/a/b/c")), openUrls.toString)
+  }
+
+  test("trap-shaped seeds are gated at round 0 and journaled") {
+    val r = CrawlTopology.run(spark,
+      Seq(("domain1.com/ok", 1.0f),
+        ("domain1.com/p?a=1&b=2&c=3&d=4&e=5", 1.0f)),
+      fetcher, robots,
+      cfg = CrawlConfig(maxRounds = 3,
+        urlShapeGate = Some(UrlShapeThresholds())))
+    val urls = r.frontier.select("url").collect().map(_.getString(0)).toSet
+    assert(urls.contains("http://domain1.com/ok"), urls.toString)
+    assert(!urls.exists(_.contains("a=1")), urls.toString)
+    val drop = r.journal.filter(col("stage") === "url_shape")
+      .select("round", "url").collect()
+    assert(drop.exists(x => x.getInt(0) == 0 && x.getString(1).contains("a=1")),
+      drop.mkString(","))
+  }
+}

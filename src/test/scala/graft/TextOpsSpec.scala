@@ -873,6 +873,28 @@ class JaccardSkewGuardSpec extends AnyFunSuite {
     assert(guarded == Set((1L, 2L)), s"got $guarded vs strict $strict")
   }
 
+  test("guarded path runs the shingle pipeline once; the doc-count cap is a broadcast, not a driver count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.TextOps.ngramJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.3,
+      maxDocFrequency = Some(0.6))
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    // pre-join work reads the ONE checkpointed shingle pass: the shingle
+    // UDF must not appear anywhere in the executed plan (it would mean a
+    // second corpus pass for the frequent-shingle aggregate), and the
+    // doc-count threshold must ride in as a broadcast 1-row aggregate
+    // (plan contains the broadcast join; no separate driver-side count
+    // job is observable in the plan because there is none)
+    assert(!plan.contains("UDF"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
   test("default guard bounds hot-shingle join fan-out") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
