@@ -144,6 +144,24 @@ object BpeTrainer {
     // after rewrites (checked on use) but bound per-round work to the
     // words a merge can actually change
     val index = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // lazy-deletion argmax heap: every count CHANGE pushes the pair at
+    // its new value; pops discard entries whose value is stale. Replaces
+    // the full O(|pairs|) scan per merge (the round-8 loop's dominant
+    // cost at 50k merges) with amortized O(log) work per count update.
+    // Head order = the distributed loop's exact argmax tie-break:
+    // cnt desc, then l asc, then r asc.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val lc = b._2.compareTo(a._2) // smaller l wins the tie
+          if (lc != 0) lc else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    var heapLive = false // bulk-seed after the initial tally, not during
     def tally(wi: Int, sign: Long): Unit = {
       val s = syms(wi); val f = freqs(wi) * sign
       var i = 0
@@ -151,23 +169,31 @@ object BpeTrainer {
         val p = (s(i), s(i + 1))
         val c = counts.getOrElse(p, 0L) + f
         if (c == 0L) counts.remove(p) else counts(p) = c
+        if (heapLive && c != 0L) heap.enqueue((c, p._1, p._2))
         if (sign > 0L) index.getOrElseUpdate(p, mutable.BitSet.empty) += wi
         i += 1
       }
     }
     syms.indices.foreach(tally(_, 1L))
+    counts.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
+    heapLive = true
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
-      // argmax with the distributed loop's exact tie-break:
-      // cnt desc, l asc, r asc
+      // stale entries (value no longer current) drop on pop; the first
+      // LIVE head is the true argmax under (cnt desc, l asc, r asc)
       var best: (String, String) = null
       var bestC = Long.MinValue
-      counts.foreach { case (p, c) =>
-        if (best == null || c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
-          { best = p; bestC = c }
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.getOrElse((l, r), 0L) == c) { best = (l, r); bestC = c }
+      }
+      // bound stale buildup: if discards outnumber live pairs badly,
+      // rebuild the heap from current counts (rare; keeps memory linear)
+      if (heap.size > 4 * counts.size + (1 << 16)) {
+        heap.clear()
+        counts.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
       }
       if (best == null || bestC < 2L) exhausted = true
       else {

@@ -114,17 +114,60 @@ object TrainingCorpus {
         * recomputed — so a build that dies at stage k resumes from stage
         * k-1's durable output rather than re-running the corpus from the
         * top (at 100 TB, the difference between a retry and a re-run).
-        * Stage dirs are indexed (`00_quality…`, `03_dedup`, …) so a
-        * config change is a caller-visible layout change; delete the
-        * workDir (or a suffix of it) to force recomputation. None =
-        * in-memory `localCheckpoint` pinning (the test/iterate mode).
+        * Stage dirs are indexed (`00_quality…`, `03_dedup`, …), and the
+        * workDir is PINNED to its build parameters by a `_MANIFEST` file
+        * (Config, column names, input schema, `inputId`): re-invoking
+        * with different parameters against an existing workDir throws
+        * instead of silently serving stage outputs computed under the
+        * old parameters — delete the workDir (or a suffix of it) to
+        * rebuild. None = in-memory `localCheckpoint` pinning (the
+        * test/iterate mode).
         */
-      workDir: Option[String] = None): Result = {
+      workDir: Option[String] = None,
+      /** Caller-supplied input version tag folded into the workDir
+        * manifest: pass a snapshot id / path / date when the SAME
+        * workDir may be re-invoked over changing input data, so a stale
+        * resume refuses instead of returning the old input's corpus.
+        * (The manifest pins Config + columns + schema by itself; input
+        * CONTENT is only visible through this tag.)
+        */
+      inputId: String = ""): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val plans = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val cached = scala.collection.mutable.ArrayBuffer.empty[String]
     val spark = docs.sparkSession
+
+    // pin the workDir to this build's parameters before any stage can be
+    // served from it: resume must mean "same build, continued"
+    workDir.foreach { root =>
+      val manifest = Seq(
+        "cfg=" + cfg.toString,
+        s"cols=$idCol,$textCol,$strataCol,bench=$benchTextCol",
+        "benchmark=" + benchmark.isDefined,
+        "referenceLm=" + referenceLm.map(m =>
+          s"${m.bigrams.size}/${m.unigrams.size}/${m.vocabSize}/" +
+            s"${m.totalTokens}/${m.lambda}/${m.k}").getOrElse("none"),
+        "blocklist=" + blocklist.map(_._2).getOrElse("none"),
+        "inputId=" + inputId,
+        "schema=" + docs.schema.catalogString).mkString("\n")
+      val p = new org.apache.hadoop.fs.Path(root, "_MANIFEST")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val existing = try new String(in.readAllBytes()) finally in.close()
+        if (existing != manifest)
+          throw new IllegalStateException(
+            s"workDir $root was built with different parameters — " +
+              "resuming would serve stage outputs computed under the old " +
+              s"config/input. Delete it to rebuild.\n--- stored:\n$existing" +
+              s"\n--- requested:\n$manifest")
+      } else {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+        val out = fs.create(p, true)
+        try out.write(manifest.getBytes) finally out.close()
+      }
+    }
     var stageIdx = -1
     def stageDir(name: String): Option[String] =
       workDir.map(root => f"$root/$stageIdx%02d_$name")

@@ -148,9 +148,9 @@ object Sinks {
     * repartition so the emitted shards are globally sorted by
     * (surt, ts), the property CDX binary-search lookup needs.
     */
-  def cdxIndex(records: DataFrame): DataFrame = {
+  def cdxIndex(records: DataFrame, extraCols: Seq[Column] = Nil): DataFrame = {
     val surt = udf((u: String) => graft.functions.UrlFunctions.surtKey(u))
-    records.select(
+    records.select(Seq(
       surt(col("url")).as("surt"),
       // CDX timestamps are defined as UTC; date_format renders wall time
       // in the SESSION timezone, so shift the instant first such that the
@@ -165,21 +165,28 @@ object Sinks {
       col("statusCode").cast("long").as("status"),
       md5(col("content")).as("digest"),
       length(encode(col("content"), "UTF-8")).cast("long").as("n_octets"))
+      ++ extraCols: _*)
   }
 
   /** Render + write the CDX index for an archive directory: space-joined
     * text lines (the classic CDX line shape: key, timestamp, url, mime,
-    * status, digest, length), range-partitioned and sorted so the file
-    * set reads back in global (surt, ts) order.
+    * status, digest, length, plus the holding WARC segment's filename —
+    * the reference CDX `filename` field that lets a lookup read ONE
+    * archive file, CommonCrawlFetcher.java:146), range-partitioned and
+    * sorted so the file set reads back in global (surt, ts) order —
+    * the property [[graft.sources.CdxLookup]]'s shard pruning needs.
     */
   def writeCdx(spark: org.apache.spark.sql.SparkSession,
-      archiveDir: String, path: String, shards: Int = 1): Unit =
-    cdxIndex(graft.sources.WarcSource.read(spark, archiveDir))
+      archiveDir: String, path: String, shards: Int = 1): Unit = {
+    val records = graft.sources.WarcSource.readWithFile(spark, archiveDir)
+    cdxIndex(records, extraCols = Seq(col("warc_file")))
       .repartitionByRange(shards, col("surt"), col("ts"))
       .sortWithinPartitions(col("surt"), col("ts"))
       .select(concat_ws(" ", col("surt"), col("ts"), col("url"), col("mime"),
-        col("status"), col("digest"), col("n_octets")).as("value"))
+        col("status"), col("digest"), col("n_octets"), col("warc_file"))
+        .as("value"))
       .write.mode("overwrite").text(path)
+  }
 
   /** Training-corpus export: parquet laid out by split (and shard, when
     * a shard column is present — [[graft.operators.TextOps.shardAndPack]]

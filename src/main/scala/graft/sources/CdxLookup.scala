@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+
+/** CDX-pruned archive lookup — the read side of
+  * [[graft.sinks.Sinks.writeCdx]], modeled on the reference's CommonCrawl
+  * secondary-index path (…/fetcher/commoncrawl/CommonCrawlFetcher.java:50
+  * and SecondaryIndexMap.java:25: binary-search the sorted secondary
+  * index, then fetch ONE archive range): given a URL set,
+  *
+  *   1. shard pruning — the CDX was written range-partitioned and sorted
+  *      by (surt, ts), so shard i covers [firstKey_i, firstKey_{i+1}).
+  *      The driver reads ONE line per shard (the first — cheap, bounded
+  *      by shard count) and keeps only shards whose range can hold a
+  *      wanted key: the distributed analogue of the binary search.
+  *   2. entry filter — the surviving shards are scanned for the wanted
+  *      surt keys, yielding the CDX entries incl. the `warc_file` field.
+  *   3. file-pruned fetch — only the named segment files are read
+  *      ([[WarcSource.readPaths]]); the rest of the archive is never
+  *      opened.
+  *
+  * Scale shape: a point lookup against an N-segment archive reads
+  * |shard headers| driver-side bytes + the few CDX shards and WARC
+  * segments the keys actually live in — touched-file count is bounded by
+  * the lookup set, never by archive size. [[LookupStats]] reports both
+  * counts so callers (and the spec/bench) can assert the pruning.
+  */
+object CdxLookup {
+
+  final case class LookupStats(
+    cdxShardsTotal: Int, cdxShardsRead: Int,
+    warcFilesTotal: Int, warcFilesRead: Int)
+
+  /** First text line of a file, driver-side (bounded read). */
+  private def firstLine(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try Option(in.readLine()).getOrElse("") finally in.close()
+  }
+
+  private def sortedShards(
+      spark: SparkSession, cdxPath: String): (Seq[Path], Seq[String]) = {
+    val root = new Path(cdxPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName).toSeq
+    (files, files.map(f => firstLine(fs, f).takeWhile(_ != ' ')))
+  }
+
+  /** CDX entries for the wanted URLs: (surt, ts, url, mime, status,
+    * digest, n_octets, warc_file), read from only the shards whose key
+    * range can contain a wanted surt.
+    */
+  def entries(
+      spark: SparkSession, cdxPath: String,
+      urls: Seq[String]): (DataFrame, LookupStats) = {
+    val wanted = urls.map(UrlFunctions.surtKey).distinct
+    val (files, firstKeys) = sortedShards(spark, cdxPath)
+    // nonempty shards in range order; an empty shard holds nothing and
+    // must not shadow its predecessor's range
+    val cand = firstKeys.zipWithIndex.filter(_._1.nonEmpty)
+    // shard j may contain surt k iff firstKey_j <= k and the NEXT shard
+    // starts at or after k (range partitioning on (surt, ts) can split
+    // one surt's captures across a boundary, so boundary equality keeps
+    // BOTH sides — the conservative interval test a binary search over
+    // first keys implies)
+    val hit = wanted.flatMap { k =>
+      cand.indices.filter { j =>
+        cand(j)._1 <= k &&
+          (j == cand.length - 1 || cand(j + 1)._1 >= k)
+      }.map(cand(_)._2)
+    }.distinct.sorted
+    val stats0 = LookupStats(files.size, hit.size, 0, 0)
+    if (hit.isEmpty)
+      return (spark.emptyDataFrame, stats0)
+    val lines = spark.read.text(hit.map(i => files(i).toString): _*)
+    val cols = Seq("surt", "ts", "url", "mime", "status", "digest",
+      "n_octets", "warc_file")
+    val parsed = lines
+      .select(split(col("value"), " ").as("p"))
+      .select(cols.zipWithIndex.map { case (n, i) =>
+        element_at(col("p"), i + 1).as(n)
+      }: _*)
+      .withColumn("status", col("status").cast("long"))
+      .withColumn("n_octets", col("n_octets").cast("long"))
+      .filter(col("surt").isin(wanted: _*))
+    (parsed, stats0)
+  }
+
+  /** Fetch the wanted URLs' archived records, reading ONLY the WARC
+    * segment files the CDX entries name. Returns [[WarcSource.read]]'s
+    * schema filtered to the URL set, plus the pruning stats.
+    */
+  def fetch(
+      spark: SparkSession, archiveDir: String, cdxPath: String,
+      urls: Seq[String]): (DataFrame, LookupStats) = {
+    val (cdx, s0) = entries(spark, cdxPath, urls)
+    val archiveRoot = new Path(archiveDir)
+    val fs = archiveRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalFiles = fs.listStatus(archiveRoot)
+      .count(st => st.getPath.getName.startsWith("part-"))
+    val wantedFiles =
+      if (s0.cdxShardsRead == 0) Seq.empty[String]
+      else cdx.select("warc_file").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    val stats = s0.copy(
+      warcFilesTotal = totalFiles, warcFilesRead = wantedFiles.size)
+    if (wantedFiles.isEmpty) return (spark.emptyDataFrame, stats)
+    val records = WarcSource.readPaths(spark,
+      wantedFiles.map(n => s"$archiveDir/$n"))
+    (records.filter(col("url").isin(urls: _*)), stats)
+  }
+}

@@ -86,9 +86,17 @@ object WarcSource {
     * true` to surface every record with its type).
     */
   def read(spark: SparkSession, path: String,
+      keepAllTypes: Boolean = false): DataFrame =
+    readPaths(spark, Seq(path), keepAllTypes)
+
+  /** [[read]] over an explicit file list — the CDX-pruned lookup path
+    * ([[CdxLookup.fetch]]) reads ONLY the segment files its index hits
+    * name, instead of the whole archive directory.
+    */
+  def readPaths(spark: SparkSession, paths: Seq[String],
       keepAllTypes: Boolean = false): DataFrame = {
     import spark.implicits._
-    val all = spark.read.option("wholetext", "true").text(path)
+    val all = spark.read.option("wholetext", "true").text(paths: _*)
       .as[String]
       .flatMap(parseFile _)
       .toDF()
@@ -96,5 +104,27 @@ object WarcSource {
     else all.filter(col("warcType") === "resource")
       .select(col("url"), col("contentType"), col("warcDate"), col("content"),
         col("statusCode"), col("redirectedTo"), col("fetchTimeMs"))
+  }
+
+  /** One row per resource record WITH the holding segment file's name —
+    * what [[graft.sinks.Sinks.writeCdx]] records so a CDX hit maps back
+    * to the one file that must be read (the reference's CDX `filename`
+    * field, …/fetcher/commoncrawl/CommonCrawlFetcher.java:146).
+    */
+  def readWithFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(col("value"), input_file_name().as("f"))
+      .as[(String, String)]
+      .flatMap { case (text, f) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        parseFile(text).map(r => (r.warcType, r.url, r.contentType,
+          r.warcDate, r.content, r.statusCode, r.redirectedTo,
+          r.fetchTimeMs, name))
+      }
+      .toDF("warcType", "url", "contentType", "warcDate", "content",
+        "statusCode", "redirectedTo", "fetchTimeMs", "warc_file")
+      .filter(col("warcType") === "resource")
+      .drop("warcType")
   }
 }

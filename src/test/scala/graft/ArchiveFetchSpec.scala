@@ -99,6 +99,43 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(p2(6).toLong > 0)
   }
 
+  test("cdx-pruned lookup reads only the shards and segments the keys live in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = (0 until 200).map(i =>
+      (s"http://site$i.com/p", "text/html", s"body $i", 1700000000000L + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdxlkp").toString
+    graft.sinks.Sinks.writeWarc(
+      pages.toDF("url", "contentType", "content", "fetchTimeMs"),
+      s"$dir/warc", maxRecordsPerFile = 10)
+    graft.sinks.Sinks.writeCdx(spark, s"$dir/warc", s"$dir/cdx", shards = 8)
+
+    val want = Seq("http://site7.com/p", "http://site123.com/p")
+    val (got, stats) = graft.sources.CdxLookup.fetch(
+      spark, s"$dir/warc", s"$dir/cdx", want)
+    val m = got.select("url", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.keySet == want.toSet, m.toString)
+    assert(m("http://site7.com/p") == "body 7")
+    assert(m("http://site123.com/p") == "body 123")
+    // the point lookup touched a small fraction of both file sets
+    assert(stats.cdxShardsTotal == 8, stats.toString)
+    assert(stats.cdxShardsRead <= 3, stats.toString)
+    assert(stats.warcFilesTotal >= 15, stats.toString)
+    assert(stats.warcFilesRead <= 2, stats.toString)
+    // a miss opens no archive file at all
+    val (_, ms) = graft.sources.CdxLookup.fetch(
+      spark, s"$dir/warc", s"$dir/cdx", Seq("http://nosuch.example/x"))
+    assert(ms.warcFilesRead == 0, ms.toString)
+    // pruned result == unpruned full-archive filter (no capture lost at
+    // a shard boundary)
+    val full = graft.sources.WarcSource.read(spark, s"$dir/warc")
+      .filter(col("url").isin(want: _*))
+      .select("url", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(full == m)
+  }
+
   test("cdx timestamps are UTC under ANY session timezone") {
     import org.apache.spark.sql.functions.lit
     // CDX defines the 14-digit timestamp as UTC; a non-UTC session must

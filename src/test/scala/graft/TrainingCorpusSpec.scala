@@ -304,4 +304,74 @@ class TrainingCorpusSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(survivors == Set(1L), s"got $survivors; audit=${result.audit}")
   }
+
+  test("workDir manifest: changed config or inputId refuses to resume") {
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a careful study of the historical documents reveals clear patterns")
+    ).toDF("doc_id", "text").withColumn("stratum", lit("web"))
+    val work = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val base = TrainingCorpus.Config(minAlphaRatio = 0.0, boilerplateMinDf = 99)
+    def run(cfg: TrainingCorpus.Config, id: String = "") = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum", None, "text", None, cfg,
+      workDir = Some(work), inputId = id)
+    run(base)
+    // a parameter change against the same workDir must throw, not serve
+    // stage outputs computed under the old config
+    intercept[IllegalStateException](run(base.copy(dedupThreshold = 0.8)))
+    intercept[IllegalStateException](run(base, id = "snapshot-2"))
+    // unchanged parameters still resume from the committed stages
+    assert(run(base).cachedStages.nonEmpty)
+  }
+
+  test("mid-build crash: resume from the durable prefix yields the identical corpus") {
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a careful study of the historical documents reveals clear patterns"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river banks")
+    ).toDF("doc_id", "text").withColumn("stratum", lit("web"))
+    val cfg = TrainingCorpus.Config(minAlphaRatio = 0.0, boilerplateMinDf = 99)
+    // a wordlist whose evaluation THROWS while armed: the build dies
+    // inside the blocklist stage thunk — a real mid-build failure, not a
+    // simulated directory deletion
+    val wordlist = spark.range(1).map { _ =>
+      if (CorpusPoison.armed)
+        throw new RuntimeException("injected stage failure")
+      "zzzznothing"
+    }.toDF("word")
+    val work = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    def run(dir: String) = TrainingCorpus.build(
+      docs, "doc_id", "text", "stratum", None, "text", None, cfg,
+      blocklist = Some((wordlist, "word")), workDir = Some(dir))
+
+    CorpusPoison.armed = true
+    intercept[Throwable](run(work))
+    CorpusPoison.armed = false
+    // the crash left stage 00 durable and committed (_SUCCESS)
+    val stage0 = new java.io.File(work).listFiles()
+      .find(_.getName.endsWith("_quality_lang_repetition"))
+    assert(stage0.exists(f => new java.io.File(f, "_SUCCESS").exists()),
+      new java.io.File(work).listFiles().map(_.getName).mkString(","))
+
+    val resumed = run(work)
+    assert(resumed.cachedStages == Seq("quality_lang_repetition"),
+      resumed.cachedStages.toString)
+    val fresh = run(
+      java.nio.file.Files.createTempDirectory("graft-crash-fresh").toString)
+    def ids(r: TrainingCorpus.Result) =
+      r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(resumed) == ids(fresh), s"${ids(resumed)} vs ${ids(fresh)}")
+    assert(ids(resumed) == Set(1L, 2L))
+    assert(resumed.audit.map(_._1) == fresh.audit.map(_._1))
+    assert(resumed.audit.toMap == fresh.audit.toMap,
+      s"${resumed.audit} vs ${fresh.audit}")
+  }
 }
+
+/** JVM-global failure injector for the mid-build crash spec (closures
+  * capture copies of test fields; a global is shared with local-mode
+  * executor threads — the FetchLog pattern).
+  */
+object CorpusPoison { @volatile var armed = false }
