@@ -44,7 +44,12 @@ import org.apache.spark.sql.types._
   *
   * Mirrors the merge-on-read discipline of [[graft.crawl.FrontierStore]];
   * here rows are immutable (signatures never change), so plain
-  * append+marker replaces manifests entirely.
+  * append+marker replaces manifests entirely. A loop that appends one
+  * dir per micro-batch forever accumulates small files; [[compact]]
+  * folds all but the newest batches (and the previous snapshot) into
+  * one file per bucket per table under `<table>/c<gen>`, committed by
+  * an atomic `_COMPACT` pointer flip — run it between batches from the
+  * single writer that owns the store.
   */
 object SignatureIndexStore {
 
@@ -158,12 +163,71 @@ object SignatureIndexStore {
     try out.write(Array.emptyByteArray) finally out.close()
   }
 
+  /** Latest compaction state: (generation, coveredUpTo). Batches
+    * `<= coveredUpTo` live merged in `<table>/c<generation>`; newer
+    * batches keep their own `batch=` dirs. The `_COMPACT` pointer write
+    * is the commit point (the [[graft.crawl.FrontierStore]] `_LATEST`
+    * discipline — readers never see a half-built compaction).
+    */
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_COMPACT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes()).trim finally in.close()
+      val Array(gen, upTo) = text.split(" ")
+      Some((gen.toLong, upTo.toLong))
+    }
+  }
+
+  /** The data sources visible to a reader fenced at `belowBatch`: the
+    * compact snapshot (if any) plus the uncompacted committed batches in
+    * `(coveredUpTo, belowBatch)`. A fence at or below the compaction
+    * horizon cannot be served (its batches no longer exist separately) —
+    * [[compact]]'s keep-newest policy makes that unreachable from the
+    * streaming loop, so it throws rather than silently over-matching.
+    */
+  private def visible(
+      spark: SparkSession, root: String,
+      belowBatch: Long): (Option[Long], Seq[Long]) = {
+    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    if (upTo >= belowBatch && upTo >= 0)
+      throw new IllegalStateException(
+        s"store at $root is compacted through batch $upTo; a reader " +
+          s"fenced at belowBatch=$belowBatch cannot exclude compacted " +
+          "batches — compact() keeps the newest batches uncompacted " +
+          "exactly to prevent this (retry fences only ever point at the " +
+          "newest batch)")
+    val batches = committedBatches(spark, root)
+      .filter(b => b > upTo && b < belowBatch)
+    (if (gen >= 0) Some(gen) else None, batches)
+  }
+
+  /** Union the compact snapshot and the live batch dirs of one table,
+    * projected to `cols` after an optional bucket prune. The two file
+    * sets are read separately (their partition-column layouts differ)
+    * and unioned by name; bucket pruning applies to both.
+    */
   private def readTable(
       spark: SparkSession, root: String, table: String, schema: StructType,
-      batches: Seq[Long]): DataFrame = {
-    val paths = batches.map(b => s"$root/$table/batch=$b")
-    spark.read.schema(schema).option("basePath", s"$root/$table")
-      .parquet(paths: _*)
+      gen: Option[Long], batches: Seq[Long],
+      bucketFilter: Option[Seq[Int]], cols: Seq[String]): Option[DataFrame] = {
+    def prune(df: DataFrame) =
+      bucketFilter.fold(df)(bs => df.filter(col("bucket").isin(bs: _*)))
+        .select(cols.map(col): _*)
+    val dataSchema = StructType(schema.filterNot(_.name == "batch"))
+    val parts =
+      gen.map { k =>
+        prune(spark.read.schema(dataSchema)
+          .option("basePath", s"$root/$table/c$k")
+          .parquet(s"$root/$table/c$k"))
+      }.toSeq ++
+        (if (batches.isEmpty) Seq.empty
+         else Seq(prune(spark.read.schema(schema)
+           .option("basePath", s"$root/$table")
+           .parquet(batches.map(b => s"$root/$table/batch=$b"): _*))))
+    parts.reduceOption(_ unionByName _)
   }
 
   /** The index as a plain (doc_id, sig) frame over committed batches —
@@ -173,14 +237,58 @@ object SignatureIndexStore {
   def sigsView(
       spark: SparkSession, root: String,
       belowBatch: Long = Long.MaxValue): DataFrame = {
-    val batches = committedBatches(spark, root).filter(_ < belowBatch)
-    if (batches.isEmpty)
-      spark.createDataFrame(
+    val (gen, batches) = visible(spark, root, belowBatch)
+    readTable(spark, root, "sigs", sigsSchema, gen, batches,
+      None, Seq("doc_id", "sig"))
+      .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
-          StructField("sig", ArrayType(LongType)))))
-    else readTable(spark, root, "sigs", sigsSchema, batches)
-      .select("doc_id", "sig")
+          StructField("sig", ArrayType(LongType))))))
+  }
+
+  /** Merge all committed batches EXCEPT the newest `keepNewest` (and any
+    * previous compact snapshot) into one file per bucket per table —
+    * the small-files countermeasure for a loop that appends one dir per
+    * micro-batch forever. Single-writer operation (run it between
+    * batches, from the loop that owns the store). Newest batches stay
+    * uncompacted so a RETRIED batch's read fence (`belowBatch` = its own
+    * id) can still exclude its previous append.
+    *
+    * Commit protocol: new `c<gen+1>` dirs land fully, then the one-line
+    * `_COMPACT` pointer flips, then superseded sources (old compact gen,
+    * covered batch dirs) are deleted — a crash leaves either the old
+    * state fully readable or the new state committed with orphan dirs.
+    */
+  def compact(
+      spark: SparkSession, root: String, keepNewest: Int = 1): Unit = {
+    val (prevGen, prevUpTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    val all = committedBatches(spark, root).filter(_ > prevUpTo)
+    if (all.size <= keepNewest) return // nothing worth merging
+    val cover = all.dropRight(keepNewest)
+    val upTo = cover.last
+    val gen = prevGen + 1
+    val f = fs(spark, root)
+    Seq(("bands", bandsSchema, "band_hash"), ("sigs", sigsSchema, "doc_id"))
+      .foreach { case (table, schema, sortKey) =>
+        val merged = readTable(spark, root, table, schema,
+          if (prevGen >= 0) Some(prevGen) else None, cover,
+          None, schema.map(_.name).filterNot(_ == "batch"))
+          .get // cover.nonEmpty, so at least one source exists
+        merged
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", sortKey)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$root/$table/c$gen")
+      }
+    val out = f.create(new Path(root, "_COMPACT"), true)
+    try out.write(s"$gen $upTo".getBytes) finally out.close()
+    // reclaim superseded sources; the pointer already committed
+    Seq("bands", "sigs").foreach { table =>
+      if (prevGen >= 0)
+        f.delete(new Path(s"$root/$table/c$prevGen"), true)
+      cover.foreach(b =>
+        f.delete(new Path(s"$root/$table/batch=$b"), true))
+    }
   }
 
   private def emptyMatches(spark: SparkSession): DataFrame =
@@ -200,8 +308,8 @@ object SignatureIndexStore {
       spark: SparkSession, root: String, batchSigs: DataFrame,
       threshold: Double, belowBatch: Long = Long.MaxValue): DataFrame = {
     val meta = readMeta(spark, root).getOrElse(return emptyMatches(spark))
-    val batches = committedBatches(spark, root).filter(_ < belowBatch)
-    if (batches.isEmpty) return emptyMatches(spark)
+    val (gen, batches) = visible(spark, root, belowBatch)
+    if (gen.isEmpty && batches.isEmpty) return emptyMatches(spark)
 
     val pinned = batchSigs.select(col("doc_id"), col("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
@@ -219,9 +327,8 @@ object SignatureIndexStore {
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return emptyMatches(spark)
 
-    val bands = readTable(spark, root, "bands", bandsSchema, batches)
-      .filter(col("bucket").isin(touched: _*))
-      .select("band_hash", "doc_id")
+    val bands = readTable(spark, root, "bands", bandsSchema, gen, batches,
+      Some(touched), Seq("band_hash", "doc_id")).get
     // candidate pairs: index scan streams through a broadcast of the
     // batch side — no index-sized shuffle
     val cand = bands
@@ -234,8 +341,8 @@ object SignatureIndexStore {
       .collect().map(_.getInt(0)).toSeq
     if (candBuckets.isEmpty) return emptyMatches(spark)
 
-    val sigs = readTable(spark, root, "sigs", sigsSchema, batches)
-      .filter(col("bucket").isin(candBuckets: _*))
+    val sigs = readTable(spark, root, "sigs", sigsSchema, gen, batches,
+      Some(candBuckets), Seq("doc_id", "sig")).get
       .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b"))
     sigs
       .join(broadcast(cand), Seq("corpus_id"))

@@ -438,6 +438,27 @@ object TextQueries {
         .select(col("lang"), col("n_pretokens"), col("n_words"),
           expr("(100 * n_pretokens) div greatest(n_words, 1)")
             .as("fertility_pct"))),
+    "q101_store_dedup" -> ((s, d) => {
+      // q62's incremental-dedup semantics driven through the DURABLE
+      // bucketed SignatureIndexStore (append → bucket-pruned matches)
+      // instead of an in-memory index frame — the round-9 production
+      // layout behind the driver's own oracle gate. Even doc_ids seed
+      // the standing index; odd doc_ids are the incoming batch.
+      import graft.operators.{CorpusIngest, SignatureIndexStore}
+      val cfg = CorpusIngest.Config()
+      val all = docs(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q101").toString
+      SignatureIndexStore.append(s, root,
+        CorpusIngest.signatureIndex(
+          all.filter(col("doc_id") % 2 === 0), "doc_id", "text", cfg),
+        0L, SignatureIndexStore.Meta(
+          cfg.indexBuckets, cfg.numHashes, cfg.bandSize))
+      SignatureIndexStore.matches(s, root,
+        CorpusIngest.signatureIndex(
+          all.filter(col("doc_id") % 2 === 1), "doc_id", "text", cfg),
+        cfg.threshold)
+    }),
     "q100_fp_tiers" -> ((s, d) =>
       // CCNet-style per-stratum head/middle/tail tiers via the EXACT
       // integer histogram-quantile (TextOps.fixedPointBuckets — the
@@ -816,6 +837,28 @@ object TextQueries {
         |    // GREATEST(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
         |      AS BIGINT), 1) AS fertility_pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q101_store_dedup" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |s AS (SELECT * FROM sigs WHERE sig[1] IS NOT NULL),
+         |nb AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM s WHERE doc_id % 2 = 1),
+         |cb AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, 4),
+         |    b -> CONCAT(b, '-', array_to_string(sig[b*4+1:b*4+4], ','))))
+         |    AS band_key
+         |  FROM s WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+         |  FROM nb x JOIN cb y ON x.band_key = y.band_key),
+         |j AS (SELECT c.new_id, c.corpus_id,
+         |    CAST(len(list_filter(range(0, 16),
+         |      i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 16.0 AS jaccard_est
+         |  FROM cand c
+         |  JOIN s a ON a.doc_id = c.new_id
+         |  JOIN s b ON b.doc_id = c.corpus_id)
+         |SELECT new_id, corpus_id, jaccard_est FROM j
+         |WHERE jaccard_est >= 0.5""".stripMargin,
     "q100_fp_tiers" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |    CAST((length(text) * 1000) // GREATEST(len($dTokens), 1)

@@ -198,6 +198,66 @@ class CorpusIngestSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("store compaction: one file per bucket, matches unchanged, retry fence still served") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigcompact").toString
+    def sigsOf(rows: Seq[(Long, String)]) = CorpusIngest.signatureIndex(
+      rows.toDF("doc_id", "text"), "doc_id", "text", cfg)
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))),
+      0L, meta)
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (2L, "a careful study of historical documents reveals many patterns"))),
+      1L, meta)
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (3L, "novel observations about glacier movement and seasonal melt"))),
+      2L, meta)
+    val probe = sigsOf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the ocean"),
+      (11L, "novel observations about glacier movement and seasonal melts")))
+      .localCheckpoint(true)
+    def matchSet = SignatureIndexStore
+      .matches(spark, root, probe, cfg.threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = matchSet
+    assert(before == Set((10L, 1L), (11L, 3L)), before.toString)
+
+    SignatureIndexStore.compact(spark, root) // keeps newest batch (2)
+    assert(SignatureIndexStore.compactState(spark, root) == Some((0L, 1L)))
+    assert(matchSet == before)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // covered batch dirs are gone; the snapshot has ONE file per bucket
+    assert(!new java.io.File(s"$root/sigs/batch=0").exists())
+    assert(!new java.io.File(s"$root/sigs/batch=1").exists())
+    val bucketDirs = new java.io.File(s"$root/sigs/c0").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    assert(bucketDirs.forall(
+      _.listFiles().count(_.getName.startsWith("part-")) == 1))
+
+    // the newest batch stayed uncompacted, so its own retry fence works
+    assert(SignatureIndexStore
+      .matches(spark, root, probe, cfg.threshold, belowBatch = 2L)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    // a fence at or below the horizon is refused, not silently wrong
+    intercept[IllegalStateException] {
+      SignatureIndexStore.matches(spark, root, probe, cfg.threshold,
+        belowBatch = 1L)
+    }
+
+    // append + second compaction folds the previous snapshot forward
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (4L, "fresh reporting on municipal budgets and local road repairs"))),
+      3L, meta)
+    SignatureIndexStore.compact(spark, root)
+    assert(SignatureIndexStore.compactState(spark, root) == Some((1L, 2L)))
+    assert(!new java.io.File(s"$root/sigs/c0").exists())
+    assert(matchSet == before)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L))
+  }
+
   test("indexed streaming loop: accepted set equals the v=-versioned layout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
