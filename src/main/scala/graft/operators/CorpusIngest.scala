@@ -270,7 +270,13 @@ object CorpusIngest {
   def streamingIndexed(
       batches: DataFrame, idCol: String, textCol: String,
       indexRoot: String, acceptedDir: String,
-      cfg: Config = Config()): org.apache.spark.sql.streaming.StreamingQuery =
+      cfg: Config = Config(),
+      /** Fold the store's batch dirs into one file per bucket every this
+        * many batches ([[SignatureIndexStore.compact]]) — the loop IS
+        * the store's single writer, and foreachBatch runs serially, so
+        * between-batch compaction is safe by construction. 0 = never.
+        */
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -278,6 +284,8 @@ object CorpusIngest {
           ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg)
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          SignatureIndexStore.compact(b.sparkSession, indexRoot)
       }
       .start()
 }

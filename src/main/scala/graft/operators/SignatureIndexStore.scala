@@ -303,6 +303,16 @@ object SignatureIndexStore {
     * semantics with the index side read pre-exploded and bucket-pruned.
     * Only batches `< belowBatch` are visible (a retried batch must not
     * match against its own half-committed append).
+    *
+    * Fan-out note: when the store is fed by the [[CorpusIngest]] loop,
+    * the index is DEDUP-SPARSE by construction — only docs that matched
+    * nothing were ever appended — so a new doc's band keys collide with
+    * a bounded set of mutually-dissimilar index entries; the
+    * duplicate-cluster blowup LSH suffers on raw corpora (one hot band
+    * key → a million-row candidate explosion) cannot arise from data
+    * the loop itself admitted. An index bulk-seeded from an UNdeduped
+    * corpus does not get this guarantee: dedup the seed first (the
+    * [[TrainingCorpus]] dedup stage) before `append`ing it.
     */
   def matches(
       spark: SparkSession, root: String, batchSigs: DataFrame,

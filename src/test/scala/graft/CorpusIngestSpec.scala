@@ -273,26 +273,33 @@ class CorpusIngestSpec extends AnyFunSuite {
         (20L, "novel observations about glacier movement and seasonal melts"),
         (21L, "fresh reporting on municipal budgets and local road repairs")))
 
-    def runLoop(indexed: Boolean): Set[Long] = {
+    def runLoop(indexed: Boolean, compactEvery: Int = 0)
+        : (Set[Long], String) = {
       val dir = java.nio.file.Files.createTempDirectory("graft-ingest-eq").toString
       val input = MemoryStream[(Long, String)]
       val df = input.toDF().toDF("doc_id", "text")
       val q =
         if (indexed) CorpusIngest.streamingIndexed(
-          df, "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg)
+          df, "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg,
+          compactEvery = compactEvery)
         else CorpusIngest.streaming(
           df, "doc_id", "text", s"$dir/index", s"$dir/accepted", cfg)
       try {
         batches.foreach { b => input.addData(b); q.processAllAvailable() }
       } finally q.stop()
-      spark.read.parquet(s"$dir/accepted")
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (spark.read.parquet(s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet, dir)
     }
 
-    val versioned = runLoop(indexed = false)
-    val bucketed = runLoop(indexed = true)
+    val (versioned, _) = runLoop(indexed = false)
+    val (bucketed, _) = runLoop(indexed = true)
     assert(bucketed == versioned, s"bucketed=$bucketed versioned=$versioned")
     assert(versioned == Set(1L, 2L, 11L, 21L), versioned.toString)
+    // in-loop compaction (every batch) changes nothing the loop observes
+    val (compacted, dir) = runLoop(indexed = true, compactEvery = 1)
+    assert(compacted == versioned, s"compacted=$compacted")
+    assert(SignatureIndexStore
+      .compactState(spark, s"$dir/index").exists(_._2 >= 1L))
   }
 
   test("degenerate-signature docs are dropped at gates: every accepted doc is indexed") {

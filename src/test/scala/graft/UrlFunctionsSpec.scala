@@ -197,4 +197,22 @@ class SurtKeySpec extends AnyFunSuite {
     assert(params.getAs[Long]("n_params") == 5)
     assert(params.getAs[Long]("n_host_labels") == 3)
   }
+
+  test("url quality gate is scheme-case-insensitive (uppercase cannot bypass it)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // with a case-sensitive scheme match, HTTP:// extracted an empty
+    // host/path and every shape check passed vacuously
+    val urls = Seq(
+      "HTTP://EXAMPLE.COM/a/b/c/d/e/f/g/h/i/j", // deep: must still drop
+      "Https://example.com/ok"                  // shallow: keep
+    ).toDF("url")
+    val kept = graft.operators.UrlQuality.gate(urls, "url")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("Https://example.com/ok"), kept.toString)
+    val deep = graft.operators.UrlQuality.features(urls, "url")
+      .collect().map(r => r.getString(0) -> r).toMap
+      .apply("HTTP://EXAMPLE.COM/a/b/c/d/e/f/g/h/i/j")
+    assert(deep.getAs[Long]("path_depth") == 10, deep.toString)
+  }
 }
