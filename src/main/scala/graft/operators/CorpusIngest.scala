@@ -202,6 +202,34 @@ object CorpusIngest {
     */
   def indexBuckets(cfg: Config): Int = cfg.indexBuckets
 
+  /** Bulk-seed the durable store from an EXISTING corpus: signatures
+    * computed once, within-corpus near-dup clusters collapsed to their
+    * minimum id, survivors appended as batch `batchId`. The dedup pass
+    * is NOT optional — it establishes the store's dedup-sparse invariant
+    * (see [[SignatureIndexStore.matches]]'s fan-out note: an index
+    * seeded with duplicate clusters hands every later batch a hot-band
+    * candidate explosion). Returns the indexed doc count.
+    */
+  def seedIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, cfg: Config = Config(),
+      batchId: Long = 0L): Long = {
+    val spark = corpus.sparkSession
+    val sigs = signatureIndex(corpus, idCol, textCol, cfg)
+      .localCheckpoint(true)
+    val pairs = TextOps.minhashDedupPairsFromSigs(
+      sigs, cfg.numHashes, cfg.bandSize, cfg.threshold)
+    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
+    val kept = sigs
+      .join(drop, sigs("doc_id") === col("__drop_id"), "left_anti")
+      .localCheckpoint(true)
+    SignatureIndexStore.append(spark, indexRoot, kept, batchId,
+      SignatureIndexStore.Meta(cfg.indexBuckets, cfg.numHashes, cfg.bandSize))
+    kept.count()
+  }
+
   /** An empty signature index with the right schema — the seed for a
     * corpus built from nothing by the ingest loop.
     */

@@ -198,6 +198,28 @@ class CorpusIngestSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("seedIndex dedupes the bulk seed (the store's dedup-sparse invariant)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the rivers"),
+      // ^ near-dup cluster {1, 2}: only min id 1 may be indexed
+      (3L, "a careful study of historical documents reveals many patterns")
+    ).toDF("doc_id", "text")
+    val indexed = CorpusIngest.seedIndex(corpus, "doc_id", "text", root, cfg)
+    assert(indexed == 2L)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // a later batch near-dup of the DROPPED member still matches the
+    // kept representative (cluster members are mutually near)
+    val b = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the ocean")
+    ).toDF("doc_id", "text")
+    val (acc, audit) = CorpusIngest.ingestIndexed(
+      b, "doc_id", "text", root, 1L, cfg)
+    assert(acc.count() == 0L, audit.toString)
+  }
+
   test("store compaction: one file per bucket, matches unchanged, retry fence still served") {
     val root = java.nio.file.Files.createTempDirectory("graft-sigcompact").toString
     def sigsOf(rows: Seq[(Long, String)]) = CorpusIngest.signatureIndex(

@@ -95,4 +95,43 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     assert(audit("repetition_gate") == 4L, built.audit.toString)
     assert(audit("dedup") == 3L, built.audit.toString)
   }
+
+  test("continuous form: crawl batches -> ingestIndexed against the durable standing index") {
+    import graft.operators.{CorpusIngest, SignatureIndexStore}
+    // crawl site A, ingest as batch 0; then crawl site B (which mirrors
+    // A's article) and ingest as batch 1 — the mirror must be blocked by
+    // the STANDING index (site B's batch alone contains no duplicate)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-crawl-ingest").toString
+    val cfgI = CorpusIngest.Config()
+    def crawlDocs(seed: String) = {
+      val parsed = CrawlTopology.run(
+        spark, Seq((seed, 1.0f)),
+        fetcher, new MapRobotsFetcher(Map.empty),
+        CrawlConfig(maxRounds = 8)).parsed
+      parsed.select(xxhash64(col("url")).as("doc_id"), col("url"),
+        col("text")).localCheckpoint(true)
+    }
+    val a = crawlDocs("a.com")
+    val (accA, _) = CorpusIngest.ingestIndexed(
+      a, "doc_id", "text", root, 0L, cfgI)
+    val urlsA = accA.join(a.select("doc_id", "url"), Seq("doc_id"))
+      .select("url").collect().map(_.getString(0)).toSet
+    // token floor eats tiny, repetition eats spam; the rest is admitted
+    assert(urlsA == Set("http://a.com/", "http://a.com/article",
+      "http://a.com/fr"), urlsA.toString)
+
+    val b = crawlDocs("b.com")
+    val (accB, auditB) = CorpusIngest.ingestIndexed(
+      b, "doc_id", "text", root, 1L, cfgI)
+    val urlsB = accB.join(b.select("doc_id", "url"), Seq("doc_id"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urlsB == Set("http://b.com/"), s"$urlsB audit=$auditB")
+    // the mirror fell at CROSS dedup (standing index), not earlier
+    val am = auditB.toMap
+    assert(am("batch_dedup") == 2L && am("cross_dedup") == 1L,
+      auditB.toString)
+    // and the standing index now carries every admitted doc
+    assert(SignatureIndexStore.sigsView(spark, root).count() == 4L)
+  }
 }
