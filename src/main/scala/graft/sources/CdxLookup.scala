@@ -35,6 +35,33 @@ object CdxLookup {
     cdxShardsTotal: Int, cdxShardsRead: Int,
     warcFilesTotal: Int, warcFilesRead: Int)
 
+  private val entryCols = Seq("surt", "ts", "url", "mime", "status",
+    "digest", "n_octets", "warc_file")
+
+  private def emptyEntries(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(entryCols.map {
+        case n @ ("status" | "n_octets") => StructField(n, LongType)
+        case n => StructField(n, StringType)
+      }))
+  }
+
+  private def emptyRecords(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("url", StringType),
+        StructField("contentType", StringType),
+        StructField("warcDate", StringType),
+        StructField("content", StringType),
+        StructField("statusCode", IntegerType),
+        StructField("redirectedTo", StringType),
+        StructField("fetchTimeMs", LongType))))
+  }
+
   /** First text line of a file, driver-side (bounded read). */
   private def firstLine(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
@@ -78,13 +105,11 @@ object CdxLookup {
     }.distinct.sorted
     val stats0 = LookupStats(files.size, hit.size, 0, 0)
     if (hit.isEmpty)
-      return (spark.emptyDataFrame, stats0)
+      return (emptyEntries(spark), stats0)
     val lines = spark.read.text(hit.map(i => files(i).toString): _*)
-    val cols = Seq("surt", "ts", "url", "mime", "status", "digest",
-      "n_octets", "warc_file")
     val parsed = lines
       .select(split(col("value"), " ").as("p"))
-      .select(cols.zipWithIndex.map { case (n, i) =>
+      .select(entryCols.zipWithIndex.map { case (n, i) =>
         element_at(col("p"), i + 1).as(n)
       }: _*)
       .withColumn("status", col("status").cast("long"))
@@ -111,7 +136,7 @@ object CdxLookup {
         .collect().map(_.getString(0)).sorted.toSeq
     val stats = s0.copy(
       warcFilesTotal = totalFiles, warcFilesRead = wantedFiles.size)
-    if (wantedFiles.isEmpty) return (spark.emptyDataFrame, stats)
+    if (wantedFiles.isEmpty) return (emptyRecords(spark), stats)
     val records = WarcSource.readPaths(spark,
       wantedFiles.map(n => s"$archiveDir/$n"))
     (records.filter(col("url").isin(urls: _*)), stats)

@@ -91,6 +91,21 @@ object IngestBench {
         s"layouts disagree: store=$acceptedStore mem=$accepted")
 
       println(f"| $n | $wallMem%.1f | $wallStore%.1f | $accepted |")
+
+      // trickle arm at the largest store: the standing-index LOOKUP for
+      // a 10-doc batch (the steady-state continuous-ingest shape) —
+      // bucket pruning + batch-side broadcasts price it near a point
+      // lookup; the full per-batch wall above is job-count-bound, not
+      // index-bound (audit checkpoints cost ~20 fixed-overhead jobs)
+      if (times == 1000) {
+        val trickleSigs = CorpusIngest.signatureIndex(
+          batch.limit(10), "doc_id", "text", cfg).localCheckpoint(true)
+        val t2 = System.nanoTime()
+        val m = SignatureIndexStore.matches(
+          spark, root, trickleSigs, cfg.threshold).count()
+        println(f"| 10-doc lookup vs $n (matches only) | - | " +
+          f"${(System.nanoTime() - t2) / 1e9}%.1f | $m matched |")
+      }
     }
     spark.stop()
   }

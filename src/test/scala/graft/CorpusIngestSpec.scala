@@ -198,6 +198,31 @@ class CorpusIngestSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("a survivor-less batch appends an empty dir that later reads tolerate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val d1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river")
+    ).toDF("doc_id", "text")
+    val (a0, _) = CorpusIngest.ingestIndexed(d1, "doc_id", "text", root, 0L, cfg)
+    assert(a0.count() == 1L)
+    // batch 1 is ENTIRELY a duplicate: zero survivors appended
+    val (a1, _) = CorpusIngest.ingestIndexed(
+      Seq((10L, "the quick brown fox jumps over the lazy dog near the river"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", root, 1L, cfg)
+    assert(a1.count() == 0L)
+    assert(SignatureIndexStore.committedBatches(spark, root) == Seq(0L, 1L))
+    // reads spanning the empty batch dir still work
+    assert(SignatureIndexStore.sigsView(spark, root).count() == 1L)
+    val (a2, audit2) = CorpusIngest.ingestIndexed(
+      Seq((20L, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (21L, "a careful study of historical documents reveals many patterns"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", root, 2L, cfg)
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L),
+      audit2.toString)
+  }
+
   test("seedIndex dedupes the bulk seed (the store's dedup-sparse invariant)") {
     val root = java.nio.file.Files.createTempDirectory("graft-seed").toString
     val corpus = Seq(
