@@ -517,6 +517,23 @@ object TextQueries {
         "vec_id", "embedding", dim = 64, k = 5)
         .select("query_id", "neighbor_id", "cos", "rn")
     }),
+    "q102_ann_store" -> ((s, d) => {
+      // the DURABLE standing ANN index (AnnIndexStore: train coarse
+      // quantizer, cell-partitioned append, cell-pruned query) driven
+      // with exhaustive probing (nprobe = cells) — the search then
+      // covers every cell, so the result is EXACTLY brute-force cosine
+      // top-K regardless of the (float, non-oracle-stable) centroid
+      // training, and q27's oracle gates the whole store path
+      import graft.operators.AnnIndexStore
+      val e = embs(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q102").toString
+      AnnIndexStore.build(s, root, e, "vec_id", "embedding",
+        dim = 64, numCentroids = 8)
+      AnnIndexStore.query(s, root, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    }),
     "q28_ann_lsh" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.annTopK(
@@ -1331,6 +1348,15 @@ object TextQueries {
          |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
          |FROM documents""".stripMargin,
     "q27_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q102_ann_store" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |  FROM embeddings WHERE vec_id % 50 = 0),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
