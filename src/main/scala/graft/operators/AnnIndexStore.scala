@@ -122,6 +122,85 @@ object AnnIndexStore {
     StructField("n", DoubleType), StructField("batch", LongType),
     StructField("cell", LongType)))
 
+  /** Latest compaction state: (generation, coveredUpTo) — same pointer
+    * discipline as [[SignatureIndexStore.compactState]].
+    */
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_COMPACT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes()).trim finally in.close()
+      val Array(gen, upTo) = text.split(" ")
+      Some((gen.toLong, upTo.toLong))
+    }
+  }
+
+  private def visible(
+      spark: SparkSession, root: String): (Option[Long], Seq[Long]) = {
+    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    val batches = committedBatches(spark, root).filter(_ > upTo)
+    (if (gen >= 0) Some(gen) else None, batches)
+  }
+
+  private def readVecs(
+      spark: SparkSession, root: String, gen: Option[Long],
+      batches: Seq[Long], cells: Seq[Long]): DataFrame = {
+    val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
+    def prune(df: DataFrame) = df.filter(col("cell").isin(cells: _*))
+      .select("vid", "v", "n", "cell")
+    val parts =
+      gen.map { k =>
+        prune(spark.read.schema(dataSchema)
+          .option("basePath", s"$root/vecs/c$k")
+          .parquet(s"$root/vecs/c$k"))
+      }.toSeq ++
+        (if (batches.isEmpty) Seq.empty
+         else Seq(prune(spark.read.schema(vecsSchema)
+           .option("basePath", s"$root/vecs")
+           .parquet(batches.map(b => s"$root/vecs/batch=$b"): _*))))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Fold all but the newest `keepNewest` batches (and the previous
+    * snapshot) into one file per cell — [[SignatureIndexStore.compact]]'s
+    * protocol on the vecs table (assignments are immutable, so
+    * compaction is a pure file merge; no fence subtleties here because
+    * queries have no `belowBatch` — an ANN lookup always wants the whole
+    * standing index).
+    */
+  def compact(
+      spark: SparkSession, root: String, keepNewest: Int = 1): Unit = {
+    val (prevGen, prevUpTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    val all = committedBatches(spark, root).filter(_ > prevUpTo)
+    if (all.size <= keepNewest) return
+    val cover = all.dropRight(keepNewest)
+    val gen = prevGen + 1
+    val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
+    val parts =
+      (if (prevGen >= 0)
+        Seq(spark.read.schema(dataSchema)
+          .option("basePath", s"$root/vecs/c$prevGen")
+          .parquet(s"$root/vecs/c$prevGen")
+          .select("vid", "v", "n", "cell"))
+      else Seq.empty) ++
+        Seq(spark.read.schema(vecsSchema)
+          .option("basePath", s"$root/vecs")
+          .parquet(cover.map(b => s"$root/vecs/batch=$b"): _*)
+          .select("vid", "v", "n", "cell"))
+    parts.reduce(_ unionByName _)
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "vid")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vecs/c$gen")
+    val f = fs(spark, root)
+    val out = f.create(new Path(root, "_COMPACT"), true)
+    try out.write(s"$gen ${cover.last}".getBytes) finally out.close()
+    if (prevGen >= 0) f.delete(new Path(s"$root/vecs/c$prevGen"), true)
+    cover.foreach(b => f.delete(new Path(s"$root/vecs/batch=$b"), true))
+  }
+
   /** Top-K cosine neighbors from the standing index for each query
     * vector, probing each query's `nprobe` nearest cells — only those
     * `cell=` partitions are read (partition-pruned scan), the IVF cost
@@ -134,8 +213,9 @@ object AnnIndexStore {
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val meta = readMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no ANN store at $root — build first"))
-    val batches = committedBatches(spark, root)
-    require(batches.nonEmpty, s"ANN store at $root holds no batches")
+    val (gen, batches) = visible(spark, root)
+    require(gen.nonEmpty || batches.nonEmpty,
+      s"ANN store at $root holds no data")
 
     val c = centroids(spark, root)
       .select(col("cent_id"), col("cv"),
@@ -155,10 +235,7 @@ object AnnIndexStore {
     // ≤ queries × nprobe cells — the partition-prune driver set
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val vecs = spark.read.schema(vecsSchema)
-      .option("basePath", s"$root/vecs")
-      .parquet(batches.map(b => s"$root/vecs/batch=$b"): _*)
-      .filter(col("cell").isin(cells: _*))
+    val vecs = readVecs(spark, root, gen, batches, cells)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(probes.as("q"))

@@ -57,4 +57,32 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       plan.take(3000))
   }
+
+  test("compaction folds batches into one file per cell; queries unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ann3").toString
+    AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,
+      numCentroids = 8)
+    AnnIndexStore.append(spark, root,
+      emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1L)
+    AnnIndexStore.append(spark, root,
+      emb.select((col("vec_id") + 20000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", 2L)
+    val queries = emb.filter(col("vec_id") % 250 === 0)
+    def pairs = AnnIndexStore.query(
+      spark, root, queries, "vec_id", "embedding", k = 4, nprobe = 8)
+      .select("query_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = pairs
+    AnnIndexStore.compact(spark, root) // keeps batch 2 uncompacted
+    assert(AnnIndexStore.compactState(spark, root) == Some((0L, 1L)))
+    assert(pairs == before)
+    assert(!new java.io.File(s"$root/vecs/batch=0").exists())
+    assert(!new java.io.File(s"$root/vecs/batch=1").exists())
+    val cellDirs = new java.io.File(s"$root/vecs/c0").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    assert(cellDirs.forall(
+      _.listFiles().count(_.getName.startsWith("part-")) == 1))
+  }
 }
