@@ -528,8 +528,10 @@ object TextQueries {
       val e = embs(s, d)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q102").toString
+      // one Lloyd round: training quality is irrelevant under
+      // exhaustive probing (cells partition candidates, never drop them)
       AnnIndexStore.build(s, root, e, "vec_id", "embedding",
-        dim = 64, numCentroids = 8)
+        dim = 64, numCentroids = 8, lloydRounds = 1)
       AnnIndexStore.query(s, root, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, nprobe = 8)
         .select("query_id", "neighbor_id", "cos", "rn")
