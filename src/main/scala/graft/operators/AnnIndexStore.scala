@@ -108,6 +108,18 @@ object AnnIndexStore {
       idCol: String, vecCol: String, batchId: Long): Unit = {
     val meta = readMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no ANN store at $root — build first"))
+    require(df.schema(vecCol).dataType ==
+        ArrayType(FloatType, containsNull = true) ||
+      df.schema(vecCol).dataType == ArrayType(FloatType, containsNull = false),
+      s"$vecCol must be array<float> (the store's on-disk vector type); " +
+        s"got ${df.schema(vecCol).dataType.simpleString} — cast before append")
+    // a batch id at or below the compaction horizon would be written but
+    // never read (visible() excludes covered ids) — refuse loudly
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"store at $root is compacted through batch $upTo; appending " +
+          s"batch $batchId would be invisible to every reader")
+    }
     Similarity.ivfAssign(df, idCol, vecCol,
         centroids(spark, root), "cent_id", "cv", meta.dim)
       .repartition(col("cell"))

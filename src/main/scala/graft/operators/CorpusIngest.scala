@@ -303,6 +303,11 @@ object CorpusIngest {
         * many batches ([[SignatureIndexStore.compact]]) — the loop IS
         * the store's single writer, and foreachBatch runs serially, so
         * between-batch compaction is safe by construction. 0 = never.
+        * A compaction pass rewrites the whole index (index-sized, unlike
+        * the batch-sized appends), so pick an interval that amortizes it
+        * — e.g. every few hundred batches, when per-batch file count
+        * starts to matter — not every batch (the spec's `1` is for
+        * coverage, not a recommendation).
         */
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream

@@ -133,6 +133,13 @@ object SignatureIndexStore {
             s"$meta would split band/doc keys across incompatible buckets")
       case None => writeMeta(spark, root, meta)
     }
+    // a batch id at or below the compaction horizon would be written but
+    // never read (visible() excludes covered ids) — refuse loudly
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"store at $root is compacted through batch $upTo; appending " +
+          s"batch $batchId would be invisible to every reader")
+    }
     // pin once: the bands projection and the sigs write must see the
     // same rows even if the input pipeline is nondeterministic
     val pinned = sigs.select(col("doc_id"), col("sig"))

@@ -62,6 +62,19 @@ object CdxLookup {
         StructField("fetchTimeMs", LongType))))
   }
 
+  /** Membership filter that stays plan-friendly at any lookup-set size:
+    * a literal `isin` for small sets, a broadcast semi-join above that
+    * (thousands of literals make a thousands-deep expression tree).
+    */
+  private def filterIn(
+      df: DataFrame, colName: String, values: Seq[String]): DataFrame =
+    if (values.size <= 64) df.filter(col(colName).isin(values: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(values.toDF(colName)), Seq(colName), "left_semi")
+    }
+
   /** First text line of a file, driver-side (bounded read). */
   private def firstLine(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
@@ -114,8 +127,7 @@ object CdxLookup {
       }: _*)
       .withColumn("status", col("status").cast("long"))
       .withColumn("n_octets", col("n_octets").cast("long"))
-      .filter(col("surt").isin(wanted: _*))
-    (parsed, stats0)
+    (filterIn(parsed, "surt", wanted), stats0)
   }
 
   /** Fetch the wanted URLs' archived records, reading ONLY the WARC
@@ -139,6 +151,6 @@ object CdxLookup {
     if (wantedFiles.isEmpty) return (emptyRecords(spark), stats)
     val records = WarcSource.readPaths(spark,
       wantedFiles.map(n => s"$archiveDir/$n"))
-    (records.filter(col("url").isin(urls: _*)), stats)
+    (filterIn(records, "url", urls), stats)
   }
 }

@@ -134,6 +134,12 @@ class ArchiveFetchSpec extends AnyFunSuite {
       .select("url", "content").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(full == m)
+    // a LARGE lookup set takes the broadcast-semi-join path (no
+    // thousand-literal isin tree) and still returns every capture
+    val many = (0 until 150).map(i => s"http://site$i.com/p")
+    val (gotMany, manyStats) = graft.sources.CdxLookup.fetch(
+      spark, s"$dir/warc", s"$dir/cdx", many)
+    assert(gotMany.count() == 150, manyStats.toString)
   }
 
   test("cdx timestamps are UTC under ANY session timezone") {
