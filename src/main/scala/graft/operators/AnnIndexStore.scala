@@ -156,23 +156,36 @@ object AnnIndexStore {
     (if (gen >= 0) Some(gen) else None, batches)
   }
 
+  /** Read exactly the probed cells' directories as EXPLICIT paths —
+    * a basePath read with a partition filter would first list every
+    * `cell=` directory of every source (partition discovery is eager),
+    * which at thousands of cells costs more than the pruned scan itself
+    * (measured: ~1 s of listing at 1024 cells). Existence checks are
+    * driver-side and bounded by sources × probed cells.
+    */
   private def readVecs(
       spark: SparkSession, root: String, gen: Option[Long],
       batches: Seq[Long], cells: Seq[Long]): DataFrame = {
+    val f = fs(spark, root)
     val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
-    def prune(df: DataFrame) = df.filter(col("cell").isin(cells: _*))
-      .select("vid", "v", "n", "cell")
+    def readCells(base: String): Option[DataFrame] = {
+      val paths = cells.map(c => s"$base/cell=$c")
+        .filter(p => f.exists(new Path(p)))
+      if (paths.isEmpty) None
+      else Some(spark.read.schema(dataSchema)
+        .option("basePath", base).parquet(paths: _*)
+        .select("vid", "v", "n", "cell"))
+    }
     val parts =
-      gen.map { k =>
-        prune(spark.read.schema(dataSchema)
-          .option("basePath", s"$root/vecs/c$k")
-          .parquet(s"$root/vecs/c$k"))
-      }.toSeq ++
-        (if (batches.isEmpty) Seq.empty
-         else Seq(prune(spark.read.schema(vecsSchema)
-           .option("basePath", s"$root/vecs")
-           .parquet(batches.map(b => s"$root/vecs/batch=$b"): _*))))
-    parts.reduce(_ unionByName _)
+      gen.flatMap(k => readCells(s"$root/vecs/c$k")).toSeq ++
+        batches.flatMap(b => readCells(s"$root/vecs/batch=$b"))
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(dataSchema.map(x =>
+          if (x.name == "cell") x else x.copy())))
+        .select("vid", "v", "n", "cell")
+    else parts.reduce(_ unionByName _)
   }
 
   /** Fold all but the newest `keepNewest` batches (and the previous

@@ -128,23 +128,55 @@ object Similarity {
     * through one projection + a per-vector argmin, so assignment is one
     * narrow pass at any corpus size.
     */
+  /** Nearest-centroid assignment as a ZERO-expansion projection: the
+    * centroid matrix (cells × dim doubles — driver-bounded, the same
+    * bound its broadcast already implied) is closure-captured and the
+    * argmax runs per row inside one UDF. The earlier broadcast-join +
+    * per-vid window form expanded every vector × every centroid AND
+    * carried the vector array through that expansion — at 2M vectors ×
+    * 1024 cells that intermediate is ~600 GB (measured OOM in AnnBench);
+    * this form is O(cells × dim) arithmetic per row with nothing
+    * materialized. Semantics unchanged and bit-identical: sequential
+    * double dot folds (the [[graft.plans.VectorCodegen]] kernels' order)
+    * and ties keep the smallest cent_id (ascending scan, strict `>`).
+    */
   def ivfAssign(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       dim: Int): DataFrame = {
-    val v = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      VectorExpressions.norm(col(vecCol)).as("n"))
-    val c = centroids.select(col(centIdCol).as("cent_id"),
-      col(centVecCol).as("cv"), VectorExpressions.norm(col(centVecCol)).as("cn"))
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    v.join(broadcast(c))
-      .select(col("vid"), col("v"), col("n"), col("cent_id"),
-        (VectorExpressions.dot(col("v"), col("cv")) / (col("n") * col("cn")))
-          .as("cent_cos"))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vid"), col("v"), col("n"), col("cent_id").as("cell"))
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue
+          case x: Number => x.doubleValue
+        }.toArray
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val assign = udf { (v: Seq[Double]) =>
+      var vn = 0.0
+      var i = 0
+      while (i < v.length) { vn += v(i) * v(i); i += 1 }
+      vn = math.sqrt(vn)
+      var bestId = cents.head._1
+      var best = Double.NegativeInfinity
+      cents.foreach { case (id, cv, cn) =>
+        var s = 0.0
+        var j = 0
+        val m = math.min(v.length, cv.length)
+        while (j < m) { s += v(j) * cv(j); j += 1 }
+        val cos = s / (vn * cn)
+        if (cos > best) { best = cos; bestId = id }
+      }
+      bestId
+    }
+    df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      VectorExpressions.norm(col(vecCol)).as("n"),
+      assign(col(vecCol).cast("array<double>")).as("cell"))
   }
 
   /** IVF ANN top-K with nprobe=1: each query searches only its own cell
