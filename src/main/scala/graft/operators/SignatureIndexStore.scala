@@ -116,6 +116,33 @@ object SignatureIndexStore {
       .map(_.stripPrefix("_commit_").toLong).sorted.toSeq
   }
 
+  /** The bucket ids a committed batch actually wrote, per table — read
+    * from the commit marker, so readers assemble EXPLICIT file paths
+    * with zero directory listing (discovery over batches × buckets dirs
+    * is the cost that grows with loop age; the marker is read anyway).
+    * Markers from before this field (or hand-built stores) fall back to
+    * one listStatus of the batch dir.
+    */
+  private def batchBuckets(
+      spark: SparkSession, root: String, table: String,
+      batchId: Long): Seq[Int] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, s"_commit_$batchId"))
+    val text = try new String(in.readAllBytes()) finally in.close()
+    val fromMarker = text.linesIterator
+      .find(_.startsWith(s"$table "))
+      .map(_.stripPrefix(s"$table ").trim)
+      .map(csv => if (csv.isEmpty) Seq.empty[Int]
+                  else csv.split(",").map(_.toInt).toSeq)
+    fromMarker.getOrElse {
+      val dir = new Path(s"$root/$table/batch=$batchId")
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSeq
+    }
+  }
+
   /** Append `sigs` — (doc_id, sig), non-degenerate — as batch `batchId`.
     * Writes only this batch's rows (two `batch=<id>` dirs + a marker);
     * re-running the same batchId overwrites, never compounds. The store's
@@ -166,8 +193,21 @@ object SignatureIndexStore {
       .sortWithinPartitions("bucket", "band_hash")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/bands/batch=$batchId")
-    val out = fs(spark, root).create(new Path(root, s"_commit_$batchId"), true)
-    try out.write(Array.emptyByteArray) finally out.close()
+    // record each table's written bucket set in the marker: readers then
+    // build explicit paths without listing batches × buckets directories
+    val f = fs(spark, root)
+    def bucketsOf(dir: String): Seq[Int] = {
+      val p = new Path(dir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
+    }
+    val content =
+      s"bands ${bucketsOf(s"$root/bands/batch=$batchId").mkString(",")}\n" +
+        s"sigs ${bucketsOf(s"$root/sigs/batch=$batchId").mkString(",")}"
+    val out = f.create(new Path(root, s"_commit_$batchId"), true)
+    try out.write(content.getBytes) finally out.close()
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches
@@ -212,29 +252,44 @@ object SignatureIndexStore {
   }
 
   /** Union the compact snapshot and the live batch dirs of one table,
-    * projected to `cols` after an optional bucket prune. The two file
-    * sets are read separately (their partition-column layouts differ)
-    * and unioned by name; bucket pruning applies to both.
+    * projected to `cols` after an optional bucket prune. All sources are
+    * read as EXPLICIT `bucket=` paths (batch bucket sets come from the
+    * commit markers, the snapshot's from one listing of its dir): eager
+    * partition discovery over batches × buckets directories would
+    * otherwise grow with loop age — the cost class AnnBench measured on
+    * the ANN store. The two file sets are read separately (their
+    * partition-column layouts differ) and unioned by name.
     */
   private def readTable(
       spark: SparkSession, root: String, table: String, schema: StructType,
       gen: Option[Long], batches: Seq[Long],
       bucketFilter: Option[Seq[Int]], cols: Seq[String]): Option[DataFrame] = {
-    def prune(df: DataFrame) =
-      bucketFilter.fold(df)(bs => df.filter(col("bucket").isin(bs: _*)))
-        .select(cols.map(col): _*)
+    val f = fs(spark, root)
+    val keep = bucketFilter.map(_.toSet)
+    def wanted(present: Seq[Int]): Seq[Int] =
+      keep.fold(present)(ks => present.filter(ks))
     val dataSchema = StructType(schema.filterNot(_.name == "batch"))
-    val parts =
-      gen.map { k =>
-        prune(spark.read.schema(dataSchema)
-          .option("basePath", s"$root/$table/c$k")
-          .parquet(s"$root/$table/c$k"))
-      }.toSeq ++
-        (if (batches.isEmpty) Seq.empty
-         else Seq(prune(spark.read.schema(schema)
-           .option("basePath", s"$root/$table")
-           .parquet(batches.map(b => s"$root/$table/batch=$b"): _*))))
-    parts.reduceOption(_ unionByName _)
+    val compactPart = gen.flatMap { k =>
+      val base = s"$root/$table/c$k"
+      val present = f.listStatus(new Path(base)).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSeq
+      val paths = wanted(present).map(b => s"$base/bucket=$b")
+      if (paths.isEmpty) None
+      else Some(spark.read.schema(dataSchema)
+        .option("basePath", base).parquet(paths: _*))
+    }
+    val batchPaths = batches.flatMap { b =>
+      wanted(batchBuckets(spark, root, table, b))
+        .map(k => s"$root/$table/batch=$b/bucket=$k")
+    }
+    val batchPart =
+      if (batchPaths.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .option("basePath", s"$root/$table").parquet(batchPaths: _*))
+    (compactPart.toSeq ++ batchPart.toSeq)
+      .map(_.select(cols.map(col): _*))
+      .reduceOption(_ unionByName _)
   }
 
   /** The index as a plain (doc_id, sig) frame over committed batches —

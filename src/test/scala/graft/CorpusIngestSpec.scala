@@ -192,10 +192,13 @@ class CorpusIngestSpec extends AnyFunSuite {
     val m = SignatureIndexStore.matches(spark, root,
       CorpusIngest.signatureIndex(probe, "doc_id", "text", cfg), cfg.threshold)
     m.collect()
-    // the final (sig-side) scan carries a partition filter on `bucket`
+    // the final (sig-side) scan reads EXPLICIT candidate-bucket paths:
+    // one probe doc yields one candidate corpus doc, so at most a few
+    // bucket directories appear in the plan (of the store's 8)
     val plan = m.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      plan.take(4000))
+    val bucketsInPlan = "bucket=\\d+".r.findAllIn(plan).toSet
+    assert(bucketsInPlan.nonEmpty && bucketsInPlan.size <= 4,
+      s"$bucketsInPlan\n${plan.take(4000)}")
   }
 
   test("a survivor-less batch appends an empty dir that later reads tolerate") {
