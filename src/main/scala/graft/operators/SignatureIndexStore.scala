@@ -269,7 +269,8 @@ object SignatureIndexStore {
     def wanted(present: Seq[Int]): Seq[Int] =
       keep.fold(present)(ks => present.filter(ks))
     val dataSchema = StructType(schema.filterNot(_.name == "batch"))
-    val compactPart = gen.flatMap { k =>
+    val compactPart = gen.filter(k => f.exists(new Path(s"$root/$table/c$k")))
+      .flatMap { k =>
       val base = s"$root/$table/c$k"
       val present = f.listStatus(new Path(base)).map(_.getPath.getName)
         .filter(_.startsWith("bucket="))
@@ -332,15 +333,21 @@ object SignatureIndexStore {
     val f = fs(spark, root)
     Seq(("bands", bandsSchema, "band_hash"), ("sigs", sigsSchema, "doc_id"))
       .foreach { case (table, schema, sortKey) =>
-        val merged = readTable(spark, root, table, schema,
+        // cover.nonEmpty does NOT imply rows exist: empty micro-batches
+        // commit markers with empty bucket lists, so every covered batch
+        // can have written zero files. Nothing to merge for this table →
+        // skip the write (readTable tolerates a missing c<gen> dir) but
+        // still advance the pointer and reclaim the covered dirs below.
+        readTable(spark, root, table, schema,
           if (prevGen >= 0) Some(prevGen) else None, cover,
           None, schema.map(_.name).filterNot(_ == "batch"))
-          .get // cover.nonEmpty, so at least one source exists
-        merged
-          .repartition(col("bucket"))
-          .sortWithinPartitions("bucket", sortKey)
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$root/$table/c$gen")
+          .foreach { merged =>
+            merged
+              .repartition(col("bucket"))
+              .sortWithinPartitions("bucket", sortKey)
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$root/$table/c$gen")
+          }
       }
     val out = f.create(new Path(root, "_COMPACT"), true)
     try out.write(s"$gen $upTo".getBytes) finally out.close()
@@ -399,8 +406,12 @@ object SignatureIndexStore {
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return emptyMatches(spark)
 
+    // the touched buckets can intersect NO written bucket dir of any
+    // visible source (empty first micro-batch, or a young store disjoint
+    // from a novel batch's band keys) — zero matches, not a crash
     val bands = readTable(spark, root, "bands", bandsSchema, gen, batches,
-      Some(touched), Seq("band_hash", "doc_id")).get
+      Some(touched), Seq("band_hash", "doc_id"))
+      .getOrElse(return emptyMatches(spark))
     // candidate pairs: index scan streams through a broadcast of the
     // batch side — no index-sized shuffle
     val cand = bands
@@ -414,7 +425,8 @@ object SignatureIndexStore {
     if (candBuckets.isEmpty) return emptyMatches(spark)
 
     val sigs = readTable(spark, root, "sigs", sigsSchema, gen, batches,
-      Some(candBuckets), Seq("doc_id", "sig")).get
+      Some(candBuckets), Seq("doc_id", "sig"))
+      .getOrElse(return emptyMatches(spark))
       .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b"))
     sigs
       .join(broadcast(cand), Seq("corpus_id"))

@@ -157,18 +157,35 @@ object Similarity {
       }
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
-    val assign = udf { (v: Seq[Double]) =>
+    cents.foreach { case (id, cv, _) =>
+      require(cv.length == dim,
+        s"ivfAssign: centroid $id has dim ${cv.length}, expected $dim") }
+    // a zero-norm centroid's cosine is NaN for every vector — it can never
+    // be a meaningful nearest cell, so drop it up front (the pre-rewrite
+    // window form let NaN sort first and win assignments, which was a bug,
+    // not a semantics to preserve; k-means never emits one from nonempty
+    // cells, so this only fires on degenerate hand-built centroid sets)
+    val live = cents.filter(_._3 > 0.0)
+    require(live.nonEmpty, "ivfAssign: all centroids have zero norm")
+    val assign = udf { (v: Seq[java.lang.Double]) =>
+      if (v.length != dim)
+        throw new IllegalArgumentException(
+          s"ivfAssign: vector has dim ${v.length}, expected $dim")
       var vn = 0.0
       var i = 0
-      while (i < v.length) { vn += v(i) * v(i); i += 1 }
+      while (i < v.length) {
+        val x = v(i)
+        if (x == null) throw new IllegalArgumentException(
+          s"ivfAssign: null element at index $i of a $dim-dim vector")
+        vn += x * x; i += 1
+      }
       vn = math.sqrt(vn)
-      var bestId = cents.head._1
+      var bestId = live.head._1
       var best = Double.NegativeInfinity
-      cents.foreach { case (id, cv, cn) =>
+      live.foreach { case (id, cv, cn) =>
         var s = 0.0
         var j = 0
-        val m = math.min(v.length, cv.length)
-        while (j < m) { s += v(j) * cv(j); j += 1 }
+        while (j < dim) { s += v(j) * cv(j); j += 1 }
         val cos = s / (vn * cn)
         if (cos > best) { best = cos; bestId = id }
       }

@@ -1086,19 +1086,27 @@ object TextOps {
     require(buckets >= 2, "need at least 2 buckets")
     val hist = df.groupBy(col(strataCol), col(fpCol))
       .agg(count(lit(1)).as("__n"))
+    // per-stratum total as a window over the SAME partitioning as the
+    // running sum (not a join back: window partitions keep a null stratum
+    // as its own group, an equi-join would silently drop it)
     val cum = hist.withColumn("__cum",
         sum(col("__n")).over(
           Window.partitionBy(strataCol).orderBy(fpCol)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(hist.groupBy(strataCol).agg(sum("__n").as("__nd"))),
-        Seq(strataCol))
+      .withColumn("__nd",
+        sum(col("__n")).over(Window.partitionBy(strataCol)))
     // fence i = smallest score whose cumulative share reaches i/buckets —
     // the discrete quantile, same selector as the oracle
     val fenceCols = (1 until buckets).map(i =>
       min(when(col("__cum") * buckets >= col("__nd") * i, col(fpCol)))
         .as(s"__f$i"))
     val fences = cum.groupBy(strataCol).agg(fenceCols.head, fenceCols.tail: _*)
-    df.join(broadcast(fences), Seq(strataCol))
+    // null-safe fence join: groupBy keeps a null stratum as its own group,
+    // but a plain equi-join would then silently DROP those rows (null never
+    // equals null) — a quiet row loss for corpora with null lang/stratum.
+    // `<=>` routes them to their own group's fences instead.
+    df.join(broadcast(fences.withColumnRenamed(strataCol, "__stratum")),
+        col(strataCol) <=> col("__stratum"))
       .withColumn(bucketCol,
         (1 until buckets)
           .map(i => when(col(fpCol) > col(s"__f$i"), 1L).otherwise(0L))

@@ -182,7 +182,12 @@ object Sinks {
     cdxIndex(records, extraCols = Seq(col("warc_file")))
       .repartitionByRange(shards, col("surt"), col("ts"))
       .sortWithinPartitions(col("surt"), col("ts"))
-      .select(concat_ws(" ", col("surt"), col("ts"), col("url"), col("mime"),
+      // CDX lines are space-delimited, so a mime like
+      // 'text/html; charset=utf-8' (routine in fetch headers) would shift
+      // every later field on re-parse — classic CDX strips internal
+      // whitespace from the mime field; do the same ('-' when absent)
+      .select(concat_ws(" ", col("surt"), col("ts"), col("url"),
+        regexp_replace(coalesce(col("mime"), lit("-")), "\\s+", ""),
         col("status"), col("digest"), col("n_octets"), col("warc_file"))
         .as("value"))
       .write.mode("overwrite").text(path)

@@ -120,13 +120,24 @@ object CdxLookup {
     if (hit.isEmpty)
       return (emptyEntries(spark), stats0)
     val lines = spark.read.text(hit.map(i => files(i).toString): _*)
+    // tail-anchored parse: surt/ts/url from the head, the four trailing
+    // fields by NEGATIVE index, mime = whatever lies between. writeCdx
+    // strips whitespace from mime, but hand-built or foreign CDX files
+    // routinely carry 'text/html; charset=utf-8' — positional split on
+    // field 4 would shift status/digest/n_octets/warc_file for those
     val parsed = lines
       .select(split(col("value"), " ").as("p"))
-      .select(entryCols.zipWithIndex.map { case (n, i) =>
-        element_at(col("p"), i + 1).as(n)
-      }: _*)
-      .withColumn("status", col("status").cast("long"))
-      .withColumn("n_octets", col("n_octets").cast("long"))
+      .select(
+        element_at(col("p"), 1).as("surt"),
+        element_at(col("p"), 2).as("ts"),
+        element_at(col("p"), 3).as("url"),
+        concat_ws(" ",
+          slice(col("p"), lit(4), greatest(size(col("p")) - 7, lit(0))))
+          .as("mime"),
+        element_at(col("p"), -4).cast("long").as("status"),
+        element_at(col("p"), -3).as("digest"),
+        element_at(col("p"), -2).cast("long").as("n_octets"),
+        element_at(col("p"), -1).as("warc_file"))
     (filterIn(parsed, "surt", wanted), stats0)
   }
 

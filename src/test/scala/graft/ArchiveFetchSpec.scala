@@ -142,6 +142,36 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(gotMany.count() == 150, manyStats.toString)
   }
 
+  test("cdx round-trips a mime with whitespace without shifting later fields") {
+    import spark.implicits._
+    // real fetch headers routinely carry 'text/html; charset=utf-8'; a
+    // space-joined CDX line re-parsed positionally would shift
+    // status/digest/n_octets/warc_file and fetch() would read bogus paths
+    val pages = Seq(
+      ("http://mimey.com/p", "text/html; charset=utf-8", "charset body", 1700000000000L),
+      ("http://plain.com/p", "text/html", "plain body", 1700000001000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdxmime").toString
+    graft.sinks.Sinks.writeWarc(
+      pages.toDF("url", "contentType", "content", "fetchTimeMs"), s"$dir/warc")
+    graft.sinks.Sinks.writeCdx(spark, s"$dir/warc", s"$dir/cdx")
+    val (entries, _) = graft.sources.CdxLookup.entries(
+      spark, s"$dir/cdx", Seq("http://mimey.com/p"))
+    val e = entries.collect()
+    assert(e.length == 1)
+    val r = e.head
+    assert(r.getAs[String]("mime") == "text/html;charset=utf-8", r.toString)
+    assert(r.getAs[Long]("status") == 200L, r.toString)
+    assert(r.getAs[String]("digest").matches("[0-9a-f]{32}"), r.toString)
+    assert(r.getAs[Long]("n_octets") == "charset body".length.toLong, r.toString)
+    assert(r.getAs[String]("warc_file").startsWith("part-"), r.toString)
+    // the pruned fetch resolves the real segment and returns the body
+    val (got, stats) = graft.sources.CdxLookup.fetch(
+      spark, s"$dir/warc", s"$dir/cdx", Seq("http://mimey.com/p"))
+    val m = got.select("url", "content").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m == Map("http://mimey.com/p" -> "charset body"), stats.toString)
+  }
+
   test("cdx timestamps are UTC under ANY session timezone") {
     import org.apache.spark.sql.functions.lit
     // CDX defines the 14-digit timestamp as UTC; a non-UTC session must

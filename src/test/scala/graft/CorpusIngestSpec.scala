@@ -308,6 +308,46 @@ class CorpusIngestSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 4L))
   }
 
+  test("store: empty batches — matches returns zero rows and compact advances, no crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sigempty").toString
+    def sigsOf(rows: Seq[(Long, String)]) = CorpusIngest.signatureIndex(
+      rows.toDF("doc_id", "text"), "doc_id", "text", cfg)
+    // empty FIRST micro-batch: commits a marker with empty bucket lists
+    SignatureIndexStore.append(spark, root, sigsOf(Seq.empty), 0L, meta)
+    assert(SignatureIndexStore.committedBatches(spark, root) == Seq(0L))
+    // the next non-empty batch's matches must be ZERO MATCHES, not a
+    // NoSuchElementException from readTable returning None
+    val novel = sigsOf(Seq(
+      (10L, "novel observations about glacier movement and seasonal melt")))
+      .localCheckpoint(true)
+    assert(SignatureIndexStore.matches(spark, root, novel, cfg.threshold)
+      .count() == 0L)
+    // compact whose ENTIRE cover is empty batches: advances the pointer
+    // and reclaims dirs instead of throwing
+    SignatureIndexStore.append(spark, root, sigsOf(Seq.empty), 1L, meta)
+    SignatureIndexStore.append(spark, root, sigsOf(Seq.empty), 2L, meta)
+    SignatureIndexStore.compact(spark, root) // covers batches 0, 1
+    assert(SignatureIndexStore.compactState(spark, root) == Some((0L, 1L)))
+    assert(SignatureIndexStore.sigsView(spark, root).count() == 0L)
+    // the store still works after the degenerate compaction
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))),
+      3L, meta)
+    val probe = sigsOf(Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the ocean")))
+      .localCheckpoint(true)
+    assert(SignatureIndexStore.matches(spark, root, probe, cfg.threshold)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    // second compaction folds the empty snapshot forward with real data
+    SignatureIndexStore.append(spark, root, sigsOf(Seq(
+      (2L, "a careful study of historical documents reveals many patterns"))),
+      4L, meta)
+    SignatureIndexStore.compact(spark, root)
+    assert(SignatureIndexStore.compactState(spark, root) == Some((1L, 3L)))
+    assert(SignatureIndexStore.matches(spark, root, probe, cfg.threshold)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+  }
+
   test("indexed streaming loop: accepted set equals the v=-versioned layout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -480,6 +480,64 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ids.subsetOf(Set(2L, 5L)), s"candidates must come from cell B: $ids")
   }
 
+  test("ivfAssign: zero-norm centroids never win; dim mismatches fail loudly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // a zero-norm centroid yields NaN cosine for everything — it must be
+    // dropped, never assigned (the pre-rewrite window form let NaN win)
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("cid", "cvec")
+    val assign = Similarity.ivfAssign(
+      vecs, "vec_id", "embedding", cents, "cid", "cvec", dim = 4)
+      .select("vid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign == Map(0L -> 0L, 1L -> 1L), assign.toString)
+    // ALL centroids zero-norm: refuse rather than assign arbitrarily
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, "vec_id", "embedding",
+        Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("cid", "cvec"),
+        "cid", "cvec", dim = 4)
+    }
+    // centroid dim mismatch: driver-side require, clear message
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, "vec_id", "embedding",
+        Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("cid", "cvec"),
+        "cid", "cvec", dim = 4)
+    }
+    // vector dim mismatch: the old math.min silently truncated; now the
+    // row fails with an explicit message (wrapped by Spark's UDF runner)
+    val short = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.ivfAssign(short, "vec_id", "embedding",
+        cents.filter(col("cid") < 9L), "cid", "cvec", dim = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("expected 4")), messages(ex).toString)
+  }
+
+  test("fixedPointBuckets keeps null-stratum rows as their own group") {
+    val df = Seq(
+      (1L, Option("en"), 10L), (2L, Option("en"), 20L),
+      (3L, Option.empty[String], 5L), (4L, Option.empty[String], 50L)
+    ).toDF("doc_id", "lang", "score")
+    val out = TextOps.fixedPointBuckets(df, "score", "lang", 2, "tier")
+    // null-lang rows must NOT be dropped by the fence join (plain
+    // equi-join semantics would lose them silently)
+    assert(out.count() == 4L)
+    val tiers = out.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(3))).toMap
+    assert(tiers(3L) == (None, 0L) && tiers(4L) == (None, 1L), tiers.toString)
+    assert(tiers(1L) == (Some("en"), 0L) && tiers(2L) == (Some("en"), 1L),
+      tiers.toString)
+  }
+
   test("kmeansRefine moves centroids onto cluster means") {
     // two tight clusters around e1 and e2; init centroids are OFF-CENTER
     // members of each cluster — after Lloyd rounds each centroid must be
