@@ -34,9 +34,11 @@ import graft.plans.VectorExpressions
   *    `cell=` partitions across committed batches — k/C of the index for
   *    a point query, the IVF contract made durable.
   *  - **Frozen quantizer**: centroids are pinned at build (re-training
-  *    them would strand every already-assigned vector in a stale cell).
-  *    The standard IVF practice — train on a representative sample, then
-  *    append forever; rebuild the store to re-train.
+  *    them in place would strand every already-assigned vector in a
+  *    stale cell). The standard IVF practice — train on a representative
+  *    sample, then append forever. When the corpus drifts, [[rebuild]]
+  *    retrains on the standing corpus into a FRESH root and
+  *    [[setCurrent]] flips the active-root pointer atomically.
   *
   * Recall follows the nprobe/centroid geometry measured in RecallBench
   * (km-IVF .956/.995 at nprobe 1/2 on clustered fixtures); with
@@ -78,18 +80,30 @@ object AnnIndexStore {
 
   /** Train the coarse quantizer (hash-sampled seeds refined by Lloyd
     * rounds — [[Similarity.kmeansRefine]]) and index `corpus` as batch 0.
+    *
+    * Seed sampling is ONE TakeOrdered pass — the `numCentroids` rows with
+    * the smallest id hashes (a uniform hash sample, deterministic), each
+    * executor contributing at most `numCentroids` partial rows. No
+    * corpus `count()` pass, no global single-partition `limit` funnel;
+    * the cardinality floor falls out of the sample's own (bounded) count.
     */
   def build(
       spark: SparkSession, root: String, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, numCentroids: Int,
-      lloydRounds: Int = 3): Unit = {
-    val n = corpus.count()
-    require(n >= numCentroids, s"corpus $n smaller than $numCentroids cells")
-    val every = math.max(1L, n / numCentroids)
+      lloydRounds: Int = 3,
+      /** Store batch id for the initial index — a LOOP creating the store
+        * from its stream batch `b` must pass `b` so a retry's read fence
+        * (`belowBatch = b`) can exclude the crashed attempt's own append.
+        */
+      firstBatchId: Long = 0L): Unit = {
     val seeds = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(every)) === 0)
-      .limit(numCentroids)
       .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(numCentroids)
+      .localCheckpoint(true)
+    val nSeeds = seeds.count() // local: the checkpointed ≤numCentroids rows
+    require(nSeeds == numCentroids.toLong,
+      s"corpus has only $nSeeds rows — smaller than $numCentroids cells")
     val trained = Similarity.kmeansRefine(
       corpus, seeds, idCol, vecCol, dim, lloydRounds)
     trained.write.mode("overwrite").parquet(s"$root/centroids")
@@ -97,7 +111,7 @@ object AnnIndexStore {
     val out = f.create(new Path(root, "_META"), true)
     try out.write(s"dim $dim\ncentroids $numCentroids".getBytes)
     finally out.close()
-    append(spark, root, corpus, idCol, vecCol, 0L)
+    append(spark, root, corpus, idCol, vecCol, firstBatchId)
   }
 
   /** Assign `df`'s vectors to their nearest (pinned) centroid and append
@@ -149,10 +163,23 @@ object AnnIndexStore {
     }
   }
 
+  /** Sources visible to a reader fenced at `belowBatch` — the
+    * [[SignatureIndexStore.visible]] discipline: a retried ingest batch
+    * must not see its own half-committed append, and a fence at or below
+    * the compaction horizon cannot be served (compact()'s keep-newest
+    * policy makes that unreachable from a loop).
+    */
   private def visible(
-      spark: SparkSession, root: String): (Option[Long], Seq[Long]) = {
+      spark: SparkSession, root: String,
+      belowBatch: Long = Long.MaxValue): (Option[Long], Seq[Long]) = {
     val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
-    val batches = committedBatches(spark, root).filter(_ > upTo)
+    if (upTo >= belowBatch && upTo >= 0)
+      throw new IllegalStateException(
+        s"ANN store at $root is compacted through batch $upTo; a reader " +
+          s"fenced at belowBatch=$belowBatch cannot exclude compacted " +
+          "batches")
+    val batches = committedBatches(spark, root)
+      .filter(b => b > upTo && b < belowBatch)
     (if (gen >= 0) Some(gen) else None, batches)
   }
 
@@ -232,15 +259,36 @@ object AnnIndexStore {
     * contract at any index size. Queries whose `vid` equals an indexed
     * id skip themselves (the corpus-member convention of
     * [[Similarity.ivfTopKProbed]]).
+    *
+    * Size-switched join (the [[graft.sources.CdxLookup]] `filterIn`
+    * discipline): at or below `broadcastMaxProbes` probe rows
+    * (queries × nprobe) the probe side is broadcast and the pruned index
+    * scan streams through it — the trickle/point-lookup shape. Above it
+    * — e.g. re-deduplicating a whole day's embeddings against the store —
+    * broadcasting millions of float vectors would be the scale killer,
+    * so both sides shuffle on `cell` (sort-merge join, plan-pinned) and
+    * each (query, cell) group is reduced to its local top-K BEFORE the
+    * global per-query window: the cell hash partitioning already
+    * co-locates (query, cell) groups, so the reduce adds a sort but no
+    * extra shuffle, and the final window sees ≤ nprobe × k rows per
+    * query instead of whole cells.
     */
   def query(
       spark: SparkSession, root: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      broadcastMaxProbes: Long = 10000L,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
     val meta = readMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no ANN store at $root — build first"))
-    val (gen, batches) = visible(spark, root)
-    require(gen.nonEmpty || batches.nonEmpty,
-      s"ANN store at $root holds no data")
+    val (gen, batches) = visible(spark, root, belowBatch)
+    // a store whose only append is the (fenced-out) caller's own retry
+    // has no standing data: zero neighbors, not an error
+    if (gen.isEmpty && batches.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rn", LongType))))
 
     val c = centroids(spark, root)
       .select(col("cent_id"), col("cv"),
@@ -263,13 +311,106 @@ object AnnIndexStore {
     val vecs = readVecs(spark, root, gen, batches, cells)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(probes.as("q"))
-      .join(vecs.as("c"),
-        col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid"))
-      .select(col("q.qvid").as("query_id"), col("c.vid").as("neighbor_id"),
-        (VectorExpressions.dot(col("q.qv"), col("c.v")) /
-          (col("q.qn") * col("c.n"))).as("cos"))
+    val cond =
+      col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid")
+    // probes is checkpointed, so the size probe is a cheap local count
+    val probeRows = probes.count()
+    val scored =
+      if (probeRows <= broadcastMaxProbes)
+        broadcast(probes.as("q")).join(vecs.as("c"), cond)
+          .select(col("q.qvid").as("query_id"),
+            col("c.vid").as("neighbor_id"), col("c.cell"),
+            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+              (col("q.qn") * col("c.n"))).as("cos"))
+      else {
+        // merge-hinted so the plan stays a shuffle join even when a test
+        // -scale side slips under the broadcast threshold — the whole
+        // point of this branch is that NEITHER side is driver-collected
+        // or broadcast
+        val perCell = Window.partitionBy(col("query_id"), col("cell"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        probes.as("q").join(vecs.as("c").hint("merge"), cond)
+          .select(col("q.qvid").as("query_id"),
+            col("c.vid").as("neighbor_id"), col("c.cell"),
+            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+              (col("q.qn") * col("c.n"))).as("cos"))
+          // local top-K inside each (query, cell): hash(cell) already
+          // co-locates these groups, so this is a sort, not a shuffle
+          .withColumn("crn", row_number().over(perCell))
+          .filter(col("crn") <= k)
+          .drop("crn")
+      }
+    scored
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
+      .drop("cell")
+  }
+
+  /** Every indexed vector as (vid, v) — the whole-index read that
+    * [[rebuild]] retrains on (one-time passes may discover partitions
+    * eagerly; the per-query path never does).
+    */
+  private def allVecs(spark: SparkSession, root: String): DataFrame = {
+    val (gen, batches) = visible(spark, root)
+    require(gen.nonEmpty || batches.nonEmpty,
+      s"ANN store at $root holds no data")
+    val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
+    val parts =
+      gen.map(k => spark.read.schema(dataSchema)
+        .option("basePath", s"$root/vecs/c$k")
+        .parquet(s"$root/vecs/c$k")
+        .select("vid", "v")).toSeq ++
+        (if (batches.isEmpty) Seq.empty
+         else Seq(spark.read.schema(vecsSchema)
+           .option("basePath", s"$root/vecs")
+           .parquet(batches.map(b => s"$root/vecs/batch=$b"): _*)
+           .select("vid", "v")))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Retrain the coarse quantizer on the CURRENT standing corpus and
+    * re-index everything under `newRoot` (batch 0) — the managed escape
+    * from the frozen-quantizer drift problem: a store fed batches whose
+    * distribution has moved away from the build-time sample loses recall
+    * (cells no longer follow the data); retraining on what the store
+    * holds NOW restores the geometry. The old root is untouched and
+    * stays fully queryable until the caller flips the [[setCurrent]]
+    * pointer — rebuild + flip is the atomic-switch pair.
+    *
+    * One whole-index read, one k-means (sample-seeded + Lloyd), one
+    * [[Similarity.ivfAssign]] pass, one cell-partitioned write — all
+    * corpus-sized, the unavoidable cost of re-binning every vector.
+    */
+  def rebuild(
+      spark: SparkSession, root: String, newRoot: String,
+      numCentroids: Int, lloydRounds: Int = 3): Unit = {
+    val meta = readMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"no ANN store at $root — build first"))
+    build(spark, newRoot, allVecs(spark, root), "vid", "v",
+      meta.dim, numCentroids, lloydRounds)
+  }
+
+  /** The active-root pointer: `pointerDir/_CURRENT` names the root serving
+    * queries. Writers [[rebuild]] into a fresh root, then flip the pointer
+    * (one-file atomic write, the [[graft.crawl.FrontierStore]] `_LATEST`
+    * discipline) — readers resolve [[currentRoot]] per lookup and never
+    * see a half-built index; the superseded root can be deleted once its
+    * in-flight readers drain.
+    */
+  def setCurrent(spark: SparkSession, pointerDir: String, root: String): Unit = {
+    val f = fs(spark, pointerDir)
+    f.mkdirs(new Path(pointerDir))
+    val out = f.create(new Path(pointerDir, "_CURRENT"), true)
+    try out.write(root.getBytes("UTF-8")) finally out.close()
+  }
+
+  def currentRoot(spark: SparkSession, pointerDir: String): Option[String] = {
+    val f = fs(spark, pointerDir)
+    val p = new Path(pointerDir, "_CURRENT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
   }
 }

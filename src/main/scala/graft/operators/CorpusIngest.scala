@@ -40,6 +40,28 @@ object CorpusIngest {
       */
     indexBuckets: Int = 64)
 
+  /** Optional semantic (embedding-space) stage for the durable ingest
+    * loop: accepted docs are embedded ([[TextOps.hashedEmbedding]] — the
+    * sandbox encoder seam), cross-checked against the STANDING vectors in
+    * a durable [[AnnIndexStore]] (SemDeDup semantics: drop a doc whose
+    * nearest standing neighbor's cosine clears `threshold` — textual
+    * near-dup machinery never sees a paraphrase, the embedding space
+    * does), and survivors' vectors are appended — so the ANN index grows
+    * with the corpus inside the same loop, retry-fenced like the
+    * signature store.
+    *
+    * The store is created on the first batch with survivors (quantizer
+    * trained on it, ≤ `numCentroids` cells); [[AnnIndexStore.rebuild]] is
+    * the managed retrain when the corpus outgrows or drifts from that
+    * first sample.
+    */
+  final case class AnnGate(
+    root: String,
+    dim: Int = 64,
+    threshold: Double = 0.9,
+    nprobe: Int = 4,
+    numCentroids: Int = 8)
+
   final case class Result(
     accepted: DataFrame,
     /** The standing index plus the accepted docs' signatures. */
@@ -97,17 +119,36 @@ object CorpusIngest {
     * it in later batches would be re-accepted forever (the cross-batch
     * dedup invariant is "every accepted doc is indexed").
     */
+  /** Pin a stage's output and record its row count in ONE job: the count
+    * rides the checkpoint's materializing action as an observed metric
+    * (the [[Components.connectedComponentsWithStats]] convergence-probe
+    * discipline). The naive per-stage `localCheckpoint + count()` pair
+    * costs two fixed-overhead jobs per stage — noise at toy scale, real
+    * money across thousands of micro-batches.
+    */
+  private def step(
+      audit: scala.collection.mutable.ArrayBuffer[(String, Long)],
+      name: String, df: DataFrame): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val pinned = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    val n = obs.get.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
+    audit += ((name, n))
+    pinned
+  }
+
   private def batchPipeline(
       batch: DataFrame, idCol: String, textCol: String, cfg: Config,
       audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
       : DataFrame = {
-    def step(name: String, df: DataFrame): DataFrame = {
-      val pinned = df.localCheckpoint(true)
-      audit += ((name, pinned.count()))
-      pinned
-    }
-    val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    audit += (("input", base.count()))
+    def step(name: String, df: DataFrame): DataFrame =
+      CorpusIngest.step(audit, name, df)
+    // pinning the input also collapses its double scan (the gates filter
+    // and the repetition features both read it)
+    val base = step("input",
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
     // 1. projection gates at batch cost (incl. the degenerate-sig drop)
     val langOk = cfg.lang.fold(lit(true))(l =>
@@ -145,18 +186,13 @@ object CorpusIngest {
       batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, cfg: Config = Config()): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def step(name: String, df: DataFrame): DataFrame = {
-      val pinned = df.localCheckpoint(true)
-      audit += ((name, pinned.count()))
-      pinned
-    }
     val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
 
     // 4. cross dedup against the standing index (no corpus text)
     val sigs = batchDeduped.select("doc_id", "sig")
     val matched = crossPairs(sigs, index, cfg)
       .select(col("new_id").as("__dup_id")).distinct()
-    val accepted = step("cross_dedup",
+    val accepted = step(audit, "cross_dedup",
       batchDeduped.join(matched,
         batchDeduped("doc_id") === col("__dup_id"), "left_anti"))
 
@@ -175,8 +211,8 @@ object CorpusIngest {
     */
   def ingestIndexed(
       batch: DataFrame, idCol: String, textCol: String,
-      indexRoot: String, batchId: Long, cfg: Config = Config())
-      : (DataFrame, Seq[(String, Long)]) = {
+      indexRoot: String, batchId: Long, cfg: Config = Config(),
+      ann: Option[AnnGate] = None): (DataFrame, Seq[(String, Long)]) = {
     val spark = batch.sparkSession
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
@@ -185,15 +221,70 @@ object CorpusIngest {
       .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
         cfg.threshold, belowBatch = batchId)
       .select(col("new_id").as("__dup_id")).distinct()
-    val accepted = batchDeduped
-      .join(matched, batchDeduped("doc_id") === col("__dup_id"), "left_anti")
-      .localCheckpoint(true)
-    audit += (("cross_dedup", accepted.count()))
+    val accepted = step(audit, "cross_dedup", batchDeduped
+      .join(matched, batchDeduped("doc_id") === col("__dup_id"), "left_anti"))
+
+    // optional semantic stage BEFORE the index appends: a semantically
+    // dropped doc must appear in neither standing index (accepted ⊆
+    // indexed, and it was not accepted)
+    val finalAccepted =
+      ann.fold(accepted)(g => annStage(accepted, g, batchId, audit))
 
     SignatureIndexStore.append(spark, indexRoot,
-      accepted.select("doc_id", "sig"), batchId,
+      finalAccepted.select("doc_id", "sig"), batchId,
       SignatureIndexStore.Meta(indexBuckets(cfg), cfg.numHashes, cfg.bandSize))
-    (accepted.drop("sig"), audit.toSeq)
+    (finalAccepted.drop("sig"), audit.toSeq)
+  }
+
+  /** The [[AnnGate]] stage: embed the signature-accepted docs, drop those
+    * whose nearest STANDING vector clears the cosine threshold (semantic
+    * cross-dedup — the SemDeDup judgment against the whole corpus so
+    * far), then append survivors' vectors so the next batch sees them.
+    * Retry-fenced like the signature path: the query's `belowBatch`
+    * excludes this batch's own crashed append, and the store is created
+    * with `firstBatchId = batchId` for the same reason.
+    */
+  private def annStage(
+      accepted: DataFrame, g: AnnGate, batchId: Long,
+      audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      : DataFrame = {
+    val spark = accepted.sparkSession
+    val emb = TextOps.hashedEmbedding(accepted, "doc_id", "text", g.dim)
+      .localCheckpoint(true)
+    val standing = AnnIndexStore.readMeta(spark, g.root).isDefined
+    val kept =
+      if (!standing) {
+        // no standing vectors yet: nothing to gate against — carry the
+        // audit row (same count as cross_dedup) without an extra job
+        audit += (("semantic_dedup", audit.last._2))
+        accepted
+      } else {
+        val dups = AnnIndexStore.query(spark, g.root, emb,
+            "doc_id", "embedding", k = 1, nprobe = g.nprobe,
+            belowBatch = batchId)
+          .filter(col("cos") >= g.threshold)
+          .select(col("query_id").as("__sem_dup")).distinct()
+        step(audit, "semantic_dedup", accepted
+          .join(dups, accepted("doc_id") === col("__sem_dup"), "left_anti"))
+      }
+    val obs = new org.apache.spark.sql.Observation()
+    val keptEmb = emb
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nKept = obs.get.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
+    if (!standing) {
+      if (nKept > 0)
+        AnnIndexStore.build(spark, g.root, keptEmb, "doc_id", "embedding",
+          g.dim, numCentroids = math.min(g.numCentroids.toLong, nKept).toInt,
+          lloydRounds = 2, firstBatchId = batchId)
+    } else
+      AnnIndexStore.append(spark, g.root, keptEmb, "doc_id", "embedding",
+        batchId)
+    kept
   }
 
   /** Bucket count for the durable store — a persistent store property
@@ -309,16 +400,27 @@ object CorpusIngest {
         * starts to matter — not every batch (the spec's `1` is for
         * coverage, not a recommendation).
         */
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      /** Optional semantic stage: embed accepted docs, cross-dedup
+        * against the standing [[AnnIndexStore]], append survivors'
+        * vectors — the ANN index rides the same loop (and the same
+        * `compactEvery` cadence) as the signature store.
+        */
+      ann: Option[AnnGate] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val (accepted, _) =
-          ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg)
+          ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg, ann)
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           SignatureIndexStore.compact(b.sparkSession, indexRoot)
+          ann.filter(g =>
+              AnnIndexStore.readMeta(b.sparkSession, g.root).isDefined)
+            .foreach(g => AnnIndexStore.compact(b.sparkSession, g.root))
+        }
       }
       .start()
 }

@@ -360,6 +360,16 @@ object SignatureIndexStore {
     }
   }
 
+  /** An observed `collect_set` metric as a Seq[Int] (empty set over an
+    * empty frame comes back as an empty array, not null).
+    */
+  private def intSetMetric(v: Any): Seq[Int] = v match {
+    case s: Seq[_] => s.map(_.asInstanceOf[Number].intValue)
+    case null      => Seq.empty
+    case other => throw new IllegalStateException(
+      s"unexpected observed metric $other")
+  }
+
   private def emptyMatches(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -393,6 +403,10 @@ object SignatureIndexStore {
     val pinned = batchSigs.select(col("doc_id"), col("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
       .localCheckpoint(true)
+    // the touched-bucket prune set (≤ meta.buckets ints) rides the
+    // checkpoint's materializing job as an observed collect_set — no
+    // separate distinct+collect job per batch
+    val bandsObs = new org.apache.spark.sql.Observation()
     val batchBands = pinned
       .select(col("doc_id").as("new_id"),
         explode(TextOps.bandKeysUdf(meta.numBands, meta.bandSize)(col("sig")))
@@ -400,10 +414,9 @@ object SignatureIndexStore {
       .select(col("new_id"), xxhash64(col("band_key")).as("band_hash"))
       .distinct()
       .withColumn("bucket", bandBucket(meta))
+      .observe(bandsObs, sort_array(collect_set(col("bucket"))).as("touched"))
       .localCheckpoint(true)
-    // ≤ meta.buckets ints — the partition-prune driver set
-    val touched = batchBands.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val touched = intSetMetric(bandsObs.get.getOrElse("touched", null))
     if (touched.isEmpty) return emptyMatches(spark)
 
     // the touched buckets can intersect NO written bucket dir of any
@@ -413,15 +426,17 @@ object SignatureIndexStore {
       Some(touched), Seq("band_hash", "doc_id"))
       .getOrElse(return emptyMatches(spark))
     // candidate pairs: index scan streams through a broadcast of the
-    // batch side — no index-sized shuffle
+    // batch side — no index-sized shuffle; the candidates' sig-bucket
+    // prune set rides the same materializing job
+    val candObs = new org.apache.spark.sql.Observation()
     val cand = bands
       .join(broadcast(batchBands.select("band_hash", "new_id")), Seq("band_hash"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
       .distinct()
+      .observe(candObs, sort_array(
+        collect_set(docBucket(meta, col("corpus_id")))).as("cand_buckets"))
       .localCheckpoint(true) // bounded by batch matches; pins the prune set
-    val candBuckets = cand
-      .select(docBucket(meta, col("corpus_id")).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val candBuckets = intSetMetric(candObs.get.getOrElse("cand_buckets", null))
     if (candBuckets.isEmpty) return emptyMatches(spark)
 
     val sigs = readTable(spark, root, "sigs", sigsSchema, gen, batches,

@@ -1114,6 +1114,45 @@ object TextOps {
       .select(df.columns.map(col) :+ col(bucketCol): _*)
   }
 
+  /** Deterministic hashed bag-of-tokens embedding: token counts scattered
+    * into a fixed `dim`-wide dense vector by a stable 32-bit hash, then
+    * L2-normalized — the sandbox stand-in for a neural text encoder
+    * (the container has no model runtime), with the Spark-side contract
+    * a real one would have: (doc_id, embedding float[dim]), one row per
+    * doc with at least one token. Near-identical texts map to
+    * near-identical vectors (cosine ≈ 1), which is exactly what the
+    * ingest loop's semantic gate needs from its embedder seam.
+    *
+    * Engine-portable on purpose (md5-derived [[hash32Sql]], the
+    * [[QualityClassifier.featurize]] hash): the construction is
+    * oracle-checkable if ever SQL-gated. Scale shape: one explode + two
+    * hash aggregates, all doc-scoped — no corpus-wide state.
+    */
+  def hashedEmbedding(
+      df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    df
+      .select(col(idCol).as("doc_id"),
+        expr(tokensSql(s"lower($textCol)")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"),
+        pmod(expr(hash32Sql("tok")), lit(dim)).cast("int").as("feat"))
+      .groupBy(col("doc_id"), col("feat"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("feat"), col("cnt"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "i -> coalesce(element_at(__m, cast(i as int)), " +
+          "cast(0 as double)))").as("__raw"))
+      .select(col("doc_id"),
+        expr("transform(__raw, x -> cast(x / sqrt(aggregate(__raw, " +
+          "cast(0 as double), (a, y) -> a + y * y)) as float))")
+          .as("embedding"))
+  }
+
   /** Domain/source-level quality gate: drop every stratum (source domain,
     * crawl snapshot, shard) whose aggregate statistics fail a floor —
     * here doc count and mean document length, the cheap proxies pipelines

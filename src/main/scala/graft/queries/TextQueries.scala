@@ -459,6 +459,28 @@ object TextQueries {
           all.filter(col("doc_id") % 2 === 1), "doc_id", "text", cfg),
         cfg.threshold)
     }),
+    "q103_ann_ingest_gate" -> ((s, d) => {
+      // the round-10 loop composition: a standing ANN index GROWN the way
+      // the ingest loop grows it (build on the first batch, append the
+      // second), then the semantic cross-dedup judgment for a new batch —
+      // nearest standing neighbor + thresholded verdict (the
+      // CorpusIngest.AnnGate semantics). Exhaustive probing makes the
+      // store query exactly brute-force top-1 over the standing vectors,
+      // so build → append → size-switched query → gate all sit behind
+      // this oracle (the q101 discipline, ANN twin).
+      import graft.operators.AnnIndexStore
+      val e = embs(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q103").toString
+      AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1)
+      AnnIndexStore.append(s, root,
+        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L)
+      AnnIndexStore.query(s, root, e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 1, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          (col("cos") >= 0.3).cast("bigint").as("is_dup"))
+    }),
     "q100_fp_tiers" -> ((s, d) =>
       // CCNet-style per-stratum head/middle/tail tiers via the EXACT
       // integer histogram-quantile (TextOps.fixedPointBuckets — the
@@ -1367,6 +1389,18 @@ object TextQueries {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
          |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q103_ann_ingest_gate" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 3 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 3 <> 0),
+         |j AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |  FROM q, c),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(cos >= 0.3 AS BIGINT) AS is_dup FROM r WHERE rn = 1"""
+        .stripMargin,
     "q28_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |    (SELECT $dBucket FROM (SELECT qv0 AS v)) AS bucket

@@ -45,11 +45,14 @@ object AnnBench {
     }
 
     println("| index rows | cells | store query (s) | brute force (s) |")
+    var lastRoot: String = null
+    var lastCorpus: org.apache.spark.sql.DataFrame = null
     Seq((10, 64), (100, 256), (1000, 1024)).foreach { case (times, cells) =>
       val corpus = replicate(times).localCheckpoint(true)
       val n = corpus.count()
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-annbench-$times").toString
+      lastRoot = root; lastCorpus = corpus
       AnnIndexStore.build(spark, root, corpus, "vec_id", "embedding",
         dim, numCentroids = cells, lloydRounds = 1)
       // warmup both paths once
@@ -64,6 +67,23 @@ object AnnBench {
         queries, corpus, "vec_id", "embedding", dim, k = 5).count())
       println(f"| $n | $cells | $tStore%.2f | $tBrute%.2f |")
     }
+
+    // batch-scale query arm: a 100k-probe set (a "day of embeddings"
+    // re-deduplicated against the store) must take the shuffle-on-cell
+    // path — broadcasting 100k float vectors is the driver-OOM shape the
+    // size switch exists to avoid. Assert the plan, then time it.
+    val batchQ = lastCorpus.limit(100000).localCheckpoint(true)
+    val nq = batchQ.count()
+    val big = AnnIndexStore.query(spark, lastRoot, batchQ,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    big.count() // warmup
+    val plan = big.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastExchange"),
+      "batch query must not broadcast the probe side:\n" + plan.take(3000))
+    val (pairs, tBatch) = sec(AnnIndexStore.query(spark, lastRoot, batchQ,
+      "vec_id", "embedding", k = 5, nprobe = 4).count())
+    println(f"| batch-query arm: $nq probes -> $pairs pairs | " +
+      f"shuffle-on-cell | $tBatch%.2f s | no probe-side broadcast |")
     spark.stop()
   }
 }

@@ -92,20 +92,112 @@ object IngestBench {
 
       println(f"| $n | $wallMem%.1f | $wallStore%.1f | $accepted |")
 
-      // trickle arm at the largest store: the standing-index LOOKUP for
-      // a 10-doc batch (the steady-state continuous-ingest shape) —
-      // bucket pruning + batch-side broadcasts price it near a point
-      // lookup; the full per-batch wall above is job-count-bound, not
-      // index-bound (audit checkpoints cost ~20 fixed-overhead jobs)
+      // trickle arm at the largest store: the steady-state continuous-
+      // ingest shape — a 10-doc batch against the 5M-row index. Reported
+      // both as matches-only (the store's own cost) and as the FULL
+      // ingestIndexed wall (gates + dedups + append), whose audit counts
+      // now ride the stage checkpoints as observed metrics instead of
+      // separate count() jobs.
       if (times == 1000) {
+        val trickle = batch.limit(10).localCheckpoint(true)
         val trickleSigs = CorpusIngest.signatureIndex(
-          batch.limit(10), "doc_id", "text", cfg).localCheckpoint(true)
+          trickle, "doc_id", "text", cfg).localCheckpoint(true)
         val t2 = System.nanoTime()
         val m = SignatureIndexStore.matches(
           spark, root, trickleSigs, cfg.threshold).count()
         println(f"| 10-doc lookup vs $n (matches only) | - | " +
           f"${(System.nanoTime() - t2) / 1e9}%.1f | $m matched |")
+        val t3 = System.nanoTime()
+        val (tDf, _) = CorpusIngest.ingestIndexed(
+          trickle, "doc_id", "text", root, 2L, cfg)
+        val tAcc = tDf.count()
+        println(f"| 10-doc FULL ingest vs $n | - | " +
+          f"${(System.nanoTime() - t3) / 1e9}%.1f | $tAcc accepted |")
       }
+    }
+
+    // ANN-in-the-loop arm: the same 10-doc full ingest, now with the
+    // AnnGate stage (embed + semantic query vs the standing vectors +
+    // vector append), against standing ANN stores 10x apart — the
+    // per-batch wall must stay flat as the VECTOR index grows too.
+    // (Standing vectors are the synthetic embeddings table replicated
+    // with jitter; the gate prices the path — probe + append cost — not
+    // the match semantics, which CorpusIngestSpec pins.)
+    locally {
+      import graft.operators.AnnIndexStore
+      val baseEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val dim = baseEmb.select(size(col("embedding"))).head().getInt(0)
+      def replicateEmb(times: Int) = baseEmb
+        .crossJoin(spark.range(times).select(col("id").as("rep")))
+        .select(
+          (col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + " +
+            "CASE WHEN rep = 0 THEN CAST(0.0 AS FLOAT) ELSE " +
+            "CAST(((rep * 31 + j * 7) % 13 - 6) AS FLOAT) * " +
+            "CAST(0.01 AS FLOAT) END AS FLOAT))").as("embedding"))
+        .repartition(32)
+      val trickle = batch.limit(10).localCheckpoint(true)
+      println("| standing vectors | 10-doc FULL ingest + AnnGate (s) | accepted |")
+      Seq(10, 100).foreach { times =>
+        val vecs = replicateEmb(times).localCheckpoint(true)
+        val nv = vecs.count()
+        val sigRoot = java.nio.file.Files
+          .createTempDirectory(s"graft-ingestann-sig-$times").toString
+        SignatureIndexStore.append(spark, sigRoot, replicate(times), 0L, meta)
+        val annRoot = java.nio.file.Files
+          .createTempDirectory(s"graft-ingestann-vec-$times").toString
+        AnnIndexStore.build(spark, annRoot, vecs, "vec_id", "embedding",
+          dim, numCentroids = 256, lloydRounds = 1)
+        val gate = CorpusIngest.AnnGate(
+          annRoot, dim = dim, threshold = 0.9, nprobe = 4)
+        val t0 = System.nanoTime()
+        val (aDf, _) = CorpusIngest.ingestIndexed(
+          trickle, "doc_id", "text", sigRoot, 1L, cfg, Some(gate))
+        val acc = aDf.count()
+        println(f"| $nv | ${(System.nanoTime() - t0) / 1e9}%.1f | $acc |")
+      }
+    }
+
+    // long-loop arm (store compaction economics): many small batches
+    // accumulate one batch=<id> dir per table per micro-batch; scan cost
+    // grows with file count. Periodic compaction folds them into one
+    // file per bucket — this arm measures per-batch wall early vs late,
+    // with and without compaction, plus the compaction passes' own cost.
+    def loopArm(nBatches: Int, compactEvery: Int): (Double, Double, Double) = {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestloop-$compactEvery").toString
+      SignatureIndexStore.append(spark, root, replicate(10), 0L, meta)
+      var compactSec = 0.0
+      val walls = (1 to nBatches).map { b =>
+        val docs = (0 until 5).map { j =>
+          val id = 950000000L + b * 100L + j
+          (id, s"synthetic loop document $id covering subject s${b}x$j " +
+            s"with unique tokens u${b}a$j u${b}b$j u${b}c$j and filler " +
+            s"prose about matter m$b variant $j")
+        }.toDF("doc_id", "text")
+        val t0 = System.nanoTime()
+        CorpusIngest.ingestIndexed(docs, "doc_id", "text", root, b.toLong, cfg)
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (compactEvery > 0 && b % compactEvery == 0) {
+          val c0 = System.nanoTime()
+          SignatureIndexStore.compact(spark, root)
+          compactSec += (System.nanoTime() - c0) / 1e9
+        }
+        wall
+      }
+      val early = walls.slice(5, 25).sum / 20
+      val late = walls.takeRight(20).sum / 20
+      (early, late, compactSec)
+    }
+    val nLoop = 200
+    println(s"| long loop ($nLoop x 5-doc batches vs 5M-row base) " +
+      "| early avg (s) | late avg (s) | compact total (s) |")
+    Seq(0, 50).foreach { every =>
+      val (early, late, cSec) = loopArm(nLoop, every)
+      val label = if (every == 0) "no compaction" else s"compact every $every"
+      println(f"| $label | $early%.2f | $late%.2f | $cSec%.1f |")
     }
     spark.stop()
   }

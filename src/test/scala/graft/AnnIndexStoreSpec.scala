@@ -61,6 +61,74 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       s"$cellsInPlan\n${plan.take(3000)}")
   }
 
+  test("size-switched query: broadcast below the probe threshold, shuffle-on-cell above, same results") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annsz").toString
+    AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,
+      numCentroids = 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val small = AnnIndexStore.query(
+      spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8)
+    val smallPairs = pairs(small)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastExchange"), smallPlan.take(3000))
+    // force the batch-scale path: the probe side must NOT be broadcast
+    // (a day's embeddings re-deduplicated against the store would OOM the
+    // driver through that broadcast) — shuffle on cell, sort-merge join
+    val big = AnnIndexStore.query(
+      spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8,
+      broadcastMaxProbes = 0L)
+    val bigPairs = pairs(big)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastExchange"), bigPlan.take(3000))
+    assert(bigPlan.contains("SortMergeJoin"), bigPlan.take(3000))
+    // the per-(query, cell) pre-reduce rides the join's cell partitioning:
+    // exactly ONE exchange on each join input, none between the join and
+    // the two windows
+    assert(bigPairs == smallPairs,
+      s"diff=${(bigPairs diff smallPairs) ++ (smallPairs diff bigPairs)}")
+  }
+
+  test("rebuild retrains into a fresh root with identical exhaustive answers; _CURRENT flips") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annrb").toString
+    val newRoot = java.nio.file.Files.createTempDirectory("graft-annrb2").toString
+    AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,
+      numCentroids = 8)
+    // a drifted batch: reversed-component vectors land far from the
+    // build-time sample's geometry
+    AnnIndexStore.append(spark, root,
+      emb.select((col("vec_id") + 10000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", 1L)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def pairs(r: String, nprobe: Int) = AnnIndexStore.query(
+      spark, r, queries, "vec_id", "embedding", k = 5, nprobe = nprobe)
+      .select("query_id", "neighbor_id", "rn").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val before = pairs(root, nprobe = 8)
+
+    // retrain with a DIFFERENT cell count: the answers must not move
+    // (exhaustive probing is exact on both geometries)
+    AnnIndexStore.rebuild(spark, root, newRoot, numCentroids = 12,
+      lloydRounds = 2)
+    assert(AnnIndexStore.readMeta(spark, newRoot) ==
+      Some(AnnIndexStore.Meta(dim, 12)))
+    assert(AnnIndexStore.committedBatches(spark, newRoot) == Seq(0L))
+    assert(pairs(newRoot, nprobe = 12) == before)
+    // the old root is untouched and still serves queries
+    assert(pairs(root, nprobe = 8) == before)
+
+    // active-root pointer: resolve → flip → resolve
+    val ptr = java.nio.file.Files.createTempDirectory("graft-annptr").toString
+    assert(AnnIndexStore.currentRoot(spark, ptr).isEmpty)
+    AnnIndexStore.setCurrent(spark, ptr, root)
+    assert(AnnIndexStore.currentRoot(spark, ptr) == Some(root))
+    AnnIndexStore.setCurrent(spark, ptr, newRoot)
+    assert(AnnIndexStore.currentRoot(spark, ptr) == Some(newRoot))
+  }
+
   test("compaction folds batches into one file per cell; queries unchanged") {
     val root = java.nio.file.Files.createTempDirectory("graft-ann3").toString
     AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,

@@ -392,6 +392,64 @@ class CorpusIngestSpec extends AnyFunSuite {
       .compactState(spark, s"$dir/index").exists(_._2 >= 1L))
   }
 
+  test("AnnGate: semantic cross-dedup catches what the signature index misses; vectors ride the loop") {
+    import graft.operators.AnnIndexStore
+    val root = java.nio.file.Files.createTempDirectory("graft-anngate").toString
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-anngate-vec").toString
+    val g = CorpusIngest.AnnGate(
+      annRoot, dim = 64, threshold = 0.9, nprobe = 8, numCentroids = 2)
+    val article = "the committee reviewed the annual report and found " +
+      "that the harbor restoration project had exceeded every one of " +
+      "the stated goals while staying well under the approved budget"
+    // same token multiset, scrambled order: 3-shingles shatter (MinHash
+    // estimate ~0) but the bag-of-tokens embedding is IDENTICAL — the
+    // deterministic stand-in for a paraphrase
+    val scrambled = article.split(" ").sorted.mkString(" ")
+
+    val b0 = Seq(
+      (1L, article),
+      (2L, "a careful study of historical documents reveals many patterns")
+    ).toDF("doc_id", "text")
+    val (a0, audit0) = CorpusIngest.ingestIndexed(
+      b0, "doc_id", "text", root, 0L, cfg, Some(g))
+    assert(a0.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L), audit0.toString)
+    // first batch: no standing vectors to gate against; store created
+    assert(audit0.toMap.apply("semantic_dedup") == 2L, audit0.toString)
+    assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L))
+
+    val b1 = Seq(
+      (10L, scrambled), // passes sig cross-dedup, falls at SEMANTIC
+      (11L, "novel observations about glacier movement and seasonal melt")
+    ).toDF("doc_id", "text")
+    val (a1, audit1) = CorpusIngest.ingestIndexed(
+      b1, "doc_id", "text", root, 1L, cfg, Some(g))
+    val ids1 = a1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == Set(11L), s"$ids1 audit=$audit1")
+    val am = audit1.toMap
+    assert(am("cross_dedup") == 2L, audit1.toString) // sig store missed it
+    assert(am("semantic_dedup") == 1L, audit1.toString) // the gate caught it
+    // both standing indexes carry exactly the accepted docs
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 11L))
+    // the semantic victim's own vector was NOT appended
+    val nn = AnnIndexStore.query(spark, annRoot,
+      graft.operators.TextOps.hashedEmbedding(
+        Seq((99L, article)).toDF("doc_id", "text"), "doc_id", "text", 64),
+      "doc_id", "embedding", k = 3, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(nn == Set(1L, 2L, 11L), nn.toString)
+
+    // retried batch: the fence hides its own append — identical verdicts
+    val (a1r, audit1r) = CorpusIngest.ingestIndexed(
+      b1, "doc_id", "text", root, 1L, cfg, Some(g))
+    assert(a1r.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(11L), audit1r.toString)
+    assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
+  }
+
   test("degenerate-signature docs are dropped at gates: every accepted doc is indexed") {
     // "alpha, beta." has >= 2 PRE-tokens (passes a minTokens=2 floor) but
     // only 2 whitespace tokens < shingleK=3 ⇒ all-null signature. Under

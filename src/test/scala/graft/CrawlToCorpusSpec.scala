@@ -134,4 +134,53 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     // and the standing index now carries every admitted doc
     assert(SignatureIndexStore.sigsView(spark, root).count() == 4L)
   }
+
+  test("continuous form with AnnGate: a cross-site paraphrase falls at SEMANTIC cross-dedup") {
+    import graft.operators.{AnnIndexStore, CorpusIngest}
+    // site C republishes A's article with the same vocabulary in a
+    // different surface order (deterministic scramble — the shape of a
+    // paraphrase to a bag-of-tokens embedder): 3-shingles shatter, so the
+    // SIGNATURE index misses it; the embedding space does not
+    val paraphrase = article.split(" ").sorted.mkString(" ")
+    val cPages = pages ++ Map(
+      "http://c.com/" -> page("Home C",
+        "dispatches from the inland valley where orchard crews trade " +
+          "weather lore and the irrigation ditches set the pace of work",
+        Seq("http://c.com/para")),
+      "http://c.com/para" -> page("Para", paraphrase, Seq.empty))
+    val cFetcher: Fetcher = new MapPageFetcher(cPages)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-crawl-anngate").toString
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-crawl-anngate-vec").toString
+    val cfgI = CorpusIngest.Config()
+    val gate = CorpusIngest.AnnGate(
+      annRoot, dim = 64, threshold = 0.9, nprobe = 8, numCentroids = 2)
+    def crawlDocs(seed: String) = {
+      val parsed = CrawlTopology.run(
+        spark, Seq((seed, 1.0f)),
+        cFetcher, new MapRobotsFetcher(Map.empty),
+        CrawlConfig(maxRounds = 8)).parsed
+      parsed.select(xxhash64(col("url")).as("doc_id"), col("url"),
+        col("text")).localCheckpoint(true)
+    }
+    val a = crawlDocs("a.com")
+    val (accA, _) = CorpusIngest.ingestIndexed(
+      a, "doc_id", "text", root, 0L, cfgI, Some(gate))
+    assert(accA.count() == 3L) // home, article, fr (tiny/spam gated)
+
+    val c = crawlDocs("c.com")
+    val (accC, auditC) = CorpusIngest.ingestIndexed(
+      c, "doc_id", "text", root, 1L, cfgI, Some(gate))
+    val urlsC = accC.join(c.select("doc_id", "url"), Seq("doc_id"))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urlsC == Set("http://c.com/"), s"$urlsC audit=$auditC")
+    val am = auditC.toMap
+    // the paraphrase SURVIVED the signature cross-dedup...
+    assert(am("cross_dedup") == 2L, auditC.toString)
+    // ...and fell at the semantic gate against the standing vectors
+    assert(am("semantic_dedup") == 1L, auditC.toString)
+    // the ANN store grew only by the admitted doc
+    assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
+  }
 }
