@@ -156,9 +156,8 @@ object FrontierStore {
 
     val manifest = prevManifest ++ affected.map(_ -> next).toMap
     writeManifest(spark, root, next, buckets, manifest)
-    val ptr = f.create(new Path(root, "_LATEST"), true)
-    try ptr.write(next.toString.getBytes)
-    finally ptr.close()
+    graft.util.FsAtomic.writePointer(
+      f, new Path(root), "_LATEST", next.toString)
 
     // retire: for each rewritten bucket keep only the new version and its
     // immediate predecessor (for readers that resolved the pointer just

@@ -247,8 +247,8 @@ object AnnIndexStore {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vecs/c$gen")
     val f = fs(spark, root)
-    val out = f.create(new Path(root, "_COMPACT"), true)
-    try out.write(s"$gen ${cover.last}".getBytes) finally out.close()
+    graft.util.FsAtomic.writePointer(
+      f, new Path(root), "_COMPACT", s"$gen ${cover.last}")
     if (prevGen >= 0) f.delete(new Path(s"$root/vecs/c$prevGen"), true)
     cover.foreach(b => f.delete(new Path(s"$root/vecs/batch=$b"), true))
   }
@@ -392,16 +392,16 @@ object AnnIndexStore {
 
   /** The active-root pointer: `pointerDir/_CURRENT` names the root serving
     * queries. Writers [[rebuild]] into a fresh root, then flip the pointer
-    * (one-file atomic write, the [[graft.crawl.FrontierStore]] `_LATEST`
-    * discipline) — readers resolve [[currentRoot]] per lookup and never
+    * (temp-file write + rename, atomic on HDFS-like filesystems — the
+    * [[graft.crawl.FrontierStore]] `_LATEST` discipline) — readers
+    * resolve [[currentRoot]] per lookup and never
     * see a half-built index; the superseded root can be deleted once its
     * in-flight readers drain.
     */
   def setCurrent(spark: SparkSession, pointerDir: String, root: String): Unit = {
     val f = fs(spark, pointerDir)
     f.mkdirs(new Path(pointerDir))
-    val out = f.create(new Path(pointerDir, "_CURRENT"), true)
-    try out.write(root.getBytes("UTF-8")) finally out.close()
+    graft.util.FsAtomic.writePointer(f, new Path(pointerDir), "_CURRENT", root)
   }
 
   def currentRoot(spark: SparkSession, pointerDir: String): Option[String] = {

@@ -60,7 +60,11 @@ object CorpusIngest {
     dim: Int = 64,
     threshold: Double = 0.9,
     nprobe: Int = 4,
-    numCentroids: Int = 8)
+    numCentroids: Int = 8,
+    /** LSH planes for the WITHIN-batch semantic pass (the standing pass
+      * probes the store's pinned cells instead).
+      */
+    numPlanes: Int = 8)
 
   final case class Result(
     accepted: DataFrame,
@@ -239,7 +243,11 @@ object CorpusIngest {
   /** The [[AnnGate]] stage: embed the signature-accepted docs, drop those
     * whose nearest STANDING vector clears the cosine threshold (semantic
     * cross-dedup — the SemDeDup judgment against the whole corpus so
-    * far), then append survivors' vectors so the next batch sees them.
+    * far), then a WITHIN-batch semantic pass (mutual paraphrases arriving
+    * in the same micro-batch match nothing standing — cluster them with
+    * [[Similarity.cosineDedupPairs]] and keep each cluster's minimum id,
+    * mirroring the textual `batch_dedup` stage), then append survivors'
+    * vectors so the next batch sees them.
     * Retry-fenced like the signature path: the query's `belowBatch`
     * excludes this batch's own crashed append, and the store is created
     * with `firstBatchId = batchId` for the same reason.
@@ -252,7 +260,7 @@ object CorpusIngest {
     val emb = TextOps.hashedEmbedding(accepted, "doc_id", "text", g.dim)
       .localCheckpoint(true)
     val standing = AnnIndexStore.readMeta(spark, g.root).isDefined
-    val kept =
+    val keptStanding =
       if (!standing) {
         // no standing vectors yet: nothing to gate against — carry the
         // audit row (same count as cross_dedup) without an extra job
@@ -267,6 +275,21 @@ object CorpusIngest {
         step(audit, "semantic_dedup", accepted
           .join(dups, accepted("doc_id") === col("__sem_dup"), "left_anti"))
       }
+    // within-batch semantic pass: two mutual paraphrases in ONE batch
+    // clear the standing gate together (neither is indexed yet) — without
+    // this pass both would be appended, permanently seeding the store
+    // with a semantic duplicate pair. Same set semantics as the textual
+    // batch_dedup stage: candidate pairs, clusters, keep the minimum id.
+    val survivorEmb = emb
+      .join(keptStanding.select("doc_id"), Seq("doc_id"), "left_semi")
+    val batchPairs = Similarity.cosineDedupPairs(
+      survivorEmb, "doc_id", "embedding", g.dim, g.numPlanes, g.threshold)
+    val batchDrop = Components.connectedComponents(batchPairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__sem_batch_drop"))
+    val kept = step(audit, "semantic_batch_dedup", keptStanding
+      .join(batchDrop,
+        keptStanding("doc_id") === col("__sem_batch_drop"), "left_anti"))
     val obs = new org.apache.spark.sql.Observation()
     val keptEmb = emb
       .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")

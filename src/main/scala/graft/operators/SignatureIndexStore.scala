@@ -206,8 +206,10 @@ object SignatureIndexStore {
     val content =
       s"bands ${bucketsOf(s"$root/bands/batch=$batchId").mkString(",")}\n" +
         s"sigs ${bucketsOf(s"$root/sigs/batch=$batchId").mkString(",")}"
-    val out = f.create(new Path(root, s"_commit_$batchId"), true)
-    try out.write(content.getBytes) finally out.close()
+    // readers parse marker CONTENT (the bucket sets), so a crashed writer
+    // must never leave a half-written marker — temp+rename, not create
+    graft.util.FsAtomic.writePointer(
+      f, new Path(root), s"_commit_$batchId", content)
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches
@@ -349,8 +351,8 @@ object SignatureIndexStore {
               .parquet(s"$root/$table/c$gen")
           }
       }
-    val out = f.create(new Path(root, "_COMPACT"), true)
-    try out.write(s"$gen $upTo".getBytes) finally out.close()
+    graft.util.FsAtomic.writePointer(
+      f, new Path(root), "_COMPACT", s"$gen $upTo")
     // reclaim superseded sources; the pointer already committed
     Seq("bands", "sigs").foreach { table =>
       if (prevGen >= 0)

@@ -1094,7 +1094,12 @@ object TextOps {
           Window.partitionBy(strataCol).orderBy(fpCol)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__nd",
-        sum(col("__n")).over(Window.partitionBy(strataCol)))
+        // same partition+order spec as __cum with an unbounded frame, so
+        // Catalyst collapses both into ONE WindowExec (one sort, not two)
+        sum(col("__n")).over(
+          Window.partitionBy(strataCol).orderBy(fpCol)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
     // fence i = smallest score whose cumulative share reaches i/buckets —
     // the discrete quantile, same selector as the oracle
     val fenceCols = (1 until buckets).map(i =>

@@ -15,12 +15,23 @@ package graft.plans
 object PlanChecks {
 
   /** True when `line` is a physical Window node with an EMPTY partition
-    * spec (two bracket groups instead of three). `WindowGroupLimit` lines
-    * don't match the `"Window ["` anchor.
+    * spec. `WindowGroupLimit` lines don't match the `"Window ["` anchor.
+    *
+    * TreeNode.argString OMITS empty child seqs, so a two-bracket-group
+    * line is ambiguous: `Window [exprs], [orderSpec]` (global — flag it)
+    * and `Window [exprs], [partitionSpec]` (partitioned, unordered total —
+    * perfectly scalable) print identically in shape. Order-spec entries
+    * carry a sort direction (`x ASC NULLS FIRST`) while partition specs
+    * are bare expressions, so the direction token disambiguates.
     */
   def isGlobalWindowLine(line: String): Boolean = {
     val i = line.indexOf("Window [")
-    i >= 0 && line.substring(i).split("\\], \\[").length < 3
+    if (i < 0) return false
+    val groups = line.substring(i).split("\\], \\[")
+    if (groups.length >= 3) false // both partition and order specs present
+    else if (groups.length == 2)
+      groups(1).contains(" ASC") || groups(1).contains(" DESC")
+    else true // bare `Window [exprs]` — no partition spec at all
   }
 
   /** Scale-killer shapes in a physical plan string: cartesian products

@@ -127,12 +127,22 @@ object CdxLookup {
     // field 4 would shift status/digest/n_octets/warc_file for those
     val parsed = lines
       .select(split(col("value"), " ").as("p"))
+      // a CDX line carries at least 8 fields (1-token mime). Shorter
+      // lines (truncated writes, foreign formats) would feed negative
+      // element_at indexes that mis-assign columns — drop them instead;
+      // a line without a warc_file can never be fetched anyway
+      .where(size(col("p")) >= 8)
       .select(
         element_at(col("p"), 1).as("surt"),
         element_at(col("p"), 2).as("ts"),
         element_at(col("p"), 3).as("url"),
-        concat_ws(" ",
-          slice(col("p"), lit(4), greatest(size(col("p")) - 7, lit(0))))
+        // '-' is the classic-CDX unknown marker; an empty join result
+        // (doubled separators) must not masquerade as a real empty mime
+        when(length(concat_ws(" ",
+            slice(col("p"), lit(4), greatest(size(col("p")) - 7, lit(0)))))
+            === 0, lit("-"))
+          .otherwise(concat_ws(" ",
+            slice(col("p"), lit(4), greatest(size(col("p")) - 7, lit(0)))))
           .as("mime"),
         element_at(col("p"), -4).cast("long").as("status"),
         element_at(col("p"), -3).as("digest"),

@@ -172,6 +172,35 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(m == Map("http://mimey.com/p" -> "charset body"), stats.toString)
   }
 
+  test("cdx parse drops short lines instead of mis-assigning fields") {
+    // foreign/truncated CDX: a line with < 8 fields would feed negative
+    // element_at indexes and silently shift status/digest/warc_file into
+    // the wrong columns — the parse must route such lines OUT, and an
+    // empty mime token (doubled separator) must surface as the classic
+    // '-' unknown marker, not an empty string
+    val url = "http://shortline.com/p"
+    val surt = graft.functions.UrlFunctions.surtKey(url)
+    val digest = "0123456789abcdef0123456789abcdef"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdxshort")
+    val lines = Seq(
+      s"$surt 20240101000000 $url text/html; charset=utf-8 200 $digest 42 part-00000-a.warc.gz",
+      s"$surt 20240101000001 $url", // truncated write: 3 fields
+      s"$surt 20240101000002 $url 200 $digest 42 part-00000-b.warc.gz", // mime absent: 7 fields
+      s"$surt 20240101000003 $url  200 $digest 42 part-00000-c.warc.gz" // doubled space: empty mime token
+    )
+    java.nio.file.Files.write(dir.resolve("part-00000"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (entries, _) = graft.sources.CdxLookup.entries(
+      spark, dir.toString, Seq(url))
+    val rows = entries.orderBy("ts").collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows(0).getAs[String]("mime") == "text/html; charset=utf-8")
+    assert(rows(0).getAs[Long]("status") == 200L)
+    assert(rows(0).getAs[String]("warc_file") == "part-00000-a.warc.gz")
+    assert(rows(1).getAs[String]("mime") == "-", rows(1).toString)
+    assert(rows(1).getAs[String]("warc_file") == "part-00000-c.warc.gz")
+  }
+
   test("cdx timestamps are UTC under ANY session timezone") {
     import org.apache.spark.sql.functions.lit
     // CDX defines the 14-digit timestamp as UTC; a non-UTC session must

@@ -450,6 +450,51 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
   }
 
+  test("AnnGate: mutual paraphrases in ONE batch collapse to the minimum id") {
+    import graft.operators.AnnIndexStore
+    // neither paraphrase matches anything STANDING (the store is empty /
+    // doesn't contain them yet), so the standing gate passes both — the
+    // within-batch pass must cluster them and keep the min id, or the
+    // pair permanently seeds the ANN index with a semantic duplicate
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annbatch").toString
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-annbatch-vec").toString
+    val g = CorpusIngest.AnnGate(
+      annRoot, dim = 64, threshold = 0.9, nprobe = 8, numCentroids = 2)
+    val article = "the committee reviewed the annual report and found " +
+      "that the harbor restoration project had exceeded every one of " +
+      "the stated goals while staying well under the approved budget"
+    val scrambled = article.split(" ").sorted.mkString(" ")
+    val b0 = Seq(
+      (5L, article),
+      (9L, scrambled), // same-batch paraphrase: identical bag-of-tokens
+      (2L, "a careful study of historical documents reveals many patterns")
+    ).toDF("doc_id", "text")
+    val (a0, audit0) = CorpusIngest.ingestIndexed(
+      b0, "doc_id", "text", root, 0L, cfg, Some(g))
+    val ids0 = a0.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids0 == Set(2L, 5L), s"$ids0 audit=$audit0")
+    val am0 = audit0.toMap
+    assert(am0("cross_dedup") == 3L, audit0.toString) // sigs all distinct
+    assert(am0("semantic_dedup") == 3L, audit0.toString) // nothing standing
+    assert(am0("semantic_batch_dedup") == 2L, audit0.toString)
+    // the dropped paraphrase's vector is NOT in the standing store
+    val nn = AnnIndexStore.query(spark, annRoot,
+      graft.operators.TextOps.hashedEmbedding(
+        Seq((99L, article)).toDF("doc_id", "text"), "doc_id", "text", 64),
+      "doc_id", "embedding", k = 3, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(nn == Set(2L, 5L), nn.toString)
+    // a LATER paraphrase falls at the STANDING gate instead
+    val b1 = Seq((20L, article.split(" ").reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val (a1, audit1) = CorpusIngest.ingestIndexed(
+      b1, "doc_id", "text", root, 1L, cfg, Some(g))
+    assert(a1.count() == 0L, audit1.toString)
+    assert(audit1.toMap.apply("semantic_dedup") == 0L, audit1.toString)
+  }
+
   test("degenerate-signature docs are dropped at gates: every accepted doc is indexed") {
     // "alpha, beta." has >= 2 PRE-tokens (passes a minTokens=2 floor) but
     // only 2 whitespace tokens < shingleK=3 ⇒ all-null signature. Under

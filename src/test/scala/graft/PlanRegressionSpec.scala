@@ -278,6 +278,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       sum("x").over(Window.partitionBy("k").orderBy("x"))))
     assert(graft.plans.PlanChecks.scaleViolations(partitioned).isEmpty,
       partitioned)
+    // partitioned-but-UNORDERED total (per-key sum over the whole group):
+    // prints the same two-bracket-group shape as a global window but is
+    // perfectly scalable — the detector must key on the sort-direction
+    // token, not the group count
+    val partUnordered = planStr(df.withColumn("s",
+      sum("x").over(Window.partitionBy("k"))))
+    assert(graft.plans.PlanChecks.scaleViolations(partUnordered).isEmpty,
+      partUnordered)
+    // global AND unordered — one bracket group, still a scale killer
+    val globalUnordered = planStr(df.withColumn("s",
+      sum("x").over(Window.partitionBy())))
+    assert(graft.plans.PlanChecks.scaleViolations(globalUnordered)
+      .exists(_.startsWith("GlobalWindow")), globalUnordered)
     assert(graft.plans.PlanChecks
       .scaleViolations("CartesianProduct\n") == Seq("CartesianProduct"))
   }
