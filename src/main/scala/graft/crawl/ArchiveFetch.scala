@@ -116,18 +116,76 @@ object ArchiveFetch {
     * fetch; (warcDate, content) stay as deterministic tie-breaks for
     * legacy records without the stamp.
     */
-  def fromWarc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  def fromWarc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    newestPerUrl(graft.sources.WarcSource.read(spark, path))
+
+  /** Collapse raw WARC records ([[graft.sources.WarcSource.read]] schema)
+    * to the newest capture per url, projected to the archive schema —
+    * shared by the whole-archive and CDX-pruned routes so both produce
+    * identical fetch results for the same url set.
+    */
+  def newestPerUrl(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val newest = Window.partitionBy(col("url"))
       .orderBy(col("fetchTimeMs").desc, col("warcDate").desc,
         col("content").asc)
-    graft.sources.WarcSource.read(spark, path)
+    records
       .withColumn("rn", row_number().over(newest))
       .filter(col("rn") === 1)
       .select(col("url"), col("statusCode"), col("content"),
         col("contentType"),
         when(col("redirectedTo") === "", lit(null).cast("string"))
           .otherwise(col("redirectedTo")).as("redirectedTo"))
+  }
+
+  /** Which path a [[cdxRoutedStage]] round took, for specs/benches. */
+  final case class FetchRoute(
+    pruned: Boolean, stats: Option[graft.sources.CdxLookup.LookupStats])
+
+  /** Size-switched archive fetch — the reference's actual CommonCrawl
+    * usage (CommonCrawlFetcher.java:89: per-URL secondary-index lookups,
+    * never a full-archive pass) for TRICKLE rounds, the batch join for
+    * big ones:
+    *
+    *  - round fetch set ≤ `maxLookup` AND a CDX sidecar exists → the
+    *    [[graft.sources.CdxLookup.fetch]] pruned path: only the CDX
+    *    shards and WARC segments the URLs live in are opened. At the
+    *    reference's ~1 GB segment sizes a full scan per trickle round
+    *    reads the whole archive; the pruned path reads a handful of
+    *    files (crossover measured in CdxBench — segment size is the
+    *    lever, not row count).
+    *  - bigger rounds (or no sidecar) → [[fromWarc]]'s batch equi-join,
+    *    which beats per-key lookups once the fetch set is a meaningful
+    *    fraction of the archive.
+    *
+    * The route decision costs one bounded probe (`maxLookup + 1` urls)
+    * against the pinned verdict set — never a full count. Each round's
+    * decision is appended to `routeLog` (driver-side; the stage closure
+    * runs on the driver when the topology wires the round's plan).
+    */
+  def cdxRoutedStage(
+      spark: org.apache.spark.sql.SparkSession,
+      warcDir: String, cdxDir: String, maxLookup: Int = 256,
+      routeLog: Option[scala.collection.mutable.Buffer[FetchRoute]] = None)(
+      allowed: Dataset[RobotsVerdict]): Dataset[FetchOutcome] = {
+    import spark.implicits._
+    val cdxPath = new org.apache.hadoop.fs.Path(cdxDir)
+    val fs = cdxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val haveCdx = fs.exists(cdxPath) &&
+      fs.listStatus(cdxPath).exists(_.getPath.getName.startsWith("part-"))
+    // pin once: the probe below and the fetch join both read the verdicts
+    // without recomputing the robots stage
+    val pinned = allowed.localCheckpoint(true)
+    val probe = pinned.select("url").limit(maxLookup + 1).as[String].collect()
+    if (haveCdx && probe.length <= maxLookup) {
+      val (records, st) = graft.sources.CdxLookup.fetch(
+        spark, warcDir, cdxDir, probe.toSeq)
+      routeLog.foreach(_ += FetchRoute(pruned = true, Some(st)))
+      stage(newestPerUrl(records))(pinned)
+    } else {
+      routeLog.foreach(_ += FetchRoute(pruned = false, None))
+      stage(fromWarc(spark, warcDir))(pinned)
+    }
   }
 
   /** Materialize a WebGraph fixture as an archive table — lets tests prove

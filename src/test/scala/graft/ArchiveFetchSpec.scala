@@ -72,6 +72,62 @@ class ArchiveFetchSpec extends AnyFunSuite {
     assert(parsedTitles(cycled) == parsedTitles(live))
   }
 
+  test("trickle crawl rounds route through the CDX-pruned fetch; big rounds batch-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // the reference's CommonCrawlFetcher never scans the archive — it
+    // binary-searches the secondary index per URL. Our batch default is
+    // right for big rounds; this pins the trickle route: few fetches →
+    // CdxLookup path → few WARC segments opened → identical frontier.
+    val archive = ArchiveFetch.archiveFromGraph(spark, graph)
+    val filler = (0 until 200).map(i =>
+      (s"http://bulk$i.example/p", "text/html", s"filler body $i"))
+      .toDF("url", "contentType", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdxroute").toString
+    graft.sinks.Sinks.writeWarc(
+      archive.filter(col("statusCode") === 200)
+        .select(col("url"), col("contentType"), col("content"))
+        .unionByName(filler)
+        .withColumn("fetchTimeMs", lit(1700000000000L)),
+      s"$dir/warc", maxRecordsPerFile = 10)
+    graft.sinks.Sinks.writeCdx(spark, s"$dir/warc", s"$dir/cdx", shards = 8)
+
+    def crawl(stage: org.apache.spark.sql.Dataset[RobotsVerdict] =>
+        org.apache.spark.sql.Dataset[FetchOutcome]) =
+      CrawlTopology.run(
+        spark, Seq(("a.com", 1.0f)),
+        new WebGraphFetcher(graph), new MapRobotsFetcher(Map.empty),
+        CrawlConfig(maxRounds = 15), fetchStage = Some(stage))
+    def fetchedSet(r: CrawlResult) = r.frontier
+      .filter(col("status") === "FETCHED")
+      .select("url").collect().map(_.getString(0)).toSet
+
+    val batch = crawl(ArchiveFetch.stage(
+      ArchiveFetch.fromWarc(spark, s"$dir/warc")))
+
+    val routes = scala.collection.mutable.ArrayBuffer
+      .empty[ArchiveFetch.FetchRoute]
+    val pruned = crawl(ArchiveFetch.cdxRoutedStage(
+      spark, s"$dir/warc", s"$dir/cdx", maxLookup = 16, Some(routes)))
+    assert(fetchedSet(pruned) == fetchedSet(batch))
+    assert(fetchedSet(pruned).contains("http://a.com/p2"))
+    // every round was small enough to prune, and pruning was real:
+    // far fewer WARC segments opened than exist
+    assert(routes.nonEmpty && routes.forall(_.pruned), routes.toString)
+    val st = routes.flatMap(_.stats)
+    assert(st.forall(s => s.warcFilesTotal >= 20), st.toString)
+    assert(st.forall(s => s.warcFilesRead <= 3), st.toString)
+
+    // forcing the threshold to 0 re-routes every round to the batch join
+    // with an identical frontier
+    val routes0 = scala.collection.mutable.ArrayBuffer
+      .empty[ArchiveFetch.FetchRoute]
+    val big = crawl(ArchiveFetch.cdxRoutedStage(
+      spark, s"$dir/warc", s"$dir/cdx", maxLookup = 0, Some(routes0)))
+    assert(fetchedSet(big) == fetchedSet(batch))
+    assert(routes0.nonEmpty && routes0.forall(!_.pruned), routes0.toString)
+  }
+
   test("cdx index: one sorted line per archived record, fields faithful") {
     import org.apache.spark.sql.functions.lit
     val archive = ArchiveFetch.archiveFromGraph(spark, graph)
