@@ -1,0 +1,187 @@
+package graft.crawl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusIngest
+
+/** The capstone composition: a wave-driven continuous crawl feeding a
+  * training corpus through ALL THREE standing stores — the durable
+  * frontier ([[FrontierStore]]), the signature index
+  * ([[graft.operators.SignatureIndexStore]]) and the ANN index
+  * ([[graft.operators.AnnIndexStore]], via [[CorpusIngest.AnnGate]]) —
+  * under ONE durable wave protocol, so the whole loop can be killed at
+  * any point and resumed with no re-fetch of completed waves, no
+  * re-accepted documents, and no duplicate store appends. This is the
+  * reference's continuous-crawl recurrence (CrawlTopologyBuilder's
+  * iteration + CrawlTool.java:60-64 checkpointed state) composed with
+  * the corpus-ingest loop the stores exist for.
+  *
+  * Layout under `workDir`:
+  * {{{
+  *   frontier/              FrontierStore root (merge-on-read, versioned)
+  *   sig/                   SignatureIndexStore root
+  *   <annGate.root>         AnnIndexStore root (caller-placed)
+  *   parsed/w=N/            wave N's parsed pages, STAGED before any commit
+  *   frontier_updates/w=N/  wave N's post-crawl frontier, staged with it
+  *   corpus/w=N/            wave N's ACCEPTED docs (doc_id, url, text)
+  *   _merged_N              marker: wave N's frontier merge committed
+  *   _wave_N                marker: wave N fully complete
+  * }}}
+  *
+  * Idempotence argument, stage by stage (each wave = crawl → stage →
+  * merge → ingest → mark; a crash re-runs the wave from the top and every
+  * stage either skips via its marker or redoes the same work):
+  *
+  *  - '''crawl+stage''': nothing durable is touched until BOTH staging
+  *    writes carry `_SUCCESS` (parsed first, then frontier updates — the
+  *    updates' `_SUCCESS` is the stage gate). A crash mid-crawl re-crawls
+  *    the SAME frontier slice, because the frontier store has not moved.
+  *  - '''merge''': `FrontierStore.mergeInto` of the staged updates, then
+  *    the `_merged_N` pointer. Re-merging the same updates is a semantic
+  *    no-op (already-FETCHED rows win the merge), so the unmarked-crash
+  *    replay is safe; the marker only saves the redundant pass.
+  *  - '''ingest''': [[CorpusIngest.ingestIndexed]] with `batchId = N` —
+  *    both stores' commit markers fence a crashed append (`belowBatch`
+  *    hides the partial batch from its own retry), and a COMPLETED
+  *    append re-run overwrites the same batch dir before re-marking, so
+  *    replays converge to the identical store state.
+  *  - '''corpus write + `_wave_N`''': the accepted set is a pure function
+  *    of the staged parsed docs and the stores below `N`, so rewriting
+  *    it after a crash reproduces the same rows.
+  *
+  * At 100 TB the protocol is what matters: per wave, everything written
+  * is wave-sized (staged parquet, batch-sized store appends); the
+  * stores are never rewritten, and resume cost is one marker listing.
+  */
+object CrawlCorpusLoop {
+
+  final case class WaveResult(wave: Int, crawled: Boolean, accepted: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p))
+
+  /** Run waves `0 until waves`, resuming over whatever a previous
+    * (possibly killed) run left in `workDir`. `onStage` fires after each
+    * durable step — `"staged"`, `"merged"`, `"ingested"`, `"done"` with
+    * the wave number — for progress logging (and for specs to inject a
+    * kill at a chosen seam).
+    */
+  def run(
+      spark: SparkSession,
+      workDir: String,
+      seeds: Seq[(String, Float)],
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      waves: Int,
+      crawlCfg: CrawlConfig = CrawlConfig(maxRounds = 2),
+      ingestCfg: CorpusIngest.Config = CorpusIngest.Config(),
+      annGate: Option[CorpusIngest.AnnGate] = None,
+      onStage: (Int, String) => Unit = (_, _) => ()): Seq[WaveResult] =
+    (0 until waves).map { w =>
+      runWave(spark, workDir, seeds, pageFetcher, robotsFetcher, w,
+        crawlCfg, ingestCfg, annGate, onStage)
+    }
+
+  def runWave(
+      spark: SparkSession,
+      workDir: String,
+      seeds: Seq[(String, Float)],
+      pageFetcher: Fetcher,
+      robotsFetcher: Fetcher,
+      wave: Int,
+      crawlCfg: CrawlConfig,
+      ingestCfg: CorpusIngest.Config,
+      annGate: Option[CorpusIngest.AnnGate],
+      onStage: (Int, String) => Unit): WaveResult = {
+    val f = fs(spark, workDir)
+    f.mkdirs(new Path(workDir))
+    val parsedDir = s"$workDir/parsed/w=$wave"
+    val updatesDir = s"$workDir/frontier_updates/w=$wave"
+    val corpusDir = s"$workDir/corpus/w=$wave"
+    if (exists(spark, s"$workDir/_wave_$wave"))
+      return WaveResult(wave, crawled = false,
+        spark.read.parquet(corpusDir).count())
+
+    // 1. crawl + stage (skipped when a previous attempt staged fully)
+    var crawled = false
+    if (!exists(spark, s"$updatesDir/_SUCCESS")) {
+      val initial = FrontierStore.read(spark, s"$workDir/frontier")
+      val result = CrawlTopology.run(
+        spark, seeds, pageFetcher, robotsFetcher,
+        // the loop owns frontier durability — the topology run itself
+        // stays in-memory so a crashed wave leaves the store untouched
+        crawlCfg.copy(frontierRoot = None),
+        initialFrontier = initial)
+      result.parsed
+        .select(xxhash64(col("url")).as("doc_id"), col("url"), col("text"))
+        .write.mode("overwrite").parquet(parsedDir)
+      val fCols = Seq("url", "pld", "status", "statusTime", "score",
+        "nextFetchTime")
+      // stage only CHANGED rows: the in-memory run returns the whole
+      // merged frontier, but re-merging rows the store already holds is
+      // a no-op that would still mark every bucket dirty — the except
+      // keeps the staged updates (and the merge's bucket rewrite)
+      // wave-sized, not frontier-sized
+      val updates = initial match {
+        case None => result.frontier.select(fCols.map(col): _*)
+        case Some(prev) => result.frontier.select(fCols.map(col): _*)
+          .except(prev.select(fCols.map(col): _*))
+      }
+      updates.write.mode("overwrite").parquet(updatesDir)
+      crawled = true
+    }
+    onStage(wave, "staged")
+
+    // 2. frontier merge (idempotent; the marker saves the redundant pass)
+    if (!exists(spark, s"$workDir/_merged_$wave")) {
+      FrontierStore.mergeInto(spark, s"$workDir/frontier",
+        spark.read.parquet(updatesDir), crawlCfg.frontierBuckets)
+      graft.util.FsAtomic.writePointer(
+        f, new Path(workDir), s"_merged_$wave", "done")
+    }
+    onStage(wave, "merged")
+
+    // 3. ingest into the signature (+ optional ANN) store, batchId = wave
+    val docs = spark.read.parquet(parsedDir)
+    val (accepted, _) = CorpusIngest.ingestIndexed(
+      docs, "doc_id", "text", s"$workDir/sig", wave.toLong, ingestCfg,
+      annGate)
+    onStage(wave, "ingested")
+
+    // 4. accepted docs become the corpus slice; the wave marker commits
+    accepted
+      .join(docs.select("doc_id", "url"), Seq("doc_id"))
+      .select("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val n = spark.read.parquet(corpusDir).count()
+    graft.util.FsAtomic.writePointer(
+      f, new Path(workDir), s"_wave_$wave", "done")
+    onStage(wave, "done")
+    WaveResult(wave, crawled, n)
+  }
+
+  /** The corpus accumulated so far: every completed wave's accepted docs. */
+  def corpus(spark: SparkSession, workDir: String): DataFrame = {
+    val f = fs(spark, workDir)
+    val done = Option(f.globStatus(new Path(workDir, "_wave_*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("_wave_").toInt).sorted
+    val dirs = done.map(w => s"$workDir/corpus/w=$w")
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(dirs: _*)
+  }
+}

@@ -183,4 +183,127 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     // the ANN store grew only by the admitted doc
     assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
   }
+
+  test("capstone: three stores, two kills mid-loop, resume with no refetch / re-accept / duplicate appends") {
+    import graft.operators.{AnnIndexStore, CorpusIngest, SignatureIndexStore}
+    // the full continuous system — durable frontier + signature store +
+    // ANN store under CrawlCorpusLoop's wave protocol — killed at the two
+    // nastiest seams and resumed:
+    //   kill 1 after wave 1's FRONTIER MERGE, before ingest: the frontier
+    //     says "fetched" but neither store has the docs — the staged
+    //     parsed slice must carry them to ingest WITHOUT refetching;
+    //   kill 2 after wave 1's STORE APPENDS, before the corpus write and
+    //     wave marker: the replayed ingest must converge to the identical
+    //     store state (no duplicate appends).
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-capstone").toString
+    val annRoot = s"$work/ann"
+    val cfgC = CrawlConfig(maxRounds = 3)
+    val cfgI = CorpusIngest.Config()
+    val gate = CorpusIngest.AnnGate(
+      annRoot, dim = 64, threshold = 0.9, nprobe = 8, numCentroids = 2)
+    val seeds = Seq(("a.com", 1.0f), ("b.com", 1.0f))
+    val counting: Fetcher = new CountingPageFetcher(pages)
+    val robots = new MapRobotsFetcher(Map.empty)
+
+    final class Kill extends RuntimeException("injected kill")
+    def runTo(waves: Int, killAt: Option[(Int, String)]): Option[Kill] =
+      try {
+        CrawlCorpusLoop.run(spark, work, seeds, counting, robots, waves,
+          cfgC, cfgI, Some(gate),
+          onStage = (w, s) =>
+            if (killAt.contains((w, s))) throw new Kill)
+        None
+      } catch { case k: Kill => Some(k) }
+
+    CapstoneFetchLog.urls.clear()
+    assert(runTo(2, Some((1, "merged"))).isDefined, "kill 1 must land")
+    val fetchesRun1 = CapstoneFetchLog.pageFetches
+    assert(fetchesRun1.nonEmpty)
+    // wave 1 staged + merged, but nothing ingested for it
+    assert(SignatureIndexStore.committedBatches(spark, s"$work/sig")
+      == Seq(0L))
+
+    CapstoneFetchLog.urls.clear()
+    assert(runTo(2, Some((1, "ingested"))).isDefined, "kill 2 must land")
+    // resume crawled NOTHING (wave 0 marker + wave 1's staged slice)...
+    assert(CapstoneFetchLog.pageFetches.isEmpty,
+      s"refetched: ${CapstoneFetchLog.pageFetches}")
+    // ...yet both stores now carry wave 1's appends
+    assert(SignatureIndexStore.committedBatches(spark, s"$work/sig")
+      == Seq(0L, 1L))
+    assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
+
+    CapstoneFetchLog.urls.clear()
+    assert(runTo(2, None).isEmpty, "final resume must complete")
+    assert(CapstoneFetchLog.pageFetches.isEmpty,
+      s"refetched: ${CapstoneFetchLog.pageFetches}")
+    // replayed ingest converged: same single batch per store, and the
+    // indexed doc set is exactly the corpus (each doc once)
+    assert(SignatureIndexStore.committedBatches(spark, s"$work/sig")
+      == Seq(0L, 1L))
+    assert(AnnIndexStore.committedBatches(spark, annRoot) == Seq(0L, 1L))
+    val corpus = CrawlCorpusLoop.corpus(spark, work)
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(corpus.length == corpus.toSet.size, "corpus carries a dup")
+    val indexed = SignatureIndexStore.sigsView(spark, s"$work/sig")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(indexed.length == indexed.toSet.size, "sig store dup append")
+    val corpusIds = CrawlCorpusLoop.corpus(spark, work)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed.toSet == corpusIds,
+      s"sig store ${indexed.toSet} != corpus $corpusIds")
+
+    // reference: the SAME system, never killed, in a fresh workDir —
+    // the killed-and-resumed corpus and stores must match it exactly
+    val work2 = java.nio.file.Files
+      .createTempDirectory("graft-capstone-ref").toString
+    val gate2 = gate.copy(root = s"$work2/ann")
+    CrawlCorpusLoop.run(spark, work2, seeds, counting, robots, 2,
+      cfgC, cfgI, Some(gate2))
+    val refCorpus = CrawlCorpusLoop.corpus(spark, work2)
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(corpus.toSet == refCorpus.toSet,
+      s"resumed corpus drifted: ${corpus.toSet} vs ${refCorpus.toSet}")
+    // frontier agrees too: same URL -> status map
+    val f1 = graft.crawl.FrontierStore.read(spark, s"$work/frontier").get
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val f2 = graft.crawl.FrontierStore.read(spark, s"$work2/frontier").get
+      .select("url", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(f1 == f2, s"frontier drifted: $f1 vs $f2")
+    // and a fully-completed run is a pure no-op (markers short-circuit)
+    CapstoneFetchLog.urls.clear()
+    val again = CrawlCorpusLoop.run(
+      spark, work, seeds, counting, robots, 2, cfgC, cfgI, Some(gate))
+    assert(CapstoneFetchLog.pageFetches.isEmpty)
+    assert(again.map(_.accepted).sum ==
+      CrawlCorpusLoop.corpus(spark, work).count())
+  }
+}
+
+/** JVM-global page-fetch journal for the capstone spec (its own object —
+  * [[FetchLog]] belongs to ArchiveFetchSpec's suite).
+  */
+object CapstoneFetchLog {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def pageFetches: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    urls.asScala.toSeq.filterNot(_.endsWith("/robots.txt"))
+  }
+}
+
+/** Serializable counting fetcher over a page map (see [[MapPageFetcher]]). */
+private class CountingPageFetcher(pages: Map[String, String])
+    extends Fetcher {
+  override def fetch(url: String): FetchedPage = {
+    CapstoneFetchLog.urls.add(url)
+    pages.get(url) match {
+      case Some(html) => FetchedPage(200, html, "text/html")
+      case None => FetchedPage(404, "", "text/plain")
+    }
+  }
 }
