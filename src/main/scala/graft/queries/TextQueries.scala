@@ -481,6 +481,29 @@ object TextQueries {
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           (col("cos") >= 0.3).cast("bigint").as("is_dup"))
     }),
+    "q104_semantic_keepers" -> ((s, d) => {
+      // the within-batch SemDeDup keeper SET (CorpusIngest.annStage's
+      // round-11 batch pass, surfaced as a standalone operator): cosine
+      // near-dup pairs (q33 machinery) → transitive clusters → keep each
+      // cluster's minimum id; every keeper reports how many dups its
+      // cluster collapsed. Set semantics incl. transitivity and the
+      // min-id tie are what the oracle pins — pair-level gates (q33/q68)
+      // cannot catch a broken keeper selection.
+      val e = embs(s, d)
+      val pairs = Similarity.cosineDedupPairs(
+        e, "vec_id", "embedding", dim = 64, numPlanes = 16, threshold = 0.3)
+      val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+        .localCheckpoint(true) // one label-propagation run feeds both uses
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("__n"))
+      e.select(col("vec_id"))
+        .join(cc.filter(col("id") =!= col("component"))
+            .select(col("id").as("__drop")),
+          col("vec_id") === col("__drop"), "left_anti")
+        .join(sizes.withColumnRenamed("component", "__comp"),
+          col("vec_id") === col("__comp"), "left")
+        .select(col("vec_id").as("keeper_id"),
+          coalesce(col("__n") - 1, lit(0L)).as("dups_removed"))
+    }),
     "q100_fp_tiers" -> ((s, d) =>
       // CCNet-style per-stratum head/middle/tail tiers via the EXACT
       // integer histogram-quantile (TextOps.fixedPointBuckets — the
@@ -1401,6 +1424,27 @@ object TextQueries {
          |SELECT query_id, neighbor_id, cos,
          |  CAST(cos >= 0.3 AS BIGINT) AS is_dup FROM r WHERE rn = 1"""
         .stripMargin,
+    "q104_semantic_keepers" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding,
+         |    (SELECT $dBucket FROM (SELECT e0 AS v)) AS bucket
+         |  FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${dCos("x.embedding", "y.embedding")} >= 0.3),
+         |edges AS (SELECT id_a AS u, id_b AS w FROM p
+         |  UNION SELECT id_b, id_a FROM p),
+         |walk(u, label) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, wk.label FROM edges e JOIN walk wk ON wk.u = e.w),
+         |cc AS (SELECT u AS vid, min(label) AS cluster FROM walk GROUP BY u),
+         |sz AS (SELECT cluster, COUNT(*) AS n FROM cc GROUP BY 1)
+         |SELECT e.vec_id AS keeper_id,
+         |  COALESCE(sz.n - 1, 0) AS dups_removed
+         |FROM embeddings e
+         |LEFT JOIN cc ON cc.vid = e.vec_id
+         |LEFT JOIN sz ON sz.cluster = e.vec_id
+         |WHERE cc.vid IS NULL OR cc.cluster = e.vec_id""".stripMargin,
     "q28_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |    (SELECT $dBucket FROM (SELECT qv0 AS v)) AS bucket

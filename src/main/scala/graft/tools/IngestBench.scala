@@ -192,7 +192,7 @@ object IngestBench {
       (early, late, compactSec)
     }
     val nLoop = 200
-    println(s"| long loop ($nLoop x 5-doc batches vs 5M-row base) " +
+    println(s"| long loop ($nLoop x 5-doc batches vs 50k-row base) " +
       "| early avg (s) | late avg (s) | compact total (s) |")
     Seq(0, 50).foreach { every =>
       val (early, late, cSec) = loopArm(nLoop, every)
