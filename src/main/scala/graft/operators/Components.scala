@@ -90,6 +90,62 @@ object Components {
     (labels, iter)
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW pairs into a
+    * STANDING label set without re-running label propagation over the
+    * whole history — the cluster-maintenance step of a continuous ingest
+    * loop, where each micro-batch's near-dup pairs (signature-store
+    * matches, within-batch LSH pairs) must update the corpus's dedup
+    * clusters. Semantics: the result equals [[connectedComponents]] over
+    * (standing membership edges ∪ new pairs) — min id per component —
+    * but the WORK is bounded by the affected subgraph, not the corpus:
+    *
+    *  1. components TOUCHED by a new pair are found with one semi-join
+    *     (new-pair endpoints → their standing labels);
+    *  2. only members of touched components + the new pairs enter label
+    *     propagation (standing components are star-shaped — every member
+    *     points at its label — so the subgraph's diameter stays small);
+    *  3. untouched components pass through with zero shuffle beyond the
+    *     one anti-join that selects them.
+    *
+    * At 100 TB that's the difference between re-clustering billions of
+    * docs per batch and touching the handful of clusters a batch
+    * actually links. No driver-side materialization anywhere: touched
+    * labels live in a (semi/anti-)join build side bounded by the batch's
+    * pair count.
+    *
+    * Output: (id, component) for every node in `standing` plus every
+    * node mentioned in `newPairs` — the new standing label set.
+    */
+  def incrementalComponents(
+      standing: DataFrame, idColS: String, labelColS: String,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val labels = standing.select(
+      col(idColS).as("id"), col(labelColS).as("component"))
+    val pairs = newPairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
+      .localCheckpoint(true) // read once for touch-detection, once as edges
+    val endpoints = pairs.select(col("pa").as("id"))
+      .union(pairs.select(col("pb").as("id"))).distinct()
+    // components whose membership can change = standing labels of the
+    // new pairs' endpoints (endpoints unknown to the standing set are
+    // brand-new nodes and only live in the subgraph)
+    val touched = labels.join(endpoints, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+      .localCheckpoint(true)
+    val affected = labels.join(
+      touched.withColumnRenamed("component", "__t"),
+      col("component") === col("__t"), "left_semi")
+    // star edges member->label carry each touched component's structure;
+    // new pairs splice components (and new nodes) together
+    val subEdges = affected.select(col("id").as("pa"), col("component").as("pb"))
+      .union(pairs)
+    val relabeled = connectedComponents(subEdges, "pa", "pb", maxIter)
+    val untouched = labels.join(
+      touched.withColumnRenamed("component", "__t"),
+      col("component") === col("__t"), "left_anti")
+    untouched.unionByName(relabeled)
+  }
+
   /** Dedup selection over a pair frame: one row per clustered doc with
     * its cluster id and whether it is the KEPT canonical representative
     * (the cluster's minimum id — deterministic, engine-independent).

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
+import graft.crawl.RevisitPolicy
 import graft.functions.UrlFunctions
 import graft.operators.UrlStateMerger
 import graft.schema.{FetchStatus => FS}
@@ -573,6 +574,56 @@ object Crawler {
       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, urls[pos + 1] AS url
       |FROM p""".stripMargin
 
+  /** §2.16 nextFetchTime, made adaptive: the reference's fetch queue
+    * leaves "refetch URL if fetch time is earlier than now" as a TODO
+    * (`utils/FetchQueue.java:55`) and uses fixed retry intervals
+    * (`CheckUrlWithRobotsFunction.java:228`); RevisitPolicy derives the
+    * interval from each URL's observed change history instead. Captures
+    * are synthesized from lineitem: ~25 URLs/domain with l_shipdate as
+    * the capture time and a content fingerprint that flips with
+    * l_quantity, so every URL has a multi-capture history with a
+    * deterministic change count.
+    */
+  def revisitSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val captures = t(spark, dir, "lineitem").select(
+      concat(lit("http://d"), col("l_suppkey") % 25, lit(".com/p"),
+        col("l_partkey") % 100).as("url"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("ts"),
+      (col("l_quantity").cast("long") % 4).as("fp"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("cap_id"))
+    RevisitPolicy.schedule(captures, "url", "ts", "fp", "cap_id",
+      minIntervalMs = 86400000L,        // 1 day
+      maxIntervalMs = 30L * 86400000L)  // 30 days
+  }
+
+  val revisitScheduleSql: String =
+    """WITH cap AS (SELECT
+      |    'http://d' || (l_suppkey % 25) || '.com/p' || (l_partkey % 100)
+      |      AS url,
+      |    epoch_ms(l_shipdate) AS ts,
+      |    CAST(l_quantity AS BIGINT) % 4 AS fp,
+      |    l_orderkey * 10 + l_linenumber AS cap_id
+      |  FROM lineitem),
+      |flagged AS (SELECT url, ts, fp,
+      |    lag(fp) OVER (PARTITION BY url ORDER BY ts, cap_id) AS prev_fp
+      |  FROM cap),
+      |stats AS (SELECT url,
+      |    COUNT(*) AS n_captures,
+      |    CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fp
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+      |    MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |  FROM flagged GROUP BY url)
+      |SELECT url, n_captures, n_changes, first_ts, last_ts,
+      |  CAST(CASE WHEN n_changes = 0 THEN 2592000000
+      |       ELSE LEAST(GREATEST((last_ts - first_ts) // n_changes,
+      |                           86400000), 2592000000) END AS BIGINT)
+      |    AS est_interval_ms,
+      |  CAST(last_ts + (CASE WHEN n_changes = 0 THEN 2592000000
+      |       ELSE LEAST(GREATEST((last_ts - first_ts) // n_changes,
+      |                           86400000), 2592000000) END) AS BIGINT)
+      |    AS next_fetch_ms
+      |FROM stats""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -587,7 +638,8 @@ object Crawler {
     "q95_parse_text" -> (parseTextProbe _),
     "q96_robots_rules" -> (robotsDecisionProbe _),
     "q97_tsv_lines" -> (tsvLinesProbe _),
-    "q98_sitemap_parse" -> (sitemapParseProbe _)
+    "q98_sitemap_parse" -> (sitemapParseProbe _),
+    "q105_revisit" -> (revisitSchedule _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -604,6 +656,7 @@ object Crawler {
     "q95_parse_text" -> parseTextProbeSql,
     "q96_robots_rules" -> robotsDecisionProbeSql,
     "q97_tsv_lines" -> tsvLinesProbeSql,
-    "q98_sitemap_parse" -> sitemapParseProbeSql
+    "q98_sitemap_parse" -> sitemapParseProbeSql,
+    "q105_revisit" -> revisitScheduleSql
   )
 }

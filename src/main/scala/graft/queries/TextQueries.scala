@@ -330,6 +330,79 @@ object TextQueries {
       TextOps.assignSplit(docs(s, d), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
+    "q108_bucketed_join" -> ((s, d) => {
+      // write-once bucketed layout, then an id-keyed join with ZERO
+      // exchanges (CorpusLayout): documents and embeddings land bucketed
+      // + bucket-sorted on their id into the session catalog, and the
+      // doc↔embedding attach join reads matching buckets side by side.
+      // The oracle pins the VALUES; the no-Exchange plan shape is pinned
+      // in CorpusLayoutSpec (PlanChecks over the executed plan).
+      import graft.operators.CorpusLayout
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      val ta = s"graft_docs_$tag"
+      val tb = s"graft_embs_$tag"
+      CorpusLayout.writeBucketed(
+        docs(s, d).select(col("doc_id"), col("n_chars"),
+          expr(s"size(${TextOps.tokensSql("text")})").cast("long")
+            .as("tok_cnt")),
+        ta, s"$base/a", "doc_id", nBuckets = 8, sortCols = Seq("doc_id"))
+      CorpusLayout.writeBucketed(
+        embs(s, d).select(col("vec_id"),
+          col("label").cast("long").as("label")),
+        tb, s"$base/b", "vec_id", nBuckets = 8, sortCols = Seq("vec_id"))
+      CorpusLayout.bucketedJoin(s, ta, tb, "doc_id", "vec_id")
+        .select(col("doc_id"), col("n_chars"), col("tok_cnt"), col("label"))
+    }),
+    "q107_incr_components" -> ((s, d) => {
+      // INCREMENTAL cluster maintenance (Components.incrementalComponents):
+      // standing labels from an "old" pair batch, then a new batch that
+      // splices standing clusters together, attaches new nodes to old
+      // clusters, and introduces brand-new 2-node clusters. The oracle
+      // re-derives full CC over old ∪ new with a recursive min-label
+      // walk, so the gate pins that the incremental fold equals the
+      // from-scratch batch answer — cross-cluster merges, label
+      // downgrades, and untouched-cluster passthrough included.
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id"))
+      val oldPairs = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 5).as("b"))
+      val standing = Components.connectedComponents(oldPairs, "a", "b")
+      val newPairs = ids.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 5).as("b"))
+        .union(ids.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000).as("a"), (col("doc_id") + 1).as("b")))
+        .union(Seq((2000L, 2001L)).toDF("a", "b"))
+      Components.incrementalComponents(
+        standing, "id", "component", newPairs, "a", "b")
+    }),
+    "q106_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: the BM25 integer-core lexical arm (q69
+      // machinery) and the brute-force cosine dense arm (q27 machinery)
+      // fused per query with fixed-point Reciprocal Rank Fusion — the
+      // seed-expansion query a curation pipeline runs against the whole
+      // corpus. Queries are the doc_id%50 seeds; their "text" is the
+      // document's 5-token lead-in, their vector the doc's embedding
+      // (vec_id == doc_id in the driver tables).
+      import graft.operators.HybridRetrieval
+      val dd = docs(s, d)
+      val q = dd.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"),
+          expr("array_join(slice(split(trim(lower(text)), '\\\\s+'), 1, 5), ' ')")
+            .as("qtext"))
+      val lex = HybridRetrieval.lexicalRank(
+        dd, "doc_id", "text", q, "query_id", "qtext",
+        k = 20, excludeSelf = true)
+      val e = embs(s, d)
+      val dense = Similarity.cosineTopK(
+        e.filter(col("vec_id") % 50 === 0), e,
+        "vec_id", "embedding", dim = 64, k = 20)
+      HybridRetrieval.rrfFuse(
+        lex, "doc_id", "lex_rn", dense, "neighbor_id", "rn",
+        k0 = 60, topK = 10)
+    }),
     "q69_bm25_match" -> ((s, d) => {
       // BM25 retrieval's integer candidate statistics (inverted-index
       // join + per-pair aggregates); the float idf/score fold on top is
@@ -1195,6 +1268,79 @@ object TextQueries {
          |    ${dHash32("concat(CAST(doc_id AS VARCHAR), ':split')")}
          |      % 1000000 AS bucket
          |  FROM documents)""".stripMargin,
+    "q108_bucketed_join" ->
+      """SELECT d.doc_id, d.n_chars,
+        |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+        |    AS tok_cnt,
+        |  CAST(e.label AS BIGINT) AS label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"""
+        .stripMargin,
+    "q107_incr_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |oldp AS (SELECT doc_id AS a, doc_id - (doc_id % 5) AS b
+        |  FROM ids WHERE doc_id % 5 <> 0),
+        |newp AS (SELECT doc_id AS a, doc_id + 5 AS b
+        |    FROM ids WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 1000, doc_id + 1
+        |    FROM ids WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT CAST(2000 AS BIGINT), CAST(2001 AS BIGINT)),
+        |p AS (SELECT a, b FROM oldp UNION SELECT a, b FROM newp),
+        |edges AS (SELECT a AS u, b AS w FROM p UNION SELECT b, a FROM p),
+        |walk(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, wk.label FROM edges e JOIN walk wk ON wk.u = e.w)
+        |SELECT u AS id, min(label) AS component FROM walk
+        |GROUP BY u""".stripMargin,
+    "q106_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id,
+         |    array_to_string(tk[1:5], ' ') AS qtext
+         |  FROM toks WHERE doc_id % 50 = 0),
+         |qt AS (SELECT DISTINCT query_id, term FROM
+         |  (SELECT query_id, unnest(string_split_regex(trim(lower(qtext)),
+         |     '\\s+')) AS term FROM q)),
+         |dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         |    MAX(len) AS len
+         |  FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len,
+         |      unnest(tk) AS term FROM toks)
+         |  GROUP BY 1, 2),
+         |ms AS (SELECT qt.query_id, dt.doc_id,
+         |    CAST(SUM(dt.tf) AS BIGINT) AS sum_tf,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms
+         |  FROM qt JOIN dt USING (term) WHERE dt.doc_id <> qt.query_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT * FROM (SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY n_terms DESC, sum_tf DESC, doc_id ASC) AS lex_rn
+         |  FROM ms) WHERE lex_rn <= 20),
+         |qv AS (SELECT vec_id AS query_id, embedding AS v
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |cv AS (SELECT vec_id AS neighbor_id, embedding AS v
+         |  FROM embeddings),
+         |dj AS (SELECT query_id, neighbor_id,
+         |    ${dCos("qv.v", "cv.v")} AS cos
+         |  FROM qv, cv WHERE query_id <> neighbor_id),
+         |dense AS (SELECT * FROM (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS dense_rn
+         |  FROM dj) WHERE dense_rn <= 20),
+         |f AS (SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+         |    COALESCE(l.doc_id, dn.neighbor_id) AS cand_id,
+         |    l.lex_rn, dn.dense_rn
+         |  FROM lex l FULL OUTER JOIN dense dn
+         |    ON l.query_id = dn.query_id AND l.doc_id = dn.neighbor_id),
+         |sc AS (SELECT query_id, cand_id, lex_rn, dense_rn,
+         |    COALESCE(1000000 // (60 + lex_rn), CAST(0 AS BIGINT)) +
+         |    COALESCE(1000000 // (60 + dense_rn), CAST(0 AS BIGINT))
+         |      AS rrf_fp
+         |  FROM f),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_fp DESC, cand_id ASC) AS rn FROM sc)
+         |SELECT query_id, cand_id, lex_rn, dense_rn, rrf_fp, rn
+         |FROM r WHERE rn <= 10""".stripMargin,
     "q69_bm25_match" ->
       """WITH q(query_id, qtext) AS (VALUES
         |    (CAST(1 AS BIGINT), 'spark window agg'),

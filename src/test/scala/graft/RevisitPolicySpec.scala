@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.RevisitPolicy
+
+class RevisitPolicySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val DAY = 86400000L
+
+  private def sched(rows: Seq[(String, Long, Long, Long)],
+      minMs: Long = DAY, maxMs: Long = 30 * DAY): Map[String, (Long, Long, Long, Long)] =
+    RevisitPolicy.schedule(
+        rows.toDF("url", "ts", "fp", "cap_id"),
+        "url", "ts", "fp", "cap_id", minMs, maxMs)
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("n_changes"), r.getAs[Long]("est_interval_ms"),
+          r.getAs[Long]("last_ts"), r.getAs[Long]("next_fetch_ms"))))
+      .toMap
+
+  test("never-changing URL gets the max interval") {
+    val r = sched(Seq(("a", 0L, 7L, 1L), ("a", 10 * DAY, 7L, 2L)))
+    assert(r("a") == ((0L, 30 * DAY, 10 * DAY, 40 * DAY)), s"got $r")
+  }
+
+  test("single capture is not a change and gets the max interval") {
+    val r = sched(Seq(("a", 5L, 1L, 1L)))
+    assert(r("a") == ((0L, 30 * DAY, 5L, 5L + 30 * DAY)), s"got $r")
+  }
+
+  test("change every capture: interval = span div changes") {
+    // 4 captures over 9 days, fp flips 3 times -> 3 day estimate
+    val r = sched(Seq(("a", 0L, 0L, 1L), ("a", 3 * DAY, 1L, 2L),
+      ("a", 6 * DAY, 0L, 3L), ("a", 9 * DAY, 1L, 4L)))
+    assert(r("a") == ((3L, 3 * DAY, 9 * DAY, 12 * DAY)), s"got $r")
+  }
+
+  test("hot page clamps to the min interval") {
+    // two changes within one hour -> raw estimate 30 min, clamped to 1 day
+    val h = 3600000L
+    val r = sched(Seq(("a", 0L, 0L, 1L), ("a", h / 2, 1L, 2L), ("a", h, 2L, 3L)))
+    assert(r("a")._1 == 2L && r("a")._2 == DAY, s"got $r")
+  }
+
+  test("glacial page clamps to the max interval") {
+    // one change over 400 days -> raw estimate 400 days, clamped to 30
+    val r = sched(Seq(("a", 0L, 0L, 1L), ("a", 400 * DAY, 1L, 2L)))
+    assert(r("a") == ((1L, 30 * DAY, 400 * DAY, 430 * DAY)), s"got $r")
+  }
+
+  test("same-timestamp captures order by the tie column") {
+    // at ts=0 the tie column decides fp order 0 then 1: one change there,
+    // plus the flip back at DAY -> 2 changes. Reversed tie ids would
+    // count the same 2 but via a different path; pin the exact sequence
+    // by making one ordering produce 1 change: fps (0,0) then 1.
+    val r = sched(Seq(("a", 0L, 0L, 2L), ("a", 0L, 0L, 1L), ("a", DAY, 1L, 3L)))
+    assert(r("a")._1 == 1L, s"got $r")
+  }
+
+  test("urls are independent: mixed histories do not leak") {
+    val r = sched(Seq(
+      ("a", 0L, 0L, 1L), ("a", 2 * DAY, 1L, 2L),
+      ("b", 0L, 5L, 3L), ("b", 2 * DAY, 5L, 4L)))
+    assert(r("a")._1 == 1L && r("a")._2 == 2 * DAY, s"got $r")
+    assert(r("b")._1 == 0L && r("b")._2 == 30 * DAY, s"got $r")
+  }
+
+  test("interval band is validated") {
+    intercept[IllegalArgumentException] {
+      RevisitPolicy.schedule(
+        Seq(("a", 0L, 0L, 1L)).toDF("url", "ts", "fp", "cap_id"),
+        "url", "ts", "fp", "cap_id", minIntervalMs = 10L, maxIntervalMs = 5L)
+    }
+  }
+}
