@@ -216,14 +216,35 @@ object CorpusIngest {
   def ingestIndexed(
       batch: DataFrame, idCol: String, textCol: String,
       indexRoot: String, batchId: Long, cfg: Config = Config(),
-      ann: Option[AnnGate] = None): (DataFrame, Seq[(String, Long)]) = {
+      ann: Option[AnnGate] = None,
+      /** Optional durable cluster-lineage: fold this batch's cross-dedup
+        * pairs (dropped newcomer ↔ the standing doc it collapsed into)
+        * into a [[LabelStore]] at this root, so "which cluster did every
+        * dropped doc join" stays queryable over the loop's whole life
+        * ([[LabelStore.lookup]]/[[LabelStore.members]]) without
+        * re-clustering. The fold is batch-bounded (touched clusters
+        * only) and rides the same batchId fence/idempotence as the
+        * index appends.
+        */
+      labelsRoot: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
     val spark = batch.sparkSession
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
 
-    val matched = SignatureIndexStore
+    val matchPairs = SignatureIndexStore
       .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
         cfg.threshold, belowBatch = batchId)
+    // pin once when the pair frame feeds BOTH the drop set and the
+    // lineage fold; a single consumer keeps the lazy frame
+    val pinnedPairs =
+      if (labelsRoot.isDefined) matchPairs.localCheckpoint(true)
+      else matchPairs
+    labelsRoot.foreach { lr =>
+      LabelStore.fold(spark, lr,
+        pinnedPairs.select(col("new_id"), col("corpus_id")),
+        "new_id", "corpus_id", batchId, LabelStore.Meta(indexBuckets(cfg)))
+    }
+    val matched = pinnedPairs
       .select(col("new_id").as("__dup_id")).distinct()
     val accepted = step(audit, "cross_dedup", batchDeduped
       .join(matched, batchDeduped("doc_id") === col("__dup_id"), "left_anti"))
@@ -429,13 +450,18 @@ object CorpusIngest {
         * vectors — the ANN index rides the same loop (and the same
         * `compactEvery` cadence) as the signature store.
         */
-      ann: Option[AnnGate] = None)
+      ann: Option[AnnGate] = None,
+      /** Optional durable cluster lineage ([[ingestIndexed]]'s
+        * `labelsRoot`); compacts on the same `compactEvery` cadence.
+        */
+      labelsRoot: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val (accepted, _) =
-          ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg, ann)
+          ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg, ann,
+            labelsRoot)
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
@@ -443,6 +469,9 @@ object CorpusIngest {
           ann.filter(g =>
               AnnIndexStore.readMeta(b.sparkSession, g.root).isDefined)
             .foreach(g => AnnIndexStore.compact(b.sparkSession, g.root))
+          labelsRoot.filter(lr =>
+              LabelStore.readMeta(b.sparkSession, lr).isDefined)
+            .foreach(lr => LabelStore.compact(b.sparkSession, lr))
         }
       }
       .start()

@@ -1,0 +1,354 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.FsAtomic
+
+/** Durable standing CLUSTER LABELS — the pairs→clusters step
+  * ([[Components]]) kept continuously up to date by an ingest loop, the
+  * way [[SignatureIndexStore]] keeps signatures and [[AnnIndexStore]]
+  * keeps vectors. Each micro-batch's near-dup pairs are folded in with
+  * [[Components.incrementalComponents]] semantics: work and WRITES are
+  * bounded by the affected subgraph (the clusters the batch actually
+  * touches), never by the corpus.
+  *
+  * Layout (the [[SignatureIndexStore]] protocol: append-only `batch=`
+  * dirs, atomic `_commit_<b>` markers carrying written bucket sets,
+  * `_COMPACT` generation pointer):
+  *
+  *  - `byid/batch=<b>/bucket=pmod(xxhash64(id),B)` — rows
+  *    (id, component, batch); point lookups ("what is doc X's cluster?")
+  *    prune to the probe ids' buckets.
+  *  - `bycomp/batch=<b>/bucket=pmod(xxhash64(component),B)` — the same
+  *    rows keyed by component; membership reads ("who is in cluster C?")
+  *    prune to the probe components' buckets.
+  *
+  * Two invariants make merge-on-read trivial with NO batch ordering:
+  *
+  *  1. **Labels only decrease.** A fold relabels entire touched
+  *     components (every old member re-enters the subgraph via its star
+  *     edge), so a node's new component is a superset of its old one and
+  *     min-id labels are monotone non-increasing. The current label of
+  *     an id is therefore `min(component)` over all its rows.
+  *  2. **Live labels have complete membership.** A component labeled C
+  *     can only lose members if C itself is touched — in which case ALL
+  *     its members are rewritten (and C's own row moves iff the merged
+  *     min is smaller). So if C is some id's CURRENT label, every
+  *     `bycomp` row with component = C is a current member mention, and
+  *     membership = distinct ids of those rows. Rows under dead labels
+  *     are garbage that [[compact]] drops.
+  *
+  * The reference's crawl DB keeps exactly this kind of always-current
+  * keyed state across an infinite stream (`…/flinkcrawler/functions/
+  * UrlDBFunction.java:71-77` MapState by URL hash); this store is the
+  * Spark-native, corpus-scale analogue for dedup cluster state.
+  */
+object LabelStore {
+
+  case class Meta(buckets: Int)
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("component", LongType),
+    StructField("batch", LongType), StructField("bucket", IntegerType)))
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readMeta(spark: SparkSession, root: String): Option[Meta] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_META")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes()) finally in.close()
+      Some(Meta(text.trim.stripPrefix("buckets ").toInt))
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, meta: Meta): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    FsAtomic.writePointer(f, new Path(root), "_META", s"buckets ${meta.buckets}")
+  }
+
+  /** Batch ids whose fold fully committed, ascending. */
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("_commit_"))
+      .map(_.stripPrefix("_commit_").toLong).sorted.toSeq
+  }
+
+  /** Latest compaction state: (generation, coveredUpTo). */
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
+    val f = fs(spark, root)
+    val p = new Path(root, "_COMPACT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes()).trim finally in.close()
+      val Array(gen, upTo) = text.split(" ")
+      Some((gen.toLong, upTo.toLong))
+    }
+  }
+
+  private def bucketsFromMarker(
+      spark: SparkSession, root: String, table: String,
+      batchId: Long): Seq[Int] = {
+    val f = fs(spark, root)
+    val in = f.open(new Path(root, s"_commit_$batchId"))
+    val text = try new String(in.readAllBytes()) finally in.close()
+    text.linesIterator.find(_.startsWith(s"$table "))
+      .map(_.stripPrefix(s"$table ").trim)
+      .map(csv => if (csv.isEmpty) Seq.empty[Int]
+                  else csv.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  private def visible(
+      spark: SparkSession, root: String,
+      belowBatch: Long): (Option[Long], Seq[Long]) = {
+    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    if (upTo >= belowBatch && upTo >= 0)
+      throw new IllegalStateException(
+        s"label store at $root is compacted through batch $upTo; a " +
+          s"reader fenced at belowBatch=$belowBatch cannot exclude " +
+          "compacted batches")
+    val batches = committedBatches(spark, root)
+      .filter(b => b > upTo && b < belowBatch)
+    (if (gen >= 0) Some(gen) else None, batches)
+  }
+
+  /** Union one table's compact snapshot + live batch dirs as EXPLICIT
+    * bucket paths (marker-recorded sets; zero listing growth with loop
+    * age), optionally pruned to `bucketFilter`.
+    */
+  private def readTable(
+      spark: SparkSession, root: String, table: String,
+      gen: Option[Long], batches: Seq[Long],
+      bucketFilter: Option[Set[Int]]): DataFrame = {
+    val f = fs(spark, root)
+    def want(present: Seq[Int]): Seq[Int] =
+      bucketFilter.fold(present)(keep => present.filter(keep))
+    val batchPaths = batches.flatMap { b =>
+      want(bucketsFromMarker(spark, root, table, b))
+        .map(i => s"$root/$table/batch=$b/bucket=$i")
+    }
+    val snapPaths = gen.toSeq.flatMap { g =>
+      val dir = new Path(s"$root/$table/c$g")
+      if (!f.exists(dir)) Seq.empty
+      else want(f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").toInt).toSeq)
+        .map(i => s"$root/$table/c$g/bucket=$i")
+    }
+    val paths = batchPaths ++ snapPaths
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(rowSchema.dropRight(1)))
+    else
+      spark.read.schema(StructType(rowSchema.dropRight(1)))
+        .parquet(paths: _*)
+  }
+
+  /** The full current label set (id, component) — the audit /
+    * materialization read (index-sized by design; batch-bounded reads
+    * are [[lookup]]/[[members]]). Labels resolve with one min-aggregate
+    * thanks to monotonicity — no per-id recency ordering.
+    */
+  def labels(
+      spark: SparkSession, root: String,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    val (gen, batches) = visible(spark, root, belowBatch)
+    readTable(spark, root, "byid", gen, batches, None)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Current labels of the probe ids. Bucket-pruned: only the buckets
+    * the probe ids hash into are opened (bucket ids are a bounded,
+    * ≤ `meta.buckets` driver-side set — the [[SignatureIndexStore]]
+    * discipline).
+    */
+  def lookup(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      belowBatch: Long = Long.MaxValue): DataFrame = readMeta(spark, root) match {
+    case None => emptyLabels(spark)
+    case Some(meta) =>
+      val probe = ids.select(col(idCol).cast("long").as("id")).distinct()
+        .localCheckpoint(true)
+      val probeBuckets = probe
+        .select(pmod(xxhash64(col("id")), lit(meta.buckets)).cast("int")
+          .as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val (gen, batches) = visible(spark, root, belowBatch)
+      readTable(spark, root, "byid", gen, batches, Some(probeBuckets))
+        .join(probe, Seq("id"), "left_semi")
+        .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Current members of the probe LIVE component labels (invariant 2:
+    * membership under a live label is exactly its rows). Bucket-pruned
+    * on the component hash.
+    */
+  def members(
+      spark: SparkSession, root: String, comps: DataFrame, compCol: String,
+      belowBatch: Long = Long.MaxValue): DataFrame = readMeta(spark, root) match {
+    case None => emptyLabels(spark)
+    case Some(meta) =>
+      val probe = comps.select(col(compCol).cast("long").as("component"))
+        .distinct()
+        .localCheckpoint(true)
+      val probeBuckets = probe
+        .select(pmod(xxhash64(col("component")), lit(meta.buckets)).cast("int")
+          .as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val (gen, batches) = visible(spark, root, belowBatch)
+      readTable(spark, root, "bycomp", gen, batches, Some(probeBuckets))
+        .join(probe, Seq("component"), "left_semi")
+        .select("id", "component").distinct()
+  }
+
+  private def emptyLabels(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("component", LongType))))
+
+  /** Fold one batch of new near-dup pairs into the store
+    * ([[Components.incrementalComponents]] against the durable state):
+    * look up the endpoints' current labels (bucket-pruned), pull the
+    * touched components' membership (bucket-pruned), relabel only that
+    * subgraph, and append the relabeled rows as `batch=<batchId>` under
+    * both keys. Re-running the same batchId overwrites the same dirs and
+    * re-writes the same marker — idempotent, because every read is
+    * fenced at `belowBatch = batchId`.
+    */
+  def fold(
+      spark: SparkSession, root: String, newPairs: DataFrame,
+      aCol: String, bCol: String, batchId: Long, meta: Meta): Unit = {
+    readMeta(spark, root) match {
+      case Some(existing) =>
+        require(existing == meta,
+          s"label store at $root was created with $existing; folding " +
+            s"with $meta would split keys across incompatible buckets")
+      case None => writeMeta(spark, root, meta)
+    }
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"label store at $root is compacted through batch $upTo; " +
+          s"folding batch $batchId would be invisible to every reader")
+    }
+    // the pair count rides the pinning job as an observed metric: a
+    // trickle loop's common case is ZERO cross pairs per batch, and that
+    // case must commit with one marker write, not a CC round + two
+    // empty parquet jobs
+    val obs = new org.apache.spark.sql.Observation()
+    val pairs = newPairs
+      .select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
+      .filter(col("pa").isNotNull && col("pb").isNotNull)
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nPairs = obs.get.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
+    if (nPairs == 0L) {
+      FsAtomic.writePointer(fs(spark, root), new Path(root),
+        s"_commit_$batchId", "byid \nbycomp ")
+      return
+    }
+    val endpoints = pairs.select(col("pa").as("id"))
+      .union(pairs.select(col("pb").as("id"))).distinct()
+    val epLabels = lookup(spark, root, endpoints, "id", belowBatch = batchId)
+    val touched = epLabels.select(col("component")).distinct()
+    val affected = members(spark, root, touched, "component",
+      belowBatch = batchId)
+    val subEdges = affected
+      .select(col("id").as("pa"), col("component").as("pb"))
+      .union(pairs)
+    val relabeled = Components.connectedComponents(subEdges, "pa", "pb")
+      .withColumn("batch", lit(batchId))
+    writeDelta(spark, root, relabeled, batchId, meta)
+  }
+
+  /** Write (id, component, batch) rows under both keys + the commit
+    * marker. One file per bucket per batch (repartition on the bucket
+    * column before the partitioned write).
+    */
+  private def writeDelta(
+      spark: SparkSession, root: String, rows: DataFrame, batchId: Long,
+      meta: Meta): Unit = {
+    val pinned = rows.select(col("id"), col("component"), col("batch"))
+      .localCheckpoint(true)
+    def writeCopy(table: String, keyCol: String): Unit =
+      pinned
+        .withColumn("bucket",
+          pmod(xxhash64(col(keyCol)), lit(meta.buckets)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", keyCol)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$table/batch=$batchId")
+    writeCopy("byid", "id")
+    writeCopy("bycomp", "component")
+    val f = fs(spark, root)
+    def bucketsOf(dir: String): Seq[Int] = {
+      val p = new Path(dir)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
+    }
+    val content =
+      s"byid ${bucketsOf(s"$root/byid/batch=$batchId").mkString(",")}\n" +
+        s"bycomp ${bucketsOf(s"$root/bycomp/batch=$batchId").mkString(",")}"
+    FsAtomic.writePointer(f, new Path(root), s"_commit_$batchId", content)
+  }
+
+  /** Fold batches at/below the horizon into one latest-wins snapshot per
+    * key copy, keeping the newest `keepNewest` batches live (so in-loop
+    * readers fenced at the newest batch stay serviceable). Dead-label
+    * garbage in `bycomp` is dropped here: the snapshot is regenerated
+    * from the RESOLVED labels. `_COMPACT` pointer flip is the commit
+    * point; old dirs are removed only after it.
+    */
+  def compact(spark: SparkSession, root: String, keepNewest: Int = 1): Unit = {
+    val meta = readMeta(spark, root).getOrElse(return)
+    val committed = committedBatches(spark, root)
+    val (prevGen, prevUpTo) = compactState(spark, root).getOrElse((-1L, -1L))
+    val foldable = committed.filter(_ > prevUpTo).dropRight(keepNewest)
+    if (foldable.isEmpty) return
+    val upTo = foldable.max
+    val gen = prevGen + 1
+    val resolved = labels(spark, root, belowBatch = upTo + 1)
+      .withColumn("batch", lit(upTo))
+      .localCheckpoint(true)
+    def writeSnap(table: String, keyCol: String): Unit =
+      resolved
+        .withColumn("bucket",
+          pmod(xxhash64(col(keyCol)), lit(meta.buckets)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", keyCol)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$table/c$gen")
+    writeSnap("byid", "id")
+    writeSnap("bycomp", "component")
+    val f = fs(spark, root)
+    FsAtomic.writePointer(f, new Path(root), "_COMPACT", s"$gen $upTo")
+    // post-commit cleanup: folded batch dirs, their markers, prior gen
+    foldable.foreach { b =>
+      f.delete(new Path(s"$root/byid/batch=$b"), true)
+      f.delete(new Path(s"$root/bycomp/batch=$b"), true)
+      f.delete(new Path(root, s"_commit_$b"), false)
+    }
+    if (prevGen >= 0) {
+      f.delete(new Path(s"$root/byid/c$prevGen"), true)
+      f.delete(new Path(s"$root/bycomp/c$prevGen"), true)
+    }
+  }
+}

@@ -330,6 +330,32 @@ object TextQueries {
       TextOps.assignSplit(docs(s, d), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
+    "q109_label_store" -> ((s, d) => {
+      // the DURABLE standing-label store (LabelStore): q107's pair
+      // batches folded in sequence as committed store batches, then
+      // compacted (batch 1 into a snapshot, batch 2 live) so the
+      // labels() read crosses the snapshot/live seam — the oracle pins
+      // the full protocol (fold, marker visibility, compaction,
+      // min-resolution) against from-scratch recursive CC.
+      import s.implicits._
+      import graft.operators.LabelStore
+      val ids = docs(s, d).select(col("doc_id"))
+      val oldPairs = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 5).as("b"))
+      val newPairs = ids.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 5).as("b"))
+        .union(ids.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000).as("a"), (col("doc_id") + 1).as("b")))
+        .union(Seq((2000L, 2001L)).toDF("a", "b"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_labelstore_q_").toString + "/store"
+      val meta = LabelStore.Meta(buckets = 8)
+      LabelStore.fold(s, root, oldPairs, "a", "b", batchId = 1L, meta)
+      LabelStore.fold(s, root, newPairs, "a", "b", batchId = 2L, meta)
+      LabelStore.compact(s, root, keepNewest = 1)
+      LabelStore.labels(s, root)
+    }),
     "q108_bucketed_join" -> ((s, d) => {
       // write-once bucketed layout, then an id-keyed join with ZERO
       // exchanges (CorpusLayout): documents and embeddings land bucketed
@@ -1268,6 +1294,23 @@ object TextQueries {
          |    ${dHash32("concat(CAST(doc_id AS VARCHAR), ':split')")}
          |      % 1000000 AS bucket
          |  FROM documents)""".stripMargin,
+    "q109_label_store" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |oldp AS (SELECT doc_id AS a, doc_id - (doc_id % 5) AS b
+        |  FROM ids WHERE doc_id % 5 <> 0),
+        |newp AS (SELECT doc_id AS a, doc_id + 5 AS b
+        |    FROM ids WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 1000, doc_id + 1
+        |    FROM ids WHERE doc_id % 100 = 0
+        |  UNION ALL SELECT CAST(2000 AS BIGINT), CAST(2001 AS BIGINT)),
+        |p AS (SELECT a, b FROM oldp UNION SELECT a, b FROM newp),
+        |edges AS (SELECT a AS u, b AS w FROM p UNION SELECT b, a FROM p),
+        |walk(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, wk.label FROM edges e JOIN walk wk ON wk.u = e.w)
+        |SELECT u AS id, min(label) AS component FROM walk
+        |GROUP BY u""".stripMargin,
     "q108_bucketed_join" ->
       """SELECT d.doc_id, d.n_chars,
         |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)

@@ -45,6 +45,53 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(r.updatedIndex.count() == 4) // 2 corpus + 2 accepted
   }
 
+  test("labelsRoot: cross-dedup lineage accumulates in the durable LabelStore") {
+    import graft.operators.LabelStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_labels_").toString
+    val root = s"$base/index"
+    val labels = s"$base/labels"
+
+    val b0 = Seq(
+      (10L, "fresh reporting on municipal budgets and local road repairs"),
+      (11L, "unrelated notes on deep sea exploration and pressure hulls")
+    ).toDF("doc_id", "text")
+    val (a0, _) = CorpusIngest.ingestIndexed(
+      b0, "doc_id", "text", root, 0L, cfg, labelsRoot = Some(labels))
+    assert(a0.count() == 2)
+    // no cross pairs yet: the store committed an empty batch
+    assert(LabelStore.committedBatches(spark, labels) == Seq(0L))
+    assert(LabelStore.labels(spark, labels).count() == 0)
+
+    val b1 = Seq(
+      // near-dups of standing 10 and 11
+      (20L, "fresh reporting on municipal budgets and local road closures"),
+      (21L, "unrelated notes on deep sea exploration and pressure hulls!"),
+      (22L, "novel text about alpine glaciers and seasonal melt records")
+    ).toDF("doc_id", "text")
+    val (a1, _) = CorpusIngest.ingestIndexed(
+      b1, "doc_id", "text", root, 1L, cfg, labelsRoot = Some(labels))
+    assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(22L))
+    val l1 = LabelStore.labels(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 == Map(10L -> 10L, 20L -> 10L, 11L -> 11L, 21L -> 11L), s"$l1")
+
+    val b2 = Seq(
+      // another dup of the SAME standing doc joins the same cluster
+      (30L, "fresh reporting on municipal budgets and local road updates")
+    ).toDF("doc_id", "text")
+    CorpusIngest.ingestIndexed(
+      b2, "doc_id", "text", root, 2L, cfg, labelsRoot = Some(labels))
+    val mem = LabelStore.members(spark, labels,
+        Seq(10L).toDF("component"), "component")
+      .collect().map(_.getLong(0)).toSet
+    assert(mem == Set(10L, 20L, 30L), s"got $mem")
+    // lineage lookup: which cluster did the dropped doc join?
+    val who = LabelStore.lookup(spark, labels, Seq(30L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(who == Map(30L -> 10L), s"got $who")
+  }
+
   test("second batch dedups against FIRST batch's survivors via the updated index") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river")
