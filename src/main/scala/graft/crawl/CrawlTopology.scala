@@ -32,6 +32,17 @@ final case class CrawlConfig(
     // continuous crawling: FETCHED pages become eligible again after this
     // interval (the reference never stops; nextFetchTime re-arms fetches)
     recrawlIntervalMs: Option[Long] = None,
+    // ADAPTIVE recrawl ([[RevisitPolicy]]): per-URL refetch intervals
+    // estimated from observed content-change history (body-hash flips
+    // between captures), clamped to this (minMs, maxMs) band. Pages with
+    // fewer than two captures fall back to recrawlIntervalMs (cold
+    // start), so this only takes effect WITH recrawlIntervalMs set —
+    // the policy the reference leaves as a TODO (FetchQueue.java:55)
+    adaptiveRecrawl: Option[(Long, Long)] = None,
+    // newest captures remembered per URL for the change estimate; the
+    // history fold prunes to this window (the scoreHistory discipline)
+    // so per-round cost is O(recent captures), not O(crawl lifetime)
+    captureWindow: Int = 8,
     // parse watchdog (reference ParserPolicy.java:14-18: kill a parse at
     // 30 s) — pages exceeding it are journaled ERROR_PARSE, not hung on
     parseBudgetMs: Long = 30000L,
@@ -258,6 +269,11 @@ object CrawlTopology {
     // round for the crawl's lifetime)
     var seenSitemaps: DataFrame = Seq.empty[String].toDF("sitemapUrl")
 
+    // capture history feeding adaptive recrawl (url, capture time, body
+    // hash, round) — pruned to the newest captureWindow rows per URL
+    var captureHistory: DataFrame = Seq.empty[(String, Long, Long, Long)]
+      .toDF("url", "ts", "fp", "capId")
+
     var round = 0
     var active = true
     while (active && round < cfg.maxRounds &&
@@ -297,16 +313,33 @@ object CrawlTopology {
 
       // --- schedule: FetchQueue semantics (per-domain fairness + global
       // top-K by score with min-score gate; UrlDBFunction/FetchQueue)
-      val readyFilter = {
-        val base = col("status") === FS.UNFETCHED && col("nextFetchTime") <= now
-        cfg.recrawlIntervalMs match {
-          case Some(interval) => base ||
-            (col("status") === FS.FETCHED && col("statusTime") + interval <= now)
-          case None => base
+      val rawEligible = {
+        val base = frontier.filter(
+          col("status") === FS.UNFETCHED && col("nextFetchTime") <= now)
+        val refetch = cfg.recrawlIntervalMs.map { interval =>
+          val f = frontier.filter(col("status") === FS.FETCHED)
+          cfg.adaptiveRecrawl match {
+            case Some((minMs, maxMs)) =>
+              // per-URL interval from observed change history: a page
+              // seen to change often re-arms at its estimated change
+              // interval; a static one backs off toward maxMs. Fewer
+              // than two captures -> the fixed cold-start interval.
+              val sched = RevisitPolicy.schedule(captureHistory,
+                  "url", "ts", "fp", "capId", minMs, maxMs)
+                .select(col("url"), col("n_captures"),
+                  col("est_interval_ms"))
+              f.join(sched, Seq("url"), "left")
+                .filter(col("statusTime") + coalesce(
+                  when(col("n_captures") > 1, col("est_interval_ms")),
+                  lit(interval)) <= now)
+                .drop("n_captures", "est_interval_ms")
+            case None =>
+              f.filter(col("statusTime") + interval <= now)
+          }
         }
+        refetch.fold(base)(r => base.unionByName(r))
+          .filter(col("score") >= cfg.minFetchScore)
       }
-      val rawEligible = frontier
-        .filter(readyFilter && col("score") >= cfg.minFetchScore)
       val eligible = rawEligible
         .join(broadcast(domainClocks), Seq("pld"), "left")
         .filter(coalesce(col("nextAllowed"), lit(0L)) <= now)
@@ -491,6 +524,24 @@ object CrawlTopology {
               col("contentType"), col("headers"), col("content"),
               lit(now).as("fetchTimeMs"),
               col("redirectedTo")))
+        }
+
+        // fold this round's captures into the change history (adaptive
+        // recrawl): body hash per successful fetch, newest captureWindow
+        // rows kept per URL so the fold is O(active URLs x window)
+        if (cfg.adaptiveRecrawl.isDefined) {
+          val caps = fetched.toDF()
+            .filter(col("status") === FS.FETCHED)
+            .select(col("url"), lit(now).as("ts"),
+              xxhash64(col("content")).as("fp"),
+              lit(round.toLong).as("capId"))
+          val capRecency = Window.partitionBy(col("url"))
+            .orderBy(col("capId").desc)
+          captureHistory = captureHistory.unionByName(caps)
+            .withColumn("__cr", row_number().over(capRecency))
+            .filter(col("__cr") <= cfg.captureWindow)
+            .drop("__cr")
+            .localCheckpoint(true)
         }
 
         // advance the politeness clocks for delayed domains

@@ -275,6 +275,32 @@ class PolitenessSpec extends AnyFunSuite {
     assert(r.frontier.filter(col("status") === FS.FETCHED).count() == 5)
   }
 
+  test("adaptive recrawl: a changing page re-arms fast, a static one backs off") {
+    AdaptiveFetchState.counts.clear()
+    val r = CrawlTopology.run(
+      spark, Seq(("hot.com", 1.0f), ("cold.com", 1.0f)),
+      new AdaptiveFetcher(Set("http://hot.com/")),
+      new MapRobotsFetcher(Map.empty),
+      CrawlConfig(maxRounds = 12, scoreAdaptive = false,
+        recrawlIntervalMs = Some(2000),          // cold start: 2 ticks
+        adaptiveRecrawl = Some((1000L, 8000L)))) // band: [1, 8] ticks
+    def fetchRounds(url: String): Seq[Int] = r.journal
+      .filter(col("stage") === "fetch" && col("url") === url)
+      .select("round").collect().map(_.getInt(0)).sorted.toSeq
+    val hot = fetchRounds("http://hot.com/")
+    val cold = fetchRounds("http://cold.com/")
+    // both cold-start identically: first fetch, then the fixed interval
+    assert(hot.take(2) == Seq(1, 3) && cold.take(2) == Seq(1, 3),
+      s"hot=$hot cold=$cold")
+    // the changing page's estimated interval stays at ~2 ticks
+    assert(hot.length >= 5, s"hot page not re-armed fast: $hot")
+    // the static page backs off to the max interval (8 ticks) after its
+    // second capture shows no change
+    assert(cold.length <= 3, s"static page over-crawled: $cold")
+    if (cold.length == 3)
+      assert(cold(2) - cold(1) >= 8, s"static backoff too short: $cold")
+  }
+
   test("recrawl interval re-fetches pages in a continuous crawl") {
     val g = WebGraph("re.com" -> Seq.empty)
     val r = CrawlTopology.run(
@@ -344,5 +370,27 @@ class UrlShapeGateSpec extends AnyFunSuite {
       .select("round", "url").collect()
     assert(drop.exists(x => x.getInt(0) == 0 && x.getString(1).contains("a=1")),
       drop.mkString(","))
+  }
+}
+
+/** Shared fetch-count state for AdaptiveFetcher: a static map survives
+  * task-side deserialization in local mode, so "content changes on every
+  * fetch" is observable across rounds.
+  */
+object AdaptiveFetchState {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
+/** Serves 200 HTML for every URL; pages in `hot` change their body on
+  * every fetch, everything else is byte-stable — the fixture for the
+  * adaptive-recrawl change estimator.
+  */
+final class AdaptiveFetcher(hot: Set[String]) extends graft.crawl.Fetcher {
+  override def fetch(url: String): graft.crawl.FetchedPage = {
+    val n = AdaptiveFetchState.counts.merge(url, 1, (a, b) => a + b)
+    val body =
+      if (hot(url)) s"<html><body>version $n of this page</body></html>"
+      else "<html><body>immutable content here</body></html>"
+    graft.crawl.FetchedPage(200, body, "text/html")
   }
 }
