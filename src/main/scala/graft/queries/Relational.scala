@@ -268,8 +268,98 @@ object Relational {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
 
+  /** Temporal AS-OF lookup ([[graft.operators.AsOfJoin]]): every event
+    * joins the latest order its user placed AT OR BEFORE the event — the
+    * "state in force when it happened" join (the crawl analogue: which
+    * robots rules / domain score were current at fetch time). Users
+    * ≡ 0 (mod 7) have their orders withheld so the no-match null path is
+    * gated too. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+    * union+running-carry plan is pinned against an independent
+    * sort-merge-asof implementation, not against itself.
+    */
+  def asofJoinProbe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(
+      col("event_id"), col("user_id"),
+      unix_millis(col("ts").cast("timestamp")).as("ets"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_custkey") % 7 =!= 0)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ets"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    graft.operators.AsOfJoin.lastAtOrBefore(
+      ev, ord, "user_id", "ets", Seq("okey"), asofTsCol = "order_ts")
+  }
+
+  val asofJoinProbeSql: String =
+    """WITH r AS (SELECT o_custkey AS user_id,
+      |    epoch_ms(o_orderdate) AS rts, MAX(o_orderkey) AS okey
+      |  FROM orders WHERE o_custkey % 7 <> 0 GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ets FROM events)
+      |SELECT e.event_id, e.user_id, e.ets, r.okey, r.rts AS order_ts
+      |FROM e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ets >= r.rts""".stripMargin
+
+  /** Gap-based sessionization: consecutive events of a user closer than
+    * `gapMs` belong to one session (the batch twin of Structured
+    * Streaming's `session_window`, and the per-domain "active crawl
+    * burst" segmentation shape). Two key-partitioned windows — a lag to
+    * flag session starts, a running sum to number them — then one hash
+    * aggregate; every column integer epoch millis, so session boundaries
+    * are engine-exact.
+    */
+  def sessionize(
+      events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapMs: Long): DataFrame = {
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(tsCol) - col("__prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"))
+  }
+
+  def sessionizeProbe(spark: SparkSession, dir: String): DataFrame =
+    sessionize(
+      t(spark, dir, "events").select(
+        col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ets"), col("event_id")),
+      "user_id", "ets", "event_id", gapMs = 6L * 3600000L)
+
+  val sessionizeProbeSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ets, event_id FROM events),
+      |f AS (SELECT user_id, ets, event_id,
+      |    lag(ets) OVER (PARTITION BY user_id ORDER BY ets, event_id)
+      |      AS prev
+      |  FROM e),
+      |n AS (SELECT user_id, ets,
+      |    CASE WHEN prev IS NULL OR ets - prev > 21600000
+      |         THEN 1 ELSE 0 END AS is_new,
+      |    event_id
+      |  FROM f),
+      |s AS (SELECT user_id, ets,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY ets, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM n)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ets) AS session_start, MAX(ets) AS session_end,
+      |  MAX(ets) - MIN(ets) AS duration_ms
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** Queries + DuckDB oracles, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_asof_join" -> (asofJoinProbe _),
+    "q111_sessionize" -> (sessionizeProbe _),
     "q01_filter_project" -> (filterProject _),
     "q02_agg_sum" -> (aggSum _),
     "q03_topk_global" -> (topKGlobal _),
@@ -290,6 +380,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q110_asof_join" -> asofJoinProbeSql,
+    "q111_sessionize" -> sessionizeProbeSql,
     "q01_filter_project" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

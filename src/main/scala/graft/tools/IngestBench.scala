@@ -164,25 +164,42 @@ object IngestBench {
     // grows with file count. Periodic compaction folds them into one
     // file per bucket — this arm measures per-batch wall early vs late,
     // with and without compaction, plus the compaction passes' own cost.
-    def loopArm(nBatches: Int, compactEvery: Int): (Double, Double, Double) = {
+    def loopArm(nBatches: Int, compactEvery: Int,
+        labels: Boolean = false): (Double, Double, Double) = {
       import spark.implicits._
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-ingestloop-$compactEvery").toString
       SignatureIndexStore.append(spark, root, replicate(10), 0L, meta)
+      val labelsRoot = if (labels) Some(s"$root/labels") else None
       var compactSec = 0.0
       val walls = (1 to nBatches).map { b =>
-        val docs = (0 until 5).map { j =>
+        val fresh = (0 until 5).map { j =>
           val id = 950000000L + b * 100L + j
           (id, s"synthetic loop document $id covering subject s${b}x$j " +
             s"with unique tokens u${b}a$j u${b}b$j u${b}c$j and filler " +
             s"prose about matter m$b variant $j")
-        }.toDF("doc_id", "text")
+        }
+        // lineage arm: every 10th batch re-submits batch 1's first doc
+        // verbatim under a new id, so the cross-dedup drops it and the
+        // LabelStore folds a real pair; the other 9 batches exercise the
+        // zero-pair fast path (one marker write)
+        val rows = if (labels && b > 1 && b % 10 == 0)
+          fresh :+ ((950000000L + b * 100L + 99L,
+            "synthetic loop document 950000100 covering subject s1x0 " +
+              "with unique tokens u1a0 u1b0 u1c0 and filler " +
+              "prose about matter m1 variant 0"))
+        else fresh
+        val docs = rows.toDF("doc_id", "text")
         val t0 = System.nanoTime()
-        CorpusIngest.ingestIndexed(docs, "doc_id", "text", root, b.toLong, cfg)
+        CorpusIngest.ingestIndexed(docs, "doc_id", "text", root, b.toLong,
+          cfg, labelsRoot = labelsRoot)
         val wall = (System.nanoTime() - t0) / 1e9
         if (compactEvery > 0 && b % compactEvery == 0) {
           val c0 = System.nanoTime()
           SignatureIndexStore.compact(spark, root)
+          labelsRoot.filter(lr =>
+              graft.operators.LabelStore.readMeta(spark, lr).isDefined)
+            .foreach(lr => graft.operators.LabelStore.compact(spark, lr))
           compactSec += (System.nanoTime() - c0) / 1e9
         }
         wall
@@ -198,6 +215,11 @@ object IngestBench {
       val (early, late, cSec) = loopArm(nLoop, every)
       val label = if (every == 0) "no compaction" else s"compact every $every"
       println(f"| $label | $early%.2f | $late%.2f | $cSec%.1f |")
+    }
+    locally {
+      val (early, late, cSec) = loopArm(nLoop, 50, labels = true)
+      println(f"| compact every 50 + lineage labels (1 cross-dup per 10 " +
+        f"batches) | $early%.2f | $late%.2f | $cSec%.1f |")
     }
     spark.stop()
   }
