@@ -143,10 +143,16 @@ object CorpusIngest {
     pinned
   }
 
+  /** Returns (survivors, dedupPairs). The pair frame is LAZY — it costs
+    * nothing unless consumed — and carries every within-batch duplicate
+    * relation the pipeline judged: exact-fingerprint (dropped id, its
+    * group's min id) plus the near-dup estimator pairs. The lineage fold
+    * ([[ingestIndexed]]'s `labelsRoot`) is its consumer.
+    */
   private def batchPipeline(
       batch: DataFrame, idCol: String, textCol: String, cfg: Config,
       audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
-      : DataFrame = {
+      : (DataFrame, DataFrame) = {
     def step(name: String, df: DataFrame): DataFrame =
       CorpusIngest.step(audit, name, df)
     // pinning the input also collapses its double scan (the gates filter
@@ -167,11 +173,14 @@ object CorpusIngest {
       .filter(element_at(col("sig"), 1).isNotNull))
 
     // 2. exact within-batch dedup: keep each fingerprint's min id
-    val exact = step("exact_dedup", gated
+    val withKeep = gated
       .withColumn("__fp", md5(col("text")))
       .join(gated.groupBy(md5(col("text")).as("__fp"))
           .agg(min(col("doc_id")).as("__keep")),
         Seq("__fp"))
+    val exactPairs = withKeep.filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id").as("id_a"), col("__keep").as("id_b"))
+    val exact = step("exact_dedup", withKeep
       .filter(col("doc_id") === col("__keep"))
       .drop("__fp", "__keep"))
 
@@ -182,15 +191,16 @@ object CorpusIngest {
     val drop = Components.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
-    step("batch_dedup",
+    val survivors = step("batch_dedup",
       exact.join(drop, exact("doc_id") === col("__drop_id"), "left_anti"))
+    (survivors, exactPairs.unionByName(pairs.select("id_a", "id_b")))
   }
 
   def ingest(
       batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, cfg: Config = Config()): Result = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
+    val (batchDeduped, _) = batchPipeline(batch, idCol, textCol, cfg, audit)
 
     // 4. cross dedup against the standing index (no corpus text)
     val sigs = batchDeduped.select("doc_id", "sig")
@@ -217,19 +227,23 @@ object CorpusIngest {
       batch: DataFrame, idCol: String, textCol: String,
       indexRoot: String, batchId: Long, cfg: Config = Config(),
       ann: Option[AnnGate] = None,
-      /** Optional durable cluster-lineage: fold this batch's cross-dedup
-        * pairs (dropped newcomer ↔ the standing doc it collapsed into)
-        * into a [[LabelStore]] at this root, so "which cluster did every
+      /** Optional durable cluster-lineage: fold EVERY duplicate relation
+        * this batch judged — within-batch exact + near-dup pairs, the
+        * cross-dedup pairs against the standing corpus, and (when the
+        * AnnGate runs) the semantic standing + within-batch pairs — into
+        * a [[LabelStore]] at this root, so "which cluster did every
         * dropped doc join" stays queryable over the loop's whole life
         * ([[LabelStore.lookup]]/[[LabelStore.members]]) without
         * re-clustering. The fold is batch-bounded (touched clusters
         * only) and rides the same batchId fence/idempotence as the
-        * index appends.
+        * index appends. Pair frames are lazy: without a labelsRoot none
+        * of them is ever computed.
         */
       labelsRoot: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
     val spark = batch.sparkSession
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val batchDeduped = batchPipeline(batch, idCol, textCol, cfg, audit)
+    val (batchDeduped, batchPairs) =
+      batchPipeline(batch, idCol, textCol, cfg, audit)
 
     val matchPairs = SignatureIndexStore
       .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
@@ -239,11 +253,6 @@ object CorpusIngest {
     val pinnedPairs =
       if (labelsRoot.isDefined) matchPairs.localCheckpoint(true)
       else matchPairs
-    labelsRoot.foreach { lr =>
-      LabelStore.fold(spark, lr,
-        pinnedPairs.select(col("new_id"), col("corpus_id")),
-        "new_id", "corpus_id", batchId, LabelStore.Meta(indexBuckets(cfg)))
-    }
     val matched = pinnedPairs
       .select(col("new_id").as("__dup_id")).distinct()
     val accepted = step(audit, "cross_dedup", batchDeduped
@@ -252,12 +261,23 @@ object CorpusIngest {
     // optional semantic stage BEFORE the index appends: a semantically
     // dropped doc must appear in neither standing index (accepted ⊆
     // indexed, and it was not accepted)
-    val finalAccepted =
-      ann.fold(accepted)(g => annStage(accepted, g, batchId, audit))
+    val (finalAccepted, semPairs) = ann match {
+      case Some(g) => annStage(accepted, g, batchId, audit)
+      case None    => (accepted, None)
+    }
 
     SignatureIndexStore.append(spark, indexRoot,
       finalAccepted.select("doc_id", "sig"), batchId,
       SignatureIndexStore.Meta(indexBuckets(cfg), cfg.numHashes, cfg.bandSize))
+
+    labelsRoot.foreach { lr =>
+      val crossAsPairs = pinnedPairs
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      val allPairs = (Seq(batchPairs, crossAsPairs) ++ semPairs.toSeq)
+        .reduce(_ unionByName _)
+      LabelStore.fold(spark, lr, allPairs, "id_a", "id_b", batchId,
+        LabelStore.Meta(indexBuckets(cfg)))
+    }
     (finalAccepted.drop("sig"), audit.toSeq)
   }
 
@@ -276,11 +296,14 @@ object CorpusIngest {
   private def annStage(
       accepted: DataFrame, g: AnnGate, batchId: Long,
       audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
-      : DataFrame = {
+      : (DataFrame, Option[DataFrame]) = {
     val spark = accepted.sparkSession
     val emb = TextOps.hashedEmbedding(accepted, "doc_id", "text", g.dim)
       .localCheckpoint(true)
     val standing = AnnIndexStore.readMeta(spark, g.root).isDefined
+    // lazy semantic-dup pair frames for the lineage fold (never computed
+    // without a labelsRoot consumer)
+    var standingPairs: Option[DataFrame] = None
     val keptStanding =
       if (!standing) {
         // no standing vectors yet: nothing to gate against — carry the
@@ -288,11 +311,13 @@ object CorpusIngest {
         audit += (("semantic_dedup", audit.last._2))
         accepted
       } else {
-        val dups = AnnIndexStore.query(spark, g.root, emb,
+        val hits = AnnIndexStore.query(spark, g.root, emb,
             "doc_id", "embedding", k = 1, nprobe = g.nprobe,
             belowBatch = batchId)
           .filter(col("cos") >= g.threshold)
-          .select(col("query_id").as("__sem_dup")).distinct()
+        standingPairs = Some(hits.select(
+          col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
+        val dups = hits.select(col("query_id").as("__sem_dup")).distinct()
         step(audit, "semantic_dedup", accepted
           .join(dups, accepted("doc_id") === col("__sem_dup"), "left_anti"))
       }
@@ -328,7 +353,11 @@ object CorpusIngest {
     } else
       AnnIndexStore.append(spark, g.root, keptEmb, "doc_id", "embedding",
         batchId)
-    kept
+    val semPairs = standingPairs match {
+      case Some(sp) => sp.unionByName(batchPairs.select("id_a", "id_b"))
+      case None     => batchPairs.select("id_a", "id_b")
+    }
+    (kept, Some(semPairs))
   }
 
   /** Bucket count for the durable store — a persistent store property

@@ -67,14 +67,19 @@ class CorpusIngestSpec extends AnyFunSuite {
       // near-dups of standing 10 and 11
       (20L, "fresh reporting on municipal budgets and local road closures"),
       (21L, "unrelated notes on deep sea exploration and pressure hulls!"),
-      (22L, "novel text about alpine glaciers and seasonal melt records")
+      (22L, "novel text about alpine glaciers and seasonal melt records"),
+      // WITHIN-batch exact duplicates: lineage must record these too
+      (23L, "verbatim duplicated bulletin about harbor tide measurements"),
+      (24L, "verbatim duplicated bulletin about harbor tide measurements")
     ).toDF("doc_id", "text")
     val (a1, _) = CorpusIngest.ingestIndexed(
       b1, "doc_id", "text", root, 1L, cfg, labelsRoot = Some(labels))
-    assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(22L))
+    assert(a1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(22L, 23L))
     val l1 = LabelStore.labels(spark, labels).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(l1 == Map(10L -> 10L, 20L -> 10L, 11L -> 11L, 21L -> 11L), s"$l1")
+    assert(l1 == Map(10L -> 10L, 20L -> 10L, 11L -> 11L, 21L -> 11L,
+      23L -> 23L, 24L -> 23L), s"$l1")
 
     val b2 = Seq(
       // another dup of the SAME standing doc joins the same cluster
@@ -507,6 +512,8 @@ class CorpusIngestSpec extends AnyFunSuite {
       .createTempDirectory("graft-annbatch").toString
     val annRoot = java.nio.file.Files
       .createTempDirectory("graft-annbatch-vec").toString
+    val labels = java.nio.file.Files
+      .createTempDirectory("graft-annbatch-labels").toString + "/labels"
     val g = CorpusIngest.AnnGate(
       annRoot, dim = 64, threshold = 0.9, nprobe = 8, numCentroids = 2)
     val article = "the committee reviewed the annual report and found " +
@@ -519,9 +526,13 @@ class CorpusIngestSpec extends AnyFunSuite {
       (2L, "a careful study of historical documents reveals many patterns")
     ).toDF("doc_id", "text")
     val (a0, audit0) = CorpusIngest.ingestIndexed(
-      b0, "doc_id", "text", root, 0L, cfg, Some(g))
+      b0, "doc_id", "text", root, 0L, cfg, Some(g), Some(labels))
     val ids0 = a0.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids0 == Set(2L, 5L), s"$ids0 audit=$audit0")
+    // SEMANTIC within-batch lineage reaches the label store too
+    val sem0 = graft.operators.LabelStore.labels(spark, labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem0 == Map(5L -> 5L, 9L -> 5L), s"got $sem0")
     val am0 = audit0.toMap
     assert(am0("cross_dedup") == 3L, audit0.toString) // sigs all distinct
     assert(am0("semantic_dedup") == 3L, audit0.toString) // nothing standing
@@ -537,9 +548,14 @@ class CorpusIngestSpec extends AnyFunSuite {
     val b1 = Seq((20L, article.split(" ").reverse.mkString(" ")))
       .toDF("doc_id", "text")
     val (a1, audit1) = CorpusIngest.ingestIndexed(
-      b1, "doc_id", "text", root, 1L, cfg, Some(g))
+      b1, "doc_id", "text", root, 1L, cfg, Some(g), Some(labels))
     assert(a1.count() == 0L, audit1.toString)
     assert(audit1.toMap.apply("semantic_dedup") == 0L, audit1.toString)
+    // the STANDING-gate semantic drop joins its keeper's cluster
+    val sem1 = graft.operators.LabelStore.lookup(spark, labels,
+        Seq(20L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sem1 == Map(20L -> 5L), s"got $sem1")
   }
 
   test("degenerate-signature docs are dropped at gates: every accepted doc is indexed") {
