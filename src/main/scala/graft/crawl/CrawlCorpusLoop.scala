@@ -11,6 +11,8 @@ import graft.operators.CorpusIngest
   * frontier ([[FrontierStore]]), the signature index
   * ([[graft.operators.SignatureIndexStore]]) and the ANN index
   * ([[graft.operators.AnnIndexStore]], via [[CorpusIngest.AnnGate]]) —
+  * plus, with `lineage = true`, the dedup-lineage
+  * [[graft.operators.LabelStore]] as a fourth —
   * under ONE durable wave protocol, so the whole loop can be killed at
   * any point and resumed with no re-fetch of completed waves, no
   * re-accepted documents, and no duplicate store appends. This is the
@@ -81,10 +83,18 @@ object CrawlCorpusLoop {
       crawlCfg: CrawlConfig = CrawlConfig(maxRounds = 2),
       ingestCfg: CorpusIngest.Config = CorpusIngest.Config(),
       annGate: Option[CorpusIngest.AnnGate] = None,
+      /** When true the loop maintains the FOURTH standing store too: a
+        * [[graft.operators.LabelStore]] at `workDir/labels` receiving
+        * every wave's dedup lineage (within-batch, cross-vs-standing,
+        * semantic). Folds ride the same `batchId = wave` fence as the
+        * index appends, so the kill/resume idempotence argument extends
+        * unchanged.
+        */
+      lineage: Boolean = false,
       onStage: (Int, String) => Unit = (_, _) => ()): Seq[WaveResult] =
     (0 until waves).map { w =>
       runWave(spark, workDir, seeds, pageFetcher, robotsFetcher, w,
-        crawlCfg, ingestCfg, annGate, onStage)
+        crawlCfg, ingestCfg, annGate, lineage, onStage)
     }
 
   def runWave(
@@ -97,6 +107,7 @@ object CrawlCorpusLoop {
       crawlCfg: CrawlConfig,
       ingestCfg: CorpusIngest.Config,
       annGate: Option[CorpusIngest.AnnGate],
+      lineage: Boolean,
       onStage: (Int, String) => Unit): WaveResult = {
     val f = fs(spark, workDir)
     f.mkdirs(new Path(workDir))
@@ -150,7 +161,8 @@ object CrawlCorpusLoop {
     val docs = spark.read.parquet(parsedDir)
     val (accepted, _) = CorpusIngest.ingestIndexed(
       docs, "doc_id", "text", s"$workDir/sig", wave.toLong, ingestCfg,
-      annGate)
+      annGate,
+      labelsRoot = if (lineage) Some(s"$workDir/labels") else None)
     onStage(wave, "ingested")
 
     // 4. accepted docs become the corpus slice; the wave marker commits

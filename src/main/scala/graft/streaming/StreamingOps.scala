@@ -127,4 +127,24 @@ object StreamingOps {
       .withColumn("fingerprint", md5(col(textCol)))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming gap sessionization — the always-on twin of
+    * [[graft.queries.Relational.sessionize]], on Spark's native
+    * `session_window` (state = open sessions only; the watermark closes
+    * and emits a session once no event can extend it). Session
+    * boundaries agree with the batch form by construction: both close a
+    * session when consecutive events are more than `gap` apart.
+    *
+    * Input columns: `ts` (timestamp) + `keyCol`. Append-mode output, one
+    * row per CLOSED session: key, window struct, n_events.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      gap: String = "30 minutes",
+      horizon: String = "10 minutes") =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
 }

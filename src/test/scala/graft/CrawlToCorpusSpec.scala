@@ -210,7 +210,7 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     def runTo(waves: Int, killAt: Option[(Int, String)]): Option[Kill] =
       try {
         CrawlCorpusLoop.run(spark, work, seeds, counting, robots, waves,
-          cfgC, cfgI, Some(gate),
+          cfgC, cfgI, Some(gate), lineage = true,
           onStage = (w, s) =>
             if (killAt.contains((w, s))) throw new Kill)
         None
@@ -261,7 +261,17 @@ class CrawlToCorpusSpec extends AnyFunSuite {
       .createTempDirectory("graft-capstone-ref").toString
     val gate2 = gate.copy(root = s"$work2/ann")
     CrawlCorpusLoop.run(spark, work2, seeds, counting, robots, 2,
-      cfgC, cfgI, Some(gate2))
+      cfgC, cfgI, Some(gate2), lineage = true)
+    // the FOURTH store: lineage folds committed once per wave, and the
+    // killed-and-resumed label set equals the uninterrupted run's
+    import graft.operators.LabelStore
+    assert(LabelStore.committedBatches(spark, s"$work/labels")
+      == Seq(0L, 1L))
+    val lab1 = LabelStore.labels(spark, s"$work/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lab2 = LabelStore.labels(spark, s"$work2/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lab1 == lab2, s"lineage drifted: $lab1 vs $lab2")
     val refCorpus = CrawlCorpusLoop.corpus(spark, work2)
       .select("url", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -144,6 +144,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionization: gaps split sessions, watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = StreamingOps
+      .sessionizeStream(
+        input.toDS().toDF("ts", "user_id"), "user_id",
+        gap = "30 seconds", horizon = "10 seconds")
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+      // user 1: two bursts 100 s apart (2 sessions); user 2: one event
+      input.addData(Seq((t(0), 1L), (t(10), 1L), (t(110), 1L),
+        (t(5), 2L)))
+      query.processAllAvailable()
+      // advance the watermark far enough to close everything
+      input.addData(Seq((t(500), 9L)))
+      query.processAllAvailable()
+      input.addData(Seq((t(900), 9L)))
+      query.processAllAvailable()
+      val got = spark.table("ssess")
+        .select(col("user_id"), col("n_events"),
+          unix_millis(col("session_window.start")).as("s"))
+        .as[(Long, Long, Long)].collect().toSet
+      val base = 1700000000000L
+      assert(got.contains((1L, 2L, base)), s"got $got")         // burst 1
+      assert(got.contains((1L, 1L, base + 110000L)), s"got $got") // burst 2
+      assert(got.contains((2L, 1L, base + 5000L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("count-min sketch runs unchanged on a stream, converging to the batch grid") {
     // the sketch is projection + one aggregation, so Structured Streaming
     // maintains it incrementally (complete mode); state is the constant
