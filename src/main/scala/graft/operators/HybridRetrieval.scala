@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * The fusion score is computed in INTEGER fixed point —
   * `1_000_000 div (k0 + rank)` — so fused rankings are engine-exact and
   * oracle-checkable end to end (the [[graft.crawl.RevisitPolicy]] /
-  * [[LinkRank]] discipline); float RRF differs from this by < 1e-12
-  * relative and changes no ordering for k0 ≥ 1.
+  * [[LinkRank]] discipline). Truncation keeps per-rank reciprocals
+  * distinct through rank ≈ 940 at k0 = 60; beyond that (or on sum
+  * near-ties) candidates that float RRF would hairline-split can tie in
+  * fixed point — the ascending-id tie-break keeps the output total and
+  * deterministic either way.
   *
   * Scale shape: each arm ends in a per-query rank window that
   * WindowGroupLimit prunes map-side (the q04 pattern), so the fusion

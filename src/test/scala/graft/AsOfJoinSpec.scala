@@ -68,6 +68,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.getAs[Long]("score") == 42L)
   }
 
+  test("randomized equivalence with a brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { _ =>
+      val left = Seq.fill(60)((rnd.nextInt(5).toLong,
+        rnd.nextInt(50).toLong, rnd.nextInt(1000).toString))
+      // unique (key, ts) on the right, as the contract requires
+      val right = Seq.fill(40)((rnd.nextInt(5).toLong,
+        rnd.nextInt(50).toLong, rnd.nextLong(10000)))
+        .groupBy(t => (t._1, t._2)).values.map(_.head).toSeq
+      val got = run(left, right).toSet
+      val want = left.map { case (k, ts, tag) =>
+        val best = right.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption
+        (k, ts, tag, best.map(_._3), best.map(_._2))
+      }.toSet
+      assert(got == want, s"left=$left right=$right")
+    }
+  }
+
   test("empty payloadCols is refused") {
     intercept[IllegalArgumentException] {
       AsOfJoin.lastAtOrBefore(
