@@ -81,4 +81,33 @@ object RevisitPolicy {
             lit(minIntervalMs)), lit(maxIntervalMs))))
       .withColumn("next_fetch_ms", col("last_ts") + col("est_interval_ms"))
   }
+
+  /** [[schedule]] fed straight from a CDX capture index
+    * ([[graft.sources.CdxLookup.entries]] / [[graft.sinks.Sinks.cdxIndex]]
+    * rows: url, 14-digit UTC timestamp, content digest …) — the archive
+    * sidecar IS a capture history, so a recrawl of an archived corpus
+    * can derive its per-URL schedule without any extra state. The
+    * content digest is the change fingerprint; the 14-digit timestamp
+    * parses back to epoch millis with the inverse of the writer's
+    * UTC-pinning shift ([[graft.sinks.Sinks.cdxIndex]] renders UTC wall
+    * time under ANY session timezone), at CDX's second granularity.
+    */
+  def fromCdx(
+      entries: DataFrame,
+      minIntervalMs: Long, maxIntervalMs: Long): DataFrame = {
+    val caps = entries.select(
+      col("url"),
+      unix_millis(from_utc_timestamp(
+        to_timestamp(col("ts"), "yyyyMMddHHmmss"),
+        expr("current_timezone()"))).as("cap_ms"),
+      col("digest"),
+      // total order within equal timestamps: digest then holding segment
+      // (entries carry warc_file; cdxIndex-only frames may not — the
+      // digest alone still makes repeated identical captures stable)
+      concat_ws("|", col("digest"),
+        if (entries.columns.contains("warc_file")) col("warc_file")
+        else lit("")).as("cap_tie"))
+    schedule(caps, "url", "cap_ms", "digest", "cap_tie",
+      minIntervalMs, maxIntervalMs)
+  }
 }

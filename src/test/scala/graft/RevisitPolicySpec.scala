@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.crawl.RevisitPolicy
 
@@ -66,6 +67,34 @@ class RevisitPolicySpec extends AnyFunSuite {
       ("b", 0L, 5L, 3L), ("b", 2 * DAY, 5L, 4L)))
     assert(r("a")._1 == 1L && r("a")._2 == 2 * DAY, s"got $r")
     assert(r("b")._1 == 0L && r("b")._2 == 30 * DAY, s"got $r")
+  }
+
+  test("fromCdx: digests drive changes, 14-digit UTC timestamps round-trip") {
+    // build a real CDX frame through the WRITER (Sinks.cdxIndex), so the
+    // timestamp parse is pinned against the rendering it must invert
+    val t0 = 1700000000000L
+    val records = Seq(
+      ("http://hot.com/", "v1", t0),
+      ("http://hot.com/", "v2", t0 + 2 * DAY),
+      ("http://hot.com/", "v3", t0 + 4 * DAY),
+      ("http://cold.com/", "same", t0),
+      ("http://cold.com/", "same", t0 + 4 * DAY))
+      .toDF("url", "body", "fetchTimeMs")
+      .select(col("url"), lit("text/html").as("contentType"),
+        lit(200).as("statusCode"),
+        encode(col("body"), "UTF-8").as("content"), col("fetchTimeMs"))
+    val cdx = graft.sinks.Sinks.cdxIndex(records)
+    val out = graft.crawl.RevisitPolicy.fromCdx(cdx, DAY, 30 * DAY)
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("n_changes"), r.getAs[Long]("est_interval_ms"),
+          r.getAs[Long]("last_ts"))))
+      .toMap
+    // hot: 2 digest flips over 4 days -> 2-day interval; cold: none
+    assert(out("http://hot.com/") == ((2L, 2 * DAY, t0 + 4 * DAY)),
+      s"got $out")
+    assert(out("http://cold.com/") == ((0L, 30 * DAY, t0 + 4 * DAY)),
+      s"got $out")
   }
 
   test("interval band is validated") {
