@@ -97,17 +97,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // sf LABEL, not the dir path: ScaleUp-derived dirs (target/bench-sf1)
+    // must read as "sf1" in artifacts, the reader-confusion nit from r9
+    val sfLabel = new java.io.File(sfDir).getName.stripPrefix("bench-")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
       s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
-      s""""noisy":$noisy,"sf":"$sfDir"}"""
+      s""""noisy":$noisy,"sf":"$sfLabel","sf_dir":"$sfDir"}"""
     println(json)
     // durable copy: the stdout line has been tail-truncated in round
     // artifacts twice; target/bench-<sf>.json is the canonical record
     // dirs already named bench-* (ScaleUp's target/bench-sf1) would
     // otherwise double the prefix (bench-bench-sf1.json)
-    val sfName = new java.io.File(sfDir).getName.stripPrefix("bench-")
-    val outFile = new java.io.File(s"target/bench-$sfName.json")
+    val outFile = new java.io.File(s"target/bench-$sfLabel.json")
     outFile.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(json) finally w.close()
@@ -117,7 +119,7 @@ object Bench {
     // headline total — any tail capture keeps this one
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""nq":${results.size},"sentinel_ratio":$ratio,"noisy":$noisy,""" +
-      s""""sf":"$sfDir","artifact":"${outFile.getAbsolutePath}"}""")
+      s""""sf":"$sfLabel","artifact":"${outFile.getAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,11 @@ final case class CrawlConfig(
     // between captures), clamped to this (minMs, maxMs) band. Pages with
     // fewer than two captures fall back to recrawlIntervalMs (cold
     // start), so this only takes effect WITH recrawlIntervalMs set —
-    // the policy the reference leaves as a TODO (FetchQueue.java:55)
+    // the policy the reference leaves as a TODO (FetchQueue.java:55).
+    // The history is run-scoped; for cross-run durability archive
+    // fetches via contentSink (WARC + CDX sidecar) and seed the next
+    // run's schedule from [[RevisitPolicy.fromCdx]] — the sidecar IS
+    // the capture log.
     adaptiveRecrawl: Option[(Long, Long)] = None,
     // newest captures remembered per URL for the change estimate; the
     // history fold prunes to this window (the scoreHistory discipline)
