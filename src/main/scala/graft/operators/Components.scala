@@ -227,4 +227,37 @@ object Components {
       .filter(!col("keep")).select(col("id").as("__drop_id"))
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** Leakage-safe train/val/test assignment: the whole near-dup CLUSTER
+    * lands in one split, decided by the salted hash of the cluster id —
+    * never the individual doc id. Doc-level assignment
+    * ([[TextOps.assignSplit]]) silently puts two near-duplicates on
+    * opposite sides of the train/test fence, which is exactly the
+    * contamination a dedup pass exists to prevent; splitting AFTER
+    * clustering but BY cluster closes that hole even when the pipeline
+    * chooses to keep both near-dups (e.g. for dedup-rate ablations).
+    *
+    * Output: (idCol, cluster_id, split) — one row per doc; unpaired docs
+    * are their own singleton cluster (cluster_id = own id), so their
+    * assignment coincides with [[TextOps.assignSplit]] and only clustered
+    * docs can differ from the doc-level gate.
+    *
+    * Scale shape: the component frame is bounded by the duplicate rate,
+    * not the corpus, so the docs-side left join broadcasts it under AQE;
+    * the split gate itself is a salted-hash projection — map-side, no
+    * extra shuffle beyond [[connectedComponents]]' own rounds.
+    */
+  def leakageSafeSplits(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      splits: Seq[(String, Double)], maxIter: Int = 30): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+      .select(col("id").as(idCol), col("component"))
+    val clustered = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    TextOps.assignSplit(clustered, "cluster_id", splits)
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
 }

@@ -729,4 +729,72 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }
+
+  /** Embedding-space outlier pruning (the "prototypicality" data-pruning
+    * family — SemDeDup's sibling: instead of dropping docs too CLOSE to
+    * each other, drop docs too FAR from their stratum's center, which is
+    * where mislabeled/garbled/off-distribution documents live). Flags,
+    * per stratum, the `pNum/pDen` fraction of vectors farthest from the
+    * stratum centroid.
+    *
+    * Everything is fixed-point so the verdict is engine-exact: vectors
+    * are globally int8-quantized ([[quantizeGlobal]], the q63
+    * discipline), the centroid is the per-dimension floor-divided integer
+    * mean (pmod-adjusted so truncating and flooring engines agree on
+    * negative sums), distances are integer squared-L2, and the per-stratum
+    * fence is the exact discrete cumulative-count quantile over the
+    * distance HISTOGRAM ([[TextOps.stratumLengthGate]]'s selector — no
+    * percentile_approx, no float fences). A vector exactly ON the fence
+    * is kept; only strictly-greater distances are outliers, so the
+    * flagged fraction is ≤ pNum/pDen always.
+    *
+    * Scale shape: one quantize pass (global max rides in as a broadcast
+    * 1-row aggregate); centroid sums via posexplode — the shuffle output
+    * is strata × dim rows however big the corpus is; centroids rejoin as
+    * a broadcast array table; dist² is a codegen zip_with fold, map-side;
+    * the fence table is strata-sized and broadcast back. No global
+    * window (the running sum partitions by stratum over the histogram,
+    * never the corpus), no collect, no UDF.
+    *
+    * Output: (idCol, stratum, dist2, is_outlier) — one row per vector.
+    */
+  def embeddingOutliers(
+      df: DataFrame, idCol: String, vecCol: String, strataCol: String,
+      pNum: Int, pDen: Int): DataFrame = {
+    require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
+    val q = quantizeGlobal(
+      df.select(col(idCol), col(strataCol), col(vecCol)), vecCol, "__qv")
+      .localCheckpoint(true) // one quantize pass feeds sums AND distances
+    val sums = q
+      .select(col(strataCol), posexplode(col("__qv")).as(Seq("__d", "__v")))
+      .groupBy(col(strataCol), col("__d"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    val cent = sums
+      .withColumn("__c", expr("(__s - pmod(__s, __n)) div __n"))
+      .groupBy(col(strataCol))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__c"))))
+        .as("__dc"))
+      .select(col(strataCol), expr("transform(__dc, x -> x.__c)")
+        .as("__cent"))
+    val dist = q.join(broadcast(cent), Seq(strataCol))
+      .select(col(idCol), col(strataCol).as("stratum"),
+        expr("aggregate(zip_with(__qv, __cent, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (s, x) -> s + x)").as("dist2"))
+      .localCheckpoint(true) // feeds the histogram AND the final gate
+    val hist = dist.groupBy(col("stratum"), col("dist2"))
+      .agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy("stratum").orderBy("dist2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fences = cum
+      .join(broadcast(hist.groupBy("stratum").agg(sum("__n").as("__tot"))),
+        Seq("stratum"))
+      .groupBy("stratum")
+      .agg(min(when(col("__cum") * pDen >= col("__tot") * (pDen - pNum),
+        col("dist2"))).as("__fence"))
+    dist.join(broadcast(fences), Seq("stratum"))
+      .select(col(idCol), col("stratum"), col("dist2"),
+        (col("dist2") > col("__fence")).as("is_outlier"))
+  }
 }

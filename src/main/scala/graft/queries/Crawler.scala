@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.crawl.RevisitPolicy
+import graft.crawl.{RevisitPolicy, SnapshotDelta}
 import graft.functions.UrlFunctions
 import graft.operators.UrlStateMerger
 import graft.schema.{FetchStatus => FS}
@@ -624,6 +624,50 @@ object Crawler {
       |    AS next_fetch_ms
       |FROM stats""".stripMargin
 
+  /** q113 — cross-round snapshot diff ([[SnapshotDelta.delta]]): two
+    * crawl snapshots derived from `documents` (URL key from doc_id,
+    * content digest = md5 of the text). The old round misses every
+    * `doc_id % 11 == 3` (ADDED in the new), the new round misses every
+    * `doc_id % 7 == 2` (GONE), and every `doc_id % 5 == 0` re-captures
+    * with edited content (CHANGED); everything else is UNCHANGED — all
+    * four verdicts appear at every SF.
+    */
+  def snapshotDeltaProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val key = concat(lit("http://c"), col("doc_id") % 40, lit(".com/d"),
+      col("doc_id"))
+    val oldSnap = d.filter(col("doc_id") % 11 =!= 3).select(
+      key.as("url"), md5(col("text")).as("digest"),
+      col("doc_id").as("ts"))
+    val newSnap = d.filter(col("doc_id") % 7 =!= 2).select(
+      key.as("url"),
+      md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("!")))
+        .otherwise(col("text"))).as("digest"),
+      (col("doc_id") + 100000L).as("ts"))
+    SnapshotDelta.delta(oldSnap, newSnap, "url", "digest", "ts")
+      .select(col("key").as("url_key"), col("verdict"), col("old_digest"),
+        col("new_digest"), col("old_ts"), col("new_ts"))
+  }
+
+  val snapshotDeltaProbeSql: String =
+    """WITH o AS (SELECT
+      |    'http://c' || (doc_id % 40) || '.com/d' || doc_id AS url_key,
+      |    md5(text) AS old_digest, doc_id AS old_ts
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |n AS (SELECT
+      |    'http://c' || (doc_id % 40) || '.com/d' || doc_id AS url_key,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END)
+      |      AS new_digest,
+      |    doc_id + 100000 AS new_ts
+      |  FROM documents WHERE doc_id % 7 <> 2)
+      |SELECT COALESCE(o.url_key, n.url_key) AS url_key,
+      |  CASE WHEN o.old_digest IS NULL THEN 'ADDED'
+      |       WHEN n.new_digest IS NULL THEN 'GONE'
+      |       WHEN o.old_digest = n.new_digest THEN 'UNCHANGED'
+      |       ELSE 'CHANGED' END AS verdict,
+      |  o.old_digest, n.new_digest, o.old_ts, n.new_ts
+      |FROM o FULL OUTER JOIN n ON o.url_key = n.url_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
@@ -639,7 +683,8 @@ object Crawler {
     "q96_robots_rules" -> (robotsDecisionProbe _),
     "q97_tsv_lines" -> (tsvLinesProbe _),
     "q98_sitemap_parse" -> (sitemapParseProbe _),
-    "q105_revisit" -> (revisitSchedule _)
+    "q105_revisit" -> (revisitSchedule _),
+    "q113_snapshot_delta" -> (snapshotDeltaProbe _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -657,6 +702,7 @@ object Crawler {
     "q96_robots_rules" -> robotsDecisionProbeSql,
     "q97_tsv_lines" -> tsvLinesProbeSql,
     "q98_sitemap_parse" -> sitemapParseProbeSql,
-    "q105_revisit" -> revisitScheduleSql
+    "q105_revisit" -> revisitScheduleSql,
+    "q113_snapshot_delta" -> snapshotDeltaProbeSql
   )
 }

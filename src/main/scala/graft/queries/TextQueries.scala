@@ -330,6 +330,16 @@ object TextQueries {
       TextOps.assignSplit(docs(s, d), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
+    "q112_leakage_split" -> ((s, d) =>
+      // cluster-integral train/val/test: every q55 near-dup cluster lands
+      // wholly in ONE split (salted hash of the CLUSTER id) — the
+      // doc-level q70 gate can put two near-duplicates on opposite sides
+      // of the train/test fence, which is the leakage dedup exists to stop
+      Components.leakageSafeSplits(docs(s, d), "doc_id",
+        TextOps.minhashCandidates(docs(s, d), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bandSize = 4),
+        "id_a", "id_b",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
     "q109_label_store" -> ((s, d) => {
       // the DURABLE standing-label store (LabelStore): q107's pair
       // batches folded in sequence as committed store batches, then
@@ -638,6 +648,13 @@ object TextQueries {
       Similarity.gramEntries(
         Similarity.quantizeGlobal(embs(s, d), "embedding", "qv"),
         "qv", dim = 64)),
+    "q114_embed_outliers" -> ((s, d) =>
+      // prototypicality pruning: per label, flag the 5% of embeddings
+      // farthest (integer squared-L2 on q63's int8 quantization) from the
+      // label's fixed-point centroid — exact histogram quantile fence,
+      // ties on the fence stay kept
+      Similarity.embeddingOutliers(embs(s, d), "vec_id", "embedding",
+        "label", pNum = 1, pDen = 20)),
     "q24_minhash_sig" -> ((s, d) =>
       // sig surfaced as a comma-joined string: the driver's pandas-based
       // comparator cannot hash/sort array cells. nullif: a sub-shingleK
@@ -1294,6 +1311,20 @@ object TextQueries {
          |    ${dHash32("concat(CAST(doc_id AS VARCHAR), ':split')")}
          |      % 1000000 AS bucket
          |  FROM documents)""".stripMargin,
+    "q112_leakage_split" ->
+      s"""WITH RECURSIVE
+         |$dClusterCc,
+         |full_cc AS (SELECT d.doc_id,
+         |    COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, cluster_id, CASE
+         |    WHEN bucket < 900000 THEN 'train'
+         |    WHEN bucket < 950000 THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |    ${dHash32("concat(CAST(cluster_id AS VARCHAR), ':split')")}
+         |      % 1000000 AS bucket
+         |  FROM full_cc)""".stripMargin,
     "q109_label_store" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
         |oldp AS (SELECT doc_id AS a, doc_id - (doc_id % 5) AS b
@@ -1530,6 +1561,38 @@ object TextQueries {
          |    <> regexp_extract(dst_url, 'http://([^/]+)/', 1)),
          |${dPageRankRounds(3)}
          |SELECT node_id AS pld, r AS rank_fp FROM r3""".stripMargin,
+    "q114_embed_outliers" ->
+      """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),
+        |q AS (SELECT vec_id, label, CASE WHEN g.gs = 0
+        |    THEN list_transform(embedding, x -> 0::BIGINT)
+        |    ELSE list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) / g.gs * 127.0 + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM embeddings, g),
+        |dims AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM q, generate_series(1, 64) AS g1(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, i, (s - ((s % n + n) % n)) // n AS c
+        |  FROM dims),
+        |dist AS (SELECT q.vec_id, q.label AS stratum,
+        |    CAST(SUM((qv[c.i] - c.c) * (qv[c.i] - c.c)) AS BIGINT) AS dist2
+        |  FROM q JOIN cent c ON c.label = q.label GROUP BY 1, 2),
+        |h AS (SELECT stratum, dist2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM dist GROUP BY 1, 2),
+        |cm AS (SELECT stratum, dist2,
+        |    CAST(SUM(n) OVER (PARTITION BY stratum ORDER BY dist2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |tot AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM h GROUP BY 1),
+        |f AS (SELECT stratum,
+        |    MIN(CASE WHEN cum * 20 >= tot * 19 THEN dist2 END) AS fence
+        |  FROM cm JOIN tot USING (stratum) GROUP BY 1)
+        |SELECT d.vec_id, d.stratum, d.dist2,
+        |  d.dist2 > f.fence AS is_outlier
+        |FROM dist d JOIN f USING (stratum)""".stripMargin,
     "q63_embed_gram" ->
       """WITH g AS (SELECT MAX(list_max(list_transform(embedding,
         |    x -> abs(CAST(x AS DOUBLE))))) AS gs FROM embeddings),

@@ -133,4 +133,64 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.dedupedCorpus(docs, "doc_id", pairs, "a", "b")
       .columns.toSeq == Seq("doc_id", "body"))
   }
+
+  test("leakageSafeSplits: clusters are split-homogeneous, singletons " +
+    "match the doc-level gate, and at least one clustered doc moves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val ids = (1L to 400L)
+    val docs = ids.map(i => Tuple1(i)).toDF("doc_id")
+    // doc-level assignment, to engineer a pair that straddles a fence
+    val docLevel = graft.operators.TextOps
+      .assignSplit(docs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = ids.find(i => docLevel(i) == "train").get
+    val nonTrainId = ids.find(i => docLevel(i) != "train").get
+    val pairs = Seq(
+      (trainId, nonTrainId),       // straddles the fence doc-level
+      (301L, 302L), (302L, 303L))  // a second, ordinary cluster
+      .toDF("a", "b")
+    val got = Components
+      .leakageSafeSplits(docs, "doc_id", pairs, "a", "b", splits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 400)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // (a) every cluster is split-homogeneous
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    // (b) the straddling pair now agrees — decided by the cluster id
+    //     (= min of the pair), whose salted hash need not equal either
+    //     doc's own bucket, but must be shared
+    assert(byDoc(trainId)._3 == byDoc(nonTrainId)._3)
+    assert(byDoc(trainId)._2 == math.min(trainId, nonTrainId))
+    // (c) unclustered docs: cluster_id = own id, split = doc-level gate
+    val clusteredIds =
+      Set(trainId, nonTrainId, 301L, 302L, 303L)
+    got.filterNot(r => clusteredIds(r._1)).foreach { case (id, cl, sp) =>
+      assert(cl == id)
+      assert(sp == docLevel(id))
+    }
+    // (d) the doc-level gate really did disagree on the pair (the hole
+    //     this operator closes)
+    assert(docLevel(trainId) != docLevel(nonTrainId))
+  }
+
+  test("leakageSafeSplits fractions reach the cluster population") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val docs = (1L to 2000L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1L to 100L).map(i => (i * 2, i * 2 + 1)).toDF("a", "b")
+    val counts = Components
+      .leakageSafeSplits(docs, "doc_id", pairs, "a", "b", splits)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    // salted-hash proportions are approximate; train must dominate
+    assert(counts("train") > 1600L)
+    assert(counts.getOrElse("val", 0L) > 0L)
+    assert(counts.getOrElse("test", 0L) > 0L)
+  }
 }

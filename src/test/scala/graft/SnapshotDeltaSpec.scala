@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.SnapshotDelta
+
+/** Cross-round snapshot diffing: the four per-URL verdicts between two
+  * crawl rounds, plus the summary and recrawl-feed projections.
+  */
+class SnapshotDeltaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def frames = {
+    import spark.implicits._
+    val oldSnap = Seq(
+      ("http://a.com/1", "d1", 100L),  // unchanged
+      ("http://a.com/2", "d2", 100L),  // changed in new
+      ("http://a.com/3", "d3", 100L))  // gone in new
+      .toDF("url", "digest", "ts")
+    val newSnap = Seq(
+      ("http://a.com/1", "d1", 200L),  // same digest, newer ts
+      ("http://a.com/2", "d2x", 200L),
+      ("http://a.com/4", "d4", 200L))  // added
+      .toDF("url", "digest", "ts")
+    (oldSnap, newSnap)
+  }
+
+  test("delta assigns all four verdicts and carries both sides' fields") {
+    val (o, n) = frames
+    val got = SnapshotDelta.delta(o, n, "url", "digest", "ts")
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(got("http://a.com/1") ==
+      (("UNCHANGED", Some("d1"), Some("d1"), Some(100L), Some(200L))))
+    assert(got("http://a.com/2") ==
+      (("CHANGED", Some("d2"), Some("d2x"), Some(100L), Some(200L))))
+    assert(got("http://a.com/3") ==
+      (("GONE", Some("d3"), None, Some(100L), None)))
+    assert(got("http://a.com/4") ==
+      (("ADDED", None, Some("d4"), None, Some(200L))))
+  }
+
+  test("deltaStats counts per verdict; toIngest keeps ADDED+CHANGED") {
+    val (o, n) = frames
+    val d = SnapshotDelta.delta(o, n, "url", "digest", "ts")
+    val stats = SnapshotDelta.deltaStats(d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map(
+      "UNCHANGED" -> 1L, "CHANGED" -> 1L, "GONE" -> 1L, "ADDED" -> 1L))
+    val feed = SnapshotDelta.toIngest(d)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      ("http://a.com/2", "CHANGED", "d2x", 200L),
+      ("http://a.com/4", "ADDED", "d4", 200L)))
+  }
+
+  test("disjoint snapshots: everything is ADDED or GONE") {
+    import spark.implicits._
+    val o = Seq(("u1", "a", 1L)).toDF("url", "digest", "ts")
+    val n = Seq(("u2", "b", 2L)).toDF("url", "digest", "ts")
+    val got = SnapshotDelta.delta(o, n, "url", "digest", "ts")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u1" -> "GONE", "u2" -> "ADDED"))
+  }
+}
