@@ -87,19 +87,26 @@ object RevisitPolicy {
     * rows: url, 14-digit UTC timestamp, content digest …) — the archive
     * sidecar IS a capture history, so a recrawl of an archived corpus
     * can derive its per-URL schedule without any extra state. The
-    * content digest is the change fingerprint; the 14-digit timestamp
-    * parses back to epoch millis with the inverse of the writer's
-    * UTC-pinning shift ([[graft.sinks.Sinks.cdxIndex]] renders UTC wall
-    * time under ANY session timezone), at CDX's second granularity.
+    * content digest is the change fingerprint; the 14-digit timestamp is
+    * UTC wall time by CDX convention ([[graft.sinks.Sinks.cdxIndex]]
+    * renders it that way under ANY session timezone), so it converts to
+    * epoch millis ARITHMETICALLY — date arithmetic on the yyyyMMdd
+    * prefix plus the time-of-day fields. No timestamp parsing in the
+    * session timezone (a to_timestamp/from_utc_timestamp round trip is
+    * only exact in fixed-offset zones: near a DST transition the two
+    * offsets differ and captures shift by an hour), at CDX's second
+    * granularity.
     */
   def fromCdx(
       entries: DataFrame,
       minIntervalMs: Long, maxIntervalMs: Long): DataFrame = {
     val caps = entries.select(
       col("url"),
-      unix_millis(from_utc_timestamp(
-        to_timestamp(col("ts"), "yyyyMMddHHmmss"),
-        expr("current_timezone()"))).as("cap_ms"),
+      (datediff(to_date(substring(col("ts"), 1, 8), "yyyyMMdd"),
+          to_date(lit("1970-01-01"))).cast("long") * 86400000L +
+        substring(col("ts"), 9, 2).cast("long") * 3600000L +
+        substring(col("ts"), 11, 2).cast("long") * 60000L +
+        substring(col("ts"), 13, 2).cast("long") * 1000L).as("cap_ms"),
       col("digest"),
       // total order within equal timestamps: digest then holding segment
       // (entries carry warc_file; cdxIndex-only frames may not — the

@@ -148,10 +148,17 @@ object CorpusIngest {
     * relation the pipeline judged: exact-fingerprint (dropped id, its
     * group's min id) plus the near-dup estimator pairs. The lineage fold
     * ([[ingestIndexed]]'s `labelsRoot`) is its consumer.
+    *
+    * `pinPairs`: set when that second consumer EXISTS — the band
+    * self-join then runs once (checkpointed) instead of once for the
+    * drop set and again inside [[LabelStore.fold]]'s pinning job. With
+    * no lineage consumer the frames stay lazy and the self-join runs
+    * exactly once either way.
     */
   private def batchPipeline(
       batch: DataFrame, idCol: String, textCol: String, cfg: Config,
-      audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      audit: scala.collection.mutable.ArrayBuffer[(String, Long)],
+      pinPairs: Boolean = false)
       : (DataFrame, DataFrame) = {
     def step(name: String, df: DataFrame): DataFrame =
       CorpusIngest.step(audit, name, df)
@@ -185,9 +192,10 @@ object CorpusIngest {
       .drop("__fp", "__keep"))
 
     // 3. near-dup within batch: estimator pairs -> clusters -> keep min
-    val pairs = TextOps.minhashDedupPairsFromSigs(
+    val rawPairs = TextOps.minhashDedupPairsFromSigs(
       exact.select("doc_id", "sig"),
       cfg.numHashes, cfg.bandSize, cfg.threshold)
+    val pairs = if (pinPairs) rawPairs.localCheckpoint(true) else rawPairs
     val drop = Components.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
@@ -243,7 +251,8 @@ object CorpusIngest {
     val spark = batch.sparkSession
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val (batchDeduped, batchPairs) =
-      batchPipeline(batch, idCol, textCol, cfg, audit)
+      batchPipeline(batch, idCol, textCol, cfg, audit,
+        pinPairs = labelsRoot.isDefined)
 
     val matchPairs = SignatureIndexStore
       .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
@@ -262,7 +271,8 @@ object CorpusIngest {
     // dropped doc must appear in neither standing index (accepted ⊆
     // indexed, and it was not accepted)
     val (finalAccepted, semPairs) = ann match {
-      case Some(g) => annStage(accepted, g, batchId, audit)
+      case Some(g) =>
+        annStage(accepted, g, batchId, audit, pin = labelsRoot.isDefined)
       case None    => (accepted, None)
     }
 
@@ -295,7 +305,8 @@ object CorpusIngest {
     */
   private def annStage(
       accepted: DataFrame, g: AnnGate, batchId: Long,
-      audit: scala.collection.mutable.ArrayBuffer[(String, Long)])
+      audit: scala.collection.mutable.ArrayBuffer[(String, Long)],
+      pin: Boolean = false)
       : (DataFrame, Option[DataFrame]) = {
     val spark = accepted.sparkSession
     val emb = TextOps.hashedEmbedding(accepted, "doc_id", "text", g.dim)
@@ -311,10 +322,14 @@ object CorpusIngest {
         audit += (("semantic_dedup", audit.last._2))
         accepted
       } else {
-        val hits = AnnIndexStore.query(spark, g.root, emb,
+        // pin when the lineage fold is a second consumer: the standing
+        // ANN probe then runs once, not once for the drop set and again
+        // inside LabelStore.fold's pinning job
+        val rawHits = AnnIndexStore.query(spark, g.root, emb,
             "doc_id", "embedding", k = 1, nprobe = g.nprobe,
             belowBatch = batchId)
           .filter(col("cos") >= g.threshold)
+        val hits = if (pin) rawHits.localCheckpoint(true) else rawHits
         standingPairs = Some(hits.select(
           col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
         val dups = hits.select(col("query_id").as("__sem_dup")).distinct()
@@ -328,8 +343,12 @@ object CorpusIngest {
     // batch_dedup stage: candidate pairs, clusters, keep the minimum id.
     val survivorEmb = emb
       .join(keptStanding.select("doc_id"), Seq("doc_id"), "left_semi")
-    val batchPairs = Similarity.cosineDedupPairs(
+    val rawBatchPairs = Similarity.cosineDedupPairs(
       survivorEmb, "doc_id", "embedding", g.dim, g.numPlanes, g.threshold)
+    // same dual-consumer discipline: the within-batch cosine self-join
+    // feeds the drop set AND the lineage union
+    val batchPairs =
+      if (pin) rawBatchPairs.localCheckpoint(true) else rawBatchPairs
     val batchDrop = Components.connectedComponents(batchPairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__sem_batch_drop"))

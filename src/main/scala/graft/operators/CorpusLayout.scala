@@ -59,11 +59,17 @@ object CorpusLayout {
   /** Inner-join two bucketed tables on their bucket key. With matching
     * bucket counts the executed plan contains no Exchange (pin with
     * [[graft.plans.PlanChecks]]); with both sides `sortBy`-ed on the key
-    * the merge join also skips its Sort.
+    * the merge join also skips its Sort. The sides are alias-qualified so
+    * the common case — sidecar tables sharing the key NAME (everything in
+    * a corpus is keyed `doc_id`) — resolves instead of throwing
+    * AMBIGUOUS_REFERENCE; with keyA == keyB the duplicate right-side key
+    * column is dropped from the output.
     */
   def bucketedJoin(
       spark: SparkSession, tableA: String, tableB: String,
-      keyA: String, keyB: String): DataFrame =
-    spark.table(tableA).join(
-      spark.table(tableB), col(keyA) === col(keyB))
+      keyA: String, keyB: String): DataFrame = {
+    val joined = spark.table(tableA).as("a").join(
+      spark.table(tableB).as("b"), col(s"a.$keyA") === col(s"b.$keyB"))
+    if (keyA == keyB) joined.drop(col(s"b.$keyB")) else joined
+  }
 }

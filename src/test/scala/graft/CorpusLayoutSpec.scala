@@ -54,6 +54,30 @@ class CorpusLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("same-name keys (the doc_id sidecar shape) resolve and stay " +
+    "exchange-free; the duplicate key column is dropped") {
+    import spark.implicits._
+    val (ta, tb, base) = freshNames()
+    CorpusLayout.writeBucketed(
+      (0 until 500).map(i => (i.toLong, s"d$i")).toDF("doc_id", "payload"),
+      ta, s"$base/a", "doc_id", 4, Seq("doc_id"))
+    CorpusLayout.writeBucketed(
+      (0 until 500).map(i => (i.toLong, i % 5)).toDF("doc_id", "quality"),
+      tb, s"$base/b", "doc_id", 4, Seq("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = CorpusLayout.bucketedJoin(spark, ta, tb, "doc_id", "doc_id")
+      assert(j.columns.toSeq == Seq("doc_id", "payload", "quality"))
+      assert(j.count() == 500)
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("sorted-scan conf also drops the per-bucket Sort (one file/bucket)") {
     val (ta, tb, base) = freshNames()
     writeSides(ta, tb, base, n = 1000, buckets = 4)

@@ -97,6 +97,26 @@ class RevisitPolicySpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("fromCdx conversion is session-timezone- and DST-immune") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // 2025-03-09T02:30:00Z: the wall time 02:30 does not EXIST in
+      // America/New_York that day (spring-forward) — a session-tz
+      // to_timestamp/from_utc_timestamp round trip shifts it by an hour.
+      // The arithmetic conversion must not care what the session tz is.
+      val cdx = Seq(
+        ("u", "20250309023000", "d1"),
+        ("u", "20251102063000", "d2")) // fall-back day, ambiguous local
+        .toDF("url", "ts", "digest")
+      val out = RevisitPolicy.fromCdx(cdx, DAY, 30 * DAY).collect().head
+      assert(out.getAs[Long]("first_ts") ==
+        java.time.Instant.parse("2025-03-09T02:30:00Z").toEpochMilli)
+      assert(out.getAs[Long]("last_ts") ==
+        java.time.Instant.parse("2025-11-02T06:30:00Z").toEpochMilli)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("interval band is validated") {
     intercept[IllegalArgumentException] {
       RevisitPolicy.schedule(
