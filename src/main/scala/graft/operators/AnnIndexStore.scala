@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.plans.VectorExpressions
+import graft.util.StoreProtocol
 
 /** Durable IVF index over a GROWING embedding corpus — the
   * similarity-search twin of [[SignatureIndexStore]] (and the third
@@ -49,31 +50,17 @@ object AnnIndexStore {
 
   final case class Meta(dim: Int, centroids: Int)
 
+  // commit/fence/compaction protocol shared across the standing stores —
+  // see graft.util.StoreProtocol for the layout and atomicity contract
   private def fs(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.fs(spark, root)
 
-  def readMeta(spark: SparkSession, root: String): Option[Meta] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_META")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()) finally in.close()
-      val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.trim.split(" "); k -> v.toInt
-      }.toMap
-      Some(Meta(kv("dim"), kv("centroids")))
-    }
-  }
+  def readMeta(spark: SparkSession, root: String): Option[Meta] =
+    StoreProtocol.readMetaKv(spark, root).map(kv =>
+      Meta(kv("dim").toInt, kv("centroids").toInt))
 
-  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(root)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_commit_"))
-      .map(_.stripPrefix("_commit_").toLong).sorted.toSeq
-  }
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] =
+    StoreProtocol.committedBatches(spark, root)
 
   def centroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/centroids")
@@ -107,10 +94,8 @@ object AnnIndexStore {
     val trained = Similarity.kmeansRefine(
       corpus, seeds, idCol, vecCol, dim, lloydRounds)
     trained.write.mode("overwrite").parquet(s"$root/centroids")
-    val f = fs(spark, root)
-    val out = f.create(new Path(root, "_META"), true)
-    try out.write(s"dim $dim\ncentroids $numCentroids".getBytes)
-    finally out.close()
+    StoreProtocol.writeMetaKv(spark, root, Seq(
+      "dim" -> dim.toString, "centroids" -> numCentroids.toString))
     append(spark, root, corpus, idCol, vecCol, firstBatchId)
   }
 
@@ -139,8 +124,7 @@ object AnnIndexStore {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vecs/batch=$batchId")
-    val out = fs(spark, root).create(new Path(root, s"_commit_$batchId"), true)
-    try out.write(Array.emptyByteArray) finally out.close()
+    StoreProtocol.writeCommitMarker(spark, root, batchId, "")
   }
 
   private val vecsSchema = StructType(Seq(
@@ -151,17 +135,8 @@ object AnnIndexStore {
   /** Latest compaction state: (generation, coveredUpTo) — same pointer
     * discipline as [[SignatureIndexStore.compactState]].
     */
-  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_COMPACT")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()).trim finally in.close()
-      val Array(gen, upTo) = text.split(" ")
-      Some((gen.toLong, upTo.toLong))
-    }
-  }
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] =
+    StoreProtocol.compactState(spark, root)
 
   /** Sources visible to a reader fenced at `belowBatch` — the
     * [[SignatureIndexStore.visible]] discipline: a retried ingest batch
@@ -171,17 +146,8 @@ object AnnIndexStore {
     */
   private def visible(
       spark: SparkSession, root: String,
-      belowBatch: Long = Long.MaxValue): (Option[Long], Seq[Long]) = {
-    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
-    if (upTo >= belowBatch && upTo >= 0)
-      throw new IllegalStateException(
-        s"ANN store at $root is compacted through batch $upTo; a reader " +
-          s"fenced at belowBatch=$belowBatch cannot exclude compacted " +
-          "batches")
-    val batches = committedBatches(spark, root)
-      .filter(b => b > upTo && b < belowBatch)
-    (if (gen >= 0) Some(gen) else None, batches)
-  }
+      belowBatch: Long = Long.MaxValue): (Option[Long], Seq[Long]) =
+    StoreProtocol.visible(spark, root, belowBatch, "ANN store")
 
   /** Read exactly the probed cells' directories as EXPLICIT paths —
     * a basePath read with a partition filter would first list every
@@ -247,8 +213,7 @@ object AnnIndexStore {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vecs/c$gen")
     val f = fs(spark, root)
-    graft.util.FsAtomic.writePointer(
-      f, new Path(root), "_COMPACT", s"$gen ${cover.last}")
+    StoreProtocol.writeCompactPointer(spark, root, gen, cover.last)
     if (prevGen >= 0) f.delete(new Path(s"$root/vecs/c$prevGen"), true)
     cover.foreach(b => f.delete(new Path(s"$root/vecs/batch=$b"), true))
   }

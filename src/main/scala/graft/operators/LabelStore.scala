@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.util.FsAtomic
+import graft.util.StoreProtocol
 
 /** Durable standing CLUSTER LABELS — the pairs→clusters step
   * ([[Components]]) kept continuously up to date by an ingest loop, the
@@ -54,75 +54,38 @@ object LabelStore {
     StructField("id", LongType), StructField("component", LongType),
     StructField("batch", LongType), StructField("bucket", IntegerType)))
 
+  // the commit/fence/compaction protocol is the shared one — see
+  // graft.util.StoreProtocol for the layout and atomicity contract
   private def fs(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.fs(spark, root)
 
-  def readMeta(spark: SparkSession, root: String): Option[Meta] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_META")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()) finally in.close()
-      Some(Meta(text.trim.stripPrefix("buckets ").toInt))
-    }
-  }
+  def readMeta(spark: SparkSession, root: String): Option[Meta] =
+    StoreProtocol.readMetaKv(spark, root)
+      .map(kv => Meta(kv("buckets").toInt))
 
-  private def writeMeta(spark: SparkSession, root: String, meta: Meta): Unit = {
-    val f = fs(spark, root)
-    f.mkdirs(new Path(root))
-    FsAtomic.writePointer(f, new Path(root), "_META", s"buckets ${meta.buckets}")
-  }
+  private def writeMeta(spark: SparkSession, root: String, meta: Meta): Unit =
+    StoreProtocol.writeMetaKv(spark, root,
+      Seq("buckets" -> meta.buckets.toString))
 
   /** Batch ids whose fold fully committed, ascending. */
-  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(root)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_commit_"))
-      .map(_.stripPrefix("_commit_").toLong).sorted.toSeq
-  }
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] =
+    StoreProtocol.committedBatches(spark, root)
 
   /** Latest compaction state: (generation, coveredUpTo). */
-  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_COMPACT")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()).trim finally in.close()
-      val Array(gen, upTo) = text.split(" ")
-      Some((gen.toLong, upTo.toLong))
-    }
-  }
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] =
+    StoreProtocol.compactState(spark, root)
 
   private def bucketsFromMarker(
       spark: SparkSession, root: String, table: String,
-      batchId: Long): Seq[Int] = {
-    val f = fs(spark, root)
-    val in = f.open(new Path(root, s"_commit_$batchId"))
-    val text = try new String(in.readAllBytes()) finally in.close()
-    text.linesIterator.find(_.startsWith(s"$table "))
-      .map(_.stripPrefix(s"$table ").trim)
-      .map(csv => if (csv.isEmpty) Seq.empty[Int]
-                  else csv.split(",").map(_.toInt).toSeq)
-      .getOrElse(Seq.empty)
-  }
+      batchId: Long): Seq[Int] =
+    StoreProtocol.markerBuckets(spark, root, table, batchId)
+      .getOrElse(StoreProtocol.bucketsOnDisk(fs(spark, root),
+        s"$root/$table/batch=$batchId"))
 
   private def visible(
       spark: SparkSession, root: String,
-      belowBatch: Long): (Option[Long], Seq[Long]) = {
-    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
-    if (upTo >= belowBatch && upTo >= 0)
-      throw new IllegalStateException(
-        s"label store at $root is compacted through batch $upTo; a " +
-          s"reader fenced at belowBatch=$belowBatch cannot exclude " +
-          "compacted batches")
-    val batches = committedBatches(spark, root)
-      .filter(b => b > upTo && b < belowBatch)
-    (if (gen >= 0) Some(gen) else None, batches)
-  }
+      belowBatch: Long): (Option[Long], Seq[Long]) =
+    StoreProtocol.visible(spark, root, belowBatch, "label store")
 
   /** Union one table's compact snapshot + live batch dirs as EXPLICIT
     * bucket paths (marker-recorded sets; zero listing growth with loop
@@ -259,8 +222,8 @@ object LabelStore {
       case _                 => 0L
     }
     if (nPairs == 0L) {
-      FsAtomic.writePointer(fs(spark, root), new Path(root),
-        s"_commit_$batchId", "byid \nbycomp ")
+      StoreProtocol.writeCommitMarker(spark, root, batchId,
+        "byid \nbycomp ")
       return
     }
     val endpoints = pairs.select(col("pa").as("id"))
@@ -296,18 +259,8 @@ object LabelStore {
         .parquet(s"$root/$table/batch=$batchId")
     writeCopy("byid", "id")
     writeCopy("bycomp", "component")
-    val f = fs(spark, root)
-    def bucketsOf(dir: String): Seq[Int] = {
-      val p = new Path(dir)
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
-    }
-    val content =
-      s"byid ${bucketsOf(s"$root/byid/batch=$batchId").mkString(",")}\n" +
-        s"bycomp ${bucketsOf(s"$root/bycomp/batch=$batchId").mkString(",")}"
-    FsAtomic.writePointer(f, new Path(root), s"_commit_$batchId", content)
+    StoreProtocol.writeBucketMarker(spark, root, batchId,
+      Seq("byid", "bycomp"))
   }
 
   /** Fold batches at/below the horizon into one latest-wins snapshot per
@@ -339,7 +292,7 @@ object LabelStore {
     writeSnap("byid", "id")
     writeSnap("bycomp", "component")
     val f = fs(spark, root)
-    FsAtomic.writePointer(f, new Path(root), "_COMPACT", s"$gen $upTo")
+    StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // post-commit cleanup: folded batch dirs, their markers, prior gen
     foldable.foreach { b =>
       f.delete(new Path(s"$root/byid/batch=$b"), true)

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.util.StoreProtocol
+
 /** Durable standing MinHash-signature index with a band-key-bucketed,
   * APPEND-ONLY layout — the production storage for the [[CorpusIngest]]
   * loop (the `v=`-versioned layout in [[CorpusIngest.streaming]] rewrites
@@ -65,8 +67,10 @@ object SignatureIndexStore {
     StructField("doc_id", LongType), StructField("sig", ArrayType(LongType)),
     StructField("batch", LongType), StructField("bucket", IntegerType)))
 
+  // commit/fence/compaction protocol shared across the standing stores —
+  // see graft.util.StoreProtocol for the layout and atomicity contract
   private def fs(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreProtocol.fs(spark, root)
 
   /** Band keys are stored HASHED to a long (`xxhash64` of the string
     * key): the per-batch candidate join probes tens of millions of index
@@ -82,39 +86,19 @@ object SignatureIndexStore {
   private def docBucket(meta: Meta, c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(meta.buckets)).cast("int")
 
-  def readMeta(spark: SparkSession, root: String): Option[Meta] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_META")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()) finally in.close()
-      val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.trim.split(" "); k -> v.toInt
-      }.toMap
-      Some(Meta(kv("buckets"), kv("numHashes"), kv("bandSize")))
-    }
-  }
+  def readMeta(spark: SparkSession, root: String): Option[Meta] =
+    StoreProtocol.readMetaKv(spark, root).map(kv =>
+      Meta(kv("buckets").toInt, kv("numHashes").toInt, kv("bandSize").toInt))
 
-  private def writeMeta(spark: SparkSession, root: String, meta: Meta): Unit = {
-    val f = fs(spark, root)
-    f.mkdirs(new Path(root))
-    val out = f.create(new Path(root, "_META"), true)
-    try out.write(
-      (s"buckets ${meta.buckets}\nnumHashes ${meta.numHashes}\n" +
-        s"bandSize ${meta.bandSize}").getBytes)
-    finally out.close()
-  }
+  private def writeMeta(spark: SparkSession, root: String, meta: Meta): Unit =
+    StoreProtocol.writeMetaKv(spark, root, Seq(
+      "buckets" -> meta.buckets.toString,
+      "numHashes" -> meta.numHashes.toString,
+      "bandSize" -> meta.bandSize.toString))
 
   /** Batch ids whose append fully committed, ascending. */
-  def committedBatches(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(root)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_commit_"))
-      .map(_.stripPrefix("_commit_").toLong).sorted.toSeq
-  }
+  def committedBatches(spark: SparkSession, root: String): Seq[Long] =
+    StoreProtocol.committedBatches(spark, root)
 
   /** The bucket ids a committed batch actually wrote, per table — read
     * from the commit marker, so readers assemble EXPLICIT file paths
@@ -125,23 +109,10 @@ object SignatureIndexStore {
     */
   private def batchBuckets(
       spark: SparkSession, root: String, table: String,
-      batchId: Long): Seq[Int] = {
-    val f = fs(spark, root)
-    val in = f.open(new Path(root, s"_commit_$batchId"))
-    val text = try new String(in.readAllBytes()) finally in.close()
-    val fromMarker = text.linesIterator
-      .find(_.startsWith(s"$table "))
-      .map(_.stripPrefix(s"$table ").trim)
-      .map(csv => if (csv.isEmpty) Seq.empty[Int]
-                  else csv.split(",").map(_.toInt).toSeq)
-    fromMarker.getOrElse {
-      val dir = new Path(s"$root/$table/batch=$batchId")
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toInt).toSeq
-    }
-  }
+      batchId: Long): Seq[Int] =
+    StoreProtocol.markerBuckets(spark, root, table, batchId)
+      .getOrElse(StoreProtocol.bucketsOnDisk(fs(spark, root),
+        s"$root/$table/batch=$batchId"))
 
   /** Append `sigs` — (doc_id, sig), non-degenerate — as batch `batchId`.
     * Writes only this batch's rows (two `batch=<id>` dirs + a marker);
@@ -195,21 +166,9 @@ object SignatureIndexStore {
       .parquet(s"$root/bands/batch=$batchId")
     // record each table's written bucket set in the marker: readers then
     // build explicit paths without listing batches × buckets directories
-    val f = fs(spark, root)
-    def bucketsOf(dir: String): Seq[Int] = {
-      val p = new Path(dir)
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("bucket="))
-        .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
-    }
-    val content =
-      s"bands ${bucketsOf(s"$root/bands/batch=$batchId").mkString(",")}\n" +
-        s"sigs ${bucketsOf(s"$root/sigs/batch=$batchId").mkString(",")}"
-    // readers parse marker CONTENT (the bucket sets), so a crashed writer
-    // must never leave a half-written marker — temp+rename, not create
-    graft.util.FsAtomic.writePointer(
-      f, new Path(root), s"_commit_$batchId", content)
+    // (readers parse marker CONTENT, so the write is atomic by protocol)
+    StoreProtocol.writeBucketMarker(spark, root, batchId,
+      Seq("bands", "sigs"))
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches
@@ -218,17 +177,8 @@ object SignatureIndexStore {
     * is the commit point (the [[graft.crawl.FrontierStore]] `_LATEST`
     * discipline — readers never see a half-built compaction).
     */
-  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] = {
-    val f = fs(spark, root)
-    val p = new Path(root, "_COMPACT")
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes()).trim finally in.close()
-      val Array(gen, upTo) = text.split(" ")
-      Some((gen.toLong, upTo.toLong))
-    }
-  }
+  def compactState(spark: SparkSession, root: String): Option[(Long, Long)] =
+    StoreProtocol.compactState(spark, root)
 
   /** The data sources visible to a reader fenced at `belowBatch`: the
     * compact snapshot (if any) plus the uncompacted committed batches in
@@ -239,19 +189,8 @@ object SignatureIndexStore {
     */
   private def visible(
       spark: SparkSession, root: String,
-      belowBatch: Long): (Option[Long], Seq[Long]) = {
-    val (gen, upTo) = compactState(spark, root).getOrElse((-1L, -1L))
-    if (upTo >= belowBatch && upTo >= 0)
-      throw new IllegalStateException(
-        s"store at $root is compacted through batch $upTo; a reader " +
-          s"fenced at belowBatch=$belowBatch cannot exclude compacted " +
-          "batches — compact() keeps the newest batches uncompacted " +
-          "exactly to prevent this (retry fences only ever point at the " +
-          "newest batch)")
-    val batches = committedBatches(spark, root)
-      .filter(b => b > upTo && b < belowBatch)
-    (if (gen >= 0) Some(gen) else None, batches)
-  }
+      belowBatch: Long): (Option[Long], Seq[Long]) =
+    StoreProtocol.visible(spark, root, belowBatch, "signature store")
 
   /** Union the compact snapshot and the live batch dirs of one table,
     * projected to `cols` after an optional bucket prune. All sources are
@@ -351,8 +290,7 @@ object SignatureIndexStore {
               .parquet(s"$root/$table/c$gen")
           }
       }
-    graft.util.FsAtomic.writePointer(
-      f, new Path(root), "_COMPACT", s"$gen $upTo")
+    StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // reclaim superseded sources; the pointer already committed
     Seq("bands", "sigs").foreach { table =>
       if (prevGen >= 0)
