@@ -60,6 +60,24 @@ object SnapshotDelta {
         col("new_digest"), col("old_ts"), col("new_ts"))
   }
 
+  /** [[delta]] fed straight from two rounds' CDX sidecars
+    * ([[graft.sources.CdxLookup.allEntries]]): each side is first
+    * reduced to its LATEST capture per SURT key (max (ts, digest) — the
+    * 14-digit fixed-width timestamp makes lexicographic = chronological),
+    * which is the keyed state image [[delta]] requires; the content
+    * digest the writer recorded ([[graft.sinks.Sinks.cdxIndex]]) is the
+    * change fingerprint. This is the whole-archive diff of two crawl
+    * rounds with no state but the sidecars themselves.
+    */
+  def fromCdx(oldEntries: DataFrame, newEntries: DataFrame): DataFrame = {
+    def latest(e: DataFrame) = e
+      .groupBy(col("surt"))
+      .agg(max(struct(col("ts"), col("digest"))).as("cap"))
+      .select(col("surt"), col("cap.digest").as("digest"),
+        col("cap.ts").as("ts"))
+    delta(latest(oldEntries), latest(newEntries), "surt", "digest", "ts")
+  }
+
   /** The delta's summary row — (verdict, n_urls) — the four counters a
     * crawl round reports (and alerts on: a GONE spike means a dead
     * sitemap or a collapsed host, an UNCHANGED collapse means the

@@ -120,12 +120,17 @@ object CdxLookup {
     if (hit.isEmpty)
       return (emptyEntries(spark), stats0)
     val lines = spark.read.text(hit.map(i => files(i).toString): _*)
-    // tail-anchored parse: surt/ts/url from the head, the four trailing
-    // fields by NEGATIVE index, mime = whatever lies between. writeCdx
-    // strips whitespace from mime, but hand-built or foreign CDX files
-    // routinely carry 'text/html; charset=utf-8' — positional split on
-    // field 4 would shift status/digest/n_octets/warc_file for those
-    val parsed = lines
+    (filterIn(parseLines(lines), "surt", wanted), stats0)
+  }
+
+  /** Tail-anchored CDX line parse: surt/ts/url from the head, the four
+    * trailing fields by NEGATIVE index, mime = whatever lies between.
+    * writeCdx strips whitespace from mime, but hand-built or foreign CDX
+    * files routinely carry 'text/html; charset=utf-8' — positional split
+    * on field 4 would shift status/digest/n_octets/warc_file for those.
+    */
+  private def parseLines(lines: DataFrame): DataFrame =
+    lines
       .select(split(col("value"), " ").as("p"))
       // a CDX line carries at least 8 fields (1-token mime). Shorter
       // lines (truncated writes, foreign formats) would feed negative
@@ -148,7 +153,17 @@ object CdxLookup {
         element_at(col("p"), -3).as("digest"),
         element_at(col("p"), -2).cast("long").as("n_octets"),
         element_at(col("p"), -1).as("warc_file"))
-    (filterIn(parsed, "surt", wanted), stats0)
+
+  /** Every entry of the CDX sidecar — the full-SNAPSHOT read that
+    * cross-round diffing ([[graft.crawl.SnapshotDelta.fromCdx]]) and
+    * offline audits want; point lookups go through [[entries]]' pruned
+    * path instead (there is no key set to prune by here). One scan of
+    * all shards, shape = shard count × shard size, never driver-side.
+    */
+  def allEntries(spark: SparkSession, cdxPath: String): DataFrame = {
+    val (files, _) = sortedShards(spark, cdxPath)
+    if (files.isEmpty) emptyEntries(spark)
+    else parseLines(spark.read.text(files.map(_.toString): _*))
   }
 
   /** Fetch the wanted URLs' archived records, reading ONLY the WARC

@@ -58,6 +58,49 @@ class SnapshotDeltaSpec extends AnyFunSuite {
       ("http://a.com/4", "ADDED", "d4", 200L)))
   }
 
+  test("fromCdx: whole-archive diff of two crawl rounds via their own " +
+    "CDX sidecars (writer digest = change fingerprint)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-snapdelta").toString
+    def writeRound(
+        n: Int, pages: Seq[(String, String)], ts: Long): String = {
+      val df = pages.toDF("url", "body")
+        .select(col("url"), lit("text/html").as("contentType"),
+          encode(col("body"), "UTF-8").as("content"),
+          lit(ts).as("fetchTimeMs"))
+      graft.sinks.Sinks.writeWarc(df, s"$dir/r$n/warc",
+        maxRecordsPerFile = 2)
+      graft.sinks.Sinks.writeCdx(spark, s"$dir/r$n/warc", s"$dir/r$n/cdx",
+        shards = 2)
+      s"$dir/r$n/cdx"
+    }
+    val c1 = writeRound(1, Seq(
+      "http://a.com/1" -> "body one",
+      "http://a.com/2" -> "body two",
+      "http://b.com/3" -> "body three"), 1700000000000L)
+    val c2 = writeRound(2, Seq(
+      "http://a.com/1" -> "body one",            // identical content
+      "http://a.com/2" -> "body two CHANGED",
+      "http://c.com/4" -> "body four"), 1700000600000L)
+    val d = graft.crawl.SnapshotDelta.fromCdx(
+      graft.sources.CdxLookup.allEntries(spark, c1),
+      graft.sources.CdxLookup.allEntries(spark, c2))
+    val surt = graft.functions.UrlFunctions.surtKey _
+    val got = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      surt("http://a.com/1") -> "UNCHANGED",
+      surt("http://a.com/2") -> "CHANGED",
+      surt("http://b.com/3") -> "GONE",
+      surt("http://c.com/4") -> "ADDED"))
+    // the recrawl feed carries exactly the new/changed keys — what the
+    // next round fetches; UNCHANGED re-captures cost nothing downstream
+    val feed = graft.crawl.SnapshotDelta.toIngest(d)
+      .select("key").as[String].collect().toSet
+    assert(feed == Set(surt("http://a.com/2"), surt("http://c.com/4")))
+  }
+
   test("disjoint snapshots: everything is ADDED or GONE") {
     import spark.implicits._
     val o = Seq(("u1", "a", 1L)).toDF("url", "digest", "ts")
