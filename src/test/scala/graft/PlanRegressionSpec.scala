@@ -387,4 +387,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q114: the fence gate broadcasts onto the checkpointed distance " +
+    "frame — the corpus-sized side never shuffles to meet it") {
+    // the centroid broadcast lives inside the checkpointed dist lineage
+    // (invisible to the final plan); what the final plan must show is the
+    // strata-sized fence table arriving by broadcast, with no other join
+    val plan = planOf("q114_embed_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q113: snapshot delta is ONE full-outer equi-join, verdicts are " +
+    "map-side") {
+    val plan = planOf("q113_snapshot_delta")
+    assert(plan.contains("FullOuter"), plan.take(3000))
+    // exactly one join (full outer never broadcasts an equi side; AQE
+    // may pick sort-merge or shuffled-hash — both are the one-shuffle
+    // co-partitioned shape), then every verdict is a projection
+    val joins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 equi-join, got $joins\n" +
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

@@ -101,6 +101,41 @@ class SnapshotDeltaSpec extends AnyFunSuite {
     assert(feed == Set(surt("http://a.com/2"), surt("http://c.com/4")))
   }
 
+  test("snapshots written bucketed on the key diff with ZERO Exchange " +
+    "(alias-aware partitioning survives delta's key projection)") {
+    import spark.implicits._
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snap_bucketed_").toString
+    def snap(n: Int, rows: Seq[(String, String, Long)]): String = {
+      val t = s"snap_${n}_$tag"
+      graft.operators.CorpusLayout.writeBucketed(
+        rows.toDF("url", "digest", "ts"), t, s"$base/$n", "url", 4,
+        Seq("url"))
+      t
+    }
+    val t1 = snap(1, (0 until 400).map(i =>
+      (s"http://s.com/$i", s"d$i", 100L)))
+    val t2 = snap(2, (0 until 400).map(i =>
+      (s"http://s.com/$i", if (i % 5 == 0) s"d${i}x" else s"d$i", 200L)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = SnapshotDelta.delta(
+        spark.table(t1), spark.table(t2), "url", "digest", "ts")
+      val rows = d.collect()
+      val stats = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+      assert(stats.toMap == Map("CHANGED" -> 80, "UNCHANGED" -> 320))
+      // executed (post-AQE) plan of the delta itself
+      val plan = d.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"bucketed snapshot delta shuffled:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("disjoint snapshots: everything is ADDED or GONE") {
     import spark.implicits._
     val o = Seq(("u1", "a", 1L)).toDF("url", "digest", "ts")
