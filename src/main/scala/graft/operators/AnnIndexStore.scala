@@ -212,10 +212,9 @@ object AnnIndexStore {
       .sortWithinPartitions("cell", "vid")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vecs/c$gen")
-    val f = fs(spark, root)
     StoreProtocol.writeCompactPointer(spark, root, gen, cover.last)
-    if (prevGen >= 0) f.delete(new Path(s"$root/vecs/c$prevGen"), true)
-    cover.foreach(b => f.delete(new Path(s"$root/vecs/batch=$b"), true))
+    // reclaim everything at/below the new horizon (crash-after-flip safe)
+    StoreProtocol.cleanupCompacted(spark, root, Seq("vecs"))
   }
 
   /** Top-K cosine neighbors from the standing index for each query

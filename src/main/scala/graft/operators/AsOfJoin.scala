@@ -31,24 +31,43 @@ object AsOfJoin {
     * appended (null when no right row is at or before the left ts), plus
     * `asofTsCol` = the matched right row's timestamp (null likewise).
     * Equal timestamps match (right sorts before left at the same ts).
+    *
+    * `tsCol` may be numeric (used as-is) or TimestampType (ordered at
+    * MICROsecond precision via `unix_micros` — a bare `cast("long")`
+    * would truncate timestamps to whole seconds, wrongly treating a
+    * right row later within the same second as at-or-before a left
+    * event).
     */
   def lastAtOrBefore(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       payloadCols: Seq[String], asofTsCol: String = "asof_ts"): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    def isTsType(df: DataFrame) = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    require(isTsType(left) == isTsType(right),
+      s"$tsCol must be timestamp-typed on BOTH sides or NEITHER " +
+        s"(left=${left.schema(tsCol).dataType}, " +
+        s"right=${right.schema(tsCol).dataType}) — mixed kinds would " +
+        "order on incomparable keys")
+    def orderKey(df: DataFrame) =
+      if (isTsType(df)) unix_micros(col(tsCol).cast("timestamp"))
+      else col(tsCol).cast("long")
     val payload = struct(
       (payloadCols.map(col) :+ col(tsCol).as("__asof_ts")): _*)
     // left rows travel through the union as ONE typed struct column, so
     // arbitrary left schemas pass through bit-exact (no re-encoding)
     val leftRowType = org.apache.spark.sql.types.StructType(left.schema)
     val r = right.select(
-      col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), orderKey(right).as("__ts"),
       payload.as("__p"), lit(0).as("__side"),
       lit(null).cast(leftRowType).as("__row"))
     val payloadType = r.schema("__p").dataType
     val l = left.select(
-      col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+      col(keyCol).as("__k"), orderKey(left).as("__ts"),
       lit(null).cast(payloadType).as("__p"), lit(1).as("__side"),
       struct(left.columns.map(col): _*).as("__row"))
     val w = Window.partitionBy(col("__k"))

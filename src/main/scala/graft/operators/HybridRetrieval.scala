@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * needing the two arms' scores to be commensurable.
   *
   * The fusion score is computed in INTEGER fixed point —
-  * `1_000_000 div (k0 + rank)` — so fused rankings are engine-exact and
+  * `10^12 div (k0 + rank)` — so fused rankings are engine-exact and
   * oracle-checkable end to end (the [[graft.crawl.RevisitPolicy]] /
   * [[LinkRank]] discipline). Truncation keeps per-rank reciprocals
-  * distinct through rank ≈ 940 at k0 = 60; beyond that (or on sum
-  * near-ties) candidates that float RRF would hairline-split can tie in
-  * fixed point — the ascending-id tie-break keeps the output total and
-  * deterministic either way.
+  * distinct through rank ≈ 10^6 at k0 = 60 (consecutive reciprocals
+  * first collide near sqrt of the constant) — deeper than any
+  * realistic fused list — and a two-arm sum stays < 2^63 for every
+  * k0 ≥ 1. On genuine sum near-ties the ascending-id tie-break keeps
+  * the output total and deterministic.
   *
   * Scale shape: each arm ends in a per-query rank window that
   * WindowGroupLimit prunes map-side (the q04 pattern), so the fusion
@@ -69,8 +70,8 @@ object HybridRetrieval {
       col(denseIdCol).as("cand_id"), col(denseRankCol).as("dense_rn"))
     val fused = l.join(r, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("rrf_fp",
-        coalesce(expr(s"1000000 div ($k0 + lex_rn)"), lit(0L)) +
-          coalesce(expr(s"1000000 div ($k0 + dense_rn)"), lit(0L)))
+        coalesce(expr(s"1000000000000 div ($k0 + lex_rn)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 div ($k0 + dense_rn)"), lit(0L)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_fp").desc, col("cand_id").asc)
     fused

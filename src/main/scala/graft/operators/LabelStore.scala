@@ -291,17 +291,9 @@ object LabelStore {
         .parquet(s"$root/$table/c$gen")
     writeSnap("byid", "id")
     writeSnap("bycomp", "component")
-    val f = fs(spark, root)
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
-    // post-commit cleanup: folded batch dirs, their markers, prior gen
-    foldable.foreach { b =>
-      f.delete(new Path(s"$root/byid/batch=$b"), true)
-      f.delete(new Path(s"$root/bycomp/batch=$b"), true)
-      f.delete(new Path(root, s"_commit_$b"), false)
-    }
-    if (prevGen >= 0) {
-      f.delete(new Path(s"$root/byid/c$prevGen"), true)
-      f.delete(new Path(s"$root/bycomp/c$prevGen"), true)
-    }
+    // post-commit cleanup: everything at/below the NEW pointer horizon
+    // (heals a previous crash-after-flip's unreclaimed dirs too)
+    StoreProtocol.cleanupCompacted(spark, root, Seq("byid", "bycomp"))
   }
 }

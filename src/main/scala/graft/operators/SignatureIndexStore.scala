@@ -291,13 +291,9 @@ object SignatureIndexStore {
           }
       }
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
-    // reclaim superseded sources; the pointer already committed
-    Seq("bands", "sigs").foreach { table =>
-      if (prevGen >= 0)
-        f.delete(new Path(s"$root/$table/c$prevGen"), true)
-      cover.foreach(b =>
-        f.delete(new Path(s"$root/$table/batch=$b"), true))
-    }
+    // reclaim EVERYTHING the new pointer supersedes (not only this
+    // pass's cover — heals leftovers from a crash-after-flip)
+    StoreProtocol.cleanupCompacted(spark, root, Seq("bands", "sigs"))
   }
 
   /** An observed `collect_set` metric as a Seq[Int] (empty set over an

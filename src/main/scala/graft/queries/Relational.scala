@@ -299,13 +299,15 @@ object Relational {
       |FROM e ASOF LEFT JOIN r
       |  ON e.user_id = r.user_id AND e.ets >= r.rts""".stripMargin
 
-  /** Gap-based sessionization: consecutive events of a user closer than
-    * `gapMs` belong to one session (the batch twin of Structured
-    * Streaming's `session_window`, and the per-domain "active crawl
-    * burst" segmentation shape). Two key-partitioned windows — a lag to
-    * flag session starts, a running sum to number them — then one hash
-    * aggregate; every column integer epoch millis, so session boundaries
-    * are engine-exact.
+  /** Gap-based sessionization: consecutive events of a user at most
+    * `gapMs` apart belong to one session — a gap of EXACTLY `gapMs`
+    * stays in one session (split only on `> gapMs`), matching Structured
+    * Streaming's `session_window`, whose merging iterator joins ADJACENT
+    * windows (previous end == next start ⇒ merge; empirically pinned by
+    * the batch≡stream replay spec in StreamingSpec). Two key-partitioned
+    * windows — a lag to flag session starts, a running sum to number
+    * them — then one hash aggregate; every column integer epoch millis,
+    * so session boundaries are engine-exact.
     */
   def sessionize(
       events: DataFrame, keyCol: String, tsCol: String, tieCol: String,

@@ -132,11 +132,19 @@ object StreamingOps {
     * [[graft.queries.Relational.sessionize]], on Spark's native
     * `session_window` (state = open sessions only; the watermark closes
     * and emits a session once no event can extend it). Session
-    * boundaries agree with the batch form by construction: both close a
-    * session when consecutive events are more than `gap` apart.
+    * boundaries agree with the batch form exactly, INCLUDING the
+    * exact-gap edge: Spark's session-merging iterator joins ADJACENT
+    * windows (previous window end == next start ⇒ one session), so
+    * events exactly `gap` apart stay together — the same `> gapMs`
+    * split condition as [[graft.queries.Relational.sessionize]]
+    * (batch ≡ stream equality on a replay, exact-gap pair included, is
+    * spec-pinned in StreamingSpec).
     *
     * Input columns: `ts` (timestamp) + `keyCol`. Append-mode output, one
-    * row per CLOSED session: key, window struct, n_events.
+    * row per CLOSED session, field-parity with the batch form: key,
+    * window struct, n_events, session_start / session_end (min/max event
+    * epoch millis — NOT the window struct's `end`, which is last event
+    * + gap), duration_ms.
     */
   def sessionizeStream(
       events: org.apache.spark.sql.DataFrame,
@@ -146,5 +154,10 @@ object StreamingOps {
     events
       .withWatermark("ts", horizon)
       .groupBy(session_window(col("ts"), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("session_start"),
+        max(unix_millis(col("ts"))).as("session_end"),
+        (max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
+          .as("duration_ms"))
 }

@@ -128,6 +128,36 @@ object StoreProtocol {
       .map(csv => if (csv.isEmpty) Seq.empty[Int]
                   else csv.split(",").map(_.toInt).toSeq)
 
+  /** Post-commit compaction cleanup: physically remove everything the
+    * CURRENT `_COMPACT` pointer supersedes — every committed batch dir +
+    * marker at or below `coveredUpTo` (not merely the batches folded in
+    * this pass: a writer that crashed after a previous pointer flip but
+    * before its cleanup left covered dirs that no later pass would
+    * otherwise revisit, because fold candidates filter `> prevUpTo`) and
+    * every `c<gen>` snapshot other than the live generation. Idempotent
+    * and safe at any point after the flip — readers assemble paths from
+    * the pointer + markers `> coveredUpTo`, never from the deleted ones.
+    */
+  def cleanupCompacted(
+      spark: SparkSession, root: String, tables: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    compactState(spark, root).foreach { case (gen, upTo) =>
+      committedBatches(spark, root).filter(_ <= upTo).foreach { b =>
+        tables.foreach(t => f.delete(new Path(s"$root/$t/batch=$b"), true))
+        f.delete(new Path(root, s"_commit_$b"), false)
+      }
+      tables.foreach { t =>
+        val tp = new Path(s"$root/$t")
+        if (f.exists(tp)) f.listStatus(tp).map(_.getPath).foreach { p =>
+          val n = p.getName
+          if (n.length > 1 && n.head == 'c' && n.tail.forall(_.isDigit) &&
+              n.tail.toLong != gen)
+            f.delete(p, true)
+        }
+      }
+    }
+  }
+
   /** The data sources visible to a reader fenced at `belowBatch`: the
     * compact snapshot (if any) plus the uncompacted committed batches in
     * `(coveredUpTo, belowBatch)`. A fence at or below the compaction

@@ -87,6 +87,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("TimestampType inputs keep sub-second ordering (no whole-second truncation)") {
+    import org.apache.spark.sql.functions.col
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // right row at 10.500 s is AFTER left event at 10.200 s; a
+    // cast('long') order key would truncate both to 10 and wrongly
+    // match it (right sorts before left at equal keys)
+    val left = Seq((1L, ts(10200L), "ev")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(9900L), 1L),
+      (1L, ts(10500L), 2L)).toDF("k", "ts", "score")
+    val out = AsOfJoin.lastAtOrBefore(left, right, "k", "ts", Seq("score"))
+      .select(col("score"), col("asof_ts").cast("long").as("ats"))
+      .collect().head
+    assert(out.getAs[Long]("score") == 1L, s"got $out")
+  }
+
+  test("mixed numeric/timestamp ts kinds are refused") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.lastAtOrBefore(
+        Seq((1L, 10L, "x")).toDF("k", "ts", "tag"),
+        Seq((1L, new java.sql.Timestamp(10000L), 1L)).toDF("k", "ts", "score"),
+        "k", "ts", Seq("score"))
+    }
+  }
+
   test("empty payloadCols is refused") {
     intercept[IllegalArgumentException] {
       AsOfJoin.lastAtOrBefore(

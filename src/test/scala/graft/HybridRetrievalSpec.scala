@@ -22,21 +22,33 @@ class HybridRetrievalSpec extends AnyFunSuite {
       .toSeq
 
   test("candidate in both arms beats single-arm candidates") {
-    // doc 5: lex rank 2 + dense rank 2 -> 16129 + 16129 = 32258
-    // doc 1: lex rank 1 only -> 16393; doc 2: dense rank 1 only -> 16393
+    // doc 5: lex rank 2 + dense rank 2 -> 2 * (10^12 div 62)
+    // doc 1: lex rank 1 only; doc 2: dense rank 1 only -> 10^12 div 61
     val out = fuse(
       lex = Seq((10L, 1L, 1L), (10L, 5L, 2L)),
       dense = Seq((10L, 2L, 1L), (10L, 5L, 2L)))
-    assert(out.head == ((10L, 5L, 32258L, 1L)), s"got $out")
+    assert(out.head == ((10L, 5L, 32258064516L, 1L)), s"got $out")
     // the two single-arm docs tie on score; ascending id breaks it
-    assert(out(1) == ((10L, 1L, 16393L, 2L)), s"got $out")
-    assert(out(2) == ((10L, 2L, 16393L, 3L)), s"got $out")
+    assert(out(1) == ((10L, 1L, 16393442622L, 2L)), s"got $out")
+    assert(out(2) == ((10L, 2L, 16393442622L, 3L)), s"got $out")
   }
 
-  test("fixed-point reciprocal: 1000000 div (k0 + rank) exactly") {
+  test("fixed-point reciprocal: 10^12 div (k0 + rank) exactly") {
     val out = fuse(lex = Seq((1L, 7L, 3L)), dense = Seq.empty, k0 = 60)
-    // 1000000 div 63 = 15873
-    assert(out == Seq((1L, 7L, 15873L, 1L)), s"got $out")
+    // 1000000000000 div 63 = 15873015873
+    assert(out == Seq((1L, 7L, 15873015873L, 1L)), s"got $out")
+  }
+
+  test("deep ranks past 940 stay distinct (old 10^6 constant tied)") {
+    // k0=60, ranks 1355/1356 -> divisors 1415/1416: at the former 10^6
+    // fixed point both floored to 706 (id-ordered tail); at 10^12 they
+    // are distinct, so the lower-rank candidate wins despite a HIGHER id.
+    val out = fuse(
+      lex = Seq((1L, 9L, 1355L), (1L, 1L, 1356L)),
+      dense = Seq.empty, k0 = 60, topK = 5)
+    assert(out == Seq(
+      (1L, 9L, 706713780L, 1L),
+      (1L, 1L, 706214689L, 2L)), s"got $out")
   }
 
   test("topK truncates the fused list per query, not globally") {

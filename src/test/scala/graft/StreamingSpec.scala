@@ -176,6 +176,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionization: batch and stream agree field-for-field on a replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def t(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    // includes an EXACT-gap pair (user 3: events 30 s apart at gap=30 s)
+    // — session_window's merging iterator joins ADJACENT windows, so
+    // they stay in ONE session; the batch form's strict > gapMs split
+    // must keep them together identically
+    val events = Seq(
+      (t(0), 1L), (t(10), 1L), (t(110), 1L), // 2 sessions
+      (t(5), 2L),                            // singleton
+      (t(0), 3L), (t(30), 3L), (t(45), 3L))  // exact gap: ONE session
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = StreamingOps
+      .sessionizeStream(
+        input.toDS().toDF("ts", "user_id"), "user_id",
+        gap = "30 seconds", horizon = "10 seconds")
+      .writeStream.format("memory").queryName("ssess_parity")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(events)
+      query.processAllAvailable()
+      input.addData(Seq((t(500), 9L)))   // watermark push: close all
+      query.processAllAvailable()
+      input.addData(Seq((t(900), 9L)))
+      query.processAllAvailable()
+      spark.table("ssess_parity")
+        .filter(col("user_id") =!= 9L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("duration_ms"), col("n_events"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    } finally query.stop()
+    val batch = graft.queries.Relational.sessionize(
+        events.toDF("ts", "user_id")
+          .select(col("user_id"), unix_millis(col("ts")).as("ets"),
+            col("ts").as("tie")),
+        "user_id", "ets", "tie", gapMs = 30000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("duration_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    // the exact-gap events really did land in one 3-event session
+    assert(batch.filter(_._1 == 3L).map(_._5) == Set(3L),
+      s"user-3 sessions: $batch")
+  }
+
   test("count-min sketch runs unchanged on a stream, converging to the batch grid") {
     // the sketch is projection + one aggregation, so Structured Streaming
     // maintains it incrementally (complete mode); state is the constant
