@@ -161,24 +161,49 @@ object AnnIndexStore {
       batches: Seq[Long], cells: Seq[Long]): DataFrame = {
     val f = fs(spark, root)
     val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
-    def readCells(base: String): Option[DataFrame] = {
+    def readCells(base: String, srcBatch: Long): Option[DataFrame] = {
       val paths = cells.map(c => s"$base/cell=$c")
         .filter(p => f.exists(new Path(p)))
       if (paths.isEmpty) None
       else Some(spark.read.schema(dataSchema)
         .option("basePath", base).parquet(paths: _*)
-        .select("vid", "v", "n", "cell"))
+        // rows never carry their batch on disk (it is the dir name);
+        // stamp the source's batch — snapshot rows get the compaction
+        // horizon — so tombstone recency is decidable per row
+        .select(col("vid"), col("v"), col("n"), col("cell"),
+          lit(srcBatch).as("batch")))
     }
+    val snapBatch = compactState(spark, root).map(_._2).getOrElse(-1L)
     val parts =
-      gen.flatMap(k => readCells(s"$root/vecs/c$k")).toSeq ++
-        batches.flatMap(b => readCells(s"$root/vecs/batch=$b"))
+      gen.flatMap(k => readCells(s"$root/vecs/c$k", snapBatch)).toSeq ++
+        batches.flatMap(b => readCells(s"$root/vecs/batch=$b", b))
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(dataSchema.map(x =>
-          if (x.name == "cell") x else x.copy())))
-        .select("vid", "v", "n", "cell")
+        vecsSchema)
+        .select("vid", "v", "n", "cell", "batch")
     else parts.reduce(_ unionByName _)
+  }
+
+  /** Retire `vids` from the standing index as batch `batchId` — one
+    * tombstone file + marker (delete-set-bounded); [[query]] excludes
+    * tombstoned vectors by a broadcast anti-join and [[compact]] drops
+    * them physically (applied tombstones are reclaimed with the covered
+    * batches). A retired vid re-appended by a LATER batch is live again.
+    * Idempotent per batchId (own-file overwrite + re-mark).
+    */
+  def retire(
+      spark: SparkSession, root: String, vids: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    if (readMeta(spark, root).isEmpty) return
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"store at $root is compacted through batch $upTo; retiring as " +
+          s"batch $batchId would be invisible to every reader")
+    }
+    StoreProtocol.requireRetireBatchId(spark, root, batchId, Seq.empty)
+    StoreProtocol.writeTombstones(spark, root, vids, idCol, batchId)
+    StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"))
   }
 
   /** Fold all but the newest `keepNewest` batches (and the previous
@@ -196,25 +221,39 @@ object AnnIndexStore {
     val cover = all.dropRight(keepNewest)
     val gen = prevGen + 1
     val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
+    val f = fs(spark, root)
+    // retire-only batches committed a marker but no vecs dir
+    val coverPaths = cover.map(b => s"$root/vecs/batch=$b")
+      .filter(p => f.exists(new Path(p)))
     val parts =
       (if (prevGen >= 0)
         Seq(spark.read.schema(dataSchema)
           .option("basePath", s"$root/vecs/c$prevGen")
           .parquet(s"$root/vecs/c$prevGen")
-          .select("vid", "v", "n", "cell"))
+          .select(col("vid"), col("v"), col("n"), col("cell"),
+            lit(prevUpTo).as("batch")))
       else Seq.empty) ++
-        Seq(spark.read.schema(vecsSchema)
-          .option("basePath", s"$root/vecs")
-          .parquet(cover.map(b => s"$root/vecs/batch=$b"): _*)
-          .select("vid", "v", "n", "cell"))
-    parts.reduce(_ unionByName _)
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "vid")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/vecs/c$gen")
+        (if (coverPaths.isEmpty) Seq.empty
+         else Seq(spark.read.schema(vecsSchema)
+           .option("basePath", s"$root/vecs")
+           .parquet(coverPaths: _*)
+           .select("vid", "v", "n", "cell", "batch")))
+    // covered tombstones become PHYSICAL here (every row they can kill
+    // folds through this merge) and are reclaimed by the cleanup; a cover
+    // of retire-only batches has nothing to merge (readVecs tolerates a
+    // missing c<gen> dir) but still advances the pointer below
+    val coveredTombs = StoreProtocol.readTombstones(spark, root, cover)
+    parts.reduceOption(_ unionByName _).foreach { merged =>
+      StoreProtocol.applyTombstones(merged, "vid", coveredTombs)
+        .drop("batch")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vid")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/vecs/c$gen")
+    }
     StoreProtocol.writeCompactPointer(spark, root, gen, cover.last)
     // reclaim everything at/below the new horizon (crash-after-flip safe)
-    StoreProtocol.cleanupCompacted(spark, root, Seq("vecs"))
+    StoreProtocol.cleanupCompacted(spark, root, Seq("vecs", "tombs"))
   }
 
   /** Top-K cosine neighbors from the standing index for each query
@@ -272,7 +311,12 @@ object AnnIndexStore {
     // ≤ queries × nprobe cells — the partition-prune driver set
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val vecs = readVecs(spark, root, gen, batches, cells)
+    // live retirements excluded merge-on-read (None in the steady state)
+    val tombs = StoreProtocol.readTombstones(spark, root, batches)
+    val vecs = StoreProtocol
+      .applyTombstones(readVecs(spark, root, gen, batches, cells),
+        "vid", tombs)
+      .drop("batch")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val cond =
@@ -318,18 +362,26 @@ object AnnIndexStore {
     val (gen, batches) = visible(spark, root)
     require(gen.nonEmpty || batches.nonEmpty,
       s"ANN store at $root holds no data")
+    val snapBatch = compactState(spark, root).map(_._2).getOrElse(-1L)
     val dataSchema = StructType(vecsSchema.filterNot(_.name == "batch"))
+    val f = fs(spark, root)
+    // retire-only batches committed a marker but no vecs dir
+    val dataPaths = batches.map(b => s"$root/vecs/batch=$b")
+      .filter(p => f.exists(new Path(p)))
     val parts =
       gen.map(k => spark.read.schema(dataSchema)
         .option("basePath", s"$root/vecs/c$k")
         .parquet(s"$root/vecs/c$k")
-        .select("vid", "v")).toSeq ++
-        (if (batches.isEmpty) Seq.empty
+        .select(col("vid"), col("v"), lit(snapBatch).as("batch"))).toSeq ++
+        (if (dataPaths.isEmpty) Seq.empty
          else Seq(spark.read.schema(vecsSchema)
            .option("basePath", s"$root/vecs")
-           .parquet(batches.map(b => s"$root/vecs/batch=$b"): _*)
-           .select("vid", "v")))
-    parts.reduce(_ unionByName _)
+           .parquet(dataPaths: _*)
+           .select(col("vid"), col("v"), col("batch"))))
+    // a rebuild must not resurrect retired vectors into the new root
+    val tombs = StoreProtocol.readTombstones(spark, root, batches)
+    StoreProtocol.applyTombstones(parts.reduce(_ unionByName _),
+      "vid", tombs).select("vid", "v")
   }
 
   /** Retrain the coarse quantizer on the CURRENT standing corpus and

@@ -28,15 +28,21 @@ import graft.util.StoreProtocol
   *
   * Two invariants make merge-on-read trivial with NO batch ordering:
   *
-  *  1. **Labels only decrease.** A fold relabels entire touched
-  *     components (every old member re-enters the subgraph via its star
-  *     edge), so a node's new component is a superset of its old one and
-  *     min-id labels are monotone non-increasing. The current label of
-  *     an id is therefore `min(component)` over all its rows.
+  *  1. **Labels only decrease — among LIVE rows.** A fold relabels
+  *     entire touched components (every old member re-enters the
+  *     subgraph via its star edge), so a node's new component is a
+  *     superset of its old one and min-id labels are monotone
+  *     non-increasing. The current label of an id is therefore
+  *     `min(component)` over its live rows. [[retire]] is the one
+  *     carve-out: a cluster that loses its minimum id gets a LARGER
+  *     label (the surviving minimum) — retire restores the invariant by
+  *     TOMBSTONING every stale row of the touched components and
+  *     rewriting the survivors under the new label in the same batch, so
+  *     min-resolution never sees the old labels.
   *  2. **Live labels have complete membership.** A component labeled C
   *     can only lose members if C itself is touched — in which case ALL
   *     its members are rewritten (and C's own row moves iff the merged
-  *     min is smaller). So if C is some id's CURRENT label, every
+  *     min is smaller). So if C is some id's CURRENT label, every live
   *     `bycomp` row with component = C is a current member mention, and
   *     membership = distinct ids of those rows. Rows under dead labels
   *     are garbage that [[compact]] drops.
@@ -129,7 +135,9 @@ object LabelStore {
       spark: SparkSession, root: String,
       belowBatch: Long = Long.MaxValue): DataFrame = {
     val (gen, batches) = visible(spark, root, belowBatch)
-    readTable(spark, root, "byid", gen, batches, None)
+    val tombs = StoreProtocol.readTombstones(spark, root, batches)
+    StoreProtocol.applyTombstones(
+        readTable(spark, root, "byid", gen, batches, None), "id", tombs)
       .groupBy("id").agg(min("component").as("component"))
   }
 
@@ -150,7 +158,10 @@ object LabelStore {
           .as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val (gen, batches) = visible(spark, root, belowBatch)
-      readTable(spark, root, "byid", gen, batches, Some(probeBuckets))
+      val tombs = StoreProtocol.readTombstones(spark, root, batches)
+      StoreProtocol.applyTombstones(
+          readTable(spark, root, "byid", gen, batches, Some(probeBuckets)),
+          "id", tombs)
         .join(probe, Seq("id"), "left_semi")
         .groupBy("id").agg(min("component").as("component"))
   }
@@ -172,7 +183,10 @@ object LabelStore {
           .as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val (gen, batches) = visible(spark, root, belowBatch)
-      readTable(spark, root, "bycomp", gen, batches, Some(probeBuckets))
+      val tombs = StoreProtocol.readTombstones(spark, root, batches)
+      StoreProtocol.applyTombstones(
+          readTable(spark, root, "bycomp", gen, batches, Some(probeBuckets)),
+          "id", tombs)
         .join(probe, Seq("component"), "left_semi")
         .select("id", "component").distinct()
   }
@@ -240,6 +254,68 @@ object LabelStore {
     writeDelta(spark, root, relabeled, batchId, meta)
   }
 
+  /** Retire `ids` from the standing labels as batch `batchId` — the
+    * membership-level delete: retired ids drop out of their clusters,
+    * and each touched cluster's SURVIVORS stay one cluster relabeled to
+    * their new minimum id (the store tracks cluster membership, not the
+    * pair graph, so it cannot know whether a retired node was a cut
+    * vertex — keeping the remainder together is the conservative reading
+    * of near-dup transitivity, which was itself an approximation).
+    *
+    * Mechanics (invariant 1's carve-out): every row of every TOUCHED
+    * component is tombstoned — the retired ids' rows die outright, the
+    * survivors' stale-label rows die and are REWRITTEN under the new
+    * label in this same batch — so `min(component)` over live rows stays
+    * the exact resolution read even though the label went UP. Work and
+    * writes are bounded by the touched components + the delete set,
+    * never the corpus. Idempotent per batchId (reads are fenced at
+    * `belowBatch = batchId`; re-runs overwrite their own dirs).
+    * Retiring ids the store never saw just records their tombstones
+    * (harmless; kills nothing).
+    */
+  def retire(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    val meta = readMeta(spark, root).getOrElse(return)
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"label store at $root is compacted through batch $upTo; " +
+          s"retiring as batch $batchId would be invisible to every reader")
+    }
+    StoreProtocol.requireRetireBatchId(spark, root, batchId,
+      Seq("byid", "bycomp"))
+    val retired = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val cur = lookup(spark, root, retired, "id", belowBatch = batchId)
+    val touched = cur.select(col("component")).distinct()
+    val affected = members(spark, root, touched, "component",
+      belowBatch = batchId).localCheckpoint(true)
+    val survivors = affected.join(retired, Seq("id"), "left_anti")
+    val rewritten = survivors
+      .join(survivors.groupBy("component")
+        .agg(min("id").as("__new_component")), Seq("component"))
+      .select(col("id"), col("__new_component").as("component"))
+      .withColumn("batch", lit(batchId))
+    // tombstone EVERY affected id (retired AND survivors): the
+    // survivors' old-label rows must be invisible to min-resolution
+    val allAffected = affected.select("id")
+      .unionByName(retired.select("id")).distinct()
+    StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
+    val pinned = rewritten.localCheckpoint(true)
+    def writeCopy(table: String, keyCol: String): Unit =
+      pinned
+        .withColumn("bucket",
+          pmod(xxhash64(col(keyCol)), lit(meta.buckets)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", keyCol)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/$table/batch=$batchId")
+    writeCopy("byid", "id")
+    writeCopy("bycomp", "component")
+    StoreProtocol.writeBucketMarker(spark, root, batchId,
+      Seq("byid", "bycomp", "tombs"))
+  }
+
   /** Write (id, component, batch) rows under both keys + the commit
     * marker. One file per bucket per batch (repartition on the bucket
     * column before the partitioned write).
@@ -293,7 +369,10 @@ object LabelStore {
     writeSnap("bycomp", "component")
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // post-commit cleanup: everything at/below the NEW pointer horizon
-    // (heals a previous crash-after-flip's unreclaimed dirs too)
-    StoreProtocol.cleanupCompacted(spark, root, Seq("byid", "bycomp"))
+    // (heals a previous crash-after-flip's unreclaimed dirs too); the
+    // snapshot resolved labels WITH tombstones applied, so covered
+    // tombstones are physically done and reclaimed here
+    StoreProtocol.cleanupCompacted(spark, root,
+      Seq("byid", "bycomp", "tombs"))
   }
 }

@@ -19,6 +19,7 @@ import graft.util.StoreProtocol
   *   _commit_<batchId>          marker: batch <id>'s files are complete
   *   bands/batch=<id>/bucket=<b>/part-*.parquet   (band_hash, doc_id)
   *   sigs/batch=<id>/bucket=<b>/part-*.parquet    (doc_id, sig)
+  *   tombs/batch=<id>/bucket=0/part-*.parquet     (id, batch) — [[retire]]
   * }}}
   *
   * Properties the ingest loop needs at scale:
@@ -218,8 +219,16 @@ object SignatureIndexStore {
         .map(_.stripPrefix("bucket=").toInt).toSeq
       val paths = wanted(present).map(b => s"$base/bucket=$b")
       if (paths.isEmpty) None
-      else Some(spark.read.schema(dataSchema)
-        .option("basePath", base).parquet(paths: _*))
+      else {
+        // snapshot rows derive from batches <= the compaction horizon;
+        // stamping that horizon as their batch makes tombstone recency
+        // (`row.batch < tomb.batch`) uniform across snapshot + live rows
+        val snapBatch = StoreProtocol.compactState(spark, root)
+          .map(_._2).getOrElse(-1L)
+        Some(spark.read.schema(dataSchema)
+          .option("basePath", base).parquet(paths: _*)
+          .withColumn("batch", lit(snapBatch)))
+      }
     }
     val batchPaths = batches.flatMap { b =>
       wanted(batchBuckets(spark, root, table, b))
@@ -234,6 +243,41 @@ object SignatureIndexStore {
       .reduceOption(_ unionByName _)
   }
 
+  /** Retire `ids` from the standing index as batch `batchId` — the
+    * right-to-be-forgotten path (the operation the reference DECLARED —
+    * `UrlDBFunction.java:76` `_archivedUrls` MapState — but never wrote
+    * to, `:467` reads it only). Writes ONE tombstone file + marker
+    * (delete-set-bounded, never index-sized); [[matches]]/[[sigsView]]
+    * exclude tombstoned rows by a broadcast anti-join, and [[compact]]
+    * physically drops both the dead rows and the applied tombstones.
+    * A retired id can be re-appended by any LATER batch (tombstones kill
+    * only rows older than themselves). Re-running the same retire
+    * batchId overwrites its own file and re-marks — idempotent.
+    */
+  def retire(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      batchId: Long): Unit = {
+    if (readMeta(spark, root).isEmpty) return // no store: nothing to kill
+    compactState(spark, root).foreach { case (_, upTo) =>
+      require(batchId > upTo,
+        s"store at $root is compacted through batch $upTo; retiring as " +
+          s"batch $batchId would be invisible to every reader")
+    }
+    StoreProtocol.requireRetireBatchId(spark, root, batchId,
+      Seq("bands", "sigs"))
+    StoreProtocol.writeTombstones(spark, root, ids, idCol, batchId)
+    StoreProtocol.writeBucketMarker(spark, root, batchId,
+      Seq("bands", "sigs", "tombs"))
+  }
+
+  /** The live tombstone set visible at `belowBatch` (None = no visible
+    * retirement — readers then skip the anti-join entirely).
+    */
+  private def tombstones(
+      spark: SparkSession, root: String,
+      batches: Seq[Long]): Option[DataFrame] =
+    StoreProtocol.readTombstones(spark, root, batches)
+
   /** The index as a plain (doc_id, sig) frame over committed batches —
     * the equality bridge to the `v=`-versioned layout (and the view a
     * batch-mode caller like [[TextOps.crossDedupPairs]] wants).
@@ -242,8 +286,11 @@ object SignatureIndexStore {
       spark: SparkSession, root: String,
       belowBatch: Long = Long.MaxValue): DataFrame = {
     val (gen, batches) = visible(spark, root, belowBatch)
+    val tombs = tombstones(spark, root, batches)
     readTable(spark, root, "sigs", sigsSchema, gen, batches,
-      None, Seq("doc_id", "sig"))
+      None, Seq("doc_id", "sig", "batch"))
+      .map(rows => StoreProtocol.applyTombstones(rows, "doc_id", tombs)
+        .select("doc_id", "sig"))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
@@ -271,9 +318,13 @@ object SignatureIndexStore {
     val cover = all.dropRight(keepNewest)
     val upTo = cover.last
     val gen = prevGen + 1
-    val f = fs(spark, root)
-    Seq(("bands", bandsSchema, "band_hash"), ("sigs", sigsSchema, "doc_id"))
-      .foreach { case (table, schema, sortKey) =>
+    // covered tombstones are APPLIED here (every row they can kill has
+    // batch < tb <= upTo and folds through this merge) and then dropped
+    // by the cleanup — retirement becomes physical at compaction
+    val coveredTombs = tombstones(spark, root, cover)
+    Seq(("bands", bandsSchema, "band_hash", "doc_id"),
+        ("sigs", sigsSchema, "doc_id", "doc_id"))
+      .foreach { case (table, schema, sortKey, tombKey) =>
         // cover.nonEmpty does NOT imply rows exist: empty micro-batches
         // commit markers with empty bucket lists, so every covered batch
         // can have written zero files. Nothing to merge for this table →
@@ -281,9 +332,10 @@ object SignatureIndexStore {
         // still advance the pointer and reclaim the covered dirs below.
         readTable(spark, root, table, schema,
           if (prevGen >= 0) Some(prevGen) else None, cover,
-          None, schema.map(_.name).filterNot(_ == "batch"))
+          None, schema.map(_.name))
           .foreach { merged =>
-            merged
+            StoreProtocol.applyTombstones(merged, tombKey, coveredTombs)
+              .drop("batch")
               .repartition(col("bucket"))
               .sortWithinPartitions("bucket", sortKey)
               .write.mode("overwrite").partitionBy("bucket")
@@ -292,8 +344,9 @@ object SignatureIndexStore {
       }
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // reclaim EVERYTHING the new pointer supersedes (not only this
-    // pass's cover — heals leftovers from a crash-after-flip)
-    StoreProtocol.cleanupCompacted(spark, root, Seq("bands", "sigs"))
+    // pass's cover — heals leftovers from a crash-after-flip), applied
+    // tombstones included
+    StoreProtocol.cleanupCompacted(spark, root, Seq("bands", "sigs", "tombs"))
   }
 
   /** An observed `collect_set` metric as a Seq[Int] (empty set over an
@@ -335,6 +388,9 @@ object SignatureIndexStore {
     val meta = readMeta(spark, root).getOrElse(return emptyMatches(spark))
     val (gen, batches) = visible(spark, root, belowBatch)
     if (gen.isEmpty && batches.isEmpty) return emptyMatches(spark)
+    // live retirements (bounded by deletes since the last compaction);
+    // None in the steady state — the anti-joins below then cost nothing
+    val tombs = tombstones(spark, root, batches)
 
     val pinned = batchSigs.select(col("doc_id"), col("sig"))
       .filter(element_at(col("sig"), 1).isNotNull)
@@ -359,7 +415,9 @@ object SignatureIndexStore {
     // visible source (empty first micro-batch, or a young store disjoint
     // from a novel batch's band keys) — zero matches, not a crash
     val bands = readTable(spark, root, "bands", bandsSchema, gen, batches,
-      Some(touched), Seq("band_hash", "doc_id"))
+      Some(touched), Seq("band_hash", "doc_id", "batch"))
+      .map(rows =>
+        StoreProtocol.applyTombstones(rows, "doc_id", tombs).drop("batch"))
       .getOrElse(return emptyMatches(spark))
     // candidate pairs: index scan streams through a broadcast of the
     // batch side — no index-sized shuffle; the candidates' sig-bucket
@@ -375,8 +433,14 @@ object SignatureIndexStore {
     val candBuckets = intSetMetric(candObs.get.getOrElse("cand_buckets", null))
     if (candBuckets.isEmpty) return emptyMatches(spark)
 
+    // the sigs read must ALSO exclude tombstoned rows: a doc retired and
+    // later re-appended has a live bands row but TWO sigs rows — without
+    // the recency anti-join the stale signature would duplicate (and
+    // possibly mis-score) the candidate
     val sigs = readTable(spark, root, "sigs", sigsSchema, gen, batches,
-      Some(candBuckets), Seq("doc_id", "sig"))
+      Some(candBuckets), Seq("doc_id", "sig", "batch"))
+      .map(rows =>
+        StoreProtocol.applyTombstones(rows, "doc_id", tombs).drop("batch"))
       .getOrElse(return emptyMatches(spark))
       .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b"))
     sigs

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.util.{FsAtomic, StoreProtocol}
+
+/** Corpus-level deletion: propagate ONE delete set through the accepted
+  * corpus parquet and every standing index — the right-to-be-forgotten
+  * operation a 100 TB continuously-ingesting corpus must support (GONE
+  * URLs, robots revocations, legal takedowns). The reference DECLARED
+  * this path and never built it: `UrlDBFunction.java:76` allocates an
+  * `_archivedUrls` MapState that `:467` reads but nothing ever writes.
+  *
+  * Durability model — journal-led, eventually-atomic: [[takedown]] first
+  * pins the delete set and each store's retirement batch id under a
+  * journal directory (`td=<tid>/ids` parquet + `_PLAN` pointer), then
+  * executes; every step is idempotent, so a crash anywhere is healed by
+  * [[resume]] re-executing the pinned plan (kill-mid-delete is
+  * spec-pinned in TakedownSpec). Once the journal commits, the delete
+  * set WILL reach every target — callers see either "not started" or
+  * "eventually complete", never a silently half-applied delete.
+  *
+  * Single-writer like the stores themselves: run from the loop that owns
+  * them (retirement batch ids are pinned at plan time, so a concurrent
+  * appender could collide with them).
+  *
+  * Scale shape: store retirements are one tombstone file each
+  * (delete-set-bounded — the heavy reclamation happens at each store's
+  * next compact); the corpus rewrite touches ONLY the `batch=` dirs that
+  * still contain retired ids (discovered by one broadcast semi-join; the
+  * rewrite set self-heals on resume because already-rewritten dirs no
+  * longer contain the ids).
+  */
+object Takedown {
+
+  /** Everything one delete set must reach. Roots that are None (or
+    * stores that do not exist yet) are skipped.
+    */
+  final case class Targets(
+    corpusDir: Option[String] = None,
+    corpusIdCol: String = "doc_id",
+    sigRoot: Option[String] = None,
+    annRoot: Option[String] = None,
+    labelsRoot: Option[String] = None)
+
+  private def fs(spark: SparkSession, p: String) = StoreProtocol.fs(spark, p)
+
+  private def tdDirs(spark: SparkSession, journalDir: String): Seq[Long] = {
+    val f = fs(spark, journalDir)
+    val p = new Path(journalDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("td=")).map(_.stripPrefix("td=").toLong)
+      .sorted.toSeq
+  }
+
+  /** Execute a new takedown: pin the plan, run it, mark `_DONE`.
+    * Returns the journal id. Any still-pending earlier takedown is
+    * completed first (the journal is a queue, not a set of racers).
+    */
+  def takedown(
+      spark: SparkSession, ids: DataFrame, idCol: String,
+      targets: Targets, journalDir: String): Long = {
+    resume(spark, targets, journalDir) // drain anything pending first
+    val tid = tdDirs(spark, journalDir).lastOption.getOrElse(-1L) + 1L
+    val td = s"$journalDir/td=$tid"
+    val f = fs(spark, journalDir)
+    f.mkdirs(new Path(td))
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    // pin each store's retirement batch id NOW (max committed + 1), so a
+    // crashed run and its resume retire under the SAME id — idempotent
+    def nextBatch(root: Option[String]): Option[Long] = root.flatMap { r =>
+      if (StoreProtocol.readMetaKv(spark, r).isEmpty) None
+      else Some(StoreProtocol.committedBatches(spark, r)
+        .lastOption.getOrElse(-1L) + 1L)
+    }
+    val plan = Seq(
+      nextBatch(targets.sigRoot).map(b => s"sig $b"),
+      nextBatch(targets.annRoot).map(b => s"ann $b"),
+      nextBatch(targets.labelsRoot).map(b => s"labels $b")).flatten
+    // _PLAN is the commit point: from here the delete set WILL be applied
+    FsAtomic.writePointer(f, new Path(td), "_PLAN", plan.mkString("\n"))
+    execute(spark, targets, td)
+    tid
+  }
+
+  /** Complete every journaled takedown that has a `_PLAN` but no `_DONE`
+    * (crash recovery). Returns how many were completed.
+    */
+  def resume(
+      spark: SparkSession, targets: Targets, journalDir: String): Int = {
+    val f = fs(spark, journalDir)
+    val pending = tdDirs(spark, journalDir).filter { tid =>
+      val td = s"$journalDir/td=$tid"
+      f.exists(new Path(td, "_PLAN")) && !f.exists(new Path(td, "_DONE"))
+    }
+    pending.foreach(tid => execute(spark, targets, s"$journalDir/td=$tid"))
+    pending.size
+  }
+
+  private def execute(
+      spark: SparkSession, targets: Targets, td: String): Unit = {
+    val f = fs(spark, td)
+    val ids = spark.read.schema(
+        StructType(Seq(StructField("id", LongType))))
+      .parquet(s"$td/ids")
+      .localCheckpoint(true)
+    val plan = StoreProtocol.readSmall(f, new Path(td, "_PLAN"))
+      .getOrElse("").linesIterator.filter(_.trim.nonEmpty).map { l =>
+        val Array(k, v) = l.trim.split(" ", 2); k -> v.toLong
+      }.toMap
+    // store retirements — each one tombstone file + marker, idempotent
+    // under its pinned batch id
+    plan.get("sig").zip(targets.sigRoot).foreach { case (b, root) =>
+      SignatureIndexStore.retire(spark, root, ids, "id", b)
+    }
+    plan.get("ann").zip(targets.annRoot).foreach { case (b, root) =>
+      AnnIndexStore.retire(spark, root, ids, "id", b)
+    }
+    plan.get("labels").zip(targets.labelsRoot).foreach { case (b, root) =>
+      LabelStore.retire(spark, root, ids, "id", b)
+    }
+    targets.corpusDir.foreach(dir =>
+      rewriteCorpus(spark, dir, targets.corpusIdCol, ids, td))
+    FsAtomic.writePointer(f, new Path(td), "_DONE", "done")
+  }
+
+  /** Physically drop the retired ids from the corpus's `batch=` dirs.
+    * Per affected dir: write the surviving rows to a journal-side
+    * rewrite dir, then swap (delete target, rename rewrite into place).
+    * Idempotent/resumable: committed rewrite dirs whose swap crashed are
+    * finished first, and the affected set is recomputed from the CURRENT
+    * corpus (a dir already swapped no longer contains retired ids, so it
+    * drops out on its own). Uncommitted rewrite leftovers are discarded
+    * and rebuilt.
+    */
+  private def rewriteCorpus(
+      spark: SparkSession, corpusDir: String, idCol: String,
+      ids: DataFrame, td: String): Unit = {
+    val f = fs(spark, corpusDir)
+    val rewriteRoot = s"$td/rewrite"
+    // 1. finish or discard leftover rewrites from a crashed attempt
+    val rr = new Path(rewriteRoot)
+    if (f.exists(rr)) f.listStatus(rr).map(_.getPath).foreach { p =>
+      val name = p.getName // batch=<b>
+      if (f.exists(new Path(p, "_SUCCESS"))) {
+        val target = new Path(s"$corpusDir/$name")
+        if (f.exists(target)) f.delete(target, true)
+        f.rename(p, target)
+      } else f.delete(p, true)
+    }
+    // 2. affected dirs = batch partitions still holding retired ids
+    //    (one broadcast semi-join; collect is bounded by the delete set)
+    val corpusRoot = new Path(corpusDir)
+    if (!f.exists(corpusRoot)) return
+    val batchDirs = f.listStatus(corpusRoot).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    if (batchDirs.isEmpty) return
+    val corpus = spark.read
+      .option("basePath", corpusDir)
+      .parquet(batchDirs.map(d => s"$corpusDir/$d"): _*)
+    val affected = corpus
+      .join(broadcast(ids), corpus(idCol) === ids("id"), "left_semi")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // 3. rewrite + swap each affected dir (survivor rows only)
+    affected.foreach { b =>
+      val target = s"$corpusDir/batch=$b"
+      val tmp = s"$rewriteRoot/batch=$b"
+      spark.read.parquet(target)
+        .join(broadcast(ids), col(idCol) === ids("id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      f.delete(new Path(target), true)
+      f.rename(new Path(tmp), new Path(target))
+    }
+  }
+}

@@ -333,4 +333,15 @@ object TrainingCorpus {
     Result(labeled, audit.toSeq, ccRounds, plans.toSeq, timings.toSeq,
       cached.toSeq)
   }
+
+  /** Corpus-level deletion: propagate ONE delete set through the
+    * accepted corpus parquet and every standing index (signature / ANN /
+    * label stores) — journal-led and crash-resumable ([[Takedown]] holds
+    * the protocol; [[Takedown.resume]] completes a killed run). Returns
+    * the journal id.
+    */
+  def takedown(
+      spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      idCol: String, targets: Takedown.Targets, journalDir: String): Long =
+    Takedown.takedown(spark, ids, idCol, targets, journalDir)
 }

@@ -583,6 +583,100 @@ object TextQueries {
         .select(col("lang"), col("n_pretokens"), col("n_words"),
           expr("(100 * n_pretokens) div greatest(n_words, 1)")
             .as("fertility_pct"))),
+    "q115_sig_retire" -> ((s, d) => {
+      // RIGHT-TO-BE-FORGOTTEN through the durable signature store: two
+      // data batches, a tombstone batch retiring every 10th doc, a
+      // re-append resurrecting half of them, then a compaction that
+      // makes the deletes PHYSICAL (applied tombstones + covered dirs
+      // reclaimed). The oracle prices the end state from scratch over
+      // the survivors (doc_id % 20 <> 10), so merge-on-read exclusion,
+      // tombstone recency (re-append wins), and compact-time
+      // application all sit behind one hash gate.
+      import graft.operators.{CorpusIngest, SignatureIndexStore}
+      val cfg = CorpusIngest.Config()
+      val all = docs(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q115").toString
+      val root = base + "/store"
+      val meta = SignatureIndexStore.Meta(
+        cfg.indexBuckets, cfg.numHashes, cfg.bandSize)
+      def sigsOf(f: org.apache.spark.sql.Column) =
+        CorpusIngest.signatureIndex(all.filter(f), "doc_id", "text", cfg)
+      SignatureIndexStore.append(s, root,
+        sigsOf(col("doc_id") % 2 === 0), 0L, meta)
+      SignatureIndexStore.append(s, root,
+        sigsOf(col("doc_id") % 2 === 1), 1L, meta)
+      SignatureIndexStore.retire(s, root,
+        all.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        "doc_id", 2L)
+      SignatureIndexStore.append(s, root,
+        sigsOf(col("doc_id") % 20 === 0), 3L, meta)
+      SignatureIndexStore.compact(s, root, keepNewest = 1)
+      materializedWithCleanup(
+        SignatureIndexStore.sigsView(s, root)
+          .select(col("doc_id"),
+            concat_ws(",", col("sig").cast("array<string>")).as("sig"))) {
+        deleteRecursively(base)
+      }
+    }),
+    "q116_ann_retire" -> ((s, d) => {
+      // retirement through the durable ANN index: grow the store the way
+      // the loop grows it, tombstone every 10th vector, re-admit the
+      // %3=0 third in a LATER batch (tombstone recency), compact so the
+      // retire batch is covered (physical reclamation), then query
+      // exhaustively — the result must equal brute-force cosine top-K
+      // over exactly the surviving corpus.
+      import graft.operators.AnnIndexStore
+      val e = embs(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q116").toString
+      val root = base + "/store"
+      AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1)
+      AnnIndexStore.append(s, root,
+        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L)
+      AnnIndexStore.retire(s, root,
+        e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id", 2L)
+      AnnIndexStore.append(s, root,
+        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 3L)
+      AnnIndexStore.compact(s, root, keepNewest = 1)
+      materializedWithCleanup(
+        AnnIndexStore.query(s, root, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nprobe = 8)
+          .select("query_id", "neighbor_id", "cos", "rn")) {
+        deleteRecursively(base)
+      }
+    }),
+    "q117_label_retire" -> ((s, d) => {
+      // retirement through the durable label store: retire each
+      // 25-block's MINIMUM id (the label itself) — survivors must
+      // relabel to the new minimum (invariant 1's carve-out), a fold
+      // AFTER the retire must merge against the relabeled clusters, and
+      // compaction must preserve it all while reclaiming the applied
+      // tombstones. Oracle: full CC over the old pairs, drop the retired
+      // set, per-cluster min-survivor relabel, then a second recursive
+      // walk folding the post-retire pairs over survivor star edges.
+      import graft.operators.LabelStore
+      val ids = docs(s, d).select(col("doc_id"))
+      val oldPairs = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 5).as("b"))
+      val retired = ids.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("id"))
+      val newPairs = ids.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1).as("a"), (col("doc_id") + 6).as("b"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q117").toString
+      val root = base + "/store"
+      val meta = LabelStore.Meta(buckets = 8)
+      LabelStore.fold(s, root, oldPairs, "a", "b", 1L, meta)
+      LabelStore.retire(s, root, retired, "id", 2L)
+      LabelStore.fold(s, root, newPairs, "a", "b", 3L, meta)
+      LabelStore.compact(s, root, keepNewest = 1)
+      materializedWithCleanup(LabelStore.labels(s, root)) {
+        deleteRecursively(base)
+      }
+    }),
     "q101_store_dedup" -> ((s, d) => {
       // q62's incremental-dedup semantics driven through the DURABLE
       // bucketed SignatureIndexStore (append → bucket-pruned matches)
@@ -1053,6 +1147,49 @@ object TextQueries {
         |    // GREATEST(CAST(SUM(len(string_split_regex(trim(text), '\s+')))
         |      AS BIGINT), 1) AS fertility_pct
         |FROM documents GROUP BY 1""".stripMargin,
+    "q115_sig_retire" ->
+      s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
+         |  FROM documents),
+         |s AS (SELECT * FROM sigs WHERE sig[1] IS NOT NULL)
+         |SELECT doc_id, array_to_string(sig, ',') AS sig
+         |FROM s WHERE doc_id % 20 <> 10""".stripMargin,
+    "q116_ann_retire" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 3 = 0 OR vec_id % 10 <> 0),
+         |j AS (SELECT query_id, neighbor_id, ${dCos("qv", "cv")} AS cos
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM j)
+         |SELECT query_id, neighbor_id, cos, rn FROM r WHERE rn <= 5"""
+        .stripMargin,
+    "q117_label_retire" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |oldp AS (SELECT doc_id AS a, doc_id - (doc_id % 5) AS b
+        |  FROM ids WHERE doc_id % 5 <> 0),
+        |e1 AS (SELECT a AS u, b AS w FROM oldp UNION SELECT b, a FROM oldp),
+        |walk1(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e1)
+        |  UNION
+        |  SELECT e.u, wk.label FROM e1 e JOIN walk1 wk ON wk.u = e.w),
+        |c1 AS (SELECT u, MIN(label) AS label FROM walk1 GROUP BY u),
+        |surv AS (SELECT u, label FROM c1
+        |  WHERE u NOT IN (SELECT doc_id FROM ids WHERE doc_id % 25 = 0)),
+        |l2 AS (SELECT s.u, m.new_label FROM surv s JOIN
+        |  (SELECT label, MIN(u) AS new_label FROM surv GROUP BY label) m
+        |  USING (label)),
+        |newp AS (SELECT doc_id + 1 AS a, doc_id + 6 AS b FROM ids
+        |  WHERE doc_id % 25 = 0),
+        |p2 AS (SELECT u AS a, new_label AS b FROM l2
+        |  UNION SELECT a, b FROM newp),
+        |e2 AS (SELECT a AS u, b AS w FROM p2 UNION SELECT b, a FROM p2),
+        |walk2(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e2)
+        |  UNION
+        |  SELECT e.u, wk.label FROM e2 e JOIN walk2 wk ON wk.u = e.w)
+        |SELECT u AS id, MIN(label) AS component FROM walk2
+        |GROUP BY u""".stripMargin,
     "q101_store_dedup" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
          |  FROM documents),

@@ -1,7 +1,9 @@
 package graft.util
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The append-only standing-store commit protocol, shared by
   * [[graft.operators.SignatureIndexStore]], [[graft.operators.AnnIndexStore]]
@@ -127,6 +129,95 @@ object StoreProtocol {
       .map(_.stripPrefix(s"$table ").trim)
       .map(csv => if (csv.isEmpty) Seq.empty[Int]
                   else csv.split(",").map(_.toInt).toSeq)
+
+  // ------------------------------------------------------- tombstones
+
+  /** Tombstone rows: `(id, batch)` under `tombs/batch=<b>/bucket=0`.
+    * SEMANTICS: a tombstone written in batch `b` kills every data row of
+    * that id with `batch < b` — exactly the rows visible when the
+    * retirement was issued. Re-appending the id in a LATER batch
+    * resurrects it (re-ingest of a new version is an append, not an
+    * update). The tombstone working set is bounded by retirements since
+    * the last compaction: [[cleanupCompacted]]-covered tombstones were
+    * already APPLIED when the snapshot folded (every row they could kill
+    * had `batch < tb <= coveredUpTo` and is physically gone), so readers
+    * broadcast the live set.
+    */
+  val tombSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("batch", LongType)))
+
+  /** Write batch `batchId`'s tombstone set (the ids retired by this
+    * batch) — one file under a constant `bucket=0` partition so the
+    * shared bucket-marker machinery records it like any table. The
+    * caller commits the batch's marker (listing table "tombs") AFTER
+    * this lands, like any other table write.
+    */
+  def writeTombstones(
+      spark: SparkSession, root: String, ids: DataFrame, idCol: String,
+      batchId: Long): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("batch", lit(batchId))
+      .withColumn("bucket", lit(0))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/tombs/batch=$batchId")
+
+  /** The live tombstone set across `batches`, as (id, batch). Paths come
+    * from the commit markers' "tombs" line — a marker without one (every
+    * pure data batch) contributes nothing and costs no filesystem call.
+    * None when no visible batch retired anything (the common case: the
+    * read path then skips the anti-join entirely).
+    */
+  def readTombstones(
+      spark: SparkSession, root: String,
+      batches: Seq[Long]): Option[DataFrame] = {
+    val paths = batches.flatMap { b =>
+      markerBuckets(spark, root, "tombs", b).getOrElse(Seq.empty)
+        .map(k => s"$root/tombs/batch=$b/bucket=$k")
+    }
+    if (paths.isEmpty) None
+    else Some(spark.read.schema(tombSchema).parquet(paths: _*))
+  }
+
+  /** Merge-on-read retirement: drop `data` rows whose id carries a
+    * tombstone NEWER than the row's batch. `data` must expose `idCol`
+    * and a numeric `batch` column (snapshot rows are stamped with the
+    * compaction horizon by their readers — every row a snapshot carries
+    * derives from batches at or below it). The tombstone side broadcasts
+    * (bounded by retirements since the last compaction).
+    */
+  def applyTombstones(
+      data: DataFrame, idCol: String,
+      tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(data) { t =>
+      data.join(
+        broadcast(t.select(col("id").as("__tomb_id"),
+          col("batch").as("__tomb_batch"))),
+        data(idCol) === col("__tomb_id") &&
+          data("batch") < col("__tomb_batch"),
+        "left_anti")
+    }
+
+  /** Guard a retirement batch id: it must be fresh, or a re-run of the
+    * SAME retirement (a committed marker that already carries a "tombs"
+    * line and no data-table buckets) — reusing a DATA batch's id would
+    * overwrite its marker and hide its rows from every marker-driven
+    * reader (or, for contentless data markers, let a replayed append
+    * later erase the tombstone line).
+    */
+  def requireRetireBatchId(
+      spark: SparkSession, root: String, batchId: Long,
+      dataTables: Seq[String]): Unit =
+    if (committedBatches(spark, root).contains(batchId)) {
+      val wasRetire =
+        markerBuckets(spark, root, "tombs", batchId).isDefined
+      val wroteData = dataTables.exists(t =>
+        markerBuckets(spark, root, t, batchId).exists(_.nonEmpty))
+      require(wasRetire && !wroteData,
+        s"batch $batchId at $root already committed as a DATA batch; " +
+          "retiring under its id would corrupt its marker — use a fresh " +
+          "batch id")
+    }
 
   /** Post-commit compaction cleanup: physically remove everything the
     * CURRENT `_COMPACT` pointer supersedes — every committed batch dir +

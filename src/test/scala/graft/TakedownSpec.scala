@@ -1,0 +1,353 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndexStore, Components, CorpusIngest, LabelStore,
+  SignatureIndexStore, Takedown, TextOps}
+import graft.util.StoreProtocol
+
+/** Deletion/retirement through the standing stores and the corpus-level
+  * [[Takedown]] orchestration: state after deletes must equal a
+  * from-scratch build over the survivors, compaction must make deletes
+  * physical, re-appends must resurrect, and a kill anywhere mid-delete
+  * must be healed by [[Takedown.resume]].
+  */
+class TakedownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = CorpusIngest.Config()
+  private val sigMeta = SignatureIndexStore.Meta(
+    buckets = 8, numHashes = cfg.numHashes, bandSize = cfg.bandSize)
+  private val labelMeta = LabelStore.Meta(buckets = 4)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_td_$tag").toString
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def sigsOf(df: org.apache.spark.sql.DataFrame) =
+    CorpusIngest.signatureIndex(df, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+
+  private def sigSet(root: String): Set[(Long, Seq[Long])] =
+    SignatureIndexStore.sigsView(spark, root).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+
+  // ------------------------------------------------ signature store
+
+  test("sig store: retire hides docs from matches and sigsView; re-append resurrects") {
+    val root = tmp("sig") + "/store"
+    val corpus = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns"))
+    SignatureIndexStore.append(spark, root, sigsOf(corpus), 0L, sigMeta)
+    // a near-dup of doc 1 matches before the retirement…
+    val probe = sigsOf(docsDf(
+      (10L, "the quick brown fox jumps over the lazy dog near the ocean")))
+    assert(SignatureIndexStore.matches(spark, root, probe, cfg.threshold)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    // …and nothing matches after it
+    SignatureIndexStore.retire(spark, root, Seq(1L).toDF("id"), "id", 1L)
+    assert(SignatureIndexStore.matches(spark, root, probe, cfg.threshold)
+      .collect().isEmpty)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // re-appending doc 1 in a LATER batch resurrects it
+    SignatureIndexStore.append(spark, root,
+      sigsOf(corpus.filter($"doc_id" === 1L)), 2L, sigMeta)
+    assert(SignatureIndexStore.matches(spark, root, probe, cfg.threshold)
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    // exactly ONE live signature row for doc 1 (the stale one is dead)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .filter($"doc_id" === 1L).count() == 1L)
+  }
+
+  test("sig store: state after retire + compact hash-equals a from-scratch build over survivors") {
+    val all = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns"),
+      (3L, "novel observations about glacier movement and seasonal melt"),
+      (4L, "completely unrelated text about cooking pasta with tomatoes"))
+    val retired = docsDf(
+      (2L, "a careful study of historical documents reveals many patterns"),
+      (3L, "novel observations about glacier movement and seasonal melt"))
+
+    val rootA = tmp("sigA") + "/store"
+    SignatureIndexStore.append(spark, rootA,
+      sigsOf(all.filter($"doc_id" <= 2L)), 0L, sigMeta)
+    SignatureIndexStore.append(spark, rootA,
+      sigsOf(all.filter($"doc_id" > 2L)), 1L, sigMeta)
+    SignatureIndexStore.retire(spark, rootA,
+      retired.select("doc_id"), "doc_id", 2L)
+    // one more live batch so keep-newest leaves the retire covered
+    SignatureIndexStore.append(spark, rootA,
+      sigsOf(docsDf((9L, "a ninth document about entirely new things here"))),
+      3L, sigMeta)
+    SignatureIndexStore.compact(spark, rootA, keepNewest = 1)
+
+    val rootB = tmp("sigB") + "/store"
+    SignatureIndexStore.append(spark, rootB,
+      sigsOf(all.filter($"doc_id" === 1L || $"doc_id" === 4L)), 0L, sigMeta)
+    SignatureIndexStore.append(spark, rootB,
+      sigsOf(docsDf((9L, "a ninth document about entirely new things here"))),
+      1L, sigMeta)
+
+    assert(sigSet(rootA) == sigSet(rootB))
+    // the deletes are PHYSICAL: applied tombstones and covered dirs gone
+    val f = new java.io.File(rootA)
+    assert(!new java.io.File(f, "tombs/batch=2").exists(),
+      "applied tombstones were not reclaimed at compaction")
+    assert(!new java.io.File(f, "sigs/batch=0").exists(),
+      "covered data dirs were not reclaimed at compaction")
+    // and a retired doc's signature appears in NO parquet file on disk
+    val survivors = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$rootA/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(2L) && !survivors.contains(3L),
+      s"retired rows still on disk: $survivors")
+  }
+
+  test("sig store: retiring under a committed DATA batch id is refused; retire re-run is not") {
+    val root = tmp("sigguard") + "/store"
+    SignatureIndexStore.append(spark, root, sigsOf(docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))),
+      0L, sigMeta)
+    intercept[IllegalArgumentException] {
+      SignatureIndexStore.retire(spark, root, Seq(1L).toDF("id"), "id", 0L)
+    }
+    SignatureIndexStore.retire(spark, root, Seq(1L).toDF("id"), "id", 1L)
+    SignatureIndexStore.retire(spark, root, Seq(1L).toDF("id"), "id", 1L)
+    assert(SignatureIndexStore.sigsView(spark, root).collect().isEmpty)
+  }
+
+  // ------------------------------------------------------ ANN store
+
+  test("ann store: retire hides vectors from query and rebuild; compact makes it physical") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40L)
+      .localCheckpoint(true)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val root = tmp("ann") + "/store"
+    AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,
+      numCentroids = 4)
+    // plant an exact copy of vector 0 under id 1000, then retire it:
+    // the copy must vanish from its own top-1
+    AnnIndexStore.append(spark, root,
+      emb.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1L)
+    val q = emb.filter(col("vec_id") === 0L)
+    def top1(): Long = AnnIndexStore.query(
+        spark, root, q, "vec_id", "embedding", k = 1, nprobe = 4)
+      .head().getAs[Long]("neighbor_id")
+    assert(top1() == 1000L)
+    AnnIndexStore.retire(spark, root, Seq(1000L).toDF("id"), "id", 2L)
+    assert(top1() != 1000L)
+    // exhaustive query equals brute force over SURVIVORS exactly
+    val got = AnnIndexStore.query(
+        spark, root, q, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.operators.Similarity.cosineTopK(
+        q, emb, "vec_id", "embedding", dim, k = 5)
+      .select("neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"diff=${(got diff brute) ++ (brute diff got)}")
+    // compact applies + reclaims; the retired vid is gone from disk
+    AnnIndexStore.append(spark, root,
+      emb.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", 3L)
+    AnnIndexStore.compact(spark, root, keepNewest = 1)
+    assert(!new java.io.File(s"$root/tombs/batch=2").exists())
+    val onDisk = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/vecs")
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(!onDisk.contains(1000L), "retired vector survived compaction")
+    assert(top1() != 1000L)
+  }
+
+  // ---------------------------------------------------- label store
+
+  test("label store: retiring the minimum id relabels survivors to the new minimum") {
+    val root = tmp("label") + "/store"
+    LabelStore.fold(spark, root, Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+      "a", "b", 1L, labelMeta)
+    LabelStore.retire(spark, root, Seq(1L).toDF("id"), "id", 2L)
+    val labels = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 3L -> 2L), s"got $labels")
+    // membership under the NEW label is complete; the old label is dead
+    val mem = LabelStore.members(spark, root,
+        Seq(2L).toDF("component"), "component")
+      .collect().map(_.getLong(0)).toSet
+    assert(mem == Set(2L, 3L), s"got $mem")
+    assert(LabelStore.members(spark, root,
+      Seq(1L).toDF("component"), "component").collect().isEmpty)
+    // a fold AFTER the retire merges against the relabeled cluster
+    LabelStore.fold(spark, root, Seq((3L, 10L)).toDF("a", "b"),
+      "a", "b", 3L, labelMeta)
+    val after = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(2L -> 2L, 3L -> 2L, 10L -> 2L), s"got $after")
+    // compaction preserves the post-retire state and reclaims tombstones
+    LabelStore.fold(spark, root, Seq((20L, 21L)).toDF("a", "b"),
+      "a", "b", 4L, labelMeta)
+    LabelStore.compact(spark, root, keepNewest = 1)
+    val compacted = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted ==
+      Map(2L -> 2L, 3L -> 2L, 10L -> 2L, 20L -> 20L, 21L -> 20L))
+    assert(!new java.io.File(s"$root/tombs/batch=2").exists())
+  }
+
+  test("label store: retiring a whole cluster, a non-member, and untouched clusters") {
+    val root = tmp("label2") + "/store"
+    LabelStore.fold(spark, root,
+      Seq((1L, 2L), (10L, 11L)).toDF("a", "b"), "a", "b", 1L, labelMeta)
+    // whole cluster {1,2} + an id the store never saw
+    LabelStore.retire(spark, root, Seq(1L, 2L, 999L).toDF("id"), "id", 2L)
+    val labels = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L), s"got $labels")
+    // retired ids can come back as brand-new cluster members later
+    LabelStore.fold(spark, root, Seq((1L, 50L)).toDF("a", "b"),
+      "a", "b", 3L, labelMeta)
+    val back = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == Map(10L -> 10L, 11L -> 10L, 1L -> 1L, 50L -> 1L),
+      s"got $back")
+  }
+
+  // ------------------------------------------- corpus-level takedown
+
+  private def buildWorld(base: String): (Takedown.Targets, String) = {
+    val corpusDir = s"$base/accepted"
+    val targets = Takedown.Targets(
+      corpusDir = Some(corpusDir),
+      sigRoot = Some(s"$base/sig"),
+      annRoot = Some(s"$base/ann"),
+      labelsRoot = Some(s"$base/labels"))
+    val b0 = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns"),
+      (3L, "novel observations about glacier movement and seasonal melt"),
+      (4L, "completely unrelated text about cooking pasta with tomatoes"))
+    val b1 = docsDf(
+      (11L, "mountain weather patterns change rapidly during early spring"),
+      (12L, "deep learning models require careful regularization choices"))
+    b0.write.mode("overwrite").parquet(s"$corpusDir/batch=0")
+    b1.write.mode("overwrite").parquet(s"$corpusDir/batch=1")
+    SignatureIndexStore.append(spark, s"$base/sig", sigsOf(b0), 0L, sigMeta)
+    SignatureIndexStore.append(spark, s"$base/sig", sigsOf(b1), 1L, sigMeta)
+    val emb = TextOps.hashedEmbedding(b0.unionByName(b1), "doc_id", "text", 16)
+    AnnIndexStore.build(spark, s"$base/ann", emb, "doc_id", "embedding",
+      16, numCentroids = 2)
+    LabelStore.fold(spark, s"$base/labels",
+      Seq((1L, 2L), (11L, 12L)).toDF("a", "b"), "a", "b", 1L, labelMeta)
+    (targets, s"$base/journal")
+  }
+
+  private def corpusIds(dir: String): Set[Long] =
+    spark.read.parquet(dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+  test("takedown propagates one delete set through corpus + all three stores") {
+    val base = tmp("world")
+    val (targets, journal) = buildWorld(base)
+    Takedown.takedown(spark, Seq(1L, 11L).toDF("id"), "id", targets, journal)
+    assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 12L))
+    assert(SignatureIndexStore.sigsView(spark, s"$base/sig")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L, 12L))
+    val annLeft = AnnIndexStore.query(spark, s"$base/ann",
+        TextOps.hashedEmbedding(docsDf(
+          (50L, "the quick brown fox jumps over the lazy dog near rivers")),
+          "doc_id", "text", 16),
+        "doc_id", "embedding", k = 10, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!annLeft.contains(1L) && !annLeft.contains(11L), s"$annLeft")
+    val labels = LabelStore.labels(spark, s"$base/labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 12L -> 12L), s"got $labels")
+    // the journal records completion
+    assert(new java.io.File(s"$journal/td=0/_DONE").exists())
+  }
+
+  test("kill right after the journal commit point: resume completes the delete") {
+    val base = tmp("kill1")
+    val (targets, journal) = buildWorld(base)
+    // reproduce the crash state: ids + _PLAN committed, nothing executed
+    val td = s"$journal/td=0"
+    Seq(2L, 12L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    def next(root: String): Long =
+      StoreProtocol.committedBatches(spark, root)
+        .lastOption.getOrElse(-1L) + 1L
+    val f = StoreProtocol.fs(spark, journal)
+    graft.util.FsAtomic.writePointer(f,
+      new org.apache.hadoop.fs.Path(td), "_PLAN",
+      Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
+        s"labels ${next(s"$base/labels")}").mkString("\n"))
+    assert(Takedown.resume(spark, targets, journal) == 1)
+    assert(corpusIds(s"$base/accepted") == Set(1L, 3L, 4L, 11L))
+    assert(SignatureIndexStore.sigsView(spark, s"$base/sig")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 11L))
+    assert(new java.io.File(s"$td/_DONE").exists())
+    // resume again: nothing pending, nothing changes
+    assert(Takedown.resume(spark, targets, journal) == 0)
+  }
+
+  test("kill mid-corpus-swap: a committed rewrite with a deleted target is finished") {
+    val base = tmp("kill2")
+    val (targets, journal) = buildWorld(base)
+    val td = s"$journal/td=0"
+    Seq(1L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    def next(root: String): Long =
+      StoreProtocol.committedBatches(spark, root)
+        .lastOption.getOrElse(-1L) + 1L
+    // the rewrite of batch=0 landed (committed) and the target was
+    // deleted, then the process died before the rename
+    spark.read.parquet(s"$base/accepted/batch=0")
+      .filter(col("doc_id") =!= 1L)
+      .write.mode("overwrite").parquet(s"$td/rewrite/batch=0")
+    val f = StoreProtocol.fs(spark, base)
+    f.delete(new org.apache.hadoop.fs.Path(s"$base/accepted/batch=0"), true)
+    graft.util.FsAtomic.writePointer(f,
+      new org.apache.hadoop.fs.Path(td), "_PLAN",
+      Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
+        s"labels ${next(s"$base/labels")}").mkString("\n"))
+    assert(Takedown.resume(spark, targets, journal) == 1)
+    assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 11L, 12L))
+    assert(new java.io.File(s"$base/accepted/batch=0").exists())
+  }
+
+  test("retire cost is delete-set-bounded: one tombstone file, no data rewrite") {
+    val root = tmp("bounded") + "/store"
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, s"corpus document number $i about topic $i body $i"))
+      .toDF("doc_id", "text")
+    SignatureIndexStore.append(spark, root, sigsOf(corpus), 0L, sigMeta)
+    def mtimes(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) Map.empty
+      else d.listFiles().map(x => x.getName -> x.lastModified()).toMap
+    }
+    val before = mtimes(s"$root/sigs/batch=0") ++ mtimes(s"$root/bands/batch=0")
+    SignatureIndexStore.retire(spark, root,
+      Seq(7L, 13L).toDF("id"), "id", 1L)
+    val after = mtimes(s"$root/sigs/batch=0") ++ mtimes(s"$root/bands/batch=0")
+    assert(before == after, "retire rewrote index data dirs")
+    val tombFiles = new java.io.File(s"$root/tombs/batch=1/bucket=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(tombFiles == 1, s"expected one tombstone file, got $tombFiles")
+    assert(SignatureIndexStore.sigsView(spark, root).count() == 58L)
+  }
+}
