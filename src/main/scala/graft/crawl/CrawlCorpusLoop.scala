@@ -177,6 +177,171 @@ object CrawlCorpusLoop {
     WaveResult(wave, crawled, n)
   }
 
+  /** Incremental ARCHIVE-snapshot round mode — [[SnapshotDelta]] wired
+    * into the wave loop (the composition its own doc promises): wave `w`
+    * consumes one monthly-snapshot-style archive (WARC dir + CDX
+    * sidecar, the reference's CommonCrawl model,
+    * `CommonCrawlFetcher.java:50-135`). When wave `w-1` recorded a
+    * sidecar (`_cdx_<w-1>` pointer), the round:
+    *
+    *  1. diffs the two sidecars ([[SnapshotDelta.fromCdx]]) and fetches
+    *     ONLY the ADDED ∪ CHANGED keys from the new archive —
+    *     [[graft.sources.CdxLookup.fetch]]-pruned below `maxLookup`
+    *     urls, a batch semi-join above (the
+    *     [[ArchiveFetch.cdxRoutedStage]] size switch). UNCHANGED
+    *     content is never read, let alone re-ingested.
+    *  2. marks GONE urls `HTTP_GONE` in the frontier (terminal-recency
+    *     merge: the mark wins over the stored FETCHED row) — the
+    *     retirement feed [[retirementCandidates]] exposes for
+    *     [[graft.operators.Takedown]].
+    *  3. ingests the fetched docs (`batchId = wave`) and commits the
+    *     corpus slice + `_cdx_<w>` pointer + `_wave_<w>` marker.
+    *
+    * The first wave (no previous sidecar) ingests the whole archive.
+    * Same staging/marker protocol as [[runWave]]: kill anywhere, re-run
+    * resumes idempotently. Equivalence with a full recrawl is spec-
+    * pinned (ArchiveLoopSpec): UNCHANGED re-fetches would be dropped by
+    * the cross-dedup against the standing signature index anyway — the
+    * incremental round just refuses to pay for fetching them.
+    */
+  def runArchiveWave(
+      spark: SparkSession,
+      workDir: String,
+      wave: Int,
+      warcDir: String,
+      cdxDir: String,
+      ingestCfg: CorpusIngest.Config = CorpusIngest.Config(),
+      annGate: Option[CorpusIngest.AnnGate] = None,
+      lineage: Boolean = false,
+      maxLookup: Int = 256,
+      frontierBuckets: Int = 64,
+      onStage: (Int, String) => Unit = (_, _) => ()): WaveResult = {
+    import graft.schema.{FetchStatus => FS}
+    import graft.sources.CdxLookup
+    val f = fs(spark, workDir)
+    f.mkdirs(new Path(workDir))
+    val parsedDir = s"$workDir/parsed/w=$wave"
+    val goneDir = s"$workDir/gone/w=$wave"
+    val corpusDir = s"$workDir/corpus/w=$wave"
+    if (exists(spark, s"$workDir/_wave_$wave"))
+      return WaveResult(wave, crawled = false,
+        spark.read.parquet(corpusDir).count())
+    val prevCdx = graft.util.StoreProtocol.readSmall(
+      f, new Path(workDir, s"_cdx_${wave - 1}")).map(_.trim)
+
+    def latestUrls(entries: DataFrame) = entries
+      .groupBy(col("surt"))
+      .agg(max(struct(col("ts"), col("url"))).as("cap"))
+      .select(col("surt"), col("cap.url").as("url"))
+
+    // 1. stage the round's fetch set (+ the GONE set) — nothing durable
+    // moves until both stagings carry _SUCCESS; the gone set lands
+    // FIRST, so the parsed _SUCCESS (checked here) is the stage gate
+    var crawled = false
+    if (!exists(spark, s"$parsedDir/_SUCCESS")) {
+      val newEntries = CdxLookup.allEntries(spark, cdxDir)
+        .localCheckpoint(true)
+      val records = prevCdx match {
+        case None =>
+          // first snapshot: whole-archive round, empty GONE set
+          spark.range(0).select(lit("").as("url")).limit(0)
+            .write.mode("overwrite").parquet(goneDir)
+          graft.sources.WarcSource.read(spark, warcDir)
+        case Some(oldDir) =>
+          val oldEntries = CdxLookup.allEntries(spark, oldDir)
+            .localCheckpoint(true)
+          val delta = SnapshotDelta.fromCdx(oldEntries, newEntries)
+            .localCheckpoint(true)
+          delta.filter(col("verdict") === "GONE")
+            .select(col("key").as("surt"))
+            .join(latestUrls(oldEntries), Seq("surt"))
+            .select("url")
+            .write.mode("overwrite").parquet(goneDir)
+          val wantedUrls = SnapshotDelta.toIngest(delta)
+            .select(col("key").as("surt"))
+            .join(latestUrls(newEntries), Seq("surt"))
+            .select("url").localCheckpoint(true)
+          // size switch: bounded probe, never a full count
+          val probe = wantedUrls.limit(maxLookup + 1)
+            .collect().map(_.getString(0))
+          if (probe.length <= maxLookup)
+            CdxLookup.fetch(spark, warcDir, cdxDir, probe.toSeq)._1
+          else graft.sources.WarcSource.read(spark, warcDir)
+            .join(wantedUrls, Seq("url"), "left_semi")
+      }
+      ArchiveFetch.newestPerUrl(records)
+        .filter(col("statusCode").between(200, 299))
+        .select(xxhash64(col("url")).as("doc_id"), col("url"),
+          col("content").as("text"))
+        .write.mode("overwrite").parquet(parsedDir)
+      crawled = true
+    }
+    onStage(wave, "staged")
+
+    // 2. frontier marks: FETCHED for this round's captures, HTTP_GONE
+    // for vanished keys. The round's logical clock is the new snapshot's
+    // newest capture time, so the terminal-recency merge lets the marks
+    // win over earlier rounds' rows (and replays merge identically).
+    if (!exists(spark, s"$workDir/_merged_$wave")) {
+      val roundMs = CdxLookup.allEntries(spark, cdxDir)
+        .agg(max(CdxLookup.cdxTsToMs(col("ts")))).head().getLong(0)
+      val pldUdf = udf(graft.functions.UrlFunctions.extractPld _)
+      val updates = spark.read.parquet(parsedDir).select("url")
+        .withColumn("status", lit(FS.FETCHED))
+        .unionByName(spark.read.parquet(goneDir).select("url")
+          .withColumn("status", lit(FS.HTTP_GONE)))
+        .select(col("url"), pldUdf(col("url")).as("pld"), col("status"),
+          lit(roundMs).as("statusTime"), lit(0.0f).as("score"),
+          lit(roundMs).as("nextFetchTime"))
+      FrontierStore.mergeInto(spark, s"$workDir/frontier", updates,
+        frontierBuckets)
+      graft.util.FsAtomic.writePointer(
+        f, new Path(workDir), s"_merged_$wave", "done")
+    }
+    onStage(wave, "merged")
+
+    // 3. ingest into the standing stores, batchId = wave
+    val docs = spark.read.parquet(parsedDir)
+    val (accepted, _) = CorpusIngest.ingestIndexed(
+      docs, "doc_id", "text", s"$workDir/sig", wave.toLong, ingestCfg,
+      annGate,
+      labelsRoot = if (lineage) Some(s"$workDir/labels") else None)
+    onStage(wave, "ingested")
+
+    // 4. corpus slice + sidecar pointer + wave marker
+    accepted
+      .join(docs.select("doc_id", "url"), Seq("doc_id"))
+      .select("doc_id", "url", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val n = spark.read.parquet(corpusDir).count()
+    graft.util.FsAtomic.writePointer(
+      f, new Path(workDir), s"_cdx_$wave", cdxDir)
+    graft.util.FsAtomic.writePointer(
+      f, new Path(workDir), s"_wave_$wave", "done")
+    onStage(wave, "done")
+    WaveResult(wave, crawled, n)
+  }
+
+  /** GONE-derived retirement candidates accumulated in the frontier — the
+    * [[graft.operators.Takedown]] feed: (url, doc_id, gone_since). A URL
+    * re-captured by a later round flips back to FETCHED (terminal
+    * recency) and drops out of this set on its own.
+    */
+  def retirementCandidates(spark: SparkSession, workDir: String): DataFrame =
+    FrontierStore.read(spark, s"$workDir/frontier")
+      .map(_.filter(col("status") === graft.schema.FetchStatus.HTTP_GONE)
+        .select(col("url"), xxhash64(col("url")).as("doc_id"),
+          col("statusTime").as("gone_since")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("gone_since",
+            org.apache.spark.sql.types.LongType)))))
+
   /** The corpus accumulated so far: every completed wave's accepted docs. */
   def corpus(spark: SparkSession, workDir: String): DataFrame = {
     val f = fs(spark, workDir)

@@ -102,11 +102,7 @@ object RevisitPolicy {
       minIntervalMs: Long, maxIntervalMs: Long): DataFrame = {
     val caps = entries.select(
       col("url"),
-      (datediff(to_date(substring(col("ts"), 1, 8), "yyyyMMdd"),
-          to_date(lit("1970-01-01"))).cast("long") * 86400000L +
-        substring(col("ts"), 9, 2).cast("long") * 3600000L +
-        substring(col("ts"), 11, 2).cast("long") * 60000L +
-        substring(col("ts"), 13, 2).cast("long") * 1000L).as("cap_ms"),
+      graft.sources.CdxLookup.cdxTsToMs(col("ts")).as("cap_ms"),
       col("digest"),
       // total order within equal timestamps: digest then holding segment
       // (entries carry warc_file; cdxIndex-only frames may not — the

@@ -35,6 +35,22 @@ object CdxLookup {
     cdxShardsTotal: Int, cdxShardsRead: Int,
     warcFilesTotal: Int, warcFilesRead: Int)
 
+  /** 14-digit CDX timestamp (UTC wall time by convention) → epoch
+    * millis, ARITHMETICALLY — date arithmetic on the yyyyMMdd prefix
+    * plus the time-of-day fields, never a session-timezone
+    * to_timestamp/from_utc_timestamp round trip (only exact in
+    * fixed-offset zones; near a DST transition the two offsets differ
+    * and captures shift by an hour). Shared by
+    * [[graft.crawl.RevisitPolicy.fromCdx]] and the incremental archive
+    * rounds ([[graft.crawl.CrawlCorpusLoop]]).
+    */
+  def cdxTsToMs(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    datediff(to_date(substring(ts, 1, 8), "yyyyMMdd"),
+        to_date(lit("1970-01-01"))).cast("long") * 86400000L +
+      substring(ts, 9, 2).cast("long") * 3600000L +
+      substring(ts, 11, 2).cast("long") * 60000L +
+      substring(ts, 13, 2).cast("long") * 1000L
+
   private val entryCols = Seq("surt", "ts", "url", "mime", "status",
     "digest", "n_octets", "warc_file")
 

@@ -30,6 +30,10 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val batchDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val corpusDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // optional 3rd arg: comma-separated arm names to run
+    // (growth, ann, loop, retire, chain); default = all
+    val arms = args.lift(2).map(_.split(",").toSet)
+    def armOn(name: String) = arms.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -67,6 +71,7 @@ object IngestBench {
         ._1.count()
     }
 
+    if (armOn("growth")) {
     println("| index rows | in-memory ingest (s) | bucketed store (s) | accepted |")
     Seq(1, 10, 100, 1000).foreach { times =>
       val index = replicate(times).localCheckpoint(true)
@@ -116,6 +121,8 @@ object IngestBench {
       }
     }
 
+    }
+
     // ANN-in-the-loop arm: the same 10-doc full ingest, now with the
     // AnnGate stage (embed + semantic query vs the standing vectors +
     // vector append), against standing ANN stores 10x apart — the
@@ -123,7 +130,7 @@ object IngestBench {
     // (Standing vectors are the synthetic embeddings table replicated
     // with jitter; the gate prices the path — probe + append cost — not
     // the match semantics, which CorpusIngestSpec pins.)
-    locally {
+    if (armOn("ann")) {
       import graft.operators.AnnIndexStore
       val baseEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -209,17 +216,86 @@ object IngestBench {
       (early, late, compactSec)
     }
     val nLoop = 200
-    println(s"| long loop ($nLoop x 5-doc batches vs 50k-row base) " +
-      "| early avg (s) | late avg (s) | compact total (s) |")
-    Seq(0, 50).foreach { every =>
-      val (early, late, cSec) = loopArm(nLoop, every)
-      val label = if (every == 0) "no compaction" else s"compact every $every"
-      println(f"| $label | $early%.2f | $late%.2f | $cSec%.1f |")
-    }
-    locally {
+    if (armOn("loop")) {
+      println(s"| long loop ($nLoop x 5-doc batches vs 50k-row base) " +
+        "| early avg (s) | late avg (s) | compact total (s) |")
+      Seq(0, 50).foreach { every =>
+        val (early, late, cSec) = loopArm(nLoop, every)
+        val label = if (every == 0) "no compaction" else s"compact every $every"
+        println(f"| $label | $early%.2f | $late%.2f | $cSec%.1f |")
+      }
       val (early, late, cSec) = loopArm(nLoop, 50, labels = true)
       println(f"| compact every 50 + lineage labels (1 cross-dup per 10 " +
         f"batches) | $early%.2f | $late%.2f | $cSec%.1f |")
+    }
+
+    // retirement-cost arm: delete cost must be DELETE-SET-bounded, never
+    // index-sized. Against one 500k-row standing store: time retire()
+    // (one tombstone write + marker) for growing delete sets, the
+    // trickle-lookup penalty while tombstones are live (broadcast
+    // anti-join), and the compact pass that makes the deletes physical.
+    if (armOn("retire")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ingestretire").toString
+      val index = replicate(100).localCheckpoint(true)
+      val n = index.count()
+      SignatureIndexStore.append(spark, root, index, 0L, meta)
+      val trickleSigs = CorpusIngest.signatureIndex(
+        batch.limit(10), "doc_id", "text", cfg).localCheckpoint(true)
+      def lookupWall(): Double = {
+        val t = System.nanoTime()
+        SignatureIndexStore.matches(
+          spark, root, trickleSigs, cfg.threshold).count()
+        (System.nanoTime() - t) / 1e9
+      }
+      println(s"| retire set (vs $n-row store) | retire (s) " +
+        "| 10-doc lookup after (s) |")
+      println(f"| 0 (baseline) | - | ${lookupWall()}%.2f |")
+      Seq(100, 10000, 100000).zipWithIndex.foreach { case (nDel, i) =>
+        val dels = index.select("doc_id").limit(nDel).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        SignatureIndexStore.retire(spark, root, dels, "doc_id", 1L + i)
+        val retireWall = (System.nanoTime() - t0) / 1e9
+        println(f"| $nDel (cumulative) | $retireWall%.2f | " +
+          f"${lookupWall()}%.2f |")
+      }
+      // one live data batch so the compact covers the retire batches,
+      // then the pass that turns tombstones physical
+      SignatureIndexStore.append(spark, root,
+        CorpusIngest.signatureIndex(batch.limit(50), "doc_id", "text", cfg),
+        10L, meta)
+      val c0 = System.nanoTime()
+      SignatureIndexStore.compact(spark, root, keepNewest = 1)
+      println(f"| compact (applies+drops all tombstones) | " +
+        f"${(System.nanoTime() - c0) / 1e9}%.1f | ${lookupWall()}%.2f |")
+    }
+
+    // adversarial merge-chain arm (LabelStore): batches that repeatedly
+    // merge the SAME growing mega-cluster — the worst shape for the
+    // "fold work bounded by the touched subgraph" claim, because the
+    // touched subgraph IS the mega-cluster and grows by a whole cluster
+    // every batch. Seed 20 disjoint 1000-node clusters in one fold, then
+    // one single-pair batch per round splicing the next cluster in;
+    // the fold wall must track the TOUCHED size (mega + 1000), not the
+    // store size, and must not blow up superlinearly.
+    if (armOn("chain")) {
+      import spark.implicits._
+      import graft.operators.LabelStore
+      val lroot = java.nio.file.Files
+        .createTempDirectory("graft-ingestchain").toString + "/labels"
+      val lmeta = LabelStore.Meta(buckets = 64)
+      val seed = (0 until 20).flatMap { c =>
+        (1 until 1000).map(i => (c * 10000L + i, c * 10000L)) }
+      LabelStore.fold(spark, lroot, seed.toDF("a", "b"), "a", "b", 1L, lmeta)
+      println("| merge-chain batch | touched-cluster size | fold (s) |")
+      (1 until 20).foreach { m =>
+        val pair = Seq((0L, m * 10000L)).toDF("a", "b")
+        val t0 = System.nanoTime()
+        LabelStore.fold(spark, lroot, pair, "a", "b", 1L + m, lmeta)
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (Seq(1, 4, 9, 14, 19).contains(m))
+          println(f"| ${m + 1} | ${(m + 1) * 1000} | $wall%.2f |")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl.CrawlCorpusLoop
+import graft.schema.{FetchStatus => FS}
+
+/** SnapshotDelta wired into the wave loop: incremental archive rounds
+  * must fetch EXACTLY the ADDED ∪ CHANGED keys, surface GONE urls in the
+  * frontier journal as retirement candidates, produce a corpus identical
+  * to a full-recrawl run, and resume idempotently from a kill.
+  */
+class ArchiveLoopSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two crawl rounds over a mutated web: A unchanged, B changed,
+  // C gone, E added — every body long enough for 3-shingles
+  private val bodyA =
+    "the harbor restoration project exceeded every stated goal while " +
+      "staying well under the approved budget for the second year running"
+  private val bodyB1 =
+    "ferry schedules rule the day in the small coastal town and every " +
+      "arrival reshuffles the harbor front entirely for an hour"
+  private val bodyB2 =
+    "completely rewritten article about glacier movement and the slow " +
+      "seasonal melt cycles observed across the northern ranges"
+  private val bodyC =
+    "notes on the annual committee review of the municipal water supply " +
+      "infrastructure and the planned maintenance backlog for autumn"
+  private val bodyE =
+    "a brand new page describing the regional library expansion and the " +
+      "reading programs planned for the coming winter season"
+
+  private val round1 = Seq(
+    ("http://a.com/a", bodyA), ("http://a.com/b", bodyB1),
+    ("http://c.com/c", bodyC))
+  private val round2 = Seq(
+    ("http://a.com/a", bodyA), ("http://a.com/b", bodyB2),
+    ("http://e.com/e", bodyE))
+
+  /** Write one round's archive (WARC segments + CDX sidecar). */
+  private def writeRound(
+      base: String, pages: Seq[(String, String)], tMs: Long): (String, String) = {
+    val warc = s"$base/warc"
+    val cdx = s"$base/cdx"
+    graft.sinks.Sinks.writeWarc(
+      pages.toDF("url", "content")
+        .withColumn("contentType", lit("text/html"))
+        .withColumn("fetchTimeMs", lit(tMs)),
+      warc)
+    graft.sinks.Sinks.writeCdx(spark, warc, cdx)
+    (warc, cdx)
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_arch_$tag").toString
+
+  private def corpusSet(workDir: String): Set[(Long, String, String)] =
+    CrawlCorpusLoop.corpus(spark, workDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("incremental round fetches exactly ADDED ∪ CHANGED; GONE lands in the frontier; corpus equals full recrawl") {
+    val fix = tmp("fix")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, 1700086400000L)
+
+    // incremental run
+    val incWork = tmp("inc")
+    CrawlCorpusLoop.runArchiveWave(spark, incWork, 0, warc1, cdx1)
+    CrawlCorpusLoop.runArchiveWave(spark, incWork, 1, warc2, cdx2)
+    // the second wave's FETCH set is exactly ADDED ∪ CHANGED
+    val fetched = spark.read.parquet(s"$incWork/parsed/w=1")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(fetched == Set("http://a.com/b", "http://e.com/e"),
+      s"fetched $fetched")
+    // GONE is visible in the frontier journal, as the retirement feed
+    val gone = CrawlCorpusLoop.retirementCandidates(spark, incWork)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(gone == Set("http://c.com/c"), s"gone $gone")
+    val frontier = graft.crawl.FrontierStore
+      .read(spark, s"$incWork/frontier").get
+      .select("url", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(frontier("http://c.com/c") == FS.HTTP_GONE, frontier.toString)
+    assert(frontier("http://a.com/b") == FS.FETCHED, frontier.toString)
+
+    // full-recrawl run: same rounds, but wave 1 re-reads the whole
+    // archive (no previous-sidecar pointer)
+    val fullWork = tmp("full")
+    CrawlCorpusLoop.runArchiveWave(spark, fullWork, 0, warc1, cdx1)
+    val f = new org.apache.hadoop.fs.Path(fullWork)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(fullWork, "_cdx_0"), false)
+    CrawlCorpusLoop.runArchiveWave(spark, fullWork, 1, warc2, cdx2)
+    // the full round fetched everything…
+    val fullFetched = spark.read.parquet(s"$fullWork/parsed/w=1")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(fullFetched ==
+      Set("http://a.com/a", "http://a.com/b", "http://e.com/e"))
+    // …but the corpora are IDENTICAL: the unchanged re-fetch is dropped
+    // by cross-dedup against the standing signature index
+    assert(corpusSet(incWork) == corpusSet(fullWork))
+    // and the incremental wave-1 slice is exactly the changed + added docs
+    val w1 = spark.read.parquet(s"$incWork/corpus/w=1")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(w1 == Set("http://a.com/b", "http://e.com/e"), s"w1 $w1")
+  }
+
+  test("a kill after staging resumes to the identical end state") {
+    val fix = tmp("fix2")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, 1700086400000L)
+    val work = tmp("kill")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    final class Kill extends RuntimeException("injected")
+    intercept[Kill] {
+      CrawlCorpusLoop.runArchiveWave(spark, work, 1, warc2, cdx2,
+        onStage = (_, stage) => if (stage == "staged") throw new Kill)
+    }
+    assert(!new java.io.File(s"$work/_wave_1").exists())
+    // resume: the staged fetch set is reused, the wave completes
+    val r = CrawlCorpusLoop.runArchiveWave(spark, work, 1, warc2, cdx2)
+    assert(!r.crawled, "resume re-fetched an already-staged wave")
+    val w1 = spark.read.parquet(s"$work/corpus/w=1")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(w1 == Set("http://a.com/b", "http://e.com/e"), s"w1 $w1")
+    assert(CrawlCorpusLoop.retirementCandidates(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet ==
+      Set("http://c.com/c"))
+    // re-running the completed wave is a marker-gated no-op
+    val again = CrawlCorpusLoop.runArchiveWave(spark, work, 1, warc2, cdx2)
+    assert(!again.crawled && again.accepted == r.accepted)
+  }
+
+  test("a re-captured GONE url flips back to FETCHED and leaves the retirement feed") {
+    val fix = tmp("fix3")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, 1700086400000L)
+    // round 3: C comes back (same content), B and E persist unchanged
+    val round3 = Seq(
+      ("http://a.com/a", bodyA), ("http://a.com/b", bodyB2),
+      ("http://e.com/e", bodyE), ("http://c.com/c", bodyC))
+    val (warc3, cdx3) = writeRound(s"$fix/r3", round3, 1700172800000L)
+    val work = tmp("flip")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    CrawlCorpusLoop.runArchiveWave(spark, work, 1, warc2, cdx2)
+    CrawlCorpusLoop.runArchiveWave(spark, work, 2, warc3, cdx3)
+    // wave 2 fetched only the re-ADDED C
+    val fetched = spark.read.parquet(s"$work/parsed/w=2")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(fetched == Set("http://c.com/c"), s"fetched $fetched")
+    // the retirement feed is empty again (terminal recency)
+    assert(CrawlCorpusLoop.retirementCandidates(spark, work)
+      .collect().isEmpty)
+    // and C's re-capture was dropped by cross-dedup (same content as
+    // wave 0's ingest): each distinct BODY is in the corpus exactly once
+    // (url b appears twice by design — its old AND changed capture were
+    // both accepted; same url, different content)
+    val rows = CrawlCorpusLoop.corpus(spark, work)
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.size == rows.distinct.size, s"duplicate captures: $rows")
+    assert(rows.count(_._1 == "http://c.com/c") == 1, rows.toString)
+  }
+}
