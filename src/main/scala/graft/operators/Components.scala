@@ -42,50 +42,65 @@ object Components {
     * cluster diameter; > a handful on an LSH graph means the candidate
     * generator is linking things it shouldn't).
     *
-    * One job per round: the convergence probe rides the label aggregation
-    * itself via `observe` — each node's previous label travels through
-    * the union tagged as `old`, and a CollectMetrics sum of
-    * (component != old) comes back with the round's materializing action,
-    * so no separate join+count job runs (labels decrease monotonically,
-    * so zero changed rows IS the fixpoint).
+    * The convergence probe rides the label aggregation itself via
+    * `observe`: the edge set carries one SELF-LOOP per node, so a single
+    * join delivers each node's own previous label (via its self-edge)
+    * next to its neighbors' labels — `min` is the new label, the
+    * self-edge's value the old one, and a CollectMetrics sum of
+    * (new != old) comes back with the materializing action. No separate
+    * join+count job, and each round references the previous frame exactly
+    * ONCE — which is what lets `checkpointEvery` chain several rounds
+    * into one job: only every k-th round pays a `localCheckpoint`
+    * materialization (the per-JOB floor the iterative composites q107/
+    * q109 sit on), while the per-round observations still resolve with
+    * that one action, so the reported round count stays EXACT (labels
+    * decrease monotonically; the first round with zero changes is the
+    * fixpoint, and any chained rounds after it are no-ops).
     */
   def connectedComponentsWithStats(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): (DataFrame, Int) = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      maxIter: Int = 30,
+      /** Rounds chained per materialization (1 = checkpoint every round,
+        * the pre-round-12 behavior). Result and round count are
+        * checkpoint-cadence-independent (spec-pinned).
+        */
+      checkpointEvery: Int = 2): (DataFrame, Int) = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = directed
+      .union(directed.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    val idType = labels.schema("component").dataType
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      // every id occurs exactly once in the labels branch (edges are
-      // symmetric, so dst ids are src ids), hence max(old) recovers the
-      // previous label and min(component) the new one in ONE aggregate
-      val next = edges.as("e")
-        .join(labels.as("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.component").as("component"),
-          lit(null).cast(idType).as("old"))
-        .union(labels.select(col("id"), col("component"),
-          col("component").as("old")))
-        .groupBy("id")
-        .agg(min("component").as("component"), max("old").as("old"))
-        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select(col("id"), col("component"))
-        .localCheckpoint(true)
-      val changed = obs.get.getOrElse("changed", null) match {
+      val k = math.min(checkpointEvery, maxIter - iter)
+      val obss = (1 to k).map(j =>
+        new org.apache.spark.sql.Observation(s"cc_changed_${iter + j}"))
+      var cur = labels
+      obss.foreach { obs =>
+        cur = edges.as("e")
+          .join(cur.as("l"), col("e.dst") === col("l.id"))
+          .groupBy(col("e.src").as("id"))
+          .agg(min(col("l.component")).as("component"),
+            max(when(col("e.src") === col("e.dst"), col("l.component")))
+              .as("old"))
+          .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+            .otherwise(0L)).as("changed"))
+          .select(col("id"), col("component"))
+      }
+      labels = cur.localCheckpoint(true) // one action resolves all k probes
+      val changed = obss.map(_.get.getOrElse("changed", null) match {
         case n: java.lang.Long => n.longValue()
         case _                 => 0L // empty frame: sum over no rows is null
-      }
-      labels = next
-      converged = changed == 0L
-      iter += 1
+      })
+      val zeroAt = changed.indexWhere(_ == 0L)
+      if (zeroAt >= 0) { converged = true; iter += zeroAt + 1 }
+      else iter += k
     }
     (labels, iter)
   }

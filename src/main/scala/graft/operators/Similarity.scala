@@ -781,18 +781,9 @@ object Similarity {
         expr("aggregate(zip_with(__qv, __cent, (a, b) -> (a - b) * (a - b)), " +
           "0L, (s, x) -> s + x)").as("dist2"))
       .localCheckpoint(true) // feeds the histogram AND the final gate
-    val hist = dist.groupBy(col("stratum"), col("dist2"))
-      .agg(count(lit(1)).as("__n"))
-    val cum = hist.withColumn("__cum",
-      sum(col("__n")).over(
-        Window.partitionBy("stratum").orderBy("dist2")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val fences = cum
-      .join(broadcast(hist.groupBy("stratum").agg(sum("__n").as("__tot"))),
-        Seq("stratum"))
-      .groupBy("stratum")
-      .agg(min(when(col("__cum") * pDen >= col("__tot") * (pDen - pNum),
-        col("dist2"))).as("__fence"))
+    val fences = TextOps.quantileFences(dist, "dist2", "stratum",
+        Seq(pDen - pNum), pDen)
+      .withColumnRenamed("__f1", "__fence")
     dist.join(broadcast(fences), Seq("stratum"))
       .select(col(idCol), col("stratum"), col("dist2"),
         (col("dist2") > col("__fence")).as("is_outlier"))

@@ -1048,22 +1048,57 @@ object TextOps {
     require(pNum >= 0 && pNum < pDen, "need 0 <= pNum/pDen < 1")
     val toks = df.select(col(idCol), col(strataCol).as("stratum"),
       size(expr(tokensSql(textCol))).cast("long").as("n_tokens"))
-    val hist = toks.groupBy("stratum", "n_tokens").agg(count(lit(1)).as("n"))
-    val cum = hist.withColumn("cum",
-      sum(col("n")).over(
-        Window.partitionBy("stratum").orderBy("n_tokens")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val thresholds = cum
-      .join(broadcast(hist.groupBy("stratum").agg(sum("n").as("n_docs"))),
-        Seq("stratum"))
-      // smallest token count whose cumulative share reaches pNum/pDen —
-      // the discrete quantile, same selector expression as the oracle
-      .groupBy("stratum")
-      .agg(min(when(col("cum") * pDen >= col("n_docs") * pNum,
-        col("n_tokens"))).as("min_keep_tokens"))
+    // smallest token count whose cumulative share reaches pNum/pDen —
+    // the discrete quantile, same selector expression as the oracle
+    val thresholds = quantileFences(toks, "n_tokens", "stratum",
+        Seq(pNum), pDen)
+      .withColumnRenamed("__f1", "min_keep_tokens")
     toks.join(broadcast(thresholds), Seq("stratum"))
       .filter(col("n_tokens") >= col("min_keep_tokens"))
       .select(col(idCol), col("stratum"), col("n_tokens"))
+  }
+
+  /** Per-stratum EXACT discrete-quantile fences over an integer score —
+    * the shared histogram-quantile machinery behind
+    * [[fixedPointBuckets]], [[stratumLengthGate]] and
+    * [[Similarity.embeddingOutliers]] (no percentile_approx, no float
+    * fences, no driver collect — the assignment is oracle-checkable
+    * bit-for-bit on any engine). Fence i = the smallest score whose
+    * per-stratum cumulative count reaches `numerators(i)/den`; output is
+    * a STRATA-sized frame (strataCol, <prefix>1..<prefix>N) meant to be
+    * broadcast back onto the data.
+    *
+    * Scale + plan discipline, enforced here ONCE for every consumer:
+    * one hash aggregate to the (stratum × distinct score) histogram, then
+    * BOTH the running sum and the per-stratum total ride the SAME
+    * partition+order window spec (total = unbounded frame), so Catalyst
+    * collapses them into ONE WindowExec over the histogram — one sort,
+    * never two, and never a window over the corpus. A null stratum stays
+    * its own group (a join-based total would silently drop it);
+    * consumers joining fences back equi-join or `<=>` as their null
+    * policy demands.
+    */
+  def quantileFences(
+      df: DataFrame, scoreCol: String, strataCol: String,
+      numerators: Seq[Int], den: Int,
+      fencePrefix: String = "__f"): DataFrame = {
+    require(numerators.nonEmpty && den >= 1, "need fences and den >= 1")
+    val hist = df.groupBy(col(strataCol), col(scoreCol))
+      .agg(count(lit(1)).as("__n"))
+    val cum = hist.withColumn("__cum",
+        sum(col("__n")).over(
+          Window.partitionBy(strataCol).orderBy(scoreCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nd",
+        sum(col("__n")).over(
+          Window.partitionBy(strataCol).orderBy(scoreCol)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+    val fenceCols = numerators.zipWithIndex.map { case (num, i) =>
+      min(when(col("__cum") * den >= col("__nd") * num, col(scoreCol)))
+        .as(s"$fencePrefix${i + 1}")
+    }
+    cum.groupBy(col(strataCol)).agg(fenceCols.head, fenceCols.tail: _*)
   }
 
   /** Per-stratum tier assignment over an INTEGER (fixed-point) score:
@@ -1084,28 +1119,11 @@ object TextOps {
       df: DataFrame, fpCol: String, strataCol: String,
       buckets: Int, bucketCol: String): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
-    val hist = df.groupBy(col(strataCol), col(fpCol))
-      .agg(count(lit(1)).as("__n"))
-    // per-stratum total as a window over the SAME partitioning as the
-    // running sum (not a join back: window partitions keep a null stratum
-    // as its own group, an equi-join would silently drop it)
-    val cum = hist.withColumn("__cum",
-        sum(col("__n")).over(
-          Window.partitionBy(strataCol).orderBy(fpCol)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__nd",
-        // same partition+order spec as __cum with an unbounded frame, so
-        // Catalyst collapses both into ONE WindowExec (one sort, not two)
-        sum(col("__n")).over(
-          Window.partitionBy(strataCol).orderBy(fpCol)
-            .rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing)))
     // fence i = smallest score whose cumulative share reaches i/buckets —
-    // the discrete quantile, same selector as the oracle
-    val fenceCols = (1 until buckets).map(i =>
-      min(when(col("__cum") * buckets >= col("__nd") * i, col(fpCol)))
-        .as(s"__f$i"))
-    val fences = cum.groupBy(strataCol).agg(fenceCols.head, fenceCols.tail: _*)
+    // the discrete quantile, same selector as the oracle; quantileFences
+    // holds the one-WindowExec + null-stratum-group discipline
+    val fences = quantileFences(df, fpCol, strataCol,
+      (1 until buckets).toSeq, buckets)
     // null-safe fence join: groupBy keeps a null stratum as its own group,
     // but a plain equi-join would then silently DROP those rows (null never
     // equals null) — a quiet row loss for corpora with null lang/stratum.

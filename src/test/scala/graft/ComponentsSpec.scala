@@ -36,6 +36,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.keySet == (100L to 112L).toSet)
   }
 
+  test("checkpoint cadence changes neither labels nor the reported round count") {
+    import spark.implicits._
+    // a path (deep diameter), a clique, and an isolated pair — exercises
+    // mid-superstep convergence, exact-boundary convergence, and round
+    // counts that are not multiples of the cadence
+    val pairs = ((100L until 112L).map(i => (i, i + 1)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (50L, 51L))).toDF("a", "b")
+    val results = Seq(1, 2, 3, 7).map { k =>
+      val (labels, rounds) = Components.connectedComponentsWithStats(
+        pairs, "a", "b", checkpointEvery = k)
+      (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    assert(results.map(_._1).distinct.size == 1,
+      s"labels differ across cadences")
+    assert(results.map(_._2).distinct.size == 1,
+      s"round counts differ across cadences: ${results.map(_._2)}")
+  }
+
   test("round count: diameter-bounded on paths, observed probe matches") {
     import spark.implicits._
     // 12-hop path: needs ~log/diameter rounds, must report them honestly
