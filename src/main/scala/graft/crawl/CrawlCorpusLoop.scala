@@ -226,8 +226,13 @@ object CrawlCorpusLoop {
     if (exists(spark, s"$workDir/_wave_$wave"))
       return WaveResult(wave, crawled = false,
         spark.read.parquet(corpusDir).count())
-    val prevCdx = graft.util.StoreProtocol.readSmall(
-      f, new Path(workDir, s"_cdx_${wave - 1}")).map(_.trim)
+    // most recent recorded sidecar, scanning past waves that recorded
+    // none (takedown slots, pre-archive live waves) — a lifecycle slot
+    // must not silently demote the next round to a full re-read
+    val prevCdx = ((wave - 1) to 0 by -1).view
+      .flatMap(k => graft.util.StoreProtocol.readSmall(
+        f, new Path(workDir, s"_cdx_$k")))
+      .headOption.map(_.trim)
 
     def latestUrls(entries: DataFrame) = entries
       .groupBy(col("surt"))
@@ -322,6 +327,36 @@ object CrawlCorpusLoop {
     WaveResult(wave, crawled, n)
   }
 
+  /** Run a takedown as a dedicated WAVE SLOT of this loop: the delete
+    * set propagates through the loop's corpus slices and standing
+    * stores ([[graft.operators.Takedown]]'s journal protocol) with every
+    * store's retirement batch id pinned to `wave` — the loop allocates
+    * store batch ids from its wave counter, so giving the retirement its
+    * own slot is what keeps later waves' appends from ever colliding
+    * with the tombstone batch (the stores refuse such an overwrite
+    * loudly; this keeps it from arising at all). Marks `_wave_<wave>`
+    * so the wave sequence stays dense for resume. Typical feed:
+    * [[retirementCandidates]] after a grace period.
+    */
+  def takedownWave(
+      spark: SparkSession, workDir: String, ids: DataFrame, idCol: String,
+      wave: Int, annRoot: Option[String] = None,
+      lineage: Boolean = false): Long = {
+    val f = fs(spark, workDir)
+    val tid = graft.operators.Takedown.takedown(spark, ids, idCol,
+      graft.operators.Takedown.Targets(
+        corpusDir = Some(s"$workDir/corpus"),
+        corpusPartitionCol = "w",
+        sigRoot = Some(s"$workDir/sig"),
+        annRoot = annRoot,
+        labelsRoot = if (lineage) Some(s"$workDir/labels") else None),
+      s"$workDir/takedowns",
+      retireBatchId = Some(wave.toLong))
+    graft.util.FsAtomic.writePointer(
+      f, new Path(workDir), s"_wave_$wave", "takedown")
+    tid
+  }
+
   /** GONE-derived retirement candidates accumulated in the frontier — the
     * [[graft.operators.Takedown]] feed: (url, doc_id, gone_since). A URL
     * re-captured by a later round flips back to FETCHED (terminal
@@ -342,13 +377,16 @@ object CrawlCorpusLoop {
           org.apache.spark.sql.types.StructField("gone_since",
             org.apache.spark.sql.types.LongType)))))
 
-  /** The corpus accumulated so far: every completed wave's accepted docs. */
+  /** The corpus accumulated so far: every completed wave's accepted docs
+    * (takedown wave slots have no corpus slice and are skipped).
+    */
   def corpus(spark: SparkSession, workDir: String): DataFrame = {
     val f = fs(spark, workDir)
     val done = Option(f.globStatus(new Path(workDir, "_wave_*")))
       .getOrElse(Array.empty)
       .map(_.getPath.getName.stripPrefix("_wave_").toInt).sorted
     val dirs = done.map(w => s"$workDir/corpus/w=$w")
+      .filter(d => f.exists(new Path(d)))
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

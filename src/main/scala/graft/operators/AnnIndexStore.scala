@@ -119,6 +119,8 @@ object AnnIndexStore {
         s"store at $root is compacted through batch $upTo; appending " +
           s"batch $batchId would be invisible to every reader")
     }
+    // a retirement batch's id must never be overwritten by a data marker
+    StoreProtocol.requireDataBatchId(spark, root, batchId)
     Similarity.ivfAssign(df, idCol, vecCol,
         centroids(spark, root), "cent_id", "cv", meta.dim)
       .repartition(col("cell"))

@@ -221,6 +221,8 @@ object LabelStore {
         s"label store at $root is compacted through batch $upTo; " +
           s"folding batch $batchId would be invisible to every reader")
     }
+    // a retirement batch's id must never be overwritten by a fold marker
+    StoreProtocol.requireDataBatchId(spark, root, batchId)
     // the pair count rides the pinning job as an observed metric: a
     // trickle loop's common case is ZERO cross pairs per batch, and that
     // case must commit with one marker write, not a CC round + two

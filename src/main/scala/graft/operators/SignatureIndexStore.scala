@@ -139,6 +139,8 @@ object SignatureIndexStore {
         s"store at $root is compacted through batch $upTo; appending " +
           s"batch $batchId would be invisible to every reader")
     }
+    // a retirement batch's id must never be overwritten by a data marker
+    StoreProtocol.requireDataBatchId(spark, root, batchId)
     // pin once: the bands projection and the sigs write must see the
     // same rows even if the input pipeline is nondeterministic
     val pinned = sigs.select(col("doc_id"), col("sig"))

@@ -37,11 +37,15 @@ import graft.util.{FsAtomic, StoreProtocol}
 object Takedown {
 
   /** Everything one delete set must reach. Roots that are None (or
-    * stores that do not exist yet) are skipped.
+    * stores that do not exist yet) are skipped. `corpusPartitionCol`
+    * names the corpus's directory-partition column (`batch=` dirs for
+    * the streaming ingest layout, `w=` for [[graft.crawl
+    * .CrawlCorpusLoop]] wave slices).
     */
   final case class Targets(
     corpusDir: Option[String] = None,
     corpusIdCol: String = "doc_id",
+    corpusPartitionCol: String = "batch",
     sigRoot: Option[String] = None,
     annRoot: Option[String] = None,
     labelsRoot: Option[String] = None)
@@ -63,7 +67,16 @@ object Takedown {
     */
   def takedown(
       spark: SparkSession, ids: DataFrame, idCol: String,
-      targets: Targets, journalDir: String): Long = {
+      targets: Targets, journalDir: String,
+      /** Retirement batch id to use in EVERY store instead of the
+        * default max-committed+1. A loop that allocates store batch ids
+        * from its own counter (wave numbers) MUST pass its next slot
+        * here — otherwise a later wave's append could collide with the
+        * auto-picked retire id (the stores refuse the overwrite, but
+        * the loop would wedge). See [[graft.crawl.CrawlCorpusLoop
+        * .takedownWave]].
+        */
+      retireBatchId: Option[Long] = None): Long = {
     resume(spark, targets, journalDir) // drain anything pending first
     val tid = tdDirs(spark, journalDir).lastOption.getOrElse(-1L) + 1L
     val td = s"$journalDir/td=$tid"
@@ -72,12 +85,14 @@ object Takedown {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$td/ids")
-    // pin each store's retirement batch id NOW (max committed + 1), so a
-    // crashed run and its resume retire under the SAME id — idempotent
+    // pin each store's retirement batch id NOW (caller-supplied, or max
+    // committed + 1), so a crashed run and its resume retire under the
+    // SAME id — idempotent
     def nextBatch(root: Option[String]): Option[Long] = root.flatMap { r =>
       if (StoreProtocol.readMetaKv(spark, r).isEmpty) None
-      else Some(StoreProtocol.committedBatches(spark, r)
-        .lastOption.getOrElse(-1L) + 1L)
+      else Some(retireBatchId.getOrElse(
+        StoreProtocol.committedBatches(spark, r)
+          .lastOption.getOrElse(-1L) + 1L))
     }
     val plan = Seq(
       nextBatch(targets.sigRoot).map(b => s"sig $b"),
@@ -126,7 +141,8 @@ object Takedown {
       LabelStore.retire(spark, root, ids, "id", b)
     }
     targets.corpusDir.foreach(dir =>
-      rewriteCorpus(spark, dir, targets.corpusIdCol, ids, td))
+      rewriteCorpus(spark, dir, targets.corpusIdCol,
+        targets.corpusPartitionCol, ids, td))
     FsAtomic.writePointer(f, new Path(td), "_DONE", "done")
   }
 
@@ -141,37 +157,37 @@ object Takedown {
     */
   private def rewriteCorpus(
       spark: SparkSession, corpusDir: String, idCol: String,
-      ids: DataFrame, td: String): Unit = {
+      partCol: String, ids: DataFrame, td: String): Unit = {
     val f = fs(spark, corpusDir)
     val rewriteRoot = s"$td/rewrite"
     // 1. finish or discard leftover rewrites from a crashed attempt
     val rr = new Path(rewriteRoot)
     if (f.exists(rr)) f.listStatus(rr).map(_.getPath).foreach { p =>
-      val name = p.getName // batch=<b>
+      val name = p.getName // <partCol>=<b>
       if (f.exists(new Path(p, "_SUCCESS"))) {
         val target = new Path(s"$corpusDir/$name")
         if (f.exists(target)) f.delete(target, true)
         f.rename(p, target)
       } else f.delete(p, true)
     }
-    // 2. affected dirs = batch partitions still holding retired ids
+    // 2. affected dirs = partitions still holding retired ids
     //    (one broadcast semi-join; collect is bounded by the delete set)
     val corpusRoot = new Path(corpusDir)
     if (!f.exists(corpusRoot)) return
     val batchDirs = f.listStatus(corpusRoot).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).toSeq
+      .filter(_.startsWith(s"$partCol=")).toSeq
     if (batchDirs.isEmpty) return
     val corpus = spark.read
       .option("basePath", corpusDir)
       .parquet(batchDirs.map(d => s"$corpusDir/$d"): _*)
     val affected = corpus
       .join(broadcast(ids), corpus(idCol) === ids("id"), "left_semi")
-      .select(col("batch").cast("long")).distinct()
+      .select(col(partCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     // 3. rewrite + swap each affected dir (survivor rows only)
     affected.foreach { b =>
-      val target = s"$corpusDir/batch=$b"
-      val tmp = s"$rewriteRoot/batch=$b"
+      val target = s"$corpusDir/$partCol=$b"
+      val tmp = s"$rewriteRoot/$partCol=$b"
       spark.read.parquet(target)
         .join(broadcast(ids), col(idCol) === ids("id"), "left_anti")
         .write.mode("overwrite").parquet(tmp)

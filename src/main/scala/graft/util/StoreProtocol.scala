@@ -219,6 +219,20 @@ object StoreProtocol {
           "batch id")
     }
 
+  /** Guard a DATA batch id (the mirror of [[requireRetireBatchId]]): a
+    * data append/fold must not reuse a committed RETIREMENT batch's id —
+    * rewriting that marker with a data marker would erase its "tombs"
+    * line and silently resurrect every retired row. An id whose marker
+    * records no tombstones (a plain data retry) passes.
+    */
+  def requireDataBatchId(
+      spark: SparkSession, root: String, batchId: Long): Unit =
+    require(
+      !markerBuckets(spark, root, "tombs", batchId).exists(_.nonEmpty),
+      s"batch $batchId at $root is a committed RETIREMENT batch; " +
+        "appending data under its id would overwrite the tombstone " +
+        "marker and resurrect retired rows — use a fresh batch id")
+
   /** Post-commit compaction cleanup: physically remove everything the
     * CURRENT `_COMPACT` pointer supersedes — every committed batch dir +
     * marker at or below `coveredUpTo` (not merely the batches folded in

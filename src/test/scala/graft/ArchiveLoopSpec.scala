@@ -134,6 +134,57 @@ class ArchiveLoopSpec extends AnyFunSuite {
     assert(!again.crawled && again.accepted == r.accepted)
   }
 
+  test("GONE feed drives takedownWave: the vanished url leaves corpus and standing index") {
+    val fix = tmp("fix4")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, 1700086400000L)
+    val work = tmp("td")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    CrawlCorpusLoop.runArchiveWave(spark, work, 1, warc2, cdx2)
+    // the full lifecycle composition: GONE candidates → one delete set →
+    // corpus slices + standing signature index, as wave slot 2 (so no
+    // later wave can collide with the retirement batch)
+    val gone = CrawlCorpusLoop.retirementCandidates(spark, work)
+    assert(gone.count() == 1L)
+    CrawlCorpusLoop.takedownWave(spark, work, gone, "doc_id", wave = 2)
+    // C's capture is gone from every wave slice…
+    val urls = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.contains("http://c.com/c"), s"corpus still holds C: $urls")
+    assert(urls == Set("http://a.com/a", "http://a.com/b", "http://e.com/e"))
+    // …and from the standing signature index: a verbatim resubmission of
+    // C's body matches nothing anymore
+    val probe = graft.operators.CorpusIngest.signatureIndex(
+      Seq((777L, bodyC)).toDF("doc_id", "text"),
+      "doc_id", "text", graft.operators.CorpusIngest.Config())
+    val m = graft.operators.SignatureIndexStore.matches(
+      spark, s"$work/sig", probe, 0.5)
+    assert(m.collect().isEmpty,
+      "retired doc still matches in the standing signature index")
+    // the loop CONTINUES after the takedown wave: wave 3's snapshot has
+    // C back — the sidecar diff looks PAST the takedown slot (vs wave
+    // 1's sidecar), fetches only the re-added C, and its append id (3)
+    // is past the retirement batch (2), so the re-capture is live again
+    val round3 = round2 :+ ("http://c.com/c", bodyC)
+    val (warc3, cdx3) = writeRound(s"$fix/r3", round3, 1700172800000L)
+    CrawlCorpusLoop.runArchiveWave(spark, work, 3, warc3, cdx3)
+    val fetched3 = spark.read.parquet(s"$work/parsed/w=3")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(fetched3 == Set("http://c.com/c"), s"fetched $fetched3")
+    val urls2 = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls2.contains("http://c.com/c"), s"re-capture not live: $urls2")
+    // and a data append at the RETIREMENT batch id is refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.SignatureIndexStore.append(spark, s"$work/sig",
+        probe, 2L, graft.operators.SignatureIndexStore.Meta(
+          graft.operators.CorpusIngest.indexBuckets(
+            graft.operators.CorpusIngest.Config()),
+          graft.operators.CorpusIngest.Config().numHashes,
+          graft.operators.CorpusIngest.Config().bandSize))
+    }
+  }
+
   test("a re-captured GONE url flips back to FETCHED and leaves the retirement feed") {
     val fix = tmp("fix3")
     val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
