@@ -187,6 +187,24 @@ object AnnIndexStore {
     else parts.reduce(_ unionByName _)
   }
 
+  /** Total on-disk bytes of the probed cells across all visible sources
+    * — the driver-side size probe behind [[query]]'s index-broadcast
+    * branch. Cost: one `getContentSummary` per existing (source, cell)
+    * dir — bounded by sources × probed cells, the same class as
+    * [[readVecs]]'s existence checks.
+    */
+  private def probedCellBytes(
+      spark: SparkSession, root: String, gen: Option[Long],
+      batches: Seq[Long], cells: Seq[Long]): Long = {
+    val f = fs(spark, root)
+    val bases = gen.map(k => s"$root/vecs/c$k").toSeq ++
+      batches.map(b => s"$root/vecs/batch=$b")
+    bases.flatMap(base => cells.map(c => new Path(s"$base/cell=$c")))
+      .filter(f.exists)
+      .map(p => f.getContentSummary(p).getLength)
+      .sum
+  }
+
   /** Retire `vids` from the standing index as batch `batchId` — one
     * tombstone file + marker (delete-set-bounded); [[query]] excludes
     * tombstoned vectors by a broadcast anti-join and [[compact]] drops
@@ -270,18 +288,29 @@ object AnnIndexStore {
     * (queries × nprobe) the probe side is broadcast and the pruned index
     * scan streams through it — the trickle/point-lookup shape. Above it
     * — e.g. re-deduplicating a whole day's embeddings against the store —
-    * broadcasting millions of float vectors would be the scale killer,
-    * so both sides shuffle on `cell` (sort-merge join, plan-pinned) and
-    * each (query, cell) group is reduced to its local top-K BEFORE the
-    * global per-query window: the cell hash partitioning already
-    * co-locates (query, cell) groups, so the reduce adds a sort but no
-    * extra shuffle, and the final window sees ≤ nprobe × k rows per
-    * query instead of whole cells.
+    * broadcasting millions of float vectors would be the scale killer;
+    * there the switch looks at the INDEX side next: the probed cells'
+    * on-disk byte size is known driver-side from the explicit paths, so
+    * a big batch against a SMALL probed index (at or below
+    * `broadcastMaxIndexBytes`) broadcasts the index instead — the probe
+    * side keeps its full input parallelism, and the final per-query
+    * window prunes map-side (WindowGroupLimit, the q04 pattern). Only
+    * when BOTH sides are big do the two shuffle on `cell` (sort-merge
+    * join, plan-pinned), each (query, cell) group reduced to its local
+    * top-K BEFORE the global per-query window: the cell hash
+    * partitioning already co-locates (query, cell) groups, so the reduce
+    * adds a sort but no extra shuffle, and the final window sees
+    * ≤ nprobe × k rows per query instead of whole cells. (The
+    * cell-shuffle fallback needs a fine quantizer to parallelize —
+    * task count ≤ probed cells — which production-sized centroid counts
+    * provide; the index-broadcast branch is what keeps a COARSE
+    * quantizer from collapsing a big batch onto a handful of tasks.)
     */
   def query(
       spark: SparkSession, root: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       broadcastMaxProbes: Long = 10000L,
+      broadcastMaxIndexBytes: Long = 256L << 20,
       belowBatch: Long = Long.MaxValue): DataFrame = {
     val meta = readMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no ANN store at $root — build first"))
@@ -325,9 +354,35 @@ object AnnIndexStore {
       col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid")
     // probes is checkpointed, so the size probe is a cheap local count
     val probeRows = probes.count()
+    val smallIndex = probedCellBytes(spark, root, gen, batches, cells) <=
+      broadcastMaxIndexBytes
+    // a SMALL probed index arrives as a handful of tiny files, which the
+    // scan coalesces into one or two partitions — fine for the scan, a
+    // parallelism collapse for the dot-product join ON TOP of it (the
+    // scored pair count is |probes| × |probed vectors| however few
+    // partitions carry them). Spreading a small index is by definition
+    // cheap; a big index already scans wide and is never reshuffled here.
+    val vecsSpread =
+      if (smallIndex)
+        vecs.repartition(spark.sparkContext.defaultParallelism)
+      else vecs
     val scored =
       if (probeRows <= broadcastMaxProbes)
-        broadcast(probes.as("q")).join(vecs.as("c"), cond)
+        broadcast(probes.as("q")).join(vecsSpread.as("c"), cond)
+          .select(col("q.qvid").as("query_id"),
+            col("c.vid").as("neighbor_id"), col("c.cell"),
+            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+              (col("q.qn") * col("c.n"))).as("cos"))
+      else if (smallIndex)
+        // big batch vs SMALL probed index: broadcast the index side.
+        // The probe side is EXPLICITLY respread first — its checkpoint
+        // materialized behind an AQE-coalesced exchange, and a byte-
+        // light probe set collapses to one partition there, which would
+        // run the (|probes| × |cell vectors|) dot-product join on ONE
+        // task; the explicit numbered repartition is exempt from AQE
+        // coalescing and costs only the (batch-sized) probe shuffle
+        probes.repartition(spark.sparkContext.defaultParallelism).as("q")
+          .join(broadcast(vecs.as("c")), cond)
           .select(col("q.qvid").as("query_id"),
             col("c.vid").as("neighbor_id"), col("c.cell"),
             (VectorExpressions.dot(col("q.qv"), col("c.v")) /
@@ -350,10 +405,14 @@ object AnnIndexStore {
           .filter(col("crn") <= k)
           .drop("crn")
       }
+    // filter on the RAW rank, cast after: the rank-filter-on-window
+    // pattern is what WindowGroupLimit rewrites into a map-side prune —
+    // a cast between the rank and the filter can hide the pattern
     scored
-      .withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= k)
-      .drop("cell")
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .withColumn("rn", col("__rnk").cast("bigint"))
+      .drop("cell", "__rnk")
   }
 
   /** Every indexed vector as (vid, v) — the whole-index read that

@@ -600,8 +600,10 @@ object TextQueries {
       val root = base + "/store"
       val meta = SignatureIndexStore.Meta(
         cfg.indexBuckets, cfg.numHashes, cfg.bandSize)
-      def sigsOf(f: org.apache.spark.sql.Column) =
-        CorpusIngest.signatureIndex(all.filter(f), "doc_id", "text", cfg)
+      // ONE signature pass over the corpus; the batches slice it
+      val sigs = CorpusIngest.signatureIndex(all, "doc_id", "text", cfg)
+        .localCheckpoint(true)
+      def sigsOf(f: org.apache.spark.sql.Column) = sigs.filter(f)
       SignatureIndexStore.append(s, root,
         sigsOf(col("doc_id") % 2 === 0), 0L, meta)
       SignatureIndexStore.append(s, root,

@@ -74,12 +74,25 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     val smallPairs = pairs(small)
     val smallPlan = small.queryExecution.executedPlan.toString
     assert(smallPlan.contains("BroadcastExchange"), smallPlan.take(3000))
-    // force the batch-scale path: the probe side must NOT be broadcast
-    // (a day's embeddings re-deduplicated against the store would OOM the
-    // driver through that broadcast) — shuffle on cell, sort-merge join
-    val big = AnnIndexStore.query(
+    // big batch vs SMALL probed index: the INDEX side broadcasts — the
+    // probe side keeps its input parallelism instead of collapsing onto
+    // <= |cells| shuffle tasks under a coarse quantizer
+    val mid = AnnIndexStore.query(
       spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8,
       broadcastMaxProbes = 0L)
+    val midPairs = pairs(mid)
+    val midPlan = mid.queryExecution.executedPlan.toString
+    assert(midPlan.contains("BroadcastExchange"), midPlan.take(3000))
+    assert(!midPlan.contains("SortMergeJoin"), midPlan.take(3000))
+    assert(midPairs == smallPairs,
+      s"diff=${(midPairs diff smallPairs) ++ (smallPairs diff midPairs)}")
+    // force the batch-scale path (BOTH sides big): nothing broadcast —
+    // a day's embeddings re-deduplicated against a 100 TB store would
+    // OOM the driver through either broadcast — shuffle on cell,
+    // sort-merge join
+    val big = AnnIndexStore.query(
+      spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8,
+      broadcastMaxProbes = 0L, broadcastMaxIndexBytes = 0L)
     val bigPairs = pairs(big)
     val bigPlan = big.queryExecution.executedPlan.toString
     assert(!bigPlan.contains("BroadcastExchange"), bigPlan.take(3000))
