@@ -104,7 +104,12 @@ object AnnIndexStore {
     */
   def append(
       spark: SparkSession, root: String, df: DataFrame,
-      idCol: String, vecCol: String, batchId: Long): Unit = {
+      idCol: String, vecCol: String, batchId: Long,
+      /** Ids retired atomically with this batch's commit (the streaming-
+        * loop form — see [[SignatureIndexStore.append]]'s twin param).
+        */
+      retireIds: Option[DataFrame] = None,
+      retireIdCol: String = "id"): Unit = {
     val meta = readMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no ANN store at $root — build first"))
     require(df.schema(vecCol).dataType ==
@@ -119,14 +124,22 @@ object AnnIndexStore {
         s"store at $root is compacted through batch $upTo; appending " +
           s"batch $batchId would be invisible to every reader")
     }
-    // a retirement batch's id must never be overwritten by a data marker
-    StoreProtocol.requireDataBatchId(spark, root, batchId)
+    // a retirement batch's id must never be overwritten by a PURE data
+    // marker (a retiring batch's own retry legitimately rewrites it)
+    if (retireIds.isEmpty)
+      StoreProtocol.requireDataBatchId(spark, root, batchId)
     Similarity.ivfAssign(df, idCol, vecCol,
         centroids(spark, root), "cent_id", "cv", meta.dim)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vecs/batch=$batchId")
-    StoreProtocol.writeCommitMarker(spark, root, batchId, "")
+    retireIds match {
+      case Some(ids) =>
+        StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)
+        StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"))
+      case None =>
+        StoreProtocol.writeCommitMarker(spark, root, batchId, "")
+    }
   }
 
   private val vecsSchema = StructType(Seq(

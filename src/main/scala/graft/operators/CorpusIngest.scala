@@ -247,16 +247,35 @@ object CorpusIngest {
         * index appends. Pair frames are lazy: without a labelsRoot none
         * of them is ever computed.
         */
-      labelsRoot: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
+      labelsRoot: Option[String] = None,
+      /** Ids retired ATOMICALLY with this batch across every store the
+        * call touches (tombstones ride each store's batch commit, the
+        * same batchId fence/idempotence) — the streaming-loop deletion
+        * path, where a separate retirement batch would collide with the
+        * next micro-batch's appends. Retired docs are also excluded from
+        * this batch's cross-dedup judgments: a new doc must not be
+        * dropped as a duplicate of content being deleted.
+        */
+      retireIds: Option[DataFrame] = None,
+      retireIdCol: String = "id"): (DataFrame, Seq[(String, Long)]) = {
     val spark = batch.sparkSession
     val audit = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val retired = retireIds.map(_
+      .select(col(retireIdCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true))
     val (batchDeduped, batchPairs) =
       batchPipeline(batch, idCol, textCol, cfg, audit,
         pinPairs = labelsRoot.isDefined)
 
-    val matchPairs = SignatureIndexStore
+    val rawMatches = SignatureIndexStore
       .matches(spark, indexRoot, batchDeduped.select("doc_id", "sig"),
         cfg.threshold, belowBatch = batchId)
+    // this batch's own tombstones are fenced out of its reads (they kill
+    // rows < batchId but land AT batchId), so drop judgments against
+    // retiring docs explicitly
+    val matchPairs = retired.fold(rawMatches)(r => rawMatches
+      .join(broadcast(r.select(col("id").as("__rid"))),
+        col("corpus_id") === col("__rid"), "left_anti"))
     // pin once when the pair frame feeds BOTH the drop set and the
     // lineage fold; a single consumer keeps the lazy frame
     val pinnedPairs =
@@ -272,21 +291,23 @@ object CorpusIngest {
     // indexed, and it was not accepted)
     val (finalAccepted, semPairs) = ann match {
       case Some(g) =>
-        annStage(accepted, g, batchId, audit, pin = labelsRoot.isDefined)
+        annStage(accepted, g, batchId, audit, pin = labelsRoot.isDefined,
+          retired = retired)
       case None    => (accepted, None)
     }
 
     SignatureIndexStore.append(spark, indexRoot,
       finalAccepted.select("doc_id", "sig"), batchId,
-      SignatureIndexStore.Meta(indexBuckets(cfg), cfg.numHashes, cfg.bandSize))
+      SignatureIndexStore.Meta(indexBuckets(cfg), cfg.numHashes, cfg.bandSize),
+      retireIds = retired)
 
     labelsRoot.foreach { lr =>
       val crossAsPairs = pinnedPairs
         .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
       val allPairs = (Seq(batchPairs, crossAsPairs) ++ semPairs.toSeq)
         .reduce(_ unionByName _)
-      LabelStore.fold(spark, lr, allPairs, "id_a", "id_b", batchId,
-        LabelStore.Meta(indexBuckets(cfg)))
+      LabelStore.applyBatch(spark, lr, allPairs, "id_a", "id_b", retired,
+        batchId, LabelStore.Meta(indexBuckets(cfg)))
     }
     (finalAccepted.drop("sig"), audit.toSeq)
   }
@@ -306,7 +327,8 @@ object CorpusIngest {
   private def annStage(
       accepted: DataFrame, g: AnnGate, batchId: Long,
       audit: scala.collection.mutable.ArrayBuffer[(String, Long)],
-      pin: Boolean = false)
+      pin: Boolean = false,
+      retired: Option[DataFrame] = None)
       : (DataFrame, Option[DataFrame]) = {
     val spark = accepted.sparkSession
     val emb = TextOps.hashedEmbedding(accepted, "doc_id", "text", g.dim)
@@ -325,10 +347,16 @@ object CorpusIngest {
         // pin when the lineage fold is a second consumer: the standing
         // ANN probe then runs once, not once for the drop set and again
         // inside LabelStore.fold's pinning job
-        val rawHits = AnnIndexStore.query(spark, g.root, emb,
+        val allHits = AnnIndexStore.query(spark, g.root, emb,
             "doc_id", "embedding", k = 1, nprobe = g.nprobe,
             belowBatch = batchId)
           .filter(col("cos") >= g.threshold)
+        // a new doc must not be judged a semantic dup of content being
+        // retired in this same batch (own-batch tombstones are fenced
+        // out of the read)
+        val rawHits = retired.fold(allHits)(r => allHits
+          .join(broadcast(r.select(col("id").as("__rid"))),
+            col("neighbor_id") === col("__rid"), "left_anti"))
         val hits = if (pin) rawHits.localCheckpoint(true) else rawHits
         standingPairs = Some(hits.select(
           col("query_id").as("id_a"), col("neighbor_id").as("id_b")))
@@ -371,7 +399,7 @@ object CorpusIngest {
           lloydRounds = 2, firstBatchId = batchId)
     } else
       AnnIndexStore.append(spark, g.root, keptEmb, "doc_id", "embedding",
-        batchId)
+        batchId, retireIds = retired)
     val semPairs = standingPairs match {
       case Some(sp) => sp.unionByName(batchPairs.select("id_a", "id_b"))
       case None     => batchPairs.select("id_a", "id_b")
@@ -502,16 +530,58 @@ object CorpusIngest {
       /** Optional durable cluster lineage ([[ingestIndexed]]'s
         * `labelsRoot`); compacts on the same `compactEvery` cadence.
         */
-      labelsRoot: Option[String] = None)
+      labelsRoot: Option[String] = None,
+      /** Per-batch retirement feed — the always-on deletion path: called
+        * with each micro-batch's id, and any returned ids (one long
+        * `id` column) are retired ATOMICALLY with that batch's commits
+        * across the signature/ANN/label stores (plus the accepted-dir
+        * slices, rewritten below). Drain a takedown queue here; the
+        * feed is re-invoked on a batch REPLAY, so it must be
+        * deterministic per batch id (read a journal keyed by id, don't
+        * pop a volatile queue).
+        */
+      retireFeed: Long => Option[DataFrame] = _ => None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .outputMode("append")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val retire = retireFeed(batchId)
         val (accepted, _) =
           ingestIndexed(b, idCol, textCol, indexRoot, batchId, cfg, ann,
-            labelsRoot)
+            labelsRoot, retireIds = retire)
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
+        // the accepted-dir slices are plain parquet, not a tombstone
+        // store: physically drop retired ids from earlier slices (only
+        // the dirs still holding them are rewritten; resume-safe because
+        // a replayed batch re-filters the already-clean dirs to a no-op)
+        retire.foreach { ids =>
+          val r = ids.select(col("id").cast("long").as("id")).distinct()
+            .localCheckpoint(true)
+          val spark = b.sparkSession
+          val root = new org.apache.hadoop.fs.Path(acceptedDir)
+          val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (f.exists(root)) {
+            val dirs = f.listStatus(root).map(_.getPath.getName)
+              .filter(_.startsWith("batch=")).toSeq
+              .filter(_.stripPrefix("batch=").toLong < batchId)
+            if (dirs.nonEmpty) {
+              val all = spark.read.option("basePath", acceptedDir)
+                .parquet(dirs.map(d => s"$acceptedDir/$d"): _*)
+              val hit = all
+                .join(broadcast(r), all(idCol) === r("id"), "left_semi")
+                .select(col("batch").cast("long")).distinct()
+                .collect().map(_.getLong(0))
+              hit.foreach { w =>
+                val dir = s"$acceptedDir/batch=$w"
+                val clean = spark.read.parquet(dir)
+                  .join(broadcast(r), col(idCol) === r("id"), "left_anti")
+                  .localCheckpoint(true)
+                clean.write.mode("overwrite").parquet(dir)
+              }
+            }
+          }
+        }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           SignatureIndexStore.compact(b.sparkSession, indexRoot)
           ann.filter(g =>

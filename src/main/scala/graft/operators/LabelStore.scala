@@ -208,7 +208,26 @@ object LabelStore {
     */
   def fold(
       spark: SparkSession, root: String, newPairs: DataFrame,
-      aCol: String, bCol: String, batchId: Long, meta: Meta): Unit = {
+      aCol: String, bCol: String, batchId: Long, meta: Meta): Unit =
+    applyBatch(spark, root, newPairs, aCol, bCol, None, batchId, meta)
+
+  /** One batch of new pairs AND retirements, committed ATOMICALLY under
+    * one batch id — the streaming-loop form, where the loop owns the
+    * batch-id sequence and a separate retirement batch would collide
+    * with the next micro-batch's fold ([[fold]] and [[retire]] are the
+    * single-purpose wrappers). Semantics: retirement wins — a new pair
+    * touching a retired id is dropped; survivors of every touched
+    * component stay connected (star edges to the component's surviving
+    * minimum) and the new pairs merge on top; every touched component's
+    * old rows are tombstoned when retirements are present (labels can go
+    * UP then — invariant 1's carve-out), and never otherwise (pure folds
+    * stay tombstone-free: labels only decrease). Same fence/idempotence
+    * as [[fold]].
+    */
+  def applyBatch(
+      spark: SparkSession, root: String, newPairs: DataFrame,
+      aCol: String, bCol: String, retireIds: Option[DataFrame],
+      batchId: Long, meta: Meta, retireIdCol: String = "id"): Unit = {
     readMeta(spark, root) match {
       case Some(existing) =>
         require(existing == meta,
@@ -221,14 +240,19 @@ object LabelStore {
         s"label store at $root is compacted through batch $upTo; " +
           s"folding batch $batchId would be invisible to every reader")
     }
-    // a retirement batch's id must never be overwritten by a fold marker
-    StoreProtocol.requireDataBatchId(spark, root, batchId)
+    val retired = retireIds.map(_.select(
+        col(retireIdCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true))
+    val nRetired = retired.map(_.count()).getOrElse(0L)
+    // a pure fold must never overwrite a retirement batch's marker; a
+    // retiring batch's own RETRY legitimately rewrites it
+    if (nRetired == 0L) StoreProtocol.requireDataBatchId(spark, root, batchId)
     // the pair count rides the pinning job as an observed metric: a
     // trickle loop's common case is ZERO cross pairs per batch, and that
     // case must commit with one marker write, not a CC round + two
     // empty parquet jobs
     val obs = new org.apache.spark.sql.Observation()
-    val pairs = newPairs
+    val rawPairs = newPairs
       .select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb"))
       .filter(col("pa").isNotNull && col("pb").isNotNull)
       .observe(obs, count(lit(1)).as("n"))
@@ -237,23 +261,49 @@ object LabelStore {
       case x: java.lang.Long => x.longValue()
       case _                 => 0L
     }
-    if (nPairs == 0L) {
+    if (nPairs == 0L && nRetired == 0L) {
       StoreProtocol.writeCommitMarker(spark, root, batchId,
         "byid \nbycomp ")
       return
     }
+    // retirement wins: drop pairs touching a retired id
+    val pairs = retired.fold(rawPairs)(r => rawPairs
+      .join(r, rawPairs("pa") === r("id"), "left_anti")
+      .join(r, rawPairs("pb") === r("id"), "left_anti"))
     val endpoints = pairs.select(col("pa").as("id"))
-      .union(pairs.select(col("pb").as("id"))).distinct()
+      .union(pairs.select(col("pb").as("id")))
+      .union(retired.map(_.select(col("id")))
+        .getOrElse(spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)))
+      .distinct()
     val epLabels = lookup(spark, root, endpoints, "id", belowBatch = batchId)
     val touched = epLabels.select(col("component")).distinct()
     val affected = members(spark, root, touched, "component",
-      belowBatch = batchId)
-    val subEdges = affected
-      .select(col("id").as("pa"), col("component").as("pb"))
-      .union(pairs)
-    val relabeled = Components.connectedComponents(subEdges, "pa", "pb")
+      belowBatch = batchId).localCheckpoint(true)
+    val survivors = retired.fold(affected)(r =>
+      affected.join(r, Seq("id"), "left_anti"))
+    // survivors of a touched component stay connected via its surviving
+    // minimum (the component label itself may be retired — never use it
+    // as a star anchor when retirements are present)
+    val starEdges = retired match {
+      case None => survivors
+        .select(col("id").as("pa"), col("component").as("pb"))
+      case Some(_) => survivors
+        .join(survivors.groupBy("component")
+          .agg(min("id").as("__anchor")), Seq("component"))
+        .select(col("id").as("pa"), col("__anchor").as("pb"))
+    }
+    val relabeled = Components
+      .connectedComponents(starEdges.union(pairs), "pa", "pb")
       .withColumn("batch", lit(batchId))
-    writeDelta(spark, root, relabeled, batchId, meta)
+    if (nRetired > 0L) {
+      // every touched row dies; survivors are rewritten below in this
+      // same batch, retired ids are not
+      val allAffected = affected.select("id")
+        .unionByName(retired.get.select("id")).distinct()
+      StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
+      writeDelta(spark, root, relabeled, batchId, meta,
+        tables = Seq("byid", "bycomp", "tombs"))
+    } else writeDelta(spark, root, relabeled, batchId, meta)
   }
 
   /** Retire `ids` from the standing labels as batch `batchId` — the
@@ -279,43 +329,11 @@ object LabelStore {
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
       batchId: Long): Unit = {
     val meta = readMeta(spark, root).getOrElse(return)
-    compactState(spark, root).foreach { case (_, upTo) =>
-      require(batchId > upTo,
-        s"label store at $root is compacted through batch $upTo; " +
-          s"retiring as batch $batchId would be invisible to every reader")
-    }
     StoreProtocol.requireRetireBatchId(spark, root, batchId,
       Seq("byid", "bycomp"))
-    val retired = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    val cur = lookup(spark, root, retired, "id", belowBatch = batchId)
-    val touched = cur.select(col("component")).distinct()
-    val affected = members(spark, root, touched, "component",
-      belowBatch = batchId).localCheckpoint(true)
-    val survivors = affected.join(retired, Seq("id"), "left_anti")
-    val rewritten = survivors
-      .join(survivors.groupBy("component")
-        .agg(min("id").as("__new_component")), Seq("component"))
-      .select(col("id"), col("__new_component").as("component"))
-      .withColumn("batch", lit(batchId))
-    // tombstone EVERY affected id (retired AND survivors): the
-    // survivors' old-label rows must be invisible to min-resolution
-    val allAffected = affected.select("id")
-      .unionByName(retired.select("id")).distinct()
-    StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
-    val pinned = rewritten.localCheckpoint(true)
-    def writeCopy(table: String, keyCol: String): Unit =
-      pinned
-        .withColumn("bucket",
-          pmod(xxhash64(col(keyCol)), lit(meta.buckets)).cast("int"))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", keyCol)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/$table/batch=$batchId")
-    writeCopy("byid", "id")
-    writeCopy("bycomp", "component")
-    StoreProtocol.writeBucketMarker(spark, root, batchId,
-      Seq("byid", "bycomp", "tombs"))
+    applyBatch(spark, root,
+      spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0),
+      "a", "b", Some(ids), batchId, meta, retireIdCol = idCol)
   }
 
   /** Write (id, component, batch) rows under both keys + the commit
@@ -324,7 +342,7 @@ object LabelStore {
     */
   private def writeDelta(
       spark: SparkSession, root: String, rows: DataFrame, batchId: Long,
-      meta: Meta): Unit = {
+      meta: Meta, tables: Seq[String] = Seq("byid", "bycomp")): Unit = {
     val pinned = rows.select(col("id"), col("component"), col("batch"))
       .localCheckpoint(true)
     def writeCopy(table: String, keyCol: String): Unit =
@@ -337,8 +355,7 @@ object LabelStore {
         .parquet(s"$root/$table/batch=$batchId")
     writeCopy("byid", "id")
     writeCopy("bycomp", "component")
-    StoreProtocol.writeBucketMarker(spark, root, batchId,
-      Seq("byid", "bycomp"))
+    StoreProtocol.writeBucketMarker(spark, root, batchId, tables)
   }
 
   /** Fold batches at/below the horizon into one latest-wins snapshot per

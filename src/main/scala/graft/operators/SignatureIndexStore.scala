@@ -124,7 +124,15 @@ object SignatureIndexStore {
     */
   def append(
       spark: SparkSession, root: String, sigs: DataFrame, batchId: Long,
-      meta: Meta): Unit = {
+      meta: Meta,
+      /** Ids retired ATOMICALLY with this batch's commit (tombstones ride
+        * the same marker) — the streaming-loop form, where the loop owns
+        * the batch-id sequence and a separate retirement batch would
+        * collide with the next micro-batch's append. The tombstones kill
+        * only rows of EARLIER batches; this batch's own rows survive.
+        */
+      retireIds: Option[DataFrame] = None,
+      retireIdCol: String = "id"): Unit = {
     readMeta(spark, root) match {
       case Some(existing) =>
         require(existing == meta,
@@ -139,8 +147,10 @@ object SignatureIndexStore {
         s"store at $root is compacted through batch $upTo; appending " +
           s"batch $batchId would be invisible to every reader")
     }
-    // a retirement batch's id must never be overwritten by a data marker
-    StoreProtocol.requireDataBatchId(spark, root, batchId)
+    // a retirement batch's id must never be overwritten by a PURE data
+    // marker (a retiring batch's own retry legitimately rewrites it)
+    if (retireIds.isEmpty)
+      StoreProtocol.requireDataBatchId(spark, root, batchId)
     // pin once: the bands projection and the sigs write must see the
     // same rows even if the input pipeline is nondeterministic
     val pinned = sigs.select(col("doc_id"), col("sig"))
@@ -167,11 +177,13 @@ object SignatureIndexStore {
       .sortWithinPartitions("bucket", "band_hash")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/bands/batch=$batchId")
+    retireIds.foreach(ids =>
+      StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId))
     // record each table's written bucket set in the marker: readers then
     // build explicit paths without listing batches × buckets directories
     // (readers parse marker CONTENT, so the write is atomic by protocol)
     StoreProtocol.writeBucketMarker(spark, root, batchId,
-      Seq("bands", "sigs"))
+      Seq("bands", "sigs") ++ retireIds.map(_ => "tombs").toSeq)
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches

@@ -329,6 +329,93 @@ class TakedownSpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/accepted/batch=0").exists())
   }
 
+  test("label store: fold + retire commit atomically as ONE batch (applyBatch)") {
+    val root = tmp("combined") + "/store"
+    // clusters A={1,2,3} (label 1), B={10,11}, C={20,21}
+    LabelStore.fold(spark, root,
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b"),
+      "a", "b", 1L, labelMeta)
+    // one batch: retire A's minimum AND a pair merging B with C, AND a
+    // pair touching the retired id (must be dropped — retirement wins)
+    LabelStore.applyBatch(spark, root,
+      Seq((11L, 20L), (1L, 99L)).toDF("a", "b"), "a", "b",
+      Some(Seq(1L).toDF("id")), 2L, labelMeta)
+    val labels = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      2L -> 2L, 3L -> 2L,                       // A survivors, relabeled
+      10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L), // B ∪ C merged
+      s"got $labels — and 99 must NOT appear (its pair touched retired 1)")
+    // idempotent replay of the combined batch
+    LabelStore.applyBatch(spark, root,
+      Seq((11L, 20L), (1L, 99L)).toDF("a", "b"), "a", "b",
+      Some(Seq(1L).toDF("id")), 2L, labelMeta)
+    val replay = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay == labels)
+    // a PURE fold must still refuse the retirement batch's id
+    intercept[IllegalArgumentException] {
+      LabelStore.fold(spark, root, Seq((50L, 51L)).toDF("a", "b"),
+        "a", "b", 2L, labelMeta)
+    }
+  }
+
+  test("ingestIndexed retireIds: atomic with the batch; retiring content is not a dup judge") {
+    val root = tmp("ingestret") + "/store"
+    val d0 = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns"))
+    CorpusIngest.ingestIndexed(d0, "doc_id", "text", root, 0L)
+    // batch 1 retires doc 1 AND submits a verbatim copy under a new id:
+    // the copy must be ACCEPTED (its only match is the retiring doc)
+    val d1 = docsDf(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"))
+    val (accepted, _) = CorpusIngest.ingestIndexed(
+      d1, "doc_id", "text", root, 1L,
+      retireIds = Some(Seq(1L).toDF("id")))
+    assert(accepted.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L), "copy of retiring content was wrongly dropped as a dup")
+    // standing state: 1 dead, 2 and 10 live
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 10L))
+  }
+
+  test("streaming loop: the retire feed deletes atomically with a micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("streamret")
+    val input = MemoryStream[(Long, String)]
+    // batch 1's commit retires doc 1 (deterministic per batch id)
+    val feed: Long => Option[org.apache.spark.sql.DataFrame] =
+      id => if (id == 1L) Some(Seq(1L).toDF("id")) else None
+    val q = CorpusIngest.streamingIndexed(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/accepted", retireFeed = feed)
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "a careful study of historical documents reveals many patterns")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (11L, "novel observations about glacier movement and seasonal melt")))
+      q.processAllAvailable()
+      // doc 1 is gone from the accepted slices AND the standing index
+      val acc = spark.read.parquet(s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(acc == Set(2L, 11L), s"accepted $acc")
+      assert(SignatureIndexStore.sigsView(spark, s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 11L))
+      // a later batch re-admits the retired content
+      input.addData(Seq(
+        (21L, "the quick brown fox jumps over the lazy dog near the river")))
+      q.processAllAvailable()
+      val acc2 = spark.read.parquet(s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(acc2 == Set(2L, 11L, 21L), s"accepted $acc2")
+    } finally q.stop()
+  }
+
   test("retire cost is delete-set-bounded: one tombstone file, no data rewrite") {
     val root = tmp("bounded") + "/store"
     val corpus = (0 until 60).map(i =>
