@@ -538,7 +538,12 @@ object CorpusIngest {
         * slices, rewritten below). Drain a takedown queue here; the
         * feed is re-invoked on a batch REPLAY, so it must be
         * deterministic per batch id (read a journal keyed by id, don't
-        * pop a volatile queue).
+        * pop a volatile queue). Scale note: store retirements are
+        * delete-set-bounded, but finding which accepted SLICES hold the
+        * ids is a column-pruned scan of the slice dirs (plain parquet
+        * has no id index, and the store's batch column stops mapping to
+        * slices once compaction folds it) — batch delete sets up and
+        * retire them in one feed firing rather than one id at a time.
         */
       retireFeed: Long => Option[DataFrame] = _ => None)
       : org.apache.spark.sql.streaming.StreamingQuery =

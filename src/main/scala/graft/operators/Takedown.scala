@@ -25,7 +25,13 @@ import graft.util.{FsAtomic, StoreProtocol}
   *
   * Single-writer like the stores themselves: run from the loop that owns
   * them (retirement batch ids are pinned at plan time, so a concurrent
-  * appender could collide with them).
+  * appender could collide with them). Loops that allocate store batch
+  * ids from their own counter have collision-free forms instead:
+  * [[graft.crawl.CrawlCorpusLoop.takedownWave]] dedicates a wave slot,
+  * and an always-on stream passes a per-batch retirement feed to
+  * [[CorpusIngest.streamingIndexed]] (tombstones then ride the
+  * micro-batch's own commits — [[CorpusIngest.ingestIndexed]]'s
+  * `retireIds`).
   *
   * Scale shape: store retirements are one tombstone file each
   * (delete-set-bounded — the heavy reclamation happens at each store's
