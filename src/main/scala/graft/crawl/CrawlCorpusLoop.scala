@@ -341,9 +341,18 @@ object CrawlCorpusLoop {
   def takedownWave(
       spark: SparkSession, workDir: String, ids: DataFrame, idCol: String,
       wave: Int, annRoot: Option[String] = None,
-      lineage: Boolean = false): Long = {
+      lineage: Boolean = false,
+      /** When set (naming a url column on `ids`), the urls are also
+        * PURGED from the frontier journal ([[FrontierStore.retire]]) —
+        * the full right-to-be-forgotten reach: corpus + indexes + crawl
+        * state. [[retirementCandidates]] rows carry both columns, so
+        * `urlCol = Some("url")` completes the loop (and empties the
+        * candidate feed for the processed urls).
+        */
+      urlCol: Option[String] = None): Long = {
     val f = fs(spark, workDir)
-    val tid = graft.operators.Takedown.takedown(spark, ids, idCol,
+    val pinned = ids.localCheckpoint(true)
+    val tid = graft.operators.Takedown.takedown(spark, pinned, idCol,
       graft.operators.Takedown.Targets(
         corpusDir = Some(s"$workDir/corpus"),
         corpusPartitionCol = "w",
@@ -352,6 +361,8 @@ object CrawlCorpusLoop {
         labelsRoot = if (lineage) Some(s"$workDir/labels") else None),
       s"$workDir/takedowns",
       retireBatchId = Some(wave.toLong))
+    urlCol.foreach(u =>
+      FrontierStore.retire(spark, s"$workDir/frontier", pinned, u))
     graft.util.FsAtomic.writePointer(
       f, new Path(workDir), s"_wave_$wave", "takedown")
     tid

@@ -134,36 +134,48 @@ object FrontierStore {
         .unionByName(tagged.drop("bucket"))
 
     // one job: write all rewritten buckets to a staging dir, then move
-    // each bucket dir into place (cheap FS renames, no data copy)
+    // each bucket dir into place (cheap FS renames, no data copy).
+    // REMOVED winners ([[retire]] tombstones) are filtered HERE — the
+    // physical deletion point: the rewritten bucket simply no longer
+    // carries the url
     val staging = s"$root/_staging_v$next"
     UrlStateMerger.mergeFrontier(base)
+      .filter(col("status") =!= graft.schema.FetchStatus.REMOVED)
       .withColumn("bucket", bucketOf(buckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    affected.foreach { b =>
+    // a bucket whose every row was REMOVED writes no staging dir: it
+    // leaves the manifest entirely (readers skip unmapped buckets)
+    val (present, emptied) = affected.partition(b =>
+      f.exists(new Path(s"$staging/bucket=$b")))
+    present.foreach { b =>
       val src = new Path(s"$staging/bucket=$b")
       val dst = new Path(bucketPath(root, b, next))
       f.mkdirs(dst.getParent)
       // a crashed earlier attempt at this same (unreferenced) version may
       // have left an orphan dst — clear it so rename cannot nest or fail
       if (f.exists(dst)) f.delete(dst, true)
-      if (!f.exists(src) || !f.rename(src, dst))
+      if (!f.rename(src, dst))
         throw new java.io.IOException(
           s"failed to commit bucket $b to $dst — aborting before the " +
             "manifest so the previous version stays intact")
     }
     f.delete(new Path(staging), true)
 
-    val manifest = prevManifest ++ affected.map(_ -> next).toMap
+    val manifest =
+      (prevManifest ++ present.map(_ -> next).toMap) -- emptied
     writeManifest(spark, root, next, buckets, manifest)
     graft.util.FsAtomic.writePointer(
       f, new Path(root), "_LATEST", next.toString)
 
     // retire: for each rewritten bucket keep only the new version and its
     // immediate predecessor (for readers that resolved the pointer just
-    // before the flip); drop manifests older than the previous one
+    // before the flip); emptied buckets keep only the predecessor; drop
+    // manifests older than the previous one
     affected.foreach { b =>
-      val keep = Set(Some(next), prevManifest.get(b)).flatten
+      val keep: Set[Int] =
+        ((if (present.contains(b)) Seq(next) else Seq.empty) ++
+          prevManifest.get(b).toSeq).toSet
       val dir = new Path(s"$root/b$b")
       if (f.exists(dir)) f.listStatus(dir).foreach { st =>
         val ver = st.getPath.getName.stripPrefix("v").toIntOption
@@ -173,8 +185,53 @@ object FrontierStore {
     (0 until next - 1).foreach { old =>
       f.delete(new Path(root, s"_MANIFEST_v$old"), false)
     }
-    read(spark, root).get
+    read(spark, root).getOrElse(updates.limit(0))
   }
+
+  /** Purge `urls` from the journal — the frontier's right-to-be-forgotten
+    * path, completing [[graft.operators.Takedown]]'s reach (corpus +
+    * indexes + now the crawl state itself): merge-in
+    * [[graft.schema.FetchStatus.REMOVED]] tombstone rows that win the
+    * terminal merge unconditionally and are filtered out of the
+    * rewritten buckets — the url's row is physically gone, and only the
+    * buckets its plds hash into are rewritten (delete-set-bounded). A
+    * later crawl re-admits the url as a fresh row (the tombstone is
+    * never stored). Idempotent: re-purging a purged url merges a
+    * tombstone against nothing.
+    */
+  def retire(
+      spark: SparkSession, root: String, urls: DataFrame,
+      urlCol: String = "url"): Unit =
+    latestVersion(spark, root).foreach { v =>
+      val (buckets, _) = readManifest(spark, root, v)
+      val pldUdf = udf(graft.functions.UrlFunctions.extractPld _)
+      val updates = urls.select(col(urlCol).as("url")).distinct()
+        .select(col("url"), pldUdf(col("url")).as("pld"),
+          lit(graft.schema.FetchStatus.REMOVED).as("status"),
+          lit(Long.MaxValue).as("statusTime"),
+          lit(0.0f).as("score"),
+          lit(Long.MaxValue).as("nextFetchTime"))
+        .localCheckpoint(true)
+      mergeInto(spark, root, updates, buckets)
+      // privacy outranks the one-generation reader-retention window for
+      // a PURGE: the touched buckets' superseded versions (which still
+      // carry the url's bytes) are reclaimed immediately, not at the
+      // next merge — the store is single-writer, and a purge is the one
+      // operation whose old bytes must not linger
+      val f = fs(spark, root)
+      val vNow = latestVersion(spark, root).get
+      val (_, manifest) = readManifest(spark, root, vNow)
+      val touched = updates.select(bucketOf(buckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      touched.foreach { b =>
+        val keep = manifest.get(b).toSet
+        val dir = new Path(s"$root/b$b")
+        if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+          val ver = st.getPath.getName.stripPrefix("v").toIntOption
+          if (ver.exists(x => !keep.contains(x))) f.delete(st.getPath, true)
+        }
+      }
+    }
 
   /** Bucket-pruned per-domain lookup: reads exactly one bucket dir. The
     * bucket count comes from the store's manifest, not the caller.

@@ -42,6 +42,17 @@ object FetchStatus {
   val ERROR_PARSE = "ERROR_PARSE"
   val ABORTED_FETCH = "ABORTED_FETCH"
 
+  /** NOT a reference status: the frontier's deletion tombstone
+    * ([[graft.crawl.FrontierStore.retire]]). A REMOVED row wins the
+    * terminal merge (newest statusTime) and the bucket rewrite then
+    * FILTERS the url out entirely — the right-to-be-forgotten purge of
+    * the crawl journal itself, completing what the reference's
+    * `_archivedUrls` MapState declared and never wrote
+    * (UrlDBFunction.java:76,467). Never stored: it exists only inside a
+    * merge.
+    */
+  val REMOVED = "REMOVED"
+
   /** Merge tie-break priority (reference FetchStatus.java:54-71):
     * lifecycle statuses rank below terminal outcomes so a FETCHED/error
     * record wins over a QUEUED/FETCHING one at equal timestamps.

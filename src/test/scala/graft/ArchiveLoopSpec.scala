@@ -146,7 +146,16 @@ class ArchiveLoopSpec extends AnyFunSuite {
     // later wave can collide with the retirement batch)
     val gone = CrawlCorpusLoop.retirementCandidates(spark, work)
     assert(gone.count() == 1L)
-    CrawlCorpusLoop.takedownWave(spark, work, gone, "doc_id", wave = 2)
+    CrawlCorpusLoop.takedownWave(spark, work, gone, "doc_id", wave = 2,
+      urlCol = Some("url"))
+    // the url is PURGED from the frontier journal itself (not merely
+    // GONE-marked), and the candidate feed is consumed
+    val journal = graft.crawl.FrontierStore
+      .read(spark, s"$work/frontier").get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!journal.contains("http://c.com/c"), s"journal $journal")
+    assert(CrawlCorpusLoop.retirementCandidates(spark, work)
+      .collect().isEmpty)
     // C's capture is gone from every wave slice…
     val urls = CrawlCorpusLoop.corpus(spark, work)
       .select("url").collect().map(_.getString(0)).toSet

@@ -416,6 +416,65 @@ class TakedownSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frontier: retire physically purges urls from the journal; re-admission works") {
+    import graft.crawl.FrontierStore
+    import graft.schema.{FetchStatus => FS}
+    val root = tmp("frontier") + "/frontier"
+    def row(url: String, status: String, t: Long) =
+      (url, graft.functions.UrlFunctions.extractPld(url), status, t,
+        0.5f, t + 1000L)
+    val rows = Seq(
+      row("http://a.com/1", FS.FETCHED, 100L),
+      row("http://a.com/2", FS.FETCHED, 100L),
+      row("http://b.com/1", FS.HTTP_GONE, 100L))
+      .toDF("url", "pld", "status", "statusTime", "score", "nextFetchTime")
+    FrontierStore.mergeInto(spark, root, rows, buckets = 4)
+    FrontierStore.retire(spark, root,
+      Seq("http://b.com/1").toDF("url"))
+    val left = FrontierStore.read(spark, root).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(left == Set("http://a.com/1", "http://a.com/2"), s"left $left")
+    // the purged url's bytes are GONE from every live bucket file
+    val onDisk = spark.read.parquet(
+        new java.io.File(root).listFiles().filter(_.getName.startsWith("b"))
+          .flatMap(_.listFiles()).map(_.getPath): _*)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!onDisk.contains("http://b.com/1"),
+      s"purged url still on disk: $onDisk")
+    // idempotent re-purge; then a later crawl re-admits the url fresh
+    FrontierStore.retire(spark, root, Seq("http://b.com/1").toDF("url"))
+    FrontierStore.mergeInto(spark, root,
+      Seq(row("http://b.com/1", FS.UNFETCHED, 200L))
+        .toDF("url", "pld", "status", "statusTime", "score",
+          "nextFetchTime"), buckets = 4)
+    val back = FrontierStore.read(spark, root).get
+      .filter(col("url") === "http://b.com/1")
+      .select("status").collect().map(_.getString(0)).toSeq
+    assert(back == Seq(FS.UNFETCHED), s"got $back")
+  }
+
+  test("frontier: purging a bucket's every url drops it from the manifest; reads survive") {
+    import graft.crawl.FrontierStore
+    import graft.schema.{FetchStatus => FS}
+    val root = tmp("frontier2") + "/frontier"
+    // two plds -> (likely) different buckets; purge ALL of one pld
+    val rows = Seq(
+      ("http://x.com/1", "x.com", FS.FETCHED, 100L, 0.5f, 1100L),
+      ("http://x.com/2", "x.com", FS.FETCHED, 100L, 0.5f, 1100L),
+      ("http://y.com/1", "y.com", FS.FETCHED, 100L, 0.5f, 1100L))
+      .toDF("url", "pld", "status", "statusTime", "score", "nextFetchTime")
+    FrontierStore.mergeInto(spark, root, rows, buckets = 8)
+    FrontierStore.retire(spark, root,
+      Seq("http://x.com/1", "http://x.com/2").toDF("url"))
+    val left = FrontierStore.read(spark, root).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(left == Set("http://y.com/1"), s"left $left")
+    // domain slice of the purged pld answers empty-or-none, not an error
+    val slice = FrontierStore.domainSlice(spark, root, "x.com")
+      .map(_.collect().length).getOrElse(0)
+    assert(slice == 0, s"purged domain still sliced: $slice")
+  }
+
   test("retire cost is delete-set-bounded: one tombstone file, no data rewrite") {
     val root = tmp("bounded") + "/store"
     val corpus = (0 until 60).map(i =>
