@@ -76,6 +76,25 @@ object FrontierBench {
         FrontierStore.domainSlice(spark, root, "d17.com").map(_.count()))
     }
 
+    // right-to-be-forgotten purge cost: retire() rewrites only the
+    // buckets the urls' plds hash into. A LOCALIZED delete set (one
+    // domain — the takedown norm) touches ONE bucket; a scattered set
+    // saturates at all 64 (≈ a full merge round), which is the honest
+    // upper bound
+    import spark.implicits._
+    val oneDomain = FrontierStore.domainSlice(spark, root, "d17.com")
+      .get.select("url").as[String].collect().toSeq
+    time(s"frontier retire: one domain (${oneDomain.size} urls, 1 bucket)") {
+      FrontierStore.retire(spark, root, oneDomain.toDF("url"))
+    }
+    val scattered = FrontierStore.read(spark, root).get
+      .filter(pmod(xxhash64(col("url")), lit(1000)) === 0)
+      .select("url").localCheckpoint(true)
+    println("  scattered retire urls: " + scattered.count())
+    time("frontier retire: scattered 0.1% (all buckets)") {
+      FrontierStore.retire(spark, root, scattered)
+    }
+
     // BASELINE.md scheduler target: drain a 10k-entry top-K selection per
     // round inside the reference's 200 ms average cadence budget. Same
     // plan shape as CrawlTopology's candidates block (eligibility gate,
