@@ -103,7 +103,8 @@ object Takedown {
     val plan = Seq(
       nextBatch(targets.sigRoot).map(b => s"sig $b"),
       nextBatch(targets.annRoot).map(b => s"ann $b"),
-      nextBatch(targets.labelsRoot).map(b => s"labels $b")).flatten
+      nextBatch(targets.labelsRoot).map(b => s"labels $b")).flatten ++
+      targets.corpusDir.map(d => s"corpus $d").toSeq
     // _PLAN is the commit point: from here the delete set WILL be applied
     FsAtomic.writePointer(f, new Path(td), "_PLAN", plan.mkString("\n"))
     execute(spark, targets, td)
@@ -133,18 +134,29 @@ object Takedown {
       .localCheckpoint(true)
     val plan = StoreProtocol.readSmall(f, new Path(td, "_PLAN"))
       .getOrElse("").linesIterator.filter(_.trim.nonEmpty).map { l =>
-        val Array(k, v) = l.trim.split(" ", 2); k -> v.toLong
+        val Array(k, v) = l.trim.split(" ", 2); k -> v
       }.toMap
+    // the plan names every target the original call promised to reach —
+    // a resume with NARROWER targets must refuse, not silently skip part
+    // of the committed delete and still mark _DONE
+    def need(key: String, have: Option[_]): Unit =
+      require(plan.get(key).isEmpty || have.isDefined,
+        s"takedown $td planned a '$key' retirement but the resume's " +
+          "targets omit that root — supply the original targets")
+    need("sig", targets.sigRoot)
+    need("ann", targets.annRoot)
+    need("labels", targets.labelsRoot)
+    need("corpus", targets.corpusDir)
     // store retirements — each one tombstone file + marker, idempotent
     // under its pinned batch id
-    plan.get("sig").zip(targets.sigRoot).foreach { case (b, root) =>
-      SignatureIndexStore.retire(spark, root, ids, "id", b)
+    plan.get("sig").map(_.toLong).zip(targets.sigRoot).foreach {
+      case (b, root) => SignatureIndexStore.retire(spark, root, ids, "id", b)
     }
-    plan.get("ann").zip(targets.annRoot).foreach { case (b, root) =>
-      AnnIndexStore.retire(spark, root, ids, "id", b)
+    plan.get("ann").map(_.toLong).zip(targets.annRoot).foreach {
+      case (b, root) => AnnIndexStore.retire(spark, root, ids, "id", b)
     }
-    plan.get("labels").zip(targets.labelsRoot).foreach { case (b, root) =>
-      LabelStore.retire(spark, root, ids, "id", b)
+    plan.get("labels").map(_.toLong).zip(targets.labelsRoot).foreach {
+      case (b, root) => LabelStore.retire(spark, root, ids, "id", b)
     }
     targets.corpusDir.foreach(dir =>
       rewriteCorpus(spark, dir, targets.corpusIdCol,

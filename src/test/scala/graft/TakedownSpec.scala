@@ -294,6 +294,11 @@ class TakedownSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(td), "_PLAN",
       Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
         s"labels ${next(s"$base/labels")}").mkString("\n"))
+    // a resume with NARROWER targets than the plan must refuse, not
+    // silently skip part of the committed delete
+    intercept[IllegalArgumentException] {
+      Takedown.resume(spark, targets.copy(annRoot = None), journal)
+    }
     assert(Takedown.resume(spark, targets, journal) == 1)
     assert(corpusIds(s"$base/accepted") == Set(1L, 3L, 4L, 11L))
     assert(SignatureIndexStore.sigsView(spark, s"$base/sig")
