@@ -205,12 +205,22 @@ object FrontierStore {
     latestVersion(spark, root).foreach { v =>
       val (buckets, _) = readManifest(spark, root, v)
       val pldUdf = udf(graft.functions.UrlFunctions.extractPld _)
+      // tombstone rows must carry the STORE's exact column types (score
+      // may be float or decimal depending on the frontier's producer) —
+      // a type-widening union would rewrite touched buckets under a new
+      // schema and break reads that span touched + untouched buckets
+      val storedSchema = read(spark, root) match {
+        case Some(df) => df.schema
+        case None     => return
+      }
       val updates = urls.select(col(urlCol).as("url")).distinct()
         .select(col("url"), pldUdf(col("url")).as("pld"),
           lit(graft.schema.FetchStatus.REMOVED).as("status"),
           lit(Long.MaxValue).as("statusTime"),
           lit(0.0f).as("score"),
           lit(Long.MaxValue).as("nextFetchTime"))
+        .select(storedSchema.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)): _*)
         .localCheckpoint(true)
       mergeInto(spark, root, updates, buckets)
       // privacy outranks the one-generation reader-retention window for

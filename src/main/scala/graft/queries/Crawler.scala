@@ -668,7 +668,51 @@ object Crawler {
       |  o.old_digest, n.new_digest, o.old_ts, n.new_ts
       |FROM o FULL OUTER JOIN n ON o.url_key = n.url_key""".stripMargin
 
+  /** q118: the frontier journal's right-to-be-forgotten purge behind an
+    * oracle — build the durable store from the q16 synthetic frontier,
+    * [[graft.crawl.FrontierStore.retire]] two whole domains (the
+    * pld-localized takedown norm: only their buckets rewrite), read the
+    * journal back. The oracle is q16's merge semantics minus the purged
+    * plds, so the tombstone-wins-then-filtered mechanics and the
+    * bucket/manifest bookkeeping all sit behind one hash gate. Deletion
+    * is now oracle-gated on every mutable state holder (signature q115 /
+    * ANN q116 / labels q117 / frontier q118; corpus slices are
+    * spec-tier via TakedownSpec).
+    */
+  def frontierRetire(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawl.FrontierStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q118").toString
+    val root = base + "/frontier"
+    FrontierStore.mergeInto(spark, root, syntheticFrontier(spark, dir),
+      buckets = 16)
+    FrontierStore.retire(spark, root,
+      syntheticFrontier(spark, dir)
+        .filter(col("pld").isin("d3.com", "d7.com"))
+        .select("url").distinct())
+    val out = FrontierStore.read(spark, root).get
+      .select(col("url"), col("pld"), col("status"), col("statusTime"),
+        col("score").cast("double").as("score"), col("nextFetchTime"))
+      .localCheckpoint(true) // pin, then reclaim the store fixture
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rm(java.nio.file.Path.of(base))
+    out
+  }
+
+  val frontierRetireSql: String =
+    frontierMergeSql.replace(
+      "SELECT url, pld, status, statusTime, CAST(score AS DOUBLE) AS score,\n" +
+        "  nextFetchTime FROM merged",
+      "SELECT url, pld, status, statusTime, CAST(score AS DOUBLE) AS score,\n" +
+        "  nextFetchTime FROM merged\n" +
+        "WHERE pld NOT IN ('d3.com', 'd7.com')")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_frontier_retire" -> (frontierRetire _),
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
     "q16_frontier_merge" -> (frontierMerge _),
@@ -688,6 +732,7 @@ object Crawler {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q118_frontier_retire" -> frontierRetireSql,
     "q14_url_normalize" -> urlNormalizeSql,
     "q15_url_parse" -> urlParseSql,
     "q16_frontier_merge" -> frontierMergeSql,
