@@ -396,8 +396,12 @@ object CrawlCorpusLoop {
     val done = Option(f.globStatus(new Path(workDir, "_wave_*")))
       .getOrElse(Array.empty)
       .map(_.getPath.getName.stripPrefix("_wave_").toInt).sorted
+    // a slice a takedown has rewritten serves from its live sv= version
+    // (graft.util.SliceRewrite) — resolve per slice; untouched slices
+    // read plain
     val dirs = done.map(w => s"$workDir/corpus/w=$w")
       .filter(d => f.exists(new Path(d)))
+      .map(d => graft.util.SliceRewrite.liveReadPath(f, d))
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -136,7 +136,14 @@ object AnnIndexStore {
     retireIds match {
       case Some(ids) =>
         StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)
-        StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"))
+        // the digest line marks this as a combined data+retire commit:
+        // a later standalone retire can no-op on an exact re-run but can
+        // never hijack the id with a DIFFERENT tombstone set (which
+        // would resurrect this batch's retirements while its vecs data
+        // stays live)
+        StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"),
+          extraLines = Seq(StoreProtocol.tombsetLine(
+            StoreProtocol.tombsDigest(ids, retireIdCol))))
       case None =>
         StoreProtocol.writeCommitMarker(spark, root, batchId, "")
     }
@@ -223,7 +230,21 @@ object AnnIndexStore {
     * tombstoned vectors by a broadcast anti-join and [[compact]] drops
     * them physically (applied tombstones are reclaimed with the covered
     * batches). A retired vid re-appended by a LATER batch is live again.
-    * Idempotent per batchId (own-file overwrite + re-mark).
+    * Idempotent per batchId: a committed re-run with the SAME delete-set
+    * digest is a no-op; a DIFFERENT retirement or a data/combined batch
+    * under this id is refused (the digest-guard — reusing a committed
+    * combined append's id with foreign ids would silently resurrect its
+    * retirements while its vectors stay live).
+    *
+    * Erasure scope: tombstone + compact removes the retired VECTORS;
+    * the coarse quantizer's centroids remain k-means aggregates that
+    * were trained on them (raw values are not recoverable from a mean,
+    * but a strict right-to-be-forgotten reading wants the training
+    * influence gone too). Full erasure is the two-step
+    * `retire` → [[rebuild]] + [[setCurrent]]: rebuild reads only
+    * survivors ([[allVecs]] applies the tombstones), so the new root's
+    * quantizer is trained on survivors only — spec-pinned equal to a
+    * from-scratch build over the survivors.
     */
   def retire(
       spark: SparkSession, root: String, vids: DataFrame, idCol: String,
@@ -234,9 +255,12 @@ object AnnIndexStore {
         s"store at $root is compacted through batch $upTo; retiring as " +
           s"batch $batchId would be invisible to every reader")
     }
-    StoreProtocol.requireRetireBatchId(spark, root, batchId, Seq.empty)
+    val digest = StoreProtocol.tombsDigest(vids, idCol)
+    if (StoreProtocol.retireAlreadyCommitted(spark, root, batchId, digest))
+      return // committed re-run: state already holds this retirement
     StoreProtocol.writeTombstones(spark, root, vids, idCol, batchId)
-    StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"))
+    StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"),
+      extraLines = Seq(StoreProtocol.tombsetLine(digest)))
   }
 
   /** Fold all but the newest `keepNewest` batches (and the previous

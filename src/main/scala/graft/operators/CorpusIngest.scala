@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Continuous corpus ingestion — the crawl-to-training-corpus bridge run
@@ -557,35 +557,43 @@ object CorpusIngest {
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
         // the accepted-dir slices are plain parquet, not a tombstone
-        // store: physically drop retired ids from earlier slices (only
-        // the dirs still holding them are rewritten; resume-safe because
-        // a replayed batch re-filters the already-clean dirs to a no-op)
+        // store: physically drop retired ids from earlier slices via the
+        // SliceRewrite protocol — write survivors as a new sv= version,
+        // flip the slice pointer, THEN delete superseded data. An
+        // in-place overwrite here (round 12) deleted the target before
+        // the write job ran: a crash in that window silently lost the
+        // slice's non-retired rows, and a replayed batch could not
+        // detect it (the partial dir no longer matched the retire ids).
+        // Only dirs still holding retired ids are rewritten; resume-safe
+        // because a replayed batch re-filters already-clean dirs to a
+        // no-op, and gcStale heals crash leftovers including superseded
+        // versions whose delete crashed
         retire.foreach { ids =>
           val r = ids.select(col("id").cast("long").as("id")).distinct()
             .localCheckpoint(true)
           val spark = b.sparkSession
-          val root = new org.apache.hadoop.fs.Path(acceptedDir)
-          val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (f.exists(root)) {
-            val dirs = f.listStatus(root).map(_.getPath.getName)
-              .filter(_.startsWith("batch=")).toSeq
-              .filter(_.stripPrefix("batch=").toLong < batchId)
-            if (dirs.nonEmpty) {
-              val all = spark.read.option("basePath", acceptedDir)
-                .parquet(dirs.map(d => s"$acceptedDir/$d"): _*)
+          graft.util.SliceRewrite.gcStale(spark, acceptedDir, "batch")
+          val names = graft.util.SliceRewrite
+            .sliceNames(spark, acceptedDir, "batch")
+            .filter(_.stripPrefix("batch=").toLong < batchId)
+          graft.util.SliceRewrite.read(spark, acceptedDir, "batch", names)
+            .foreach { all =>
               val hit = all
                 .join(broadcast(r), all(idCol) === r("id"), "left_semi")
                 .select(col("batch").cast("long")).distinct()
                 .collect().map(_.getLong(0))
+              val f = new org.apache.hadoop.fs.Path(acceptedDir)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
               hit.foreach { w =>
-                val dir = s"$acceptedDir/batch=$w"
-                val clean = spark.read.parquet(dir)
+                val name = s"batch=$w"
+                val survivors = spark.read
+                  .parquet(graft.util.SliceRewrite
+                    .liveReadPath(f, s"$acceptedDir/$name"))
                   .join(broadcast(r), col(idCol) === r("id"), "left_anti")
-                  .localCheckpoint(true)
-                clean.write.mode("overwrite").parquet(dir)
+                graft.util.SliceRewrite
+                  .replaceSlice(spark, acceptedDir, name, survivors)
               }
             }
-          }
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           SignatureIndexStore.compact(b.sparkSession, indexRoot)
@@ -598,4 +606,15 @@ object CorpusIngest {
         }
       }
       .start()
+
+  /** The accepted corpus across all slices, WITH the `batch` partition
+    * column — the layout-aware read: slices a retirement rewrote serve
+    * from their live `sv=` version ([[graft.util.SliceRewrite]]), the
+    * rest read plain. Use this instead of a whole-root parquet read once
+    * any retire feed may have run (a mixed plain/versioned root refuses
+    * a naive partition-discovery read — by design, loudly).
+    */
+  def accepted(spark: SparkSession, acceptedDir: String): DataFrame =
+    graft.util.SliceRewrite.readAll(spark, acceptedDir, "batch")
+      .getOrElse(spark.emptyDataFrame)
 }

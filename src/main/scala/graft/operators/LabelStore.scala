@@ -297,12 +297,16 @@ object LabelStore {
       .withColumn("batch", lit(batchId))
     if (nRetired > 0L) {
       // every touched row dies; survivors are rewritten below in this
-      // same batch, retired ids are not
+      // same batch, retired ids are not. The marker records the digest
+      // of the RETIRE set (the caller's intent), not the wider tombstone
+      // set — retire()'s re-run guard compares incoming ids against it
       val allAffected = affected.select("id")
         .unionByName(retired.get.select("id")).distinct()
       StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
       writeDelta(spark, root, relabeled, batchId, meta,
-        tables = Seq("byid", "bycomp", "tombs"))
+        tables = Seq("byid", "bycomp", "tombs"),
+        extraLines = Seq(StoreProtocol.tombsetLine(
+          StoreProtocol.tombsDigest(retired.get, "id"))))
     } else writeDelta(spark, root, relabeled, batchId, meta)
   }
 
@@ -320,8 +324,14 @@ object LabelStore {
     * label in this same batch — so `min(component)` over live rows stays
     * the exact resolution read even though the label went UP. Work and
     * writes are bounded by the touched components + the delete set,
-    * never the corpus. Idempotent per batchId (reads are fenced at
-    * `belowBatch = batchId`; re-runs overwrite their own dirs).
+    * never the corpus. Idempotent per batchId: a COMMITTED re-run (the
+    * marker's delete-set digest matches the incoming ids — exactly what
+    * Takedown.resume replays after a crash between the labels commit and
+    * `_DONE`) is a no-op, legitimately so even though the retirement
+    * itself wrote byid/bycomp relabel rows in its batch; an uncommitted
+    * crash's retry re-runs fully (reads are fenced at
+    * `belowBatch = batchId`, re-runs overwrite their own dirs); a
+    * DIFFERENT retirement or a data batch under this id is refused.
     * Retiring ids the store never saw just records their tombstones
     * (harmless; kills nothing).
     */
@@ -329,8 +339,9 @@ object LabelStore {
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
       batchId: Long): Unit = {
     val meta = readMeta(spark, root).getOrElse(return)
-    StoreProtocol.requireRetireBatchId(spark, root, batchId,
-      Seq("byid", "bycomp"))
+    if (StoreProtocol.retireAlreadyCommitted(spark, root, batchId,
+        StoreProtocol.tombsDigest(ids, idCol)))
+      return // committed re-run: state already holds this retirement
     applyBatch(spark, root,
       spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0),
       "a", "b", Some(ids), batchId, meta, retireIdCol = idCol)
@@ -342,7 +353,8 @@ object LabelStore {
     */
   private def writeDelta(
       spark: SparkSession, root: String, rows: DataFrame, batchId: Long,
-      meta: Meta, tables: Seq[String] = Seq("byid", "bycomp")): Unit = {
+      meta: Meta, tables: Seq[String] = Seq("byid", "bycomp"),
+      extraLines: Seq[String] = Nil): Unit = {
     val pinned = rows.select(col("id"), col("component"), col("batch"))
       .localCheckpoint(true)
     def writeCopy(table: String, keyCol: String): Unit =
@@ -355,7 +367,7 @@ object LabelStore {
         .parquet(s"$root/$table/batch=$batchId")
     writeCopy("byid", "id")
     writeCopy("bycomp", "component")
-    StoreProtocol.writeBucketMarker(spark, root, batchId, tables)
+    StoreProtocol.writeBucketMarker(spark, root, batchId, tables, extraLines)
   }
 
   /** Fold batches at/below the horizon into one latest-wins snapshot per

@@ -181,9 +181,15 @@ object SignatureIndexStore {
       StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId))
     // record each table's written bucket set in the marker: readers then
     // build explicit paths without listing batches × buckets directories
-    // (readers parse marker CONTENT, so the write is atomic by protocol)
+    // (readers parse marker CONTENT, so the write is atomic by protocol).
+    // A combined data+retire commit also records its delete-set digest,
+    // so a later standalone retire can never hijack this batch's id with
+    // a different tombstone set (StoreProtocol.retireAlreadyCommitted)
     StoreProtocol.writeBucketMarker(spark, root, batchId,
-      Seq("bands", "sigs") ++ retireIds.map(_ => "tombs").toSeq)
+      Seq("bands", "sigs") ++ retireIds.map(_ => "tombs").toSeq,
+      extraLines = retireIds.map(ids =>
+        StoreProtocol.tombsetLine(
+          StoreProtocol.tombsDigest(ids, retireIdCol))).toSeq)
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches
@@ -265,8 +271,11 @@ object SignatureIndexStore {
     * exclude tombstoned rows by a broadcast anti-join, and [[compact]]
     * physically drops both the dead rows and the applied tombstones.
     * A retired id can be re-appended by any LATER batch (tombstones kill
-    * only rows older than themselves). Re-running the same retire
-    * batchId overwrites its own file and re-marks — idempotent.
+    * only rows older than themselves). Idempotent per batchId: a re-run
+    * whose batch already committed with the SAME delete-set digest is a
+    * no-op (Takedown.resume's replay), an uncommitted crash's retry
+    * overwrites its own file and re-marks; a DIFFERENT retirement or a
+    * data batch under this id is refused.
     */
   def retire(
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
@@ -277,11 +286,13 @@ object SignatureIndexStore {
         s"store at $root is compacted through batch $upTo; retiring as " +
           s"batch $batchId would be invisible to every reader")
     }
-    StoreProtocol.requireRetireBatchId(spark, root, batchId,
-      Seq("bands", "sigs"))
+    val digest = StoreProtocol.tombsDigest(ids, idCol)
+    if (StoreProtocol.retireAlreadyCommitted(spark, root, batchId, digest))
+      return // committed re-run: state already holds this retirement
     StoreProtocol.writeTombstones(spark, root, ids, idCol, batchId)
     StoreProtocol.writeBucketMarker(spark, root, batchId,
-      Seq("bands", "sigs", "tombs"))
+      Seq("bands", "sigs", "tombs"),
+      extraLines = Seq(StoreProtocol.tombsetLine(digest)))
   }
 
   /** The live tombstone set visible at `belowBatch` (None = no visible

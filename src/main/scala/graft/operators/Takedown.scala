@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.util.{FsAtomic, StoreProtocol}
+import graft.util.{FsAtomic, SliceRewrite, StoreProtocol}
 
 /** Corpus-level deletion: propagate ONE delete set through the accepted
   * corpus parquet and every standing index — the right-to-be-forgotten
@@ -104,7 +104,14 @@ object Takedown {
       nextBatch(targets.sigRoot).map(b => s"sig $b"),
       nextBatch(targets.annRoot).map(b => s"ann $b"),
       nextBatch(targets.labelsRoot).map(b => s"labels $b")).flatten ++
-      targets.corpusDir.map(d => s"corpus $d").toSeq
+      // the corpus id/partition columns are pinned WITH the dir: a
+      // resume whose Targets carry different columns (e.g. the default
+      // "batch" against a wave-sliced "w" corpus) would otherwise find
+      // zero matching dirs, skip the rewrite, and still mark _DONE —
+      // the silently-half-applied delete the journal contract forbids
+      targets.corpusDir.toSeq.flatMap(d => Seq(s"corpus $d",
+        s"corpus_id ${targets.corpusIdCol}",
+        s"corpus_part ${targets.corpusPartitionCol}"))
     // _PLAN is the commit point: from here the delete set WILL be applied
     FsAtomic.writePointer(f, new Path(td), "_PLAN", plan.mkString("\n"))
     execute(spark, targets, td)
@@ -158,59 +165,56 @@ object Takedown {
     plan.get("labels").map(_.toLong).zip(targets.labelsRoot).foreach {
       case (b, root) => LabelStore.retire(spark, root, ids, "id", b)
     }
-    targets.corpusDir.foreach(dir =>
-      rewriteCorpus(spark, dir, targets.corpusIdCol,
-        targets.corpusPartitionCol, ids, td))
+    // the corpus rewrite runs against the PINNED dir and columns — the
+    // resume's Targets must name the same corpus (refused otherwise),
+    // and its column defaults are ignored in favor of the plan's
+    plan.get("corpus").foreach { pinnedDir =>
+      require(targets.corpusDir.contains(pinnedDir),
+        s"takedown $td planned the corpus rewrite at $pinnedDir but the " +
+          s"resume's targets point at ${targets.corpusDir} — supply the " +
+          "original targets")
+      rewriteCorpus(spark, pinnedDir,
+        plan.getOrElse("corpus_id", targets.corpusIdCol),
+        plan.getOrElse("corpus_part", targets.corpusPartitionCol), ids)
+    }
     FsAtomic.writePointer(f, new Path(td), "_DONE", "done")
   }
 
-  /** Physically drop the retired ids from the corpus's `batch=` dirs.
-    * Per affected dir: write the surviving rows to a journal-side
-    * rewrite dir, then swap (delete target, rename rewrite into place).
-    * Idempotent/resumable: committed rewrite dirs whose swap crashed are
-    * finished first, and the affected set is recomputed from the CURRENT
-    * corpus (a dir already swapped no longer contains retired ids, so it
-    * drops out on its own). Uncommitted rewrite leftovers are discarded
-    * and rebuilt.
+  /** Physically drop the retired ids from the corpus's slice dirs via
+    * the [[graft.util.SliceRewrite]] protocol: per affected slice, write
+    * the survivors as a new `sv=` version, flip the slice's `_V` pointer
+    * atomically, then delete superseded data — a concurrent corpus
+    * reader resolves either the old complete version or the new one,
+    * never a missing partition (the round-12 delete-then-rename swap's
+    * absence window is gone). Idempotent/resumable: the affected set is
+    * recomputed from the CURRENT live content (an already-rewritten
+    * slice no longer contains retired ids, so it drops out on its own),
+    * and the leading [[SliceRewrite.gcStale]] pass heals crash leftovers
+    * INCLUDING a superseded version whose post-flip delete crashed —
+    * without it, retired rows could linger on disk in a version no
+    * rewrite would ever revisit.
     */
   private def rewriteCorpus(
       spark: SparkSession, corpusDir: String, idCol: String,
-      partCol: String, ids: DataFrame, td: String): Unit = {
+      partCol: String, ids: DataFrame): Unit = {
     val f = fs(spark, corpusDir)
-    val rewriteRoot = s"$td/rewrite"
-    // 1. finish or discard leftover rewrites from a crashed attempt
-    val rr = new Path(rewriteRoot)
-    if (f.exists(rr)) f.listStatus(rr).map(_.getPath).foreach { p =>
-      val name = p.getName // <partCol>=<b>
-      if (f.exists(new Path(p, "_SUCCESS"))) {
-        val target = new Path(s"$corpusDir/$name")
-        if (f.exists(target)) f.delete(target, true)
-        f.rename(p, target)
-      } else f.delete(p, true)
-    }
-    // 2. affected dirs = partitions still holding retired ids
-    //    (one broadcast semi-join; collect is bounded by the delete set)
-    val corpusRoot = new Path(corpusDir)
-    if (!f.exists(corpusRoot)) return
-    val batchDirs = f.listStatus(corpusRoot).map(_.getPath.getName)
-      .filter(_.startsWith(s"$partCol=")).toSeq
-    if (batchDirs.isEmpty) return
-    val corpus = spark.read
-      .option("basePath", corpusDir)
-      .parquet(batchDirs.map(d => s"$corpusDir/$d"): _*)
-    val affected = corpus
-      .join(broadcast(ids), corpus(idCol) === ids("id"), "left_semi")
-      .select(col(partCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    // 3. rewrite + swap each affected dir (survivor rows only)
+    if (!f.exists(new Path(corpusDir))) return
+    SliceRewrite.gcStale(spark, corpusDir, partCol)
+    val names = SliceRewrite.sliceNames(spark, corpusDir, partCol)
+    // affected slices = those still holding retired ids
+    // (one broadcast semi-join; collect is bounded by the delete set)
+    val affected = SliceRewrite.read(spark, corpusDir, partCol, names)
+      .map { corpus =>
+        corpus.join(broadcast(ids), corpus(idCol) === ids("id"), "left_semi")
+          .select(col(partCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      }.getOrElse(Seq.empty)
     affected.foreach { b =>
-      val target = s"$corpusDir/$partCol=$b"
-      val tmp = s"$rewriteRoot/$partCol=$b"
-      spark.read.parquet(target)
+      val name = s"$partCol=$b"
+      val survivors = spark.read
+        .parquet(SliceRewrite.liveReadPath(f, s"$corpusDir/$name"))
         .join(broadcast(ids), col(idCol) === ids("id"), "left_anti")
-        .write.mode("overwrite").parquet(tmp)
-      f.delete(new Path(target), true)
-      f.rename(new Path(tmp), new Path(target))
+      SliceRewrite.replaceSlice(spark, corpusDir, name, survivors)
     }
   }
 }

@@ -104,15 +104,17 @@ object StoreProtocol {
 
   /** Record each table's written bucket set in the batch's commit marker
     * (one "<table> <csv>" line per table): readers then build explicit
-    * paths without listing batches × buckets directories.
+    * paths without listing batches × buckets directories. `extraLines`
+    * append protocol metadata lines (e.g. the "tombset" digest of a
+    * retiring batch) after the table lines.
     */
   def writeBucketMarker(
       spark: SparkSession, root: String, batchId: Long,
-      tables: Seq[String]): Unit = {
+      tables: Seq[String], extraLines: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
-    val content = tables.map { t =>
+    val content = (tables.map { t =>
       s"$t ${bucketsOnDisk(f, s"$root/$t/batch=$batchId").mkString(",")}"
-    }.mkString("\n")
+    } ++ extraLines).mkString("\n")
     writeCommitMarker(spark, root, batchId, content)
   }
 
@@ -140,86 +142,162 @@ object StoreProtocol {
     * update). The tombstone working set is bounded by retirements since
     * the last compaction: [[cleanupCompacted]]-covered tombstones were
     * already APPLIED when the snapshot folded (every row they could kill
-    * had `batch < tb <= coveredUpTo` and is physically gone), so readers
-    * broadcast the live set.
+    * had `batch < tb <= coveredUpTo` and is physically gone), so the
+    * live set stays broadcast-sized in the steady state — and
+    * [[readTombstones]] size-switches the read-path anti-join to a
+    * shuffle when a massive purge exceeds [[TombBroadcastMaxBytes]].
     */
   val tombSchema: StructType = StructType(Seq(
     StructField("id", LongType), StructField("batch", LongType)))
 
+  /** Ids per tombstone bucket file: a takedown-sized retirement (a few
+    * thousand to a few million ids) stays ONE file; a whole-source purge
+    * (10^7–10^8 ids) shards so neither the write nor the read funnels
+    * through one task.
+    */
+  val TombIdsPerBucket: Long = 1L << 21
+
+  /** Tombstone sets at or below this many on-disk bytes ride the read
+    * path as a broadcast anti-join; above it [[readTombstones]] leaves
+    * the frame unhinted and the anti-join shuffles on the id instead
+    * (the 32 MB default is ~2M ids of parquet — comfortably inside one
+    * executor's broadcast budget, far below the OOM shape a 10^8-id
+    * purge would hit).
+    */
+  val TombBroadcastMaxBytes: Long = 32L << 20
+
   /** Write batch `batchId`'s tombstone set (the ids retired by this
-    * batch) — one file under a constant `bucket=0` partition so the
-    * shared bucket-marker machinery records it like any table. The
-    * caller commits the batch's marker (listing table "tombs") AFTER
-    * this lands, like any other table write.
+    * batch) under hashed `bucket=` partitions — ONE file for the common
+    * delete-set size, sharded above [[TombIdsPerBucket]] so a massive
+    * purge never funnels through a single task. The shared bucket-marker
+    * machinery records the written set like any table; the caller
+    * commits the batch's marker (listing table "tombs") AFTER this
+    * lands, like any other table write.
     */
   def writeTombstones(
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
-      batchId: Long): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("batch", lit(batchId))
-      .withColumn("bucket", lit(0))
-      .coalesce(1)
+      batchId: Long): Unit = {
+    val norm = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val n = norm.count() // local: the checkpointed delete set
+    val nb = math.min(1024L, (n.max(1L) + TombIdsPerBucket - 1)
+      / TombIdsPerBucket).toInt
+    val rows = norm.withColumn("batch", lit(batchId))
+    (if (nb == 1) rows.withColumn("bucket", lit(0)).coalesce(1)
+     else rows
+       .withColumn("bucket", pmod(xxhash64(col("id")), lit(nb)).cast("int"))
+       .repartition(col("bucket")))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/tombs/batch=$batchId")
+  }
 
   /** The live tombstone set across `batches`, as (id, batch). Paths come
     * from the commit markers' "tombs" line — a marker without one (every
     * pure data batch) contributes nothing and costs no filesystem call.
     * None when no visible batch retired anything (the common case: the
-    * read path then skips the anti-join entirely).
+    * read path then skips the anti-join entirely). The frame carries a
+    * broadcast hint iff the set's on-disk bytes (known driver-side from
+    * the explicit paths) fit [[TombBroadcastMaxBytes]] —
+    * [[applyTombstones]] then broadcasts small sets and shuffles big
+    * ones without its callers choosing.
     */
   def readTombstones(
       spark: SparkSession, root: String,
       batches: Seq[Long]): Option[DataFrame] = {
+    val f = fs(spark, root)
     val paths = batches.flatMap { b =>
       markerBuckets(spark, root, "tombs", b).getOrElse(Seq.empty)
         .map(k => s"$root/tombs/batch=$b/bucket=$k")
     }
     if (paths.isEmpty) None
-    else Some(spark.read.schema(tombSchema).parquet(paths: _*))
+    else {
+      val bytes = paths.map(p => f.getContentSummary(new Path(p)).getLength)
+        .sum
+      val t = spark.read.schema(tombSchema).parquet(paths: _*)
+      Some(if (bytes <= TombBroadcastMaxBytes) t.hint("broadcast") else t)
+    }
   }
 
   /** Merge-on-read retirement: drop `data` rows whose id carries a
     * tombstone NEWER than the row's batch. `data` must expose `idCol`
     * and a numeric `batch` column (snapshot rows are stamped with the
     * compaction horizon by their readers — every row a snapshot carries
-    * derives from batches at or below it). The tombstone side broadcasts
-    * (bounded by retirements since the last compaction).
+    * derives from batches at or below it). The tombstone side joins as
+    * [[readTombstones]] hinted it: broadcast when the set fits
+    * [[TombBroadcastMaxBytes]] (the takedown norm), a shuffled anti-join
+    * on the id above it (the whole-source-purge shape).
     */
   def applyTombstones(
       data: DataFrame, idCol: String,
       tombs: Option[DataFrame]): DataFrame =
     tombs.fold(data) { t =>
       data.join(
-        broadcast(t.select(col("id").as("__tomb_id"),
-          col("batch").as("__tomb_batch"))),
+        t.select(col("id").as("__tomb_id"),
+          col("batch").as("__tomb_batch")),
         data(idCol) === col("__tomb_id") &&
           data("batch") < col("__tomb_batch"),
         "left_anti")
     }
 
-  /** Guard a retirement batch id: it must be fresh, or a re-run of the
-    * SAME retirement (a committed marker that already carries a "tombs"
-    * line and no data-table buckets) — reusing a DATA batch's id would
-    * overwrite its marker and hide its rows from every marker-driven
-    * reader (or, for contentless data markers, let a replayed append
-    * later erase the tombstone line).
+  /** Order-independent digest of a retirement's id set — "<count>:<xor>"
+    * of the normalized (distinct, long-cast) ids. Every tombstone-writing
+    * commit records it as a `tombset <digest>` marker line
+    * ([[tombsetLine]]), so [[retireAlreadyCommitted]] can distinguish a
+    * re-run of the SAME retirement (idempotent — Takedown.resume replays
+    * its pinned plan) from a DIFFERENT operation reusing a committed
+    * batch's id (refused — it would overwrite the batch's tombstone file
+    * or marker with foreign content). xor, not sum: order-free and
+    * overflow-free under ANSI arithmetic.
     */
-  def requireRetireBatchId(
+  def tombsDigest(ids: DataFrame, idCol: String): String = {
+    val row = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(id))").as("x")).head()
+    val x = if (row.isNullAt(1)) 0L else row.getLong(1)
+    s"${row.getLong(0)}:$x"
+  }
+
+  /** The marker line recording a retiring batch's delete-set digest. */
+  def tombsetLine(digest: String): String = s"tombset $digest"
+
+  /** The `tombset` digest a committed batch's marker carries, if any. */
+  def markerTombset(
+      spark: SparkSession, root: String, batchId: Long): Option[String] =
+    readSmall(fs(spark, root), new Path(root, s"_commit_$batchId"))
+      .flatMap(_.linesIterator.find(_.startsWith("tombset ")))
+      .map(_.stripPrefix("tombset ").trim)
+
+  /** Guard a retirement batch id against a committed marker. Returns
+    * true when the batch already committed THIS EXACT retirement (marker
+    * digest == `digest`) — the caller must then skip the write entirely:
+    * the committed state already contains it, and re-marking could drop
+    * marker lines a COMBINED data+retire commit recorded (the round-12
+    * `wasRetire && !wroteData` guard refused exactly that re-run when
+    * the retirement itself had legitimately written data rows — e.g. a
+    * LabelStore relabel carve-out — wedging Takedown.resume). Refuses
+    * when the id belongs to a DATA batch or to a DIFFERENT retirement.
+    * Returns false when the id is fresh (or mid-crash uncommitted).
+    */
+  def retireAlreadyCommitted(
       spark: SparkSession, root: String, batchId: Long,
-      dataTables: Seq[String]): Unit =
-    if (committedBatches(spark, root).contains(batchId)) {
-      val wasRetire =
-        markerBuckets(spark, root, "tombs", batchId).isDefined
-      val wroteData = dataTables.exists(t =>
-        markerBuckets(spark, root, t, batchId).exists(_.nonEmpty))
-      require(wasRetire && !wroteData,
-        s"batch $batchId at $root already committed as a DATA batch; " +
-          "retiring under its id would corrupt its marker — use a fresh " +
-          "batch id")
+      digest: String): Boolean =
+    if (!committedBatches(spark, root).contains(batchId)) false
+    else markerTombset(spark, root, batchId) match {
+      case Some(d) if d == digest => true
+      case Some(d) =>
+        throw new IllegalArgumentException(
+          s"batch $batchId at $root already committed a DIFFERENT " +
+            s"retirement (tombset $d, incoming $digest); overwriting its " +
+            "tombstone set would resurrect or over-kill rows — use a " +
+            "fresh batch id")
+      case None =>
+        throw new IllegalArgumentException(
+          s"batch $batchId at $root already committed as a DATA batch; " +
+            "retiring under its id would corrupt its marker — use a " +
+            "fresh batch id")
     }
 
-  /** Guard a DATA batch id (the mirror of [[requireRetireBatchId]]): a
+  /** Guard a DATA batch id (the mirror of [[retireAlreadyCommitted]]): a
     * data append/fold must not reuse a committed RETIREMENT batch's id —
     * rewriting that marker with a data marker would erase its "tombs"
     * line and silently resurrect every retired row. An id whose marker
@@ -228,7 +306,8 @@ object StoreProtocol {
   def requireDataBatchId(
       spark: SparkSession, root: String, batchId: Long): Unit =
     require(
-      !markerBuckets(spark, root, "tombs", batchId).exists(_.nonEmpty),
+      markerTombset(spark, root, batchId).isEmpty &&
+        !markerBuckets(spark, root, "tombs", batchId).exists(_.nonEmpty),
       s"batch $batchId at $root is a committed RETIREMENT batch; " +
         "appending data under its id would overwrite the tombstone " +
         "marker and resurrect retired rows — use a fresh batch id")

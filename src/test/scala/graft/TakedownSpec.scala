@@ -253,8 +253,10 @@ class TakedownSpec extends AnyFunSuite {
     (targets, s"$base/journal")
   }
 
+  // layout-aware: slices a takedown rewrote serve from their live sv=
+  // version, so a whole-root read would refuse the mixed depths
   private def corpusIds(dir: String): Set[Long] =
-    spark.read.parquet(dir).select("doc_id").collect()
+    CorpusIngest.accepted(spark, dir).select("doc_id").collect()
       .map(_.getLong(0)).toSet
 
   test("takedown propagates one delete set through corpus + all three stores") {
@@ -293,11 +295,18 @@ class TakedownSpec extends AnyFunSuite {
     graft.util.FsAtomic.writePointer(f,
       new org.apache.hadoop.fs.Path(td), "_PLAN",
       Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
-        s"labels ${next(s"$base/labels")}").mkString("\n"))
+        s"labels ${next(s"$base/labels")}",
+        s"corpus $base/accepted", "corpus_id doc_id",
+        "corpus_part batch").mkString("\n"))
     // a resume with NARROWER targets than the plan must refuse, not
     // silently skip part of the committed delete
     intercept[IllegalArgumentException] {
       Takedown.resume(spark, targets.copy(annRoot = None), journal)
+    }
+    // …and so must a resume pointing at a DIFFERENT corpus than pinned
+    intercept[IllegalArgumentException] {
+      Takedown.resume(spark,
+        targets.copy(corpusDir = Some(s"$base/elsewhere")), journal)
     }
     assert(Takedown.resume(spark, targets, journal) == 1)
     assert(corpusIds(s"$base/accepted") == Set(1L, 3L, 4L, 11L))
@@ -309,7 +318,7 @@ class TakedownSpec extends AnyFunSuite {
     assert(Takedown.resume(spark, targets, journal) == 0)
   }
 
-  test("kill mid-corpus-swap: a committed rewrite with a deleted target is finished") {
+  test("kill mid-slice-rewrite: staged-unflipped discarded, flipped-undeleted healed, readers whole throughout") {
     val base = tmp("kill2")
     val (targets, journal) = buildWorld(base)
     val td = s"$journal/td=0"
@@ -318,20 +327,67 @@ class TakedownSpec extends AnyFunSuite {
     def next(root: String): Long =
       StoreProtocol.committedBatches(spark, root)
         .lastOption.getOrElse(-1L) + 1L
-    // the rewrite of batch=0 landed (committed) and the target was
-    // deleted, then the process died before the rename
-    spark.read.parquet(s"$base/accepted/batch=0")
-      .filter(col("doc_id") =!= 1L)
-      .write.mode("overwrite").parquet(s"$td/rewrite/batch=0")
+    // crash shape A: batch=0's survivor version landed (sv=0, _SUCCESS)
+    // but the process died BEFORE the _V flip — the plain originals
+    // (still holding doc 1) stay live
+    val survivors = spark.read.parquet(s"$base/accepted/batch=0")
+      .filter(col("doc_id") =!= 1L).localCheckpoint(true)
+    survivors.write.mode("overwrite")
+      .parquet(s"$base/accepted/batch=0/sv=0")
     val f = StoreProtocol.fs(spark, base)
-    f.delete(new org.apache.hadoop.fs.Path(s"$base/accepted/batch=0"), true)
     graft.util.FsAtomic.writePointer(f,
       new org.apache.hadoop.fs.Path(td), "_PLAN",
       Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
-        s"labels ${next(s"$base/labels")}").mkString("\n"))
+        s"labels ${next(s"$base/labels")}",
+        s"corpus $base/accepted", "corpus_id doc_id",
+        "corpus_part batch").mkString("\n"))
+    // a reader in this window sees the complete ORIGINAL corpus — not a
+    // missing partition, not staged/live duplicates
+    assert(corpusIds(s"$base/accepted") == Set(1L, 2L, 3L, 4L, 11L, 12L))
     assert(Takedown.resume(spark, targets, journal) == 1)
     assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 11L, 12L))
-    assert(new java.io.File(s"$base/accepted/batch=0").exists())
+    // the slice is versioned now, and no stale data survives in it
+    val slice = new java.io.File(s"$base/accepted/batch=0")
+    assert(slice.exists())
+    val onDisk = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/accepted/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onDisk == Set(2L, 3L, 4L), s"stale rows on disk: $onDisk")
+  }
+
+  test("kill after flip before delete: stale plain files are GC'd even though the live slice is clean") {
+    val base = tmp("kill3")
+    val (targets, journal) = buildWorld(base)
+    val td = s"$journal/td=0"
+    Seq(1L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    def next(root: String): Long =
+      StoreProtocol.committedBatches(spark, root)
+        .lastOption.getOrElse(-1L) + 1L
+    // crash shape B: sv=0 written AND _V flipped, superseded plain
+    // files (holding retired doc 1) not yet deleted
+    spark.read.parquet(s"$base/accepted/batch=0")
+      .filter(col("doc_id") =!= 1L).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$base/accepted/batch=0/sv=0")
+    val f = StoreProtocol.fs(spark, base)
+    graft.util.FsAtomic.writePointer(f,
+      new org.apache.hadoop.fs.Path(s"$base/accepted/batch=0"), "_V", "0")
+    // a reader resolves the live version only — already clean, no dups
+    assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 11L, 12L))
+    graft.util.FsAtomic.writePointer(f,
+      new org.apache.hadoop.fs.Path(td), "_PLAN",
+      Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
+        s"labels ${next(s"$base/labels")}",
+        s"corpus $base/accepted", "corpus_id doc_id",
+        "corpus_part batch").mkString("\n"))
+    // the live content holds no retired ids, so the affected set is
+    // empty — gcStale is what must reap the stale plain files, or doc
+    // 1's bytes would linger in a version no rewrite ever revisits
+    assert(Takedown.resume(spark, targets, journal) == 1)
+    val onDisk = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/accepted/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onDisk == Set(2L, 3L, 4L), s"stale rows on disk: $onDisk")
   }
 
   test("label store: fold + retire commit atomically as ONE batch (applyBatch)") {
@@ -363,6 +419,119 @@ class TakedownSpec extends AnyFunSuite {
       LabelStore.fold(spark, root, Seq((50L, 51L)).toDF("a", "b"),
         "a", "b", 2L, labelMeta)
     }
+  }
+
+  test("label retire re-run after commit is a no-op even though the retirement wrote relabel rows") {
+    // the round-12 wedge: a label retirement touching components with
+    // survivors legitimately writes byid/bycomp rows in its own batch,
+    // and a guard keyed on "retire markers carry no data buckets" then
+    // refused exactly the re-run Takedown.resume performs after a crash
+    // between the labels commit and _DONE
+    val root = tmp("rerun") + "/store"
+    LabelStore.fold(spark, root, Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+      "a", "b", 1L, labelMeta)
+    LabelStore.retire(spark, root, Seq(1L).toDF("id"), "id", 2L)
+    val committed = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(committed == Map(2L -> 2L, 3L -> 2L), s"got $committed")
+    // the marker carries BOTH relabel data buckets and the tombs line —
+    // the exact shape the old guard refused
+    assert(StoreProtocol.markerBuckets(spark, root, "byid", 2L)
+      .exists(_.nonEmpty), "retirement should have written relabel rows")
+    assert(StoreProtocol.markerTombset(spark, root, 2L).isDefined)
+    // same ids, same batch: no-op, not an exception, state unchanged
+    LabelStore.retire(spark, root, Seq(1L).toDF("id"), "id", 2L)
+    val after = LabelStore.labels(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == committed)
+    // a DIFFERENT delete set under the committed retire id is refused
+    intercept[IllegalArgumentException] {
+      LabelStore.retire(spark, root, Seq(2L).toDF("id"), "id", 2L)
+    }
+  }
+
+  test("kill after the labels retirement committed: resume completes without wedging") {
+    val base = tmp("kill4")
+    val (targets, journal) = buildWorld(base)
+    val td = s"$journal/td=0"
+    Seq(1L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    def next(root: String): Long =
+      StoreProtocol.committedBatches(spark, root)
+        .lastOption.getOrElse(-1L) + 1L
+    val labelsBatch = next(s"$base/labels")
+    val plan = Seq(s"sig ${next(s"$base/sig")}",
+      s"ann ${next(s"$base/ann")}", s"labels $labelsBatch",
+      s"corpus $base/accepted", "corpus_id doc_id", "corpus_part batch")
+    graft.util.FsAtomic.writePointer(StoreProtocol.fs(spark, journal),
+      new org.apache.hadoop.fs.Path(td), "_PLAN", plan.mkString("\n"))
+    // the crash state: the labels retirement ran to COMMIT (relabel rows
+    // + tombstones + marker) before the process died — buildWorld's
+    // cluster {1,2} has a survivor, so the marker carries data buckets
+    LabelStore.retire(spark, s"$base/labels", Seq(1L).toDF("id"), "id",
+      labelsBatch)
+    // resume must treat the committed labels retirement as done (not
+    // throw), finish the rest, and mark _DONE
+    assert(Takedown.resume(spark, targets, journal) == 1)
+    assert(new java.io.File(s"$td/_DONE").exists())
+    val labels = LabelStore.labels(spark, s"$base/labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 11L -> 11L, 12L -> 11L), s"got $labels")
+    assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 11L, 12L))
+    // and a SECOND takedown through the same journal still works (the
+    // old guard left the journal permanently wedged here)
+    Takedown.takedown(spark, Seq(2L).toDF("id"), "id", targets, journal)
+    assert(corpusIds(s"$base/accepted") == Set(3L, 4L, 11L, 12L))
+  }
+
+  test("sig store: a committed combined append's id cannot be hijacked by a different retirement") {
+    val root = tmp("combguard") + "/store"
+    SignatureIndexStore.append(spark, root, sigsOf(docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "a careful study of historical documents reveals many patterns"))),
+      0L, sigMeta)
+    // batch 1: combined data + retirement of doc 1
+    SignatureIndexStore.append(spark, root, sigsOf(docsDf(
+      (3L, "novel observations about glacier movement and seasonal melt"))),
+      1L, sigMeta, retireIds = Some(Seq(1L).toDF("id")))
+    val live = SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(2L, 3L))
+    // a DIFFERENT retirement reusing batch 1 would resurrect doc 1 and
+    // kill doc 2 — refused by the digest guard
+    intercept[IllegalArgumentException] {
+      SignatureIndexStore.retire(spark, root, Seq(2L).toDF("id"), "id", 1L)
+    }
+    // the SAME retirement re-run is a harmless no-op
+    SignatureIndexStore.retire(spark, root, Seq(1L).toDF("id"), "id", 1L)
+    assert(SignatureIndexStore.sigsView(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("ann store: a committed combined append's id cannot be hijacked by a different retirement") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 20L)
+      .localCheckpoint(true)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val root = tmp("anng") + "/store"
+    AnnIndexStore.build(spark, root, emb.filter(col("vec_id") < 10L),
+      "vec_id", "embedding", dim, numCentroids = 2)
+    // batch 1: combined append of 10..19 retiring vid 0
+    AnnIndexStore.append(spark, root, emb.filter(col("vec_id") >= 10L),
+      "vec_id", "embedding", 1L, retireIds = Some(Seq(0L).toDF("id")))
+    intercept[IllegalArgumentException] {
+      AnnIndexStore.retire(spark, root, Seq(5L).toDF("id"), "id", 1L)
+    }
+    // exact re-run: no-op; vid 0 stays retired, batch 1's vectors live
+    AnnIndexStore.retire(spark, root, Seq(0L).toDF("id"), "id", 1L)
+    val got = AnnIndexStore.query(spark, root,
+        emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        k = 30, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(0L), "retired vid resurrected by retire re-run")
+    assert(got.contains(10L), "combined batch's vectors lost")
   }
 
   test("ingestIndexed retireIds: atomic with the batch; retiring content is not a dup judge") {
@@ -405,7 +574,7 @@ class TakedownSpec extends AnyFunSuite {
         (11L, "novel observations about glacier movement and seasonal melt")))
       q.processAllAvailable()
       // doc 1 is gone from the accepted slices AND the standing index
-      val acc = spark.read.parquet(s"$dir/accepted")
+      val acc = CorpusIngest.accepted(spark, s"$dir/accepted")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(acc == Set(2L, 11L), s"accepted $acc")
       assert(SignatureIndexStore.sigsView(spark, s"$dir/index")
@@ -415,7 +584,7 @@ class TakedownSpec extends AnyFunSuite {
       input.addData(Seq(
         (21L, "the quick brown fox jumps over the lazy dog near the river")))
       q.processAllAvailable()
-      val acc2 = spark.read.parquet(s"$dir/accepted")
+      val acc2 = CorpusIngest.accepted(spark, s"$dir/accepted")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(acc2 == Set(2L, 11L, 21L), s"accepted $acc2")
     } finally q.stop()
