@@ -494,6 +494,14 @@ object AnnIndexStore {
     * One whole-index read, one k-means (sample-seeded + Lloyd), one
     * [[Similarity.ivfAssign]] pass, one cell-partitioned write — all
     * corpus-sized, the unavoidable cost of re-binning every vector.
+    *
+    * This is also the FULL-ERASURE step after [[retire]]: the read
+    * excludes tombstoned vids ([[allVecs]]), so the new root's quantizer
+    * is trained on survivors only — no retired vector's influence
+    * remains, not even as a k-means aggregate (spec-pinned equal to a
+    * from-scratch build over the survivors). `retire` alone removes the
+    * vectors; `retire` → `rebuild` → [[setCurrent]] removes the training
+    * influence too.
     */
   def rebuild(
       spark: SparkSession, root: String, newRoot: String,

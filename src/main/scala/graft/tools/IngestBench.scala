@@ -31,7 +31,7 @@ object IngestBench {
     val batchDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val corpusDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     // optional 3rd arg: comma-separated arm names to run
-    // (growth, ann, loop, retire, chain); default = all
+    // (growth, ann, loop, retire, purge, chain); default = all
     val arms = args.lift(2).map(_.split(",").toSet)
     def armOn(name: String) = arms.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
@@ -268,6 +268,42 @@ object IngestBench {
       SignatureIndexStore.compact(spark, root, keepNewest = 1)
       println(f"| compact (applies+drops all tombstones) | " +
         f"${(System.nanoTime() - c0) / 1e9}%.1f | ${lookupWall()}%.2f |")
+    }
+
+    // whole-source-purge arm: a 10^7-id delete set — the size where the
+    // round-12 single-file tombstone write (coalesce(1)) and broadcast
+    // anti-join read would funnel one task / OOM an executor. Verifies
+    // the write SHARDS (multiple bucket files, marker-recorded) and the
+    // read path survives with the tombstone side unbroadcast (the
+    // >32 MB size-switch to a shuffled anti-join).
+    if (armOn("purge")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ingestpurge").toString
+      val index = replicate(100).localCheckpoint(true)
+      SignatureIndexStore.append(spark, root, index, 0L, meta)
+      val big = spark.range(10000000L)
+        .select(col("id").cast("long").as("doc_id"))
+      val t0 = System.nanoTime()
+      SignatureIndexStore.retire(spark, root, big, "doc_id", 1L)
+      val retireWall = (System.nanoTime() - t0) / 1e9
+      val tombBuckets = new java.io.File(s"$root/tombs/batch=1")
+        .listFiles().count(_.getName.startsWith("bucket="))
+      val trickleSigs = CorpusIngest.signatureIndex(
+        batch.limit(10), "doc_id", "text", cfg).localCheckpoint(true)
+      val t1 = System.nanoTime()
+      SignatureIndexStore.matches(
+        spark, root, trickleSigs, cfg.threshold).count()
+      val lookupWall = (System.nanoTime() - t1) / 1e9
+      SignatureIndexStore.append(spark, root,
+        CorpusIngest.signatureIndex(batch.limit(50), "doc_id", "text", cfg),
+        10L, meta)
+      val c0 = System.nanoTime()
+      SignatureIndexStore.compact(spark, root, keepNewest = 1)
+      val compactWall = (System.nanoTime() - c0) / 1e9
+      println(f"| 10^7-id purge | retire $retireWall%.2f s | " +
+        f"$tombBuckets tombstone buckets | " +
+        f"lookup-after $lookupWall%.2f s (shuffled anti-join) | " +
+        f"compact $compactWall%.1f s |")
     }
 
     // adversarial merge-chain arm (LabelStore): batches that repeatedly

@@ -508,6 +508,46 @@ class TakedownSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("ann full erasure: rebuild after retire retrains the quantizer on survivors only") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 40L)
+      .localCheckpoint(true)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val root = tmp("erasure") + "/store"
+    AnnIndexStore.build(spark, root, emb, "vec_id", "embedding", dim,
+      numCentroids = 4)
+    AnnIndexStore.retire(spark, root,
+      (0L until 10L).toDF("id"), "id", 1L)
+    val rebuilt = tmp("erasure") + "/rebuilt"
+    AnnIndexStore.rebuild(spark, root, rebuilt, numCentroids = 4)
+    // reference: a store that never saw the retired vectors at all
+    val scratch = tmp("erasure") + "/scratch"
+    AnnIndexStore.build(spark, scratch,
+      emb.filter(col("vec_id") >= 10L), "vec_id", "embedding", dim,
+      numCentroids = 4)
+    // identical quantizer: same seeds (same survivor id set), same Lloyd
+    // means — only float summation order can differ, so compare to 1e-4
+    def cents(r: String): Map[Long, Seq[Float]] =
+      AnnIndexStore.centroids(spark, r).collect()
+        .map(x => x.getLong(0) -> x.getSeq[Float](1)).toMap
+    val a = cents(rebuilt); val b = cents(scratch)
+    assert(a.keySet == b.keySet, s"${a.keySet} vs ${b.keySet}")
+    a.foreach { case (cid, av) =>
+      val bv = b(cid)
+      val maxDiff = av.zip(bv).map { case (x, y) => math.abs(x - y) }.max
+      assert(maxDiff < 1e-4f,
+        s"centroid $cid diverged from survivors-only training: $maxDiff")
+    }
+    // and the rebuilt index never surfaces a retired vid
+    val got = AnnIndexStore.query(spark, rebuilt,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 30, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(_ >= 10L), s"retired vids in rebuilt index: $got")
+  }
+
   test("ann store: a committed combined append's id cannot be hijacked by a different retirement") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
