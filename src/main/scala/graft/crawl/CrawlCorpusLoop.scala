@@ -361,10 +361,17 @@ object CrawlCorpusLoop {
         labelsRoot = if (lineage) Some(s"$workDir/labels") else None),
       s"$workDir/takedowns",
       retireBatchId = Some(wave.toLong))
-    urlCol.foreach(u =>
-      FrontierStore.retire(spark, s"$workDir/frontier", pinned, u))
+    // the slot marker lands IMMEDIATELY after the store-batch-consuming
+    // step: once the stores hold tombstones at batch `wave`, the slot
+    // must never be reused by a later DATA wave (the stores would refuse
+    // the append and wedge the loop). A crash between here and the
+    // frontier purge leaves the GONE rows in the journal — the next
+    // retention sweep re-derives them and re-fires into a FRESH slot,
+    // whose store retire of already-dead ids is a harmless no-op.
     graft.util.FsAtomic.writePointer(
       f, new Path(workDir), s"_wave_$wave", "takedown")
+    urlCol.foreach(u =>
+      FrontierStore.retire(spark, s"$workDir/frontier", pinned, u))
     tid
   }
 

@@ -1,0 +1,245 @@
+package graft.crawl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions
+import graft.schema.{FetchStatus => FS}
+import graft.util.StoreProtocol
+
+/** What the retention sweep may retire. Every knob is opt-in (None =
+  * that rule never fires); times are milliseconds on the LOOP's logical
+  * clock (the newest capture time of the round's CDX sidecar), never
+  * the wall clock — sweeps replay deterministically on resume.
+  *
+  * Reference tie: the reference exposes the SCHEDULING half of this as
+  * recrawl knobs (`CrawlToolOptions.java:12` default fetch interval)
+  * and recency-driven state merges (`DefaultUrlStateMerger.java:42`);
+  * the deletion half it declared but never built
+  * (`UrlDBFunction.java:76,467` `_archivedUrls`). This config drives
+  * both: when to give up on a URL, and what giving up deletes.
+  */
+final case class RetentionConfig(
+  /** Purge a GONE url only after it has been gone this long — the grace
+    * period that keeps a transiently-missing capture (CDN hiccup, one
+    * bad snapshot) out of the takedown path. A url re-captured inside
+    * the grace flips back to FETCHED and leaves the candidate set on
+    * its own (terminal recency).
+    */
+  goneGraceMs: Option[Long] = None,
+  /** Freshness-bounded corpus: retire documents whose last successful
+    * fetch is older than this — "content not re-fetched (i.e. not
+    * changed) in T leaves the corpus". The knob for pipelines that keep
+    * only recent captures; leave None for archival corpora.
+    */
+  maxAgeMs: Option[Long] = None,
+  /** Robots revocation: re-check robots.txt for every FETCHED url at
+    * sweep time through this fetcher; urls whose path is NEWLY
+    * disallowed become candidates — a site that tightened its
+    * robots.txt gets its already-crawled pages deleted, not just
+    * future fetches skipped (RFC 9309 is forward-looking; this knob is
+    * the right-to-be-forgotten reading).
+    */
+  robotsFetcher: Option[Fetcher] = None)
+
+/** Turns the deletion MACHINERY ([[graft.operators.Takedown]],
+  * [[CrawlCorpusLoop.takedownWave]], the stores' retire paths) into an
+  * autonomous lifecycle POLICY: each archive round derives its
+  * retirement candidates from observable state — the frontier journal's
+  * GONE ages, last-fetch ages, and a live robots re-check — and fires a
+  * takedown wave when the set is non-empty. The loop that could only
+  * grow (and since round 12 could forget when TOLD to) now forgets on
+  * schedule.
+  *
+  * Scale shape: every candidate source is one pass over the frontier
+  * journal (merge-on-read, bucket files — frontier-sized, the smallest
+  * standing state the loop owns), and the takedown cost stays
+  * delete-set-bounded through the existing machinery. The robots
+  * re-check is one `mapPartitions` over the FETCHED urls with the
+  * executor-singleton TTL cache ([[RobotsCache]]) keyed by a per-sweep
+  * scope, so rules are fetched once per (host, sweep), not per url.
+  */
+object RetentionPolicy {
+
+  final case class SweepResult(wave: Int, retired: Long)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Completed wave slots (dense by protocol), ascending. */
+  def completedWaves(spark: SparkSession, workDir: String): Seq[Int] =
+    Option(fs(spark, workDir).globStatus(new Path(workDir, "_wave_*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("_wave_").toInt).sorted.toSeq
+
+  /** The next free wave slot. */
+  def nextSlot(spark: SparkSession, workDir: String): Int =
+    completedWaves(spark, workDir).lastOption.map(_ + 1).getOrElse(0)
+
+  /** The loop's logical clock: the newest capture time in the most
+    * recent archive wave's recorded sidecar. None before any archive
+    * wave completed.
+    */
+  def loopClock(spark: SparkSession, workDir: String): Option[Long] = {
+    val f = fs(spark, workDir)
+    completedWaves(spark, workDir).reverse.view
+      .flatMap(w => StoreProtocol.readSmall(f, new Path(workDir, s"_cdx_$w")))
+      .headOption.map(_.trim)
+      .map(cdxDir => graft.sources.CdxLookup.allEntries(spark, cdxDir)
+        .agg(max(graft.sources.CdxLookup.cdxTsToMs(col("ts"))))
+        .head().getLong(0))
+  }
+
+  private val candSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("reason",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("since",
+      org.apache.spark.sql.types.LongType)))
+
+  private def emptyCands(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], candSchema)
+
+  /** The sweep's candidate set at logical time `nowMs`:
+    * (url, doc_id, reason, since) with one row per url (a url claimed by
+    * several rules reports the highest-priority reason:
+    * gone_aged > robots_revoked > expired). Pure derivation — no state
+    * moves; [[sweep]] is the consumer that acts on it.
+    */
+  def candidates(
+      spark: SparkSession, workDir: String, cfg: RetentionConfig,
+      nowMs: Long): DataFrame =
+    FrontierStore.read(spark, s"$workDir/frontier") match {
+      case None => emptyCands(spark)
+      case Some(frontier) =>
+        val fr = frontier.select("url", "status", "statusTime")
+          .localCheckpoint(true) // one journal read feeds all three rules
+        val goneAged = cfg.goneGraceMs.map(grace => fr
+          .filter(col("status") === FS.HTTP_GONE &&
+            lit(nowMs) - col("statusTime") >= grace)
+          .select(col("url"), col("statusTime").as("since"))
+          .withColumn("reason", lit("gone_aged")))
+        val expired = cfg.maxAgeMs.map(age => fr
+          .filter(col("status") === FS.FETCHED &&
+            lit(nowMs) - col("statusTime") >= age)
+          .select(col("url"), col("statusTime").as("since"))
+          .withColumn("reason", lit("expired")))
+        val revoked = cfg.robotsFetcher.map { rf =>
+          import spark.implicits._
+          // per-sweep cache scope: rules are re-FETCHED once per sweep
+          // (a revocation must be seen), then shared across this sweep's
+          // tasks on the same executor
+          val scope = s"retention|$workDir|$nowMs"
+          fr.filter(col("status") === FS.FETCHED)
+            .select(col("url"), col("statusTime"))
+            .as[(String, Long)]
+            .mapPartitions { it =>
+              it.flatMap { case (url, st) =>
+                val rules = RobotsCache.rulesFor(
+                  UrlFunctions.robotsUrl(url), rf, nowMs, scope)
+                val path = {
+                  val u = new java.net.URL(url)
+                  Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+                }
+                if (!rules.isAllowed(path)) Some((url, st)) else None
+              }
+            }
+            .toDF("url", "since")
+            .withColumn("reason", lit("robots_revoked"))
+        }
+        val all = (goneAged.toSeq ++ revoked.toSeq ++ expired.toSeq)
+        if (all.isEmpty) emptyCands(spark)
+        else {
+          val prio = when(col("reason") === "gone_aged", 0)
+            .when(col("reason") === "robots_revoked", 1).otherwise(2)
+          all.reduce(_ unionByName _)
+            .withColumn("__p", row_number().over(
+              Window.partitionBy(col("url")).orderBy(prio, col("since"))))
+            .filter(col("__p") === 1).drop("__p")
+            .select(col("url"), xxhash64(col("url")).as("doc_id"),
+              col("reason"), col("since"))
+        }
+    }
+
+  /** Run one retention sweep at logical time `nowMs`: derive the
+    * candidates and, when non-empty, fire [[CrawlCorpusLoop
+    * .takedownWave]] in the next free wave slot (corpus slices + all
+    * standing stores + frontier purge). Returns the slot used and how
+    * many urls were retired (wave -1 / 0 when nothing fired — the
+    * common, zero-cost case: one frontier read, no writes).
+    *
+    * Crash-safe like the waves themselves: a kill inside the takedown
+    * wave leaves either a pending Takedown journal entry (drained by
+    * the next takedown) or un-purged frontier rows — both re-derive the
+    * same candidates on the next sweep, which re-fires: into the SAME
+    * slot when the kill predates the slot marker (the stores'
+    * digest-guarded retire re-runs are no-ops), or a fresh slot after it
+    * (re-retiring already-dead ids is harmless). The marker lands right
+    * after the store-consuming step precisely so a tombstoned batch id
+    * can never be handed to a later data wave.
+    */
+  def sweep(
+      spark: SparkSession, workDir: String, cfg: RetentionConfig,
+      nowMs: Long, annRoot: Option[String] = None,
+      lineage: Boolean = false): SweepResult = {
+    val cands = candidates(spark, workDir, cfg, nowMs)
+      .localCheckpoint(true)
+    val n = cands.count()
+    if (n == 0L) SweepResult(-1, 0L)
+    else {
+      val w = nextSlot(spark, workDir)
+      CrawlCorpusLoop.takedownWave(spark, workDir, cands, "doc_id", w,
+        annRoot = annRoot, lineage = lineage, urlCol = Some("url"))
+      SweepResult(w, n)
+    }
+  }
+
+  /** The autonomous loop: consume archive snapshots in order, one wave
+    * per snapshot, and run a retention sweep after each — the
+    * GONE→grace→takedown lifecycle with nobody calling takedown by
+    * hand. Resume-safe end to end: a snapshot whose sidecar some
+    * completed wave already recorded is skipped (its wave result is
+    * re-read, not re-run), a partially-staged wave resumes in place,
+    * and an interrupted sweep re-derives and re-fires into the same
+    * slot (see [[sweep]]).
+    */
+  def runRetentive(
+      spark: SparkSession,
+      workDir: String,
+      /** (warcDir, cdxDir) per snapshot, oldest first. */
+      snapshots: Seq[(String, String)],
+      retention: RetentionConfig,
+      ingestCfg: graft.operators.CorpusIngest.Config =
+        graft.operators.CorpusIngest.Config(),
+      annGate: Option[graft.operators.CorpusIngest.AnnGate] = None,
+      lineage: Boolean = false,
+      maxLookup: Int = 256,
+      frontierBuckets: Int = 64,
+      onStage: (Int, String) => Unit = (_, _) => ())
+      : Seq[(CrawlCorpusLoop.WaveResult, SweepResult)] = {
+    val f = fs(spark, workDir)
+    snapshots.map { case (warcDir, cdxDir) =>
+      // resume mapping: the sidecar pointer identifies a completed wave
+      val done = completedWaves(spark, workDir).find(w =>
+        StoreProtocol.readSmall(f, new Path(workDir, s"_cdx_$w"))
+          .map(_.trim).contains(cdxDir))
+      val w = done.getOrElse(nextSlot(spark, workDir))
+      val res = CrawlCorpusLoop.runArchiveWave(spark, workDir, w, warcDir,
+        cdxDir, ingestCfg, annGate, lineage, maxLookup, frontierBuckets,
+        onStage)
+      // the sweep runs on the round's own clock (deterministic replays)
+      val roundMs = graft.sources.CdxLookup.allEntries(spark, cdxDir)
+        .agg(max(graft.sources.CdxLookup.cdxTsToMs(col("ts"))))
+        .head().getLong(0)
+      val swept = sweep(spark, workDir, retention, roundMs,
+        annRoot = annGate.map(_.root), lineage = lineage)
+      (res, swept)
+    }
+  }
+}

@@ -194,6 +194,123 @@ class ArchiveLoopSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- retention policy
+
+  private def sigSet(workDir: String): Set[Long] =
+    graft.operators.SignatureIndexStore.sigsView(spark, s"$workDir/sig")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def frontierSet(workDir: String): Set[(String, String)] =
+    graft.crawl.FrontierStore.read(spark, s"$workDir/frontier")
+      .map(_.select("url", "status").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet)
+      .getOrElse(Set.empty)
+
+  test("retention: a multi-wave run autonomously purges the GONE-AGED url and not the fresh GONE") {
+    import graft.crawl.{RetentionConfig, RetentionPolicy}
+    val t1 = 1700000000000L
+    val t2 = t1 + 86400000L
+    val t3 = t2 + 86400000L
+    val fix = tmp("ret")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, t2) // C goes GONE
+    val (warc3, cdx3) = writeRound(s"$fix/r3", round2, t3) // C still gone
+    // grace = one snapshot interval: C is FRESH gone at round 2's sweep,
+    // AGED at round 3's
+    val retention = RetentionConfig(goneGraceMs = Some(86400000L))
+
+    val work = tmp("retwork")
+    val first = RetentionPolicy.runRetentive(spark, work,
+      Seq((warc1, cdx1), (warc2, cdx2)), retention)
+    // round 2's sweep saw the fresh GONE and did NOT fire
+    assert(first.map(_._2.retired) == Seq(0L, 0L), first.toString)
+    assert(CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+      .contains("http://c.com/c"), "fresh GONE was purged early")
+    assert(frontierSet(work).contains(("http://c.com/c", FS.HTTP_GONE)))
+
+    // continuing with round 3 (the resume path: rounds 1-2 are skipped
+    // via their sidecar pointers) ages C past the grace — the sweep
+    // fires autonomously
+    val second = RetentionPolicy.runRetentive(spark, work,
+      Seq((warc1, cdx1), (warc2, cdx2), (warc3, cdx3)), retention)
+    assert(second.map(_._2.retired) == Seq(0L, 0L, 1L), second.toString)
+    // wave slots: 0,1 = snapshots 1,2; 2 = snapshot 3; 3 = the takedown
+    assert(second.last._2.wave == 3, second.toString)
+    val urls = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.contains("http://c.com/c"), s"corpus still holds C: $urls")
+    assert(!frontierSet(work).exists(_._1 == "http://c.com/c"),
+      "GONE url not purged from the frontier journal")
+
+    // end state hash-equals a MANUAL takedown over the same waves
+    val manual = tmp("retmanual")
+    CrawlCorpusLoop.runArchiveWave(spark, manual, 0, warc1, cdx1)
+    CrawlCorpusLoop.runArchiveWave(spark, manual, 1, warc2, cdx2)
+    CrawlCorpusLoop.runArchiveWave(spark, manual, 2, warc3, cdx3)
+    CrawlCorpusLoop.takedownWave(spark, manual,
+      CrawlCorpusLoop.retirementCandidates(spark, manual), "doc_id",
+      wave = 3, urlCol = Some("url"))
+    assert(corpusSet(work) == corpusSet(manual))
+    assert(sigSet(work) == sigSet(manual))
+    assert(frontierSet(work) == frontierSet(manual))
+  }
+
+  test("retention: robots revocation retires already-crawled pages of a newly-disallowed path") {
+    import graft.crawl.{Fetcher, FetchedPage, RetentionConfig,
+      RetentionPolicy}
+    val t1 = 1700000000000L
+    val fix = tmp("rob")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val work = tmp("robwork")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    assert(CrawlCorpusLoop.corpus(spark, work).count() == 3L)
+    // c.com has since disallowed /c; everyone else stays open
+    final class RevokedRobots extends Fetcher {
+      def fetch(url: String): FetchedPage =
+        if (url.startsWith("http://c.com/"))
+          FetchedPage(200, "User-agent: *\nDisallow: /c", "text/plain")
+        else FetchedPage(404, "", "text/plain")
+    }
+    val swept = RetentionPolicy.sweep(spark, work,
+      RetentionConfig(robotsFetcher = Some(new RevokedRobots)),
+      nowMs = t1 + 1000L)
+    assert(swept.retired == 1L, swept.toString)
+    val urls = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("http://a.com/a", "http://a.com/b"), s"left $urls")
+    assert(!frontierSet(work).exists(_._1 == "http://c.com/c"),
+      "revoked url not purged from the frontier journal")
+    // a second sweep with the same rules finds nothing (the purge
+    // consumed the candidate)
+    assert(RetentionPolicy.sweep(spark, work,
+      RetentionConfig(robotsFetcher = Some(new RevokedRobots)),
+      nowMs = t1 + 2000L).retired == 0L)
+  }
+
+  test("retention: age TTL retires content not re-fetched within the bound, keeps fresh captures") {
+    import graft.crawl.{RetentionConfig, RetentionPolicy}
+    val t1 = 1700000000000L
+    val t2 = t1 + 86400000L
+    val fix = tmp("ttl")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, t2)
+    val work = tmp("ttlwork")
+    // maxAge = one interval: A (fetched at t1, unchanged at t2 so never
+    // re-fetched) expires at round 2's sweep; B (changed, re-fetched at
+    // t2) and E (new at t2) stay. C is GONE — the TTL rule does not
+    // claim it (no grace configured, so nothing else does either).
+    val results = RetentionPolicy.runRetentive(spark, work,
+      Seq((warc1, cdx1), (warc2, cdx2)),
+      RetentionConfig(maxAgeMs = Some(86400000L)))
+    assert(results.map(_._2.retired) == Seq(0L, 1L), results.toString)
+    val urls = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.contains("http://a.com/a"), s"expired url kept: $urls")
+    assert(urls.contains("http://a.com/b") && urls.contains("http://e.com/e"),
+      s"fresh captures lost: $urls")
+  }
+
   test("a re-captured GONE url flips back to FETCHED and leaves the retirement feed") {
     val fix = tmp("fix3")
     val (warc1, cdx1) = writeRound(s"$fix/r1", round1, 1700000000000L)
