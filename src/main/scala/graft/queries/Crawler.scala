@@ -711,8 +711,80 @@ object Crawler {
         "  nextFetchTime FROM merged\n" +
         "WHERE pld NOT IN ('d3.com', 'd7.com')")
 
+  /** q119: the retention POLICY's candidate derivation behind an oracle
+    * ([[graft.crawl.RetentionPolicy.candidates]] — the autonomy layer
+    * over the q115-q118 deletion machinery): build the durable frontier
+    * journal from the q16 synthetic state with the NOTFOUND stratum
+    * remapped to HTTP_GONE, then derive the sweep's delete set at a
+    * fixed logical clock with both time rules armed — GONE urls past a
+    * two-year grace ("gone_aged") and FETCHED urls whose last fetch
+    * exceeds the freshness bound ("expired"). The oracle re-derives the
+    * merge (q16 semantics) and the two predicates in SQL, so the
+    * journal round-trip AND the policy predicates sit behind one hash
+    * gate. The robots-revocation rule needs a live fetcher and stays
+    * spec-tier (ArchiveLoopSpec).
+    */
+  def retentionCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawl.{FrontierStore, RetentionConfig, RetentionPolicy}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q119").toString
+    // collision-free url space (one row per order): the q16 mod-40
+    // fixture saturates terminal recency as SF grows (every url's max
+    // statusTime drifts to the dataset max), which empties both time
+    // predicates at sf0.1 — unique urls keep the capture-age
+    // distribution SF-stable, and the journal round-trip stays real
+    val fr = t(spark, dir, "orders").select(
+      concat(lit("http://d"), col("o_custkey") % 20, lit(".com/q"),
+        col("o_orderkey")).as("url"),
+      concat(lit("d"), col("o_custkey") % 20, lit(".com")).as("pld"),
+      when(col("o_orderstatus") === "F" &&
+          col("o_orderpriority").startsWith("1"), FS.HTTP_GONE)
+        .when(col("o_orderstatus") === "F", FS.FETCHED)
+        .when(col("o_orderstatus") === "O", FS.UNFETCHED)
+        .otherwise(FS.QUEUED).as("status"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("statusTime"),
+      col("o_totalprice").cast(dec).as("score"),
+      (unix_millis(col("o_orderdate").cast("timestamp")) + 1000L)
+        .as("nextFetchTime"))
+    FrontierStore.mergeInto(spark, s"$base/frontier", fr, buckets = 16)
+    val out = RetentionPolicy.candidates(spark, base,
+        RetentionConfig(goneGraceMs = Some(63000000000L),
+          maxAgeMs = Some(50000000000L)),
+        nowMs = 900000000000L)
+      .select("url", "reason", "since")
+      .localCheckpoint(true) // pin, then reclaim the store fixture
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rm(java.nio.file.Path.of(base))
+    out
+  }
+
+  val retentionCandidatesSql: String =
+    """WITH f AS (SELECT
+      |  'http://d' || (o_custkey % 20) || '.com/q' || o_orderkey AS url,
+      |  CASE WHEN o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
+      |         THEN 'HTTP_GONE'
+      |       WHEN o_orderstatus = 'F' THEN 'FETCHED'
+      |       WHEN o_orderstatus = 'O' THEN 'UNFETCHED'
+      |       ELSE 'QUEUED' END AS status,
+      |  epoch_ms(o_orderdate) AS statusTime
+      |FROM orders)
+      |SELECT url,
+      |  CASE WHEN status = 'HTTP_GONE' THEN 'gone_aged'
+      |       ELSE 'expired' END AS reason,
+      |  statusTime AS since
+      |FROM f
+      |WHERE (status = 'HTTP_GONE'
+      |       AND 900000000000 - statusTime >= 63000000000)
+      |   OR (status = 'FETCHED'
+      |       AND 900000000000 - statusTime >= 50000000000)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_frontier_retire" -> (frontierRetire _),
+    "q119_retention" -> (retentionCandidates _),
     "q14_url_normalize" -> (urlNormalize _),
     "q15_url_parse" -> (urlParse _),
     "q16_frontier_merge" -> (frontierMerge _),
@@ -733,6 +805,7 @@ object Crawler {
 
   val oracleSql: Map[String, String] = Map(
     "q118_frontier_retire" -> frontierRetireSql,
+    "q119_retention" -> retentionCandidatesSql,
     "q14_url_normalize" -> urlNormalizeSql,
     "q15_url_parse" -> urlParseSql,
     "q16_frontier_merge" -> frontierMergeSql,

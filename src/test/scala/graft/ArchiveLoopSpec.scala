@@ -256,6 +256,56 @@ class ArchiveLoopSpec extends AnyFunSuite {
     assert(frontierSet(work) == frontierSet(manual))
   }
 
+  test("retention: a kill between the takedown journal and the slot marker converges on resume") {
+    import graft.crawl.{RetentionConfig, RetentionPolicy}
+    val t1 = 1700000000000L
+    val t2 = t1 + 86400000L
+    val t3 = t2 + 86400000L
+    val fix = tmp("retkill")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val (warc2, cdx2) = writeRound(s"$fix/r2", round2, t2)
+    val (warc3, cdx3) = writeRound(s"$fix/r3", round2, t3)
+    val snaps = Seq((warc1, cdx1), (warc2, cdx2), (warc3, cdx3))
+    val retention = RetentionConfig(goneGraceMs = Some(86400000L))
+
+    // build the crash state: all three waves done (sweep never fires
+    // under an infinite grace), then the sweep's takedown ran to its
+    // JOURNAL completion — stores tombstoned at batch 3, corpus slices
+    // rewritten — but the process died before the _wave_3 marker and
+    // the frontier purge
+    val work = tmp("retkillwork")
+    RetentionPolicy.runRetentive(spark, work, snaps,
+      RetentionConfig(goneGraceMs = Some(Long.MaxValue)))
+    val cands = RetentionPolicy.candidates(spark, work, retention, t3)
+      .localCheckpoint(true)
+    assert(cands.count() == 1L)
+    graft.operators.Takedown.takedown(spark, cands, "doc_id",
+      graft.operators.Takedown.Targets(
+        corpusDir = Some(s"$work/corpus"), corpusPartitionCol = "w",
+        sigRoot = Some(s"$work/sig")),
+      s"$work/takedowns", retireBatchId = Some(3L))
+    assert(!new java.io.File(s"$work/_wave_3").exists())
+    assert(frontierSet(work).exists(_._1 == "http://c.com/c"),
+      "crash state should still hold the un-purged GONE row")
+
+    // resume: the same runRetentive call re-derives the candidates and
+    // re-fires into the still-unmarked slot 3 — the stores' digest
+    // guard makes the retire re-runs no-ops, the corpus rewrite finds
+    // nothing left to rewrite, and the frontier purge completes
+    val resumed = RetentionPolicy.runRetentive(spark, work, snaps, retention)
+    assert(resumed.map(_._2.retired) == Seq(0L, 0L, 1L), resumed.toString)
+    assert(resumed.last._2.wave == 3, resumed.toString)
+    assert(new java.io.File(s"$work/_wave_3").exists())
+    assert(!frontierSet(work).exists(_._1 == "http://c.com/c"))
+
+    // end state identical to the never-crashed autonomous world
+    val clean = tmp("retkillclean")
+    RetentionPolicy.runRetentive(spark, clean, snaps, retention)
+    assert(corpusSet(work) == corpusSet(clean))
+    assert(sigSet(work) == sigSet(clean))
+    assert(frontierSet(work) == frontierSet(clean))
+  }
+
   test("retention: robots revocation retires already-crawled pages of a newly-disallowed path") {
     import graft.crawl.{Fetcher, FetchedPage, RetentionConfig,
       RetentionPolicy}
