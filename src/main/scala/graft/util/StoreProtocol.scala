@@ -177,9 +177,16 @@ object StoreProtocol {
   def writeTombstones(
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
       batchId: Long): Unit = {
+    // the shard-count probe rides the pinning job as an observed metric
+    // (no separate count() job per retirement)
+    val obs = new org.apache.spark.sql.Observation()
     val norm = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n = norm.count() // local: the checkpointed delete set
+    val n = obs.get.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
     val nb = math.min(1024L, (n.max(1L) + TombIdsPerBucket - 1)
       / TombIdsPerBucket).toInt
     val rows = norm.withColumn("batch", lit(batchId))
