@@ -689,6 +689,41 @@ class TakedownSpec extends AnyFunSuite {
     assert(slice == 0, s"purged domain still sliced: $slice")
   }
 
+  test("tombstone anti-join size-switches: a huge purge set shuffles, the takedown norm broadcasts") {
+    import org.apache.spark.sql.functions.xxhash64
+    // big: 5M hash-spread ids (> TombBroadcastMaxBytes on disk, and
+    // sharded across multiple bucket files by the write)
+    val bigRoot = tmp("tombswitch") + "/big"
+    StoreProtocol.writeTombstones(spark, bigRoot,
+      spark.range(5000000L).select(xxhash64(col("id")).as("id")), "id", 1L)
+    StoreProtocol.writeBucketMarker(spark, bigRoot, 1L, Seq("tombs"))
+    val bigBuckets = new java.io.File(s"$bigRoot/tombs/batch=1")
+      .listFiles().count(_.getName.startsWith("bucket="))
+    assert(bigBuckets > 1, s"5M-id tombstone set not sharded: $bigBuckets")
+    val data = spark.range(1000L)
+      .select(xxhash64(col("id")).as("id"), lit(0L).as("batch"))
+    val big = StoreProtocol.applyTombstones(data, "id",
+      StoreProtocol.readTombstones(spark, bigRoot, Seq(1L)))
+    big.count()
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin") &&
+      !bigPlan.contains("BroadcastNestedLoop"),
+      s"huge tombstone set was broadcast:\n${bigPlan.take(1500)}")
+    // small: the takedown norm — one file, broadcast anti-join
+    val smallRoot = tmp("tombswitch") + "/small"
+    StoreProtocol.writeTombstones(spark, smallRoot,
+      spark.range(100L).toDF("id"), "id", 1L)
+    StoreProtocol.writeBucketMarker(spark, smallRoot, 1L, Seq("tombs"))
+    assert(new java.io.File(s"$smallRoot/tombs/batch=1")
+      .listFiles().count(_.getName.startsWith("bucket=")) == 1)
+    val small = StoreProtocol.applyTombstones(data, "id",
+      StoreProtocol.readTombstones(spark, smallRoot, Seq(1L)))
+    small.count()
+    assert(small.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "takedown-sized tombstone set lost its broadcast")
+  }
+
   test("retire cost is delete-set-bounded: one tombstone file, no data rewrite") {
     val root = tmp("bounded") + "/store"
     val corpus = (0 until 60).map(i =>
