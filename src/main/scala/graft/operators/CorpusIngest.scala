@@ -617,4 +617,35 @@ object CorpusIngest {
   def accepted(spark: SparkSession, acceptedDir: String): DataFrame =
     graft.util.SliceRewrite.readAll(spark, acceptedDir, "batch")
       .getOrElse(spark.emptyDataFrame)
+
+  /** Rolling-window retention for the always-on loop — the streaming
+    * counterpart of [[graft.crawl.RetentionPolicy]]'s age rule, keyed on
+    * batch distance (the stream's own monotone clock): a `retireFeed`
+    * for [[streamingIndexed]] that, at micro-batch `b`, retires every
+    * doc still living in an accepted slice older than `keepBatches`
+    * behind it. The corpus becomes a sliding window: tombstones ride
+    * batch `b`'s own store commits, the expired slices rewrite to empty
+    * via the SliceRewrite protocol, and the next compaction makes the
+    * index-side deletes physical.
+    *
+    * Deterministic per batch id in the sense replay requires: a
+    * replayed batch re-derives the expired set from the CURRENT slices —
+    * already-emptied slices contribute nothing, so the replay re-filters
+    * to a no-op (the [[streamingIndexed]] `retireFeed` contract).
+    * Re-accepted content re-enters under a NEWER batch, which the
+    * tombstone recency rule keeps live.
+    */
+  def rollingWindowFeed(
+      spark: SparkSession, acceptedDir: String, idCol: String,
+      keepBatches: Int): Long => Option[DataFrame] = { batchId =>
+    val expired = graft.util.SliceRewrite
+      .sliceNames(spark, acceptedDir, "batch")
+      .filter(_.stripPrefix("batch=").toLong < batchId - keepBatches)
+    graft.util.SliceRewrite.read(spark, acceptedDir, "batch", expired)
+      .map(_.select(col(idCol).cast("long").as("id")).distinct())
+      // slices already emptied by an earlier firing contribute nothing:
+      // an empty feed returns None so the batch commits as pure data
+      // (no zero-id tombstone file per steady-state batch)
+      .filter(!_.isEmpty)
+  }
 }

@@ -630,6 +630,44 @@ class TakedownSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling-window feed: the streaming corpus becomes a sliding window; re-accepts stay live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("rollwin")
+    val input = MemoryStream[(Long, String)]
+    val feed = CorpusIngest.rollingWindowFeed(
+      spark, s"$dir/accepted", "doc_id", keepBatches = 1)
+    val q = CorpusIngest.streamingIndexed(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/index", s"$dir/accepted", retireFeed = feed)
+    def acceptedIds(): Set[Long] =
+      CorpusIngest.accepted(spark, s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river"),
+        (2L, "a careful study of historical documents reveals many patterns")))
+      q.processAllAvailable() // batch 0
+      input.addData(Seq(
+        (11L, "novel observations about glacier movement and seasonal melt")))
+      q.processAllAvailable() // batch 1: window covers {0,1} — nothing expires
+      assert(acceptedIds() == Set(1L, 2L, 11L), acceptedIds().toString)
+      input.addData(Seq(
+        (21L, "completely unrelated text about cooking pasta with tomatoes")))
+      q.processAllAvailable() // batch 2: batch 0 ages out
+      assert(acceptedIds() == Set(11L, 21L), acceptedIds().toString)
+      assert(SignatureIndexStore.sigsView(spark, s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(11L, 21L), "expired docs still live in the standing index")
+      // expired content re-submitted is NOT a dup (its standing copy is
+      // dead) and re-enters the window under the newer batch
+      input.addData(Seq(
+        (31L, "the quick brown fox jumps over the lazy dog near the river")))
+      q.processAllAvailable() // batch 3: batch 1 ages out
+      assert(acceptedIds() == Set(21L, 31L), acceptedIds().toString)
+    } finally q.stop()
+  }
+
   test("frontier: retire physically purges urls from the journal; re-admission works") {
     import graft.crawl.FrontierStore
     import graft.schema.{FetchStatus => FS}
