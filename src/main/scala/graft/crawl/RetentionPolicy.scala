@@ -115,7 +115,16 @@ object RetentionPolicy {
   def candidates(
       spark: SparkSession, workDir: String, cfg: RetentionConfig,
       nowMs: Long): DataFrame =
-    FrontierStore.read(spark, s"$workDir/frontier") match {
+    candidatesForFrontier(spark, s"$workDir/frontier", cfg, nowMs)
+
+  /** [[candidates]] against an explicit frontier-journal root (the loop
+    * layout puts it at `workDir/frontier`; standalone stores and
+    * benches point here directly).
+    */
+  def candidatesForFrontier(
+      spark: SparkSession, frontierRoot: String, cfg: RetentionConfig,
+      nowMs: Long): DataFrame =
+    FrontierStore.read(spark, frontierRoot) match {
       case None => emptyCands(spark)
       case Some(frontier) =>
         val fr = frontier.select("url", "status", "statusTime")
@@ -135,7 +144,7 @@ object RetentionPolicy {
           // per-sweep cache scope: rules are re-FETCHED once per sweep
           // (a revocation must be seen), then shared across this sweep's
           // tasks on the same executor
-          val scope = s"retention|$workDir|$nowMs"
+          val scope = s"retention|$frontierRoot|$nowMs"
           fr.filter(col("status") === FS.FETCHED)
             .select(col("url"), col("statusTime"))
             .as[(String, Long)]

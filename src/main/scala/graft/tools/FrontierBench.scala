@@ -95,6 +95,19 @@ object FrontierBench {
       FrontierStore.retire(spark, root, scattered)
     }
 
+    // retention-sweep derivation cost: both time rules over the full
+    // journal is ONE merge-on-read scan — the per-round price of the
+    // autonomous deletion policy when it finds nothing (the steady
+    // state) is this plus zero writes
+    time("retention sweep candidates (GONE-age + TTL rules, one journal scan)") {
+      println("  candidates: " + graft.crawl.RetentionPolicy
+        .candidatesForFrontier(spark, root,
+          graft.crawl.RetentionConfig(
+            goneGraceMs = Some(1000L), maxAgeMs = Some(50000L)),
+          nowMs = 1700000000000L + 100000L)
+        .count())
+    }
+
     // BASELINE.md scheduler target: drain a 10k-entry top-K selection per
     // round inside the reference's 200 ms average cadence budget. Same
     // plan shape as CrawlTopology's candidates block (eligibility gate,
