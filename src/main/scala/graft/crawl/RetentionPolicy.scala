@@ -127,8 +127,12 @@ object RetentionPolicy {
     FrontierStore.read(spark, frontierRoot) match {
       case None => emptyCands(spark)
       case Some(frontier) =>
+        // deliberately NOT checkpointed: the journal is frontier-sized
+        // (the one state that scales with the whole crawl), so pinning
+        // it in executor block storage would be the scale hazard. Each
+        // armed rule re-runs the merge-on-read scan instead — at most
+        // three bounded passes over bucket files, usually one or two
         val fr = frontier.select("url", "status", "statusTime")
-          .localCheckpoint(true) // one journal read feeds all three rules
         val goneAged = cfg.goneGraceMs.map(grace => fr
           .filter(col("status") === FS.HTTP_GONE &&
             lit(nowMs) - col("statusTime") >= grace)
