@@ -154,13 +154,17 @@ object RetentionPolicy {
             .as[(String, Long)]
             .mapPartitions { it =>
               it.flatMap { case (url, st) =>
-                val rules = RobotsCache.rulesFor(
-                  UrlFunctions.robotsUrl(url), rf, nowMs, scope)
-                val path = {
-                  val u = new java.net.URL(url)
-                  Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
-                }
-                if (!rules.isAllowed(path)) Some((url, st)) else None
+                // a malformed journal url must not fail the sweep task:
+                // unparseable → not a candidate (it was never fetchable)
+                scala.util.Try {
+                  val rules = RobotsCache.rulesFor(
+                    UrlFunctions.robotsUrl(url), rf, nowMs, scope)
+                  val path = {
+                    val u = new java.net.URL(url)
+                    Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+                  }
+                  !rules.isAllowed(path)
+                }.toOption.filter(identity).map(_ => (url, st))
               }
             }
             .toDF("url", "since")
