@@ -41,6 +41,16 @@ final case class RetentionConfig(
     * robots.txt gets its already-crawled pages deleted, not just
     * future fetches skipped (RFC 9309 is forward-looking; this knob is
     * the right-to-be-forgotten reading).
+    *
+    * DELETION REQUIRES AFFIRMATIVE EVIDENCE: only a successfully
+    * fetched (2xx) robots.txt whose parsed rules disallow the path
+    * revokes. An unreachable / 5xx robots.txt is INDETERMINATE and
+    * never deletes — note the deliberate asymmetry with the crawl path,
+    * where the same state conservatively blocks FETCHING
+    * ([[RobotsRules.allowNone]]): "don't fetch while unsure" is safe,
+    * "delete the corpus while unsure" is not (a transient outage would
+    * mass-purge a host irreversibly). A 404 (no robots.txt) allows all,
+    * so it never revokes either.
     */
   robotsFetcher: Option[Fetcher] = None)
 
@@ -67,6 +77,8 @@ object RetentionPolicy {
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val pldUdf = udf(UrlFunctions.extractPld _)
 
   /** Completed wave slots (dense by protocol), ascending. */
   def completedWaves(spark: SparkSession, workDir: String): Seq[Int] =
@@ -145,26 +157,40 @@ object RetentionPolicy {
           .withColumn("reason", lit("expired")))
         val revoked = cfg.robotsFetcher.map { rf =>
           import spark.implicits._
-          // per-sweep cache scope: rules are re-FETCHED once per sweep
-          // (a revocation must be seen), then shared across this sweep's
-          // tasks on the same executor
-          val scope = s"retention|$frontierRoot|$nowMs"
           fr.filter(col("status") === FS.FETCHED)
             .select(col("url"), col("statusTime"))
+            // co-locate each host's urls so one task fetches its
+            // robots.txt once (per-partition memo below — NOT the
+            // JVM-wide RobotsCache: a sweep must see the CURRENT rules,
+            // and per-sweep scopes would leak entries into the global
+            // map forever)
+            .repartition(pldUdf(col("url")))
             .as[(String, Long)]
             .mapPartitions { it =>
-              it.flatMap { case (url, st) =>
-                // a malformed journal url must not fail the sweep task:
-                // unparseable → not a candidate (it was never fetchable)
+              // robotsUrl → Some(rules) when the answer is DEFINITIVE
+              // (2xx parsed / 4xx allow-all), None when indeterminate
+              // (5xx, unreachable) — indeterminate NEVER revokes (see
+              // RetentionConfig.robotsFetcher); a malformed journal url
+              // is likewise not a candidate (it was never fetchable)
+              val memo = scala.collection.mutable.HashMap
+                .empty[String, Option[RobotsRules]]
+              it.filter { case (url, _) =>
                 scala.util.Try {
-                  val rules = RobotsCache.rulesFor(
-                    UrlFunctions.robotsUrl(url), rf, nowMs, scope)
+                  val rules = memo.getOrElseUpdate(
+                    UrlFunctions.robotsUrl(url), {
+                      val page = Fetcher.safeFetch(rf, UrlFunctions.robotsUrl(url))
+                      if (page.statusCode >= 200 && page.statusCode < 300)
+                        Some(RobotsRules.parse(page.content))
+                      else if (page.statusCode >= 400 && page.statusCode < 500)
+                        Some(RobotsRules.allowAll)
+                      else None
+                    })
                   val path = {
                     val u = new java.net.URL(url)
                     Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
                   }
-                  !rules.isAllowed(path)
-                }.toOption.filter(identity).map(_ => (url, st))
+                  rules.exists(r => !r.isAllowed(path))
+                }.getOrElse(false)
               }
             }
             .toDF("url", "since")
@@ -191,30 +217,50 @@ object RetentionPolicy {
     * many urls were retired (wave -1 / 0 when nothing fired — the
     * common, zero-cost case: one frontier read, no writes).
     *
-    * Crash-safe like the waves themselves: a kill inside the takedown
-    * wave leaves either a pending Takedown journal entry (drained by
-    * the next takedown) or un-purged frontier rows — both re-derive the
-    * same candidates on the next sweep, which re-fires: into the SAME
-    * slot when the kill predates the slot marker (the stores'
-    * digest-guarded retire re-runs are no-ops), or a fresh slot after it
-    * (re-retiring already-dead ids is harmless). The marker lands right
-    * after the store-consuming step precisely so a tombstoned batch id
-    * can never be handed to a later data wave.
+    * Crash-safe like the waves themselves: the candidate set is PINNED
+    * under the slot (`_sweep_w=<w>/cands`) before anything fires, so a
+    * kill anywhere inside the takedown wave re-fires into the same
+    * still-unmarked slot with the IDENTICAL delete set — the stores'
+    * digest-guarded retire re-runs are no-ops. Without the pin, a
+    * re-derivation could legitimately differ (the robots rule answers
+    * from the LIVE web; a site reverting its robots.txt between crash
+    * and resume would change the set), and a different digest under the
+    * committed batch id would wedge the takedown journal permanently.
+    * A kill after the slot marker but before the frontier purge
+    * re-derives into a FRESH slot instead (re-retiring already-dead ids
+    * is harmless); completed slots' pins are reclaimed on the next
+    * sweep. The marker lands right after the store-consuming step
+    * precisely so a tombstoned batch id can never be handed to a later
+    * data wave.
     */
   def sweep(
       spark: SparkSession, workDir: String, cfg: RetentionConfig,
       nowMs: Long, annRoot: Option[String] = None,
       lineage: Boolean = false): SweepResult = {
-    val cands = candidates(spark, workDir, cfg, nowMs)
-      .localCheckpoint(true)
+    val f = fs(spark, workDir)
+    // reclaim pins of completed slots (their _wave marker exists)
+    Option(f.globStatus(new Path(workDir, "_sweep_w=*")))
+      .getOrElse(Array.empty).map(_.getPath).foreach { p =>
+        val w = p.getName.stripPrefix("_sweep_w=")
+        if (f.exists(new Path(workDir, s"_wave_$w"))) f.delete(p, true)
+      }
+    val w = nextSlot(spark, workDir)
+    val pinDir = s"$workDir/_sweep_w=$w/cands"
+    val cands =
+      if (f.exists(new Path(pinDir, "_SUCCESS")))
+        spark.read.parquet(pinDir).localCheckpoint(true)
+      else {
+        val derived = candidates(spark, workDir, cfg, nowMs)
+          .localCheckpoint(true)
+        if (derived.count() == 0L) return SweepResult(-1, 0L)
+        derived.write.mode("overwrite").parquet(pinDir)
+        spark.read.parquet(pinDir).localCheckpoint(true)
+      }
     val n = cands.count()
-    if (n == 0L) SweepResult(-1, 0L)
-    else {
-      val w = nextSlot(spark, workDir)
-      CrawlCorpusLoop.takedownWave(spark, workDir, cands, "doc_id", w,
-        annRoot = annRoot, lineage = lineage, urlCol = Some("url"))
-      SweepResult(w, n)
-    }
+    CrawlCorpusLoop.takedownWave(spark, workDir, cands, "doc_id", w,
+      annRoot = annRoot, lineage = lineage, urlCol = Some("url"))
+    f.delete(new Path(workDir, s"_sweep_w=$w"), true)
+    SweepResult(w, n)
   }
 
   /** The autonomous loop: consume archive snapshots in order, one wave
@@ -250,7 +296,10 @@ object RetentionPolicy {
       val res = CrawlCorpusLoop.runArchiveWave(spark, workDir, w, warcDir,
         cdxDir, ingestCfg, annGate, lineage, maxLookup, frontierBuckets,
         onStage)
-      // the sweep runs on the round's own clock (deterministic replays)
+      // the sweep runs on the round's own clock (deterministic replays).
+      // This is a second scan of the round's CDX SIDECAR (index lines,
+      // not archive bytes — runArchiveWave aggregated the same value for
+      // its frontier marks); sidecar-sized, negligible next to the fetch
       val roundMs = graft.sources.CdxLookup.allEntries(spark, cdxDir)
         .agg(max(graft.sources.CdxLookup.cdxTsToMs(col("ts"))))
         .head().getLong(0)

@@ -135,15 +135,18 @@ object AnnIndexStore {
       .parquet(s"$root/vecs/batch=$batchId")
     retireIds match {
       case Some(ids) =>
-        StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)
+        val bytes =
+          StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)
         // the digest line marks this as a combined data+retire commit:
         // a later standalone retire can no-op on an exact re-run but can
         // never hijack the id with a DIFFERENT tombstone set (which
         // would resurrect this batch's retirements while its vecs data
         // stays live)
         StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"),
-          extraLines = Seq(StoreProtocol.tombsetLine(
-            StoreProtocol.tombsDigest(ids, retireIdCol))))
+          extraLines = Seq(
+            StoreProtocol.tombsetLine(
+              StoreProtocol.tombsDigest(ids, retireIdCol)),
+            StoreProtocol.tombBytesLine(bytes)))
       case None =>
         StoreProtocol.writeCommitMarker(spark, root, batchId, "")
     }
@@ -258,9 +261,10 @@ object AnnIndexStore {
     val digest = StoreProtocol.tombsDigest(vids, idCol)
     if (StoreProtocol.retireAlreadyCommitted(spark, root, batchId, digest))
       return // committed re-run: state already holds this retirement
-    StoreProtocol.writeTombstones(spark, root, vids, idCol, batchId)
+    val bytes = StoreProtocol.writeTombstones(spark, root, vids, idCol, batchId)
     StoreProtocol.writeBucketMarker(spark, root, batchId, Seq("tombs"),
-      extraLines = Seq(StoreProtocol.tombsetLine(digest)))
+      extraLines = Seq(StoreProtocol.tombsetLine(digest),
+        StoreProtocol.tombBytesLine(bytes)))
   }
 
   /** Fold all but the newest `keepNewest` batches (and the previous

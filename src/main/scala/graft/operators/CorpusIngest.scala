@@ -622,30 +622,74 @@ object CorpusIngest {
     * counterpart of [[graft.crawl.RetentionPolicy]]'s age rule, keyed on
     * batch distance (the stream's own monotone clock): a `retireFeed`
     * for [[streamingIndexed]] that, at micro-batch `b`, retires every
-    * doc still living in an accepted slice older than `keepBatches`
-    * behind it. The corpus becomes a sliding window: tombstones ride
-    * batch `b`'s own store commits, the expired slices rewrite to empty
-    * via the SliceRewrite protocol, and the next compaction makes the
-    * index-side deletes physical.
+    * doc living in an accepted slice older than `keepBatches` behind
+    * it. The corpus becomes a sliding window: tombstones ride batch
+    * `b`'s own store commits, the expired slices rewrite to empty via
+    * the SliceRewrite protocol, and the next compaction makes the
+    * index-side deletes physical. Re-accepted content re-enters under a
+    * NEWER batch, which the tombstone recency rule keeps live.
     *
-    * Deterministic per batch id in the sense replay requires: a
-    * replayed batch re-derives the expired set from the CURRENT slices —
-    * already-emptied slices contribute nothing, so the replay re-filters
-    * to a no-op (the [[streamingIndexed]] `retireFeed` contract).
-    * Re-accepted content re-enters under a NEWER batch, which the
-    * tombstone recency rule keeps live.
+    * The feed JOURNALS the derived set per batch id
+    * (`acceptedDir/_retire/batch=<b>`, hidden from corpus reads):
+    * `retireFeed` must be deterministic per id across replays, but this
+    * feed's source — the expired slices — is mutated by the very batch
+    * that consumes it. A replay that re-derived from the rewritten
+    * slices would return a smaller or empty set: empty flips the batch
+    * from a combined data+retire commit to a pure-data append, which
+    * the store REFUSES over a tombset-bearing marker (a permanently
+    * wedged stream); smaller would overwrite the committed tombstone
+    * set and silently resurrect index rows. First firing derives and
+    * persists; replays read the journal verbatim. Journals of
+    * already-committed earlier batches are reclaimed on the next
+    * derivation.
+    *
+    * An `_EXPIRED_UPTO` watermark bounds the derivation to the NEWLY
+    * expiring slice band (steady state: exactly one slice per batch) —
+    * without it, every firing would re-list and re-read the entire
+    * ever-growing set of long-emptied slices. A crash between the
+    * journal write and the watermark flip re-derives an overlapping
+    * band next batch; re-retiring already-dead ids is harmless.
     */
   def rollingWindowFeed(
       spark: SparkSession, acceptedDir: String, idCol: String,
       keepBatches: Int): Long => Option[DataFrame] = { batchId =>
-    val expired = graft.util.SliceRewrite
-      .sliceNames(spark, acceptedDir, "batch")
-      .filter(_.stripPrefix("batch=").toLong < batchId - keepBatches)
-    graft.util.SliceRewrite.read(spark, acceptedDir, "batch", expired)
-      .map(_.select(col(idCol).cast("long").as("id")).distinct())
-      // slices already emptied by an earlier firing contribute nothing:
-      // an empty feed returns None so the batch commits as pure data
-      // (no zero-id tombstone file per steady-state batch)
-      .filter(!_.isEmpty)
+    import graft.util.{FsAtomic, SliceRewrite, StoreProtocol}
+    import org.apache.hadoop.fs.Path
+    val f = StoreProtocol.fs(spark, acceptedDir)
+    val retireRoot = s"$acceptedDir/_retire"
+    val jdir = s"$retireRoot/batch=$batchId"
+    val journaled =
+      if (f.exists(new Path(jdir, "_SUCCESS")))
+        Some(spark.read.parquet(jdir)) // replay: the pinned set, verbatim
+      else {
+        val hi = batchId - keepBatches // slices < hi are out of window
+        val lo = StoreProtocol
+          .readSmall(f, new Path(retireRoot, "_EXPIRED_UPTO"))
+          .map(_.trim.toLong + 1L).getOrElse(Long.MinValue)
+        val band = SliceRewrite.sliceNames(spark, acceptedDir, "batch")
+          .filter { n =>
+            val b = n.stripPrefix("batch=").toLong; b >= lo && b < hi
+          }
+        if (band.isEmpty) None
+        else {
+          SliceRewrite.read(spark, acceptedDir, "batch", band).get
+            .select(col(idCol).cast("long").as("id")).distinct()
+            .write.mode("overwrite").parquet(jdir)
+          FsAtomic.writePointer(f, new Path(retireRoot), "_EXPIRED_UPTO",
+            (hi - 1L).toString)
+          // journals of earlier batches are replay-dead (foreachBatch
+          // runs b only after b-1 committed) — reclaim them
+          f.listStatus(new Path(retireRoot)).map(_.getPath).foreach { p =>
+            val n = p.getName
+            if (n.startsWith("batch=") &&
+                n.stripPrefix("batch=").toLong < batchId)
+              f.delete(p, true)
+          }
+          Some(spark.read.parquet(jdir))
+        }
+      }
+    // a journaled-empty set (expired slices held zero docs) stays None
+    // on first firing AND replay — the batch commits as pure data
+    journaled.filter(_.head(1).nonEmpty)
   }
 }

@@ -302,11 +302,14 @@ object LabelStore {
       // set — retire()'s re-run guard compares incoming ids against it
       val allAffected = affected.select("id")
         .unionByName(retired.get.select("id")).distinct()
-      StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
+      val tombBytes =
+        StoreProtocol.writeTombstones(spark, root, allAffected, "id", batchId)
       writeDelta(spark, root, relabeled, batchId, meta,
         tables = Seq("byid", "bycomp", "tombs"),
-        extraLines = Seq(StoreProtocol.tombsetLine(
-          StoreProtocol.tombsDigest(retired.get, "id"))))
+        extraLines = Seq(
+          StoreProtocol.tombsetLine(
+            StoreProtocol.tombsDigest(retired.get, "id")),
+          StoreProtocol.tombBytesLine(tombBytes)))
     } else writeDelta(spark, root, relabeled, batchId, meta)
   }
 

@@ -177,19 +177,22 @@ object SignatureIndexStore {
       .sortWithinPartitions("bucket", "band_hash")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/bands/batch=$batchId")
-    retireIds.foreach(ids =>
+    val tombBytes = retireIds.map(ids =>
       StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId))
     // record each table's written bucket set in the marker: readers then
     // build explicit paths without listing batches × buckets directories
     // (readers parse marker CONTENT, so the write is atomic by protocol).
     // A combined data+retire commit also records its delete-set digest,
     // so a later standalone retire can never hijack this batch's id with
-    // a different tombstone set (StoreProtocol.retireAlreadyCommitted)
+    // a different tombstone set (StoreProtocol.retireAlreadyCommitted),
+    // and the tombstone byte size, so reads size-switch from marker
+    // content alone
     StoreProtocol.writeBucketMarker(spark, root, batchId,
       Seq("bands", "sigs") ++ retireIds.map(_ => "tombs").toSeq,
       extraLines = retireIds.map(ids =>
         StoreProtocol.tombsetLine(
-          StoreProtocol.tombsDigest(ids, retireIdCol))).toSeq)
+          StoreProtocol.tombsDigest(ids, retireIdCol))).toSeq ++
+        tombBytes.map(StoreProtocol.tombBytesLine).toSeq)
   }
 
   /** Latest compaction state: (generation, coveredUpTo). Batches
@@ -289,10 +292,11 @@ object SignatureIndexStore {
     val digest = StoreProtocol.tombsDigest(ids, idCol)
     if (StoreProtocol.retireAlreadyCommitted(spark, root, batchId, digest))
       return // committed re-run: state already holds this retirement
-    StoreProtocol.writeTombstones(spark, root, ids, idCol, batchId)
+    val bytes = StoreProtocol.writeTombstones(spark, root, ids, idCol, batchId)
     StoreProtocol.writeBucketMarker(spark, root, batchId,
       Seq("bands", "sigs", "tombs"),
-      extraLines = Seq(StoreProtocol.tombsetLine(digest)))
+      extraLines = Seq(StoreProtocol.tombsetLine(digest),
+        StoreProtocol.tombBytesLine(bytes)))
   }
 
   /** The live tombstone set visible at `belowBatch` (None = no visible

@@ -175,7 +175,7 @@ object Takedown {
           "original targets")
       rewriteCorpus(spark, pinnedDir,
         plan.getOrElse("corpus_id", targets.corpusIdCol),
-        plan.getOrElse("corpus_part", targets.corpusPartitionCol), ids)
+        plan.getOrElse("corpus_part", targets.corpusPartitionCol), ids, td)
     }
     FsAtomic.writePointer(f, new Path(td), "_DONE", "done")
   }
@@ -196,8 +196,25 @@ object Takedown {
     */
   private def rewriteCorpus(
       spark: SparkSession, corpusDir: String, idCol: String,
-      partCol: String, ids: DataFrame): Unit = {
+      partCol: String, ids: DataFrame, td: String): Unit = {
     val f = fs(spark, corpusDir)
+    // legacy-protocol recovery: a store that crashed under the round-12
+    // delete-then-rename swap can hold a COMMITTED survivor rewrite
+    // under this journal entry ($td/rewrite/<slice>) with the live
+    // slice dir already deleted. Finish that swap first (rename into
+    // place as plain slice content — the slice is already absent, so no
+    // new reader window opens); a staged dir whose target still lives
+    // is discarded and redone by the versioned protocol below.
+    // Without this prelude the slice's survivors exist nowhere the new
+    // protocol looks, and resume would mark _DONE having silently lost
+    // them.
+    val rr = new Path(s"$td/rewrite")
+    if (f.exists(rr)) f.listStatus(rr).map(_.getPath).foreach { p =>
+      val target = new Path(s"$corpusDir/${p.getName}")
+      if (f.exists(new Path(p, "_SUCCESS")) && !f.exists(target))
+        f.rename(p, target)
+      else f.delete(p, true)
+    }
     if (!f.exists(new Path(corpusDir))) return
     SliceRewrite.gcStale(spark, corpusDir, partCol)
     val names = SliceRewrite.sliceNames(spark, corpusDir, partCol)

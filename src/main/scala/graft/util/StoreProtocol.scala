@@ -176,7 +176,7 @@ object StoreProtocol {
     */
   def writeTombstones(
       spark: SparkSession, root: String, ids: DataFrame, idCol: String,
-      batchId: Long): Unit = {
+      batchId: Long): Long = {
     // the shard-count probe rides the pinning job as an observed metric
     // (no separate count() job per retirement)
     val obs = new org.apache.spark.sql.Observation()
@@ -196,31 +196,57 @@ object StoreProtocol {
        .repartition(col("bucket")))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$root/tombs/batch=$batchId")
+    // the on-disk byte size, measured ONCE here and recorded in the
+    // commit marker ([[tombBytesLine]]) — readers then decide broadcast
+    // vs shuffle from marker content instead of re-issuing filesystem
+    // metadata RPCs for the same immutable files on every read
+    fs(spark, root)
+      .getContentSummary(new Path(s"$root/tombs/batch=$batchId"))
+      .getLength
   }
+
+  /** The marker line recording a retiring batch's on-disk tombstone
+    * bytes (the [[writeTombstones]] return value).
+    */
+  def tombBytesLine(n: Long): String = s"tombbytes $n"
+
+  /** The `tombbytes` size a committed batch's marker carries, if any. */
+  def markerTombBytes(
+      spark: SparkSession, root: String, batchId: Long): Option[Long] =
+    readSmall(fs(spark, root), new Path(root, s"_commit_$batchId"))
+      .flatMap(_.linesIterator.find(_.startsWith("tombbytes ")))
+      .map(_.stripPrefix("tombbytes ").trim.toLong)
 
   /** The live tombstone set across `batches`, as (id, batch). Paths come
     * from the commit markers' "tombs" line — a marker without one (every
     * pure data batch) contributes nothing and costs no filesystem call.
     * None when no visible batch retired anything (the common case: the
     * read path then skips the anti-join entirely). The frame carries a
-    * broadcast hint iff the set's on-disk bytes (known driver-side from
-    * the explicit paths) fit [[TombBroadcastMaxBytes]] —
-    * [[applyTombstones]] then broadcasts small sets and shuffles big
-    * ones without its callers choosing.
+    * broadcast hint iff the set's on-disk bytes fit
+    * [[TombBroadcastMaxBytes]] — sizes come from each retiring batch's
+    * `tombbytes` marker line (recorded at write time; a legacy marker
+    * without one falls back to one content-summary call per path), so
+    * [[applyTombstones]] broadcasts small sets and shuffles big ones
+    * without its callers choosing and without per-read metadata RPCs.
     */
   def readTombstones(
       spark: SparkSession, root: String,
       batches: Seq[Long]): Option[DataFrame] = {
     val f = fs(spark, root)
-    val paths = batches.flatMap { b =>
-      markerBuckets(spark, root, "tombs", b).getOrElse(Seq.empty)
+    val perBatch = batches.flatMap { b =>
+      val paths = markerBuckets(spark, root, "tombs", b)
+        .getOrElse(Seq.empty)
         .map(k => s"$root/tombs/batch=$b/bucket=$k")
+      if (paths.isEmpty) None else Some((b, paths))
     }
-    if (paths.isEmpty) None
+    if (perBatch.isEmpty) None
     else {
-      val bytes = paths.map(p => f.getContentSummary(new Path(p)).getLength)
-        .sum
-      val t = spark.read.schema(tombSchema).parquet(paths: _*)
+      val bytes = perBatch.map { case (b, paths) =>
+        markerTombBytes(spark, root, b).getOrElse(
+          paths.map(p => f.getContentSummary(new Path(p)).getLength).sum)
+      }.sum
+      val t = spark.read.schema(tombSchema)
+        .parquet(perBatch.flatMap(_._2): _*)
       Some(if (bytes <= TombBroadcastMaxBytes) t.hint("broadcast") else t)
     }
   }

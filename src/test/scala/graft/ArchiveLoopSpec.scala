@@ -315,27 +315,85 @@ class ArchiveLoopSpec extends AnyFunSuite {
     val work = tmp("robwork")
     CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
     assert(CrawlCorpusLoop.corpus(spark, work).count() == 3L)
-    // c.com has since disallowed /c; everyone else stays open
+    // c.com has since disallowed /c; a.com's robots.txt is DOWN (503)
+    // — indeterminate, which must never delete (a transient outage
+    // would otherwise mass-purge the host); everyone else 404s (no
+    // robots.txt = allow all = no revocation)
     final class RevokedRobots extends Fetcher {
       def fetch(url: String): FetchedPage =
         if (url.startsWith("http://c.com/"))
           FetchedPage(200, "User-agent: *\nDisallow: /c", "text/plain")
+        else if (url.startsWith("http://a.com/"))
+          FetchedPage(503, "", "text/plain")
         else FetchedPage(404, "", "text/plain")
     }
+    // the sweep clock comes from the loop's own recorded sidecar — the
+    // standalone-sweep form of runRetentive's per-round clock
+    val clock = RetentionPolicy.loopClock(spark, work).get
+    assert(clock == t1, s"clock $clock")
     val swept = RetentionPolicy.sweep(spark, work,
       RetentionConfig(robotsFetcher = Some(new RevokedRobots)),
-      nowMs = t1 + 1000L)
+      nowMs = clock + 1000L)
     assert(swept.retired == 1L, swept.toString)
     val urls = CrawlCorpusLoop.corpus(spark, work)
       .select("url").collect().map(_.getString(0)).toSet
-    assert(urls == Set("http://a.com/a", "http://a.com/b"), s"left $urls")
+    assert(urls == Set("http://a.com/a", "http://a.com/b"),
+      s"503-host pages deleted or revoked url kept: $urls")
     assert(!frontierSet(work).exists(_._1 == "http://c.com/c"),
       "revoked url not purged from the frontier journal")
     // a second sweep with the same rules finds nothing (the purge
-    // consumed the candidate)
+    // consumed the candidate; the 503 host still must not fire)
     assert(RetentionPolicy.sweep(spark, work,
       RetentionConfig(robotsFetcher = Some(new RevokedRobots)),
-      nowMs = t1 + 2000L).retired == 0L)
+      nowMs = clock + 2000L).retired == 0L)
+  }
+
+  test("retention: the pinned candidate set survives a crash even when the live robots answer changes") {
+    import graft.crawl.{Fetcher, FetchedPage, RetentionConfig,
+      RetentionPolicy}
+    import graft.operators.Takedown
+    val t1 = 1700000000000L
+    val fix = tmp("pin")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val work = tmp("pinwork")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    // crash state: the sweep derived + PINNED {c.com/c} at slot 1 and
+    // its takedown ran to journal completion, but died before the slot
+    // marker and the frontier purge
+    val cands = RetentionPolicy.candidates(spark, work,
+        RetentionConfig(goneGraceMs = None, maxAgeMs = Some(0L)), t1 + 1L)
+      .filter(col("url") === "http://c.com/c").localCheckpoint(true)
+    assert(cands.count() == 1L)
+    cands.write.mode("overwrite").parquet(s"$work/_sweep_w=1/cands")
+    Takedown.takedown(spark, cands, "doc_id",
+      Takedown.Targets(corpusDir = Some(s"$work/corpus"),
+        corpusPartitionCol = "w", sigRoot = Some(s"$work/sig")),
+      s"$work/takedowns", retireBatchId = Some(1L))
+    // resume: the live robots answer has CHANGED (now allows everything
+    // → a re-derivation would produce a DIFFERENT set and a different
+    // digest under committed batch 1, wedging the journal). The sweep
+    // must reuse the pin instead.
+    final class AllowAllRobots extends Fetcher {
+      def fetch(url: String): FetchedPage =
+        FetchedPage(404, "", "text/plain")
+    }
+    val swept = RetentionPolicy.sweep(spark, work,
+      RetentionConfig(robotsFetcher = Some(new AllowAllRobots)),
+      nowMs = t1 + 2L)
+    assert(swept.wave == 1 && swept.retired == 1L, swept.toString)
+    assert(new java.io.File(s"$work/_wave_1").exists())
+    assert(!new java.io.File(s"$work/_sweep_w=1").exists(),
+      "completed sweep pin was not reclaimed")
+    assert(!frontierSet(work).exists(_._1 == "http://c.com/c"))
+    val urls = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("http://a.com/a", "http://a.com/b"), s"left $urls")
+    // and the journal is NOT wedged: a later takedown still works
+    Takedown.takedown(spark,
+      cands.select((col("doc_id") + 1L).as("doc_id")), "doc_id",
+      Takedown.Targets(corpusDir = Some(s"$work/corpus"),
+        corpusPartitionCol = "w", sigRoot = Some(s"$work/sig")),
+      s"$work/takedowns", retireBatchId = Some(2L))
   }
 
   test("retention: age TTL retires content not re-fetched within the bound, keeps fresh captures") {

@@ -355,6 +355,34 @@ class TakedownSpec extends AnyFunSuite {
     assert(onDisk == Set(2L, 3L, 4L), s"stale rows on disk: $onDisk")
   }
 
+  test("legacy round-12 crash shape: a journal-staged committed rewrite with a deleted target is finished") {
+    val base = tmp("legacy")
+    val (targets, journal) = buildWorld(base)
+    val td = s"$journal/td=0"
+    Seq(1L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$td/ids")
+    def next(root: String): Long =
+      StoreProtocol.committedBatches(spark, root)
+        .lastOption.getOrElse(-1L) + 1L
+    // the OLD protocol's crash state: batch=0's survivors committed
+    // under $td/rewrite and the live dir already deleted before the
+    // rename — the versioned protocol alone would never find them
+    spark.read.parquet(s"$base/accepted/batch=0")
+      .filter(col("doc_id") =!= 1L).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$td/rewrite/batch=0")
+    val f = StoreProtocol.fs(spark, base)
+    f.delete(new org.apache.hadoop.fs.Path(s"$base/accepted/batch=0"), true)
+    graft.util.FsAtomic.writePointer(f,
+      new org.apache.hadoop.fs.Path(td), "_PLAN",
+      Seq(s"sig ${next(s"$base/sig")}", s"ann ${next(s"$base/ann")}",
+        s"labels ${next(s"$base/labels")}",
+        s"corpus $base/accepted", "corpus_id doc_id",
+        "corpus_part batch").mkString("\n"))
+    assert(Takedown.resume(spark, targets, journal) == 1)
+    assert(corpusIds(s"$base/accepted") == Set(2L, 3L, 4L, 11L, 12L))
+    assert(new java.io.File(s"$base/accepted/batch=0").exists())
+  }
+
   test("kill after flip before delete: stale plain files are GC'd even though the live slice is clean") {
     val base = tmp("kill3")
     val (targets, journal) = buildWorld(base)
@@ -656,6 +684,13 @@ class TakedownSpec extends AnyFunSuite {
         (21L, "completely unrelated text about cooking pasta with tomatoes")))
       q.processAllAvailable() // batch 2: batch 0 ages out
       assert(acceptedIds() == Set(11L, 21L), acceptedIds().toString)
+      // replay determinism: re-invoking the feed for batch 2 AFTER its
+      // slice rewrites returns the JOURNALED set verbatim (a re-derive
+      // from the now-empty slices would return None and flip the
+      // replayed batch to a pure-data append the store refuses)
+      val replayed = feed(2L)
+      assert(replayed.isDefined, "replay lost the journaled retire set")
+      assert(replayed.get.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
       assert(SignatureIndexStore.sigsView(spark, s"$dir/index")
         .select("doc_id").collect().map(_.getLong(0)).toSet ==
         Set(11L, 21L), "expired docs still live in the standing index")
