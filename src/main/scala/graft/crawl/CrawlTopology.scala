@@ -395,10 +395,7 @@ object CrawlTopology {
             it.map { c =>
               val rUrl = UrlFunctions.robotsUrl(c.url)
               val rules = RobotsCache.rulesFor(rUrl, rf, scope = runScope)
-              val path = {
-                val u = new java.net.URL(c.url)
-                Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
-              }
+              val path = UrlFunctions.robotsPath(c.url)
               if (!rules.isAllowed(path))
                 RobotsVerdict(c.url, c.pld, c.score, "BLOCKED", 0L, rules.sitemaps)
               else

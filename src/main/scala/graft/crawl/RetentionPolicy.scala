@@ -67,9 +67,12 @@ final case class RetentionConfig(
   * journal (merge-on-read, bucket files — frontier-sized, the smallest
   * standing state the loop owns), and the takedown cost stays
   * delete-set-bounded through the existing machinery. The robots
-  * re-check is one `mapPartitions` over the FETCHED urls with the
-  * executor-singleton TTL cache ([[RobotsCache]]) keyed by a per-sweep
-  * scope, so rules are fetched once per (host, sweep), not per url.
+  * re-check repartitions the FETCHED urls by host and memoizes rules
+  * per partition, so robots.txt is fetched once per (host, sweep) —
+  * NOT through the JVM-wide [[RobotsCache]] (a sweep must see the
+  * CURRENT rules, and its status stance differs: indeterminate answers
+  * block fetching there but must never DELETE here — see
+  * [[RobotsRules.fromPage]] and [[RetentionConfig.robotsFetcher]]).
   */
 object RetentionPolicy {
 
@@ -168,7 +171,7 @@ object RetentionPolicy {
             .as[(String, Long)]
             .mapPartitions { it =>
               // robotsUrl → Some(rules) when the answer is DEFINITIVE
-              // (2xx parsed / 4xx allow-all), None when indeterminate
+              // ([[RobotsRules.fromPage]]), None when indeterminate
               // (5xx, unreachable) — indeterminate NEVER revokes (see
               // RetentionConfig.robotsFetcher); a malformed journal url
               // is likewise not a candidate (it was never fetchable)
@@ -177,19 +180,11 @@ object RetentionPolicy {
               it.filter { case (url, _) =>
                 scala.util.Try {
                   val rules = memo.getOrElseUpdate(
-                    UrlFunctions.robotsUrl(url), {
-                      val page = Fetcher.safeFetch(rf, UrlFunctions.robotsUrl(url))
-                      if (page.statusCode >= 200 && page.statusCode < 300)
-                        Some(RobotsRules.parse(page.content))
-                      else if (page.statusCode >= 400 && page.statusCode < 500)
-                        Some(RobotsRules.allowAll)
-                      else None
-                    })
-                  val path = {
-                    val u = new java.net.URL(url)
-                    Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
-                  }
-                  rules.exists(r => !r.isAllowed(path))
+                    UrlFunctions.robotsUrl(url),
+                    RobotsRules.fromPage(Fetcher.safeFetch(rf,
+                      UrlFunctions.robotsUrl(url))))
+                  rules.exists(r =>
+                    !r.isAllowed(UrlFunctions.robotsPath(url)))
                 }.getOrElse(false)
               }
             }

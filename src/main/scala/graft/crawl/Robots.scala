@@ -55,6 +55,22 @@ object RobotsRules {
   def disallowing(prefixes: String*): RobotsRules =
     RobotsRules(prefixes.map(_ -> false), None, Nil)
 
+  /** Map a fetched robots.txt response to DEFINITIVE rules: 2xx →
+    * parsed body, 4xx (no robots.txt) → allow-all, anything else
+    * (5xx / exception sentinel / unreachable) → None. The ONE status
+    * mapping both consumers share — they differ only in the
+    * indeterminate stance: the CRAWL path assumes [[allowNone]] (don't
+    * fetch while unsure — [[RobotsCache.rulesFor]]), the DELETION path
+    * treats None as "never revoke" ([[RetentionPolicy]]): "delete the
+    * corpus while unsure" is not a safe default.
+    */
+  def fromPage(page: FetchedPage): Option[RobotsRules] =
+    if (page.statusCode >= 200 && page.statusCode < 300)
+      Some(parse(page.content))
+    else if (page.statusCode >= 400 && page.statusCode < 500)
+      Some(allowAll)
+    else None
+
   /** Compile a robots path pattern: literal prefix match with `*` as any
     * run and a trailing `$` anchoring the end of the path.
     */

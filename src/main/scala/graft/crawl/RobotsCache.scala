@@ -86,12 +86,8 @@ object RobotsCache {
       // TTL, retried on expiry — a transiently-down robots.txt must not
       // open disallowed paths to the crawler.
       val page = Fetcher.safeFetch(fetcher, robotsUrl)
-      val rules =
-        if (page.statusCode >= 200 && page.statusCode < 300)
-          RobotsRules.parse(page.content)
-        else if (page.statusCode >= 400 && page.statusCode < 500)
-          RobotsRules.allowAll
-        else RobotsRules.allowNone
+      val rules = RobotsRules.fromPage(page)
+        .getOrElse(RobotsRules.allowNone)
       cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
       rules
     }

@@ -329,6 +329,15 @@ object UrlFunctions {
 
   def robotsUrl(url: String): String = urlWithoutPath(url) + "/robots.txt"
 
+  /** The url's path for robots evaluation, "/" when absent (RFC 9309
+    * matches rules against the path; an empty path is the root). Throws
+    * on a malformed url — callers on executor paths guard with Try.
+    */
+  def robotsPath(url: String): String = {
+    val u = new URL(url)
+    Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
+  }
+
   /** Charset declared by a Content-Type header, validated against the
     * platform, falling back to UTF-8 (reference …/flinkcrawler/parser/
     * BasePageParser.java:62-63: CharsetUtils.clean of

@@ -211,9 +211,17 @@ object Takedown {
     val rr = new Path(s"$td/rewrite")
     if (f.exists(rr)) f.listStatus(rr).map(_.getPath).foreach { p =>
       val target = new Path(s"$corpusDir/${p.getName}")
-      if (f.exists(new Path(p, "_SUCCESS")) && !f.exists(target))
-        f.rename(p, target)
-      else f.delete(p, true)
+      if (f.exists(new Path(p, "_SUCCESS")) && !f.exists(target)) {
+        // a silent rename failure here would strand the slice's only
+        // surviving copy under the journal and still mark _DONE — the
+        // exact loss this prelude exists to prevent. Throw instead
+        // (resume retries); mkdirs covers a corpusDir whose last slice
+        // was the deleted one.
+        f.mkdirs(target.getParent)
+        if (!f.rename(p, target))
+          throw new java.io.IOException(
+            s"legacy rewrite recovery failed: $p -> $target")
+      } else f.delete(p, true)
     }
     if (!f.exists(new Path(corpusDir))) return
     SliceRewrite.gcStale(spark, corpusDir, partCol)

@@ -195,10 +195,8 @@ object LiveCrawl {
           val rules = RobotsCache.rulesFor(
             UrlFunctions.robotsUrl(url), rf, scope = runScope)
           val path =
-            try {
-              val u = new java.net.URL(url)
-              Option(u.getPath).filter(_.nonEmpty).getOrElse("/")
-            } catch { case _: Exception => "/" }
+            try UrlFunctions.robotsPath(url)
+            catch { case _: Exception => "/" }
           if (!rules.isAllowed(path))
             Iterator.single(CrawlStateUrl(
               url, pld, FS.SKIPPED_BLOCKED, now, score,

@@ -233,21 +233,33 @@ object StoreProtocol {
       spark: SparkSession, root: String,
       batches: Seq[Long]): Option[DataFrame] = {
     val f = fs(spark, root)
+    // ONE marker read per batch serves both the bucket list and the
+    // byte size — these are small-file GETs on the hot read path
     val perBatch = batches.flatMap { b =>
-      val paths = markerBuckets(spark, root, "tombs", b)
-        .getOrElse(Seq.empty)
-        .map(k => s"$root/tombs/batch=$b/bucket=$k")
-      if (paths.isEmpty) None else Some((b, paths))
+      readSmall(f, new Path(root, s"_commit_$b")).flatMap { content =>
+        val buckets = content.linesIterator
+          .find(_.startsWith("tombs ")).map(_.stripPrefix("tombs ").trim)
+          .map(csv => if (csv.isEmpty) Seq.empty[Int]
+                      else csv.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq.empty)
+        if (buckets.isEmpty) None
+        else {
+          val paths = buckets.map(k => s"$root/tombs/batch=$b/bucket=$k")
+          val bytes = content.linesIterator
+            .find(_.startsWith("tombbytes "))
+            .map(_.stripPrefix("tombbytes ").trim.toLong)
+            .getOrElse(paths
+              .map(p => f.getContentSummary(new Path(p)).getLength).sum)
+          Some((paths, bytes))
+        }
+      }
     }
     if (perBatch.isEmpty) None
     else {
-      val bytes = perBatch.map { case (b, paths) =>
-        markerTombBytes(spark, root, b).getOrElse(
-          paths.map(p => f.getContentSummary(new Path(p)).getLength).sum)
-      }.sum
       val t = spark.read.schema(tombSchema)
-        .parquet(perBatch.flatMap(_._2): _*)
-      Some(if (bytes <= TombBroadcastMaxBytes) t.hint("broadcast") else t)
+        .parquet(perBatch.flatMap(_._1): _*)
+      Some(if (perBatch.map(_._2).sum <= TombBroadcastMaxBytes)
+        t.hint("broadcast") else t)
     }
   }
 
