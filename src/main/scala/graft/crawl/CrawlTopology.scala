@@ -68,6 +68,15 @@ final case class CrawlConfig(
     // (CrawlTopologyBuilder.java:441-453); Sinks.writeWarcContent plugs in
     // here for archive-and-replay crawls
     contentSink: Option[DataFrame => Unit] = None,
+    // async I/O at the network seams ([[graft.util.Pooled]]): per-TASK
+    // worker threads draining the robots gate and the page/sitemap fetch
+    // through a bounded pool with unordered completion — the reference's
+    // BaseAsyncFunction design (CheckUrlWithRobotsFunction.java:52 = 10
+    // robots threads; FetchUrlsFunction.java:49 = the fetcher's
+    // maxSimultaneousRequests). Effective crawl concurrency = tasks ×
+    // threads instead of tasks. 1 = serial (deterministic test path).
+    robotsThreads: Int = 10,
+    fetchThreads: Int = 10,
     // URL-shape quality gate at frontier-insert time (the RefinedWeb/C4
     // URL-filtering slot, operators.UrlQuality): trap-shaped URLs (deep
     // paths, parameter explosions, digit-dominated, over-long) are
@@ -391,8 +400,11 @@ object CrawlTopology {
             // executor-singleton TTL cache: rules survive across rounds and
             // tasks on the same executor (CheckUrlWithRobotsFunction TTLs),
             // namespaced per crawl run so concurrent/sequential crawls in
-            // one JVM never see each other's rules
-            it.map { c =>
+            // one JVM never see each other's rules. The drain is pooled
+            // (reference: 10 robots threads) — the cache's single-flight
+            // guard keeps a burst of same-host misses to ONE fetch.
+            graft.util.Pooled.unordered(
+                it, cfg.robotsThreads, name = "robots") { c =>
               val rUrl = UrlFunctions.robotsUrl(c.url)
               val rules = RobotsCache.rulesFor(rUrl, rf, scope = runScope)
               val path = UrlFunctions.robotsPath(c.url)
@@ -425,13 +437,17 @@ object CrawlTopology {
           .select(col("pld"), col("sitemapUrl"))
           .as[(String, String)]
           .mapPartitions { it =>
-            it.map { case (_, sitemapUrl) =>
-              val page = Fetcher.safeFetch(pf, sitemapUrl)
-              val links =
-                if (page.statusCode == 200)
-                  HtmlParser.parseSitemap(page.content)
-                else Seq.empty[String]
-              (sitemapUrl, page.statusCode, links)
+            // pooled like the page fetch (the reference routes sitemaps
+            // through a second FetchUrlsFunction instance)
+            graft.util.Pooled.unordered(
+                it, cfg.fetchThreads, name = "sitemap") {
+              case (_, sitemapUrl) =>
+                val page = Fetcher.safeFetch(pf, sitemapUrl)
+                val links =
+                  if (page.statusCode == 200)
+                    HtmlParser.parseSitemap(page.content)
+                  else Seq.empty[String]
+                (sitemapUrl, page.statusCode, links)
             }
           }
           .localCheckpoint(true) // one fetch pass: links + failure journal
@@ -461,7 +477,13 @@ object CrawlTopology {
         // the target re-entering the loop as a new URL
         val liveFetch: Dataset[RobotsVerdict] => Dataset[FetchOutcome] =
           allowed => allowed.mapPartitions { it =>
-            it.map { v =>
+            // pooled unordered drain (FetchUrlsFunction's thread pool):
+            // per-partition wall ≈ Σ latencies / fetchThreads. Politeness
+            // is already enforced upstream — a crawl-delayed domain sends
+            // one URL per round into this seam, so concurrency here never
+            // hits one host harder than the schedule allows.
+            graft.util.Pooled.unordered(
+                it, cfg.fetchThreads, name = "fetch") { v =>
               val page = Fetcher.safeFetch(pf, v.url)
               val status = FS.fromHttpStatus(page.statusCode)
               // raw bytes when the fetcher has them; text fixtures are

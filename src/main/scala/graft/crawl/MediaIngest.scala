@@ -52,13 +52,16 @@ object MediaIngest {
     * broken image must not fail the ingest). Output: media_id (stable
     * urlHash64), media_url, bytes, contentType.
     */
-  def fetchMedia(media: DataFrame, fetcher: Fetcher): DataFrame = {
+  def fetchMedia(
+      media: DataFrame, fetcher: Fetcher, threads: Int = 10): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val f = fetcher
     media.select(col("media_url")).distinct().as[String]
       .mapPartitions { it =>
-        it.flatMap { url =>
+        // pooled unordered drain (graft.util.Pooled); the backpressure
+        // window also bounds how many fetched media bodies buffer at once
+        graft.util.Pooled.unordered(it, threads, name = "media") { url =>
           val page = Fetcher.safeFetch(f, url)
           if (page.statusCode < 200 || page.statusCode > 299) None
           else {
@@ -68,7 +71,7 @@ object MediaIngest {
                 UrlFunctions.charsetFromHeaders(page.headers, page.contentType))
             Some((UrlFunctions.urlHash64(url), url, bytes, page.contentType))
           }
-        }
+        }.flatten
       }
       .toDF("media_id", "media_url", "bytes", "contentType")
   }

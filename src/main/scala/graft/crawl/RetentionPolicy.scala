@@ -52,7 +52,12 @@ final case class RetentionConfig(
     * mass-purge a host irreversibly). A 404 (no robots.txt) allows all,
     * so it never revokes either.
     */
-  robotsFetcher: Option[Fetcher] = None)
+  robotsFetcher: Option[Fetcher] = None,
+  /** Pool width for the robots re-check's per-partition drain
+    * ([[graft.util.Pooled]]); a 10k-host sweep is network-bound exactly
+    * like the crawl's robots gate (reference: 10 threads). 1 = serial.
+    */
+  robotsThreads: Int = 10)
 
 /** Turns the deletion MACHINERY ([[graft.operators.Takedown]],
   * [[CrawlCorpusLoop.takedownWave]], the stores' retire paths) into an
@@ -174,19 +179,26 @@ object RetentionPolicy {
               // ([[RobotsRules.fromPage]]), None when indeterminate
               // (5xx, unreachable) — indeterminate NEVER revokes (see
               // RetentionConfig.robotsFetcher); a malformed journal url
-              // is likewise not a candidate (it was never fetchable)
-              val memo = scala.collection.mutable.HashMap
-                .empty[String, Option[RobotsRules]]
-              it.filter { case (url, _) =>
-                scala.util.Try {
-                  val rules = memo.getOrElseUpdate(
-                    UrlFunctions.robotsUrl(url),
-                    RobotsRules.fromPage(Fetcher.safeFetch(rf,
-                      UrlFunctions.robotsUrl(url))))
-                  rules.exists(r =>
-                    !r.isAllowed(UrlFunctions.robotsPath(url)))
-                }.getOrElse(false)
-              }
+              // is likewise not a candidate (it was never fetchable).
+              // The drain is pooled (cfg.robotsThreads): partitions are
+              // host-colocated, so the memo is computeIfAbsent on a
+              // concurrent map — per-host single-flight, one fetch per
+              // (host, sweep) even under a same-host burst.
+              val memo = new java.util.concurrent.ConcurrentHashMap[
+                String, Option[RobotsRules]]()
+              graft.util.Pooled.unordered(
+                  it, cfg.robotsThreads, name = "retention-robots") {
+                case (url, since) =>
+                  val keep = scala.util.Try {
+                    val rules = memo.computeIfAbsent(
+                      UrlFunctions.robotsUrl(url),
+                      rUrl => RobotsRules.fromPage(
+                        Fetcher.safeFetch(rf, rUrl)))
+                    rules.exists(r =>
+                      !r.isAllowed(UrlFunctions.robotsPath(url)))
+                  }.getOrElse(false)
+                  (url, since, keep)
+              }.collect { case (url, since, true) => (url, since) }
             }
             .toDF("url", "since")
             .withColumn("reason", lit("robots_revoked"))

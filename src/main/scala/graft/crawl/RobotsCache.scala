@@ -18,6 +18,15 @@ object RobotsCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  // single-flight guard: the robots gate runs pld-partitioned through a
+  // bounded pool (graft.util.Pooled), so a new host's first round is a
+  // BURST of concurrent misses for the same robots URL — without this,
+  // poolSize identical fetches race (the reference has the same shape:
+  // 10 threads over one ConcurrentHashMap, CheckUrlWithRobotsFunction
+  // .java:52,68). Losers wait on the winner's future instead of fetching.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[RobotsRules]]()
+
   /** Opportunistic-purge threshold: per-run scopes make old entries
     * unreachable, so without eviction a long-lived JVM running many
     * crawls grows without bound.
@@ -77,19 +86,49 @@ object RobotsCache {
     val hit = cache.get(key)
     if (hit != null && hit.expiresAt > nowMs) hit.rules
     else {
-      // a throwing robots fetch must not fail the caller's task (it runs
-      // inside mapPartitions on both crawl paths): treat it like a 5xx.
-      // Status semantics per RFC 9309 + the reference
-      // (CheckUrlWithRobotsFunction.java:137-142, crawler-commons): 2xx →
-      // parse; 4xx (no robots.txt) → allow-all; 5xx / exception / anything
-      // else (unreachable) → assume full disallow under the short error
-      // TTL, retried on expiry — a transiently-down robots.txt must not
-      // open disallowed paths to the crawler.
-      val page = Fetcher.safeFetch(fetcher, robotsUrl)
-      val rules = RobotsRules.fromPage(page)
-        .getOrElse(RobotsRules.allowNone)
-      cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
-      rules
+      val mine = new java.util.concurrent.CompletableFuture[RobotsRules]()
+      val winner = inflight.putIfAbsent(key, mine)
+      if (winner != null) winner.join()
+      else {
+        try {
+          // re-check under the flight guard: a waiter released a moment
+          // ago may have just cached the rules we were about to refetch
+          val again = cache.get(key)
+          if (again != null && again.expiresAt > nowMs) {
+            mine.complete(again.rules)
+            again.rules
+          } else {
+            // a throwing robots fetch must not fail the caller's task (it
+            // runs inside mapPartitions on both crawl paths): treat it
+            // like a 5xx. Status semantics per RFC 9309 + the reference
+            // (CheckUrlWithRobotsFunction.java:137-142, crawler-commons):
+            // 2xx → parse; 4xx (no robots.txt) → allow-all; 5xx /
+            // exception / anything else (unreachable) → assume full
+            // disallow under the short error TTL, retried on expiry — a
+            // transiently-down robots.txt must not open disallowed paths
+            // to the crawler.
+            val page = Fetcher.safeFetch(fetcher, robotsUrl)
+            fetchCount.incrementAndGet()
+            val rules = RobotsRules.fromPage(page)
+              .getOrElse(RobotsRules.allowNone)
+            cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
+            mine.complete(rules)
+            rules
+          }
+        } finally {
+          inflight.remove(key, mine)
+          // a throw above (fromPage on a hostile page shape) must release
+          // waiters — fail-closed (allowNone, the same stance as the
+          // error TTL) rather than hang them
+          if (!mine.isDone)
+            mine.complete(RobotsRules.allowNone)
+        }
+      }
     }
   }
+
+  /** Number of distinct fetches that went through (test observability:
+    * single-flight means a concurrent burst for one host counts once).
+    */
+  private[crawl] val fetchCount = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -16,7 +16,10 @@ import graft.functions.UrlFunctions
 final class UrlLengthener(
     fetcher: Fetcher,
     shortenerHosts: Set[String] = UrlLengthener.DefaultShorteners,
-    cacheSize: Int = 10000) extends Serializable {
+    cacheSize: Int = 10000,
+    // bounded-pool drain width (reference LengthenUrlsFunction.java:21
+    // runs 100 threads); 1 = serial
+    threads: Int = 100) extends Serializable {
 
   private def isShortened(url: String): Boolean = {
     val host =
@@ -25,29 +28,43 @@ final class UrlLengthener(
     shortenerHosts.contains(host.toLowerCase(java.util.Locale.ROOT))
   }
 
-  /** One redirect hop for shortener URLs; identity otherwise. */
+  /** One redirect hop for shortener URLs; identity otherwise. The memo is
+    * shared by the partition's pool workers: lookups/inserts synchronize
+    * on it (access-ordered LRU mutates on get), the network hop runs
+    * OUTSIDE the lock so a slow redirect never serializes the pool. Two
+    * workers racing the same cold URL may both fetch — benign (same
+    * answer, bounded by pool width), the price of not holding a lock
+    * across I/O.
+    */
   def lengthen(url: String, memo: java.util.LinkedHashMap[String, String]): String =
     if (!isShortened(url)) url
     else {
-      val cached = memo.get(url)
+      val cached = memo.synchronized(memo.get(url))
       if (cached != null) cached
       else {
         val page = fetcher.fetch(UrlFunctions.normalizeUrl(url))
         val target = page.redirectedTo.getOrElse(url)
-        memo.put(url, target)
+        memo.synchronized(memo.put(url, target))
         target
       }
     }
 
-  /** Distributed form over (url, score) rows. */
+  /** Distributed form over (url, score) rows: each partition drains
+    * through a bounded pool with unordered completion
+    * ([[graft.util.Pooled]] — reference LengthenUrlsFunction.java:16-50's
+    * 100-thread async stage).
+    */
   def apply(urls: Dataset[(String, Float)]): Dataset[(String, Float)] = {
     val spark = urls.sparkSession
     import spark.implicits._
     val self = this
     val cap = cacheSize
+    val width = threads
     urls.mapPartitions { it =>
       val memo = UrlLengthener.newMemo(cap)
-      it.map { case (u, s) => (self.lengthen(u, memo), s) }
+      graft.util.Pooled.unordered(it, width, name = "lengthen") {
+        case (u, s) => (self.lengthen(u, memo), s)
+      }
     }
   }
 }

@@ -106,7 +106,12 @@ object CdxLookup {
     val files = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
       .sortBy(_.getName).toSeq
-    (files, files.map(f => firstLine(fs, f).takeWhile(_ != ' ')))
+    // one open per shard: pooled (order-preserving) so the driver-side
+    // cost of a point lookup against a 1000-shard index is ~latency ×
+    // shards/16, not latency × shards (Hadoop FileSystem open/read is
+    // thread-safe; each worker owns its stream)
+    (files, graft.util.Pooled.ordered(files, threads = 16, name = "cdx")(
+      f => firstLine(fs, f).takeWhile(_ != ' ')))
   }
 
   /** CDX entries for the wanted URLs: (surt, ts, url, mime, status,

@@ -190,7 +190,13 @@ object LiveCrawl {
     val maxOutlinks = cfg.maxOutlinksPerPage
     batch.select("url", "pld", "score").as[(String, String, Float)]
       .mapPartitions { it =>
-        it.flatMap { case (url, pld, score) =>
+        // pooled unordered drain (graft.util.Pooled): robots + page fetch
+        // are both network hops, so one slow host must not serialize the
+        // micro-batch's partition. RobotsCache's single-flight guard
+        // keeps a same-host burst to one robots fetch.
+        graft.util.Pooled.unordered(
+            it, cfg.fetchThreads, name = "live-fetch") {
+          case (url, pld, score) =>
           val now = System.currentTimeMillis()
           val rules = RobotsCache.rulesFor(
             UrlFunctions.robotsUrl(url), rf, scope = runScope)
@@ -198,7 +204,7 @@ object LiveCrawl {
             try UrlFunctions.robotsPath(url)
             catch { case _: Exception => "/" }
           if (!rules.isAllowed(path))
-            Iterator.single(CrawlStateUrl(
+            Vector(CrawlStateUrl(
               url, pld, FS.SKIPPED_BLOCKED, now, score,
               now + cfg.deferBlockedMs))
           else {
@@ -250,9 +256,11 @@ object LiveCrawl {
                     }
                 }
               }
-            Iterator.single(statusRow) ++ redirect ++ outlinks
+            // materialized ON the pool thread so parse work parallelizes
+            // too (a lazy iterator would defer it to the drain thread)
+            (Iterator.single(statusRow) ++ redirect ++ outlinks).toVector
           }
-        }
+        }.flatten
       }
   }
 
