@@ -115,8 +115,14 @@ object CrawlCorpusLoop {
     val updatesDir = s"$workDir/frontier_updates/w=$wave"
     val corpusDir = s"$workDir/corpus/w=$wave"
     if (exists(spark, s"$workDir/_wave_$wave"))
+      // resolve through the slice's LIVE version (liveReadPath, like
+      // corpus()): a retention rewrite may have versioned this slice
+      // since the wave committed — a plain dir read would either throw
+      // on the mixed-depth layout (crashed first rewrite) or double-count
+      // a flipped-but-undeleted original
       return WaveResult(wave, crawled = false,
-        spark.read.parquet(corpusDir).count())
+        spark.read.parquet(
+          graft.util.SliceRewrite.liveReadPath(f, corpusDir)).count())
 
     // 1. crawl + stage (skipped when a previous attempt staged fully)
     var crawled = false
@@ -224,8 +230,12 @@ object CrawlCorpusLoop {
     val goneDir = s"$workDir/gone/w=$wave"
     val corpusDir = s"$workDir/corpus/w=$wave"
     if (exists(spark, s"$workDir/_wave_$wave"))
+      // live-version resolution, mirroring corpus() — see runWave's
+      // early return for why a plain dir read is wrong after a
+      // retention rewrite touched (or crashed on) this slice
       return WaveResult(wave, crawled = false,
-        spark.read.parquet(corpusDir).count())
+        spark.read.parquet(
+          graft.util.SliceRewrite.liveReadPath(f, corpusDir)).count())
     // most recent recorded sidecar, scanning past waves that recorded
     // none (takedown slots, pre-archive live waves) — a lifecycle slot
     // must not silently demote the next round to a full re-read

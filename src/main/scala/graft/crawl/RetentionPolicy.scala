@@ -240,6 +240,35 @@ object RetentionPolicy {
     * precisely so a tombstoned batch id can never be handed to a later
     * data wave.
     */
+  /** Semantic fingerprint of a retention config — the fields that shape
+    * the CANDIDATE SET (pool width doesn't; the fetcher can't be
+    * fingerprinted, so armed/disarmed is the recorded fact). Stored
+    * next to a sweep's pin so an untouched pin under a since-changed
+    * config is recognized as stale (see [[sweep]]).
+    */
+  private def configFingerprint(cfg: RetentionConfig): String =
+    s"gone=${cfg.goneGraceMs} age=${cfg.maxAgeMs} " +
+      s"robots=${cfg.robotsFetcher.isDefined}"
+
+  /** True when any takedown journal entry pinned store-retirement batch
+    * `w` — from that point the slot's delete set is committed machinery
+    * (digest-guarded) and the sweep pin must be honored verbatim.
+    */
+  private def planReferencesSlot(
+      spark: SparkSession, workDir: String, w: Int): Boolean = {
+    val f = fs(spark, workDir)
+    Option(f.globStatus(new Path(s"$workDir/takedowns", "td=*")))
+      .getOrElse(Array.empty)
+      .exists { st =>
+        StoreProtocol.readSmall(f, new Path(st.getPath, "_PLAN"))
+          .exists(_.linesIterator.exists { line =>
+            val p = line.trim.split(' ')
+            p.length == 2 && Set("sig", "ann", "labels")(p(0)) &&
+              p(1) == w.toString
+          })
+      }
+  }
+
   def sweep(
       spark: SparkSession, workDir: String, cfg: RetentionConfig,
       nowMs: Long, annRoot: Option[String] = None,
@@ -252,15 +281,32 @@ object RetentionPolicy {
         if (f.exists(new Path(workDir, s"_wave_$w"))) f.delete(p, true)
       }
     val w = nextSlot(spark, workDir)
+    val slotDir = new Path(workDir, s"_sweep_w=$w")
     val pinDir = s"$workDir/_sweep_w=$w/cands"
+    // an existing pin is BINDING once any takedown journal entry
+    // references its slot (committed batch digests — a re-derivation
+    // with a changed live answer would wedge the journal) and otherwise
+    // ADVISORY: a crash right after the pin write, before anything was
+    // consumed, must not force a delete set the operator has since
+    // relaxed or disabled — the pin records its config fingerprint and
+    // an untouched pin under a different config is discarded, re-derived
+    // under the CURRENT rules
+    val fp = configFingerprint(cfg)
+    val pinExists = f.exists(new Path(pinDir, "_SUCCESS"))
+    val pinBinding = pinExists && (
+      StoreProtocol.readSmall(f, new Path(slotDir, "_CFG"))
+        .map(_.trim).contains(fp) ||
+      planReferencesSlot(spark, workDir, w))
+    if (pinExists && !pinBinding) f.delete(slotDir, true)
     val cands =
-      if (f.exists(new Path(pinDir, "_SUCCESS")))
+      if (pinBinding)
         spark.read.parquet(pinDir).localCheckpoint(true)
       else {
         val derived = candidates(spark, workDir, cfg, nowMs)
           .localCheckpoint(true)
         if (derived.count() == 0L) return SweepResult(-1, 0L)
         derived.write.mode("overwrite").parquet(pinDir)
+        graft.util.FsAtomic.writePointer(f, slotDir, "_CFG", fp)
         spark.read.parquet(pinDir).localCheckpoint(true)
       }
     val n = cands.count()

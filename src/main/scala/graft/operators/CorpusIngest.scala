@@ -614,9 +614,26 @@ object CorpusIngest {
     * any retire feed may have run (a mixed plain/versioned root refuses
     * a naive partition-discovery read — by design, loudly).
     */
-  def accepted(spark: SparkSession, acceptedDir: String): DataFrame =
+  def accepted(
+      spark: SparkSession, acceptedDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.util.SliceRewrite.readAll(spark, acceptedDir, "batch")
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse {
+        // fresh corpus (no slices yet): a schema-complete empty frame —
+        // the columns every ingest writes (`idCol`, `textCol`, the
+        // `batch` partition) — so callers selecting them get an empty
+        // typed result, not an AnalysisException off a zero-column
+        // frame (CrawlCorpusLoop.corpus makes the same guarantee).
+        // Extra payload columns of a specific pipeline appear only once
+        // a slice exists, as before.
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField(idCol, LongType),
+            StructField(textCol, StringType),
+            StructField("batch", LongType))))
+      }
 
   /** Rolling-window retention for the always-on loop — the streaming
     * counterpart of [[graft.crawl.RetentionPolicy]]'s age rule, keyed on

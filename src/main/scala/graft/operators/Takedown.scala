@@ -88,8 +88,18 @@ object Takedown {
     val td = s"$journalDir/td=$tid"
     val f = fs(spark, journalDir)
     f.mkdirs(new Path(td))
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .coalesce(1)
+    // the pinned delete set shards above TombIdsPerBucket, mirroring
+    // StoreProtocol.writeTombstones: a takedown-sized set stays ONE
+    // file (one task, cheap resume reads), a whole-source purge
+    // (10^7-10^8 ids) spreads across hashed shards instead of
+    // funneling the write through one task
+    val norm = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val nShards = math.min(1024L,
+      (norm.count().max(1L) + StoreProtocol.TombIdsPerBucket - 1)
+        / StoreProtocol.TombIdsPerBucket).toInt
+    (if (nShards == 1) norm.coalesce(1)
+     else norm.repartition(nShards, col("id")))
       .write.mode("overwrite").parquet(s"$td/ids")
     // pin each store's retirement batch id NOW (caller-supplied, or max
     // committed + 1), so a crashed run and its resume retire under the
@@ -139,6 +149,11 @@ object Takedown {
         StructType(Seq(StructField("id", LongType))))
       .parquet(s"$td/ids")
       .localCheckpoint(true)
+    // on-disk byte size of the pinned set (FS metadata, zero jobs) —
+    // drives the corpus joins' broadcast/shuffle switch exactly like
+    // the stores' tombbytes marker line
+    val idBytes = Option(f.globStatus(new Path(s"$td/ids", "*.parquet")))
+      .getOrElse(Array.empty).map(_.getLen).sum
     val plan = StoreProtocol.readSmall(f, new Path(td, "_PLAN"))
       .getOrElse("").linesIterator.filter(_.trim.nonEmpty).map { l =>
         val Array(k, v) = l.trim.split(" ", 2); k -> v
@@ -175,7 +190,8 @@ object Takedown {
           "original targets")
       rewriteCorpus(spark, pinnedDir,
         plan.getOrElse("corpus_id", targets.corpusIdCol),
-        plan.getOrElse("corpus_part", targets.corpusPartitionCol), ids, td)
+        plan.getOrElse("corpus_part", targets.corpusPartitionCol), ids, td,
+        idBytes)
     }
     FsAtomic.writePointer(f, new Path(td), "_DONE", "done")
   }
@@ -196,7 +212,14 @@ object Takedown {
     */
   private def rewriteCorpus(
       spark: SparkSession, corpusDir: String, idCol: String,
-      partCol: String, ids: DataFrame, td: String): Unit = {
+      partCol: String, ids: DataFrame, td: String,
+      idBytes: Long = 0L): Unit = {
+    // size-switched delete-set side: broadcast for takedown-sized sets,
+    // shuffled join above TombBroadcastMaxBytes (whole-source purges
+    // must not broadcast 10^8 ids to every task)
+    def idsSide: DataFrame =
+      if (idBytes <= StoreProtocol.TombBroadcastMaxBytes) broadcast(ids)
+      else ids
     val f = fs(spark, corpusDir)
     // legacy-protocol recovery: a store that crashed under the round-12
     // delete-then-rename swap can hold a COMMITTED survivor rewrite
@@ -230,7 +253,7 @@ object Takedown {
     // (one broadcast semi-join; collect is bounded by the delete set)
     val affected = SliceRewrite.read(spark, corpusDir, partCol, names)
       .map { corpus =>
-        corpus.join(broadcast(ids), corpus(idCol) === ids("id"), "left_semi")
+        corpus.join(idsSide, corpus(idCol) === ids("id"), "left_semi")
           .select(col(partCol).cast("long")).distinct()
           .collect().map(_.getLong(0)).toSeq
       }.getOrElse(Seq.empty)
@@ -238,7 +261,7 @@ object Takedown {
       val name = s"$partCol=$b"
       val survivors = spark.read
         .parquet(SliceRewrite.liveReadPath(f, s"$corpusDir/$name"))
-        .join(broadcast(ids), col(idCol) === ids("id"), "left_anti")
+        .join(idsSide, col(idCol) === ids("id"), "left_anti")
       SliceRewrite.replaceSlice(spark, corpusDir, name, survivors)
     }
   }

@@ -449,4 +449,91 @@ class ArchiveLoopSpec extends AnyFunSuite {
     assert(rows.size == rows.distinct.size, s"duplicate captures: $rows")
     assert(rows.count(_._1 == "http://c.com/c") == 1, rows.toString)
   }
+
+  test("completed-wave resume count resolves the slice's LIVE version under rewrite crash shapes") {
+    val base = tmp("resumecnt")
+    val (warc1, cdx1) = writeRound(s"$base/r1", round1, 1000L)
+    val work = s"$base/work"
+    val r0 = CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    assert(r0.accepted == 3L)
+    val sliceDir = s"$work/corpus/w=0"
+
+    // crash shape 1: a retention rewrite staged sv=0 (with _SUCCESS) but
+    // died before the pointer flip — a plain dir read of the now
+    // mixed-depth slice throws 'Conflicting directory structures'; the
+    // resume count must resolve to the still-live plain files instead
+    Seq((99L, "http://ghost", "orphan rows that must not count"))
+      .toDF("doc_id", "url", "text")
+      .write.parquet(s"$sliceDir/sv=0")
+    val r1 = CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    assert(!r1.crawled && r1.accepted == 3L,
+      s"orphan staged version corrupted the resume count: ${r1.accepted}")
+    graft.util.SliceRewrite.gcStale(spark, s"$work/corpus", "w")
+
+    // crash shape 2: a rewrite FLIPPED (sv=0 live, one doc removed) but
+    // died before deleting the superseded plain originals — a plain read
+    // would double-count; the resume count must see only the live version
+    val survivors = spark.read.parquet(s"$sliceDir/*.parquet")
+      .filter(col("url") =!= "http://c.com/c").localCheckpoint(true)
+    graft.util.SliceRewrite.replaceSlice(spark, s"$work/corpus", "w=0", survivors)
+    // re-plant a superseded plain file (replaceSlice deleted them)
+    val scratch = s"$base/scratch"
+    Seq((98L, "http://stale", "superseded plain rows"))
+      .toDF("doc_id", "url", "text").coalesce(1).write.parquet(scratch)
+    val f = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    f.rename(part, new org.apache.hadoop.fs.Path(sliceDir, "part-stale.parquet"))
+    val r2 = CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    assert(!r2.crawled && r2.accepted == 2L,
+      s"superseded plain files leaked into the resume count: ${r2.accepted}")
+  }
+
+  test("retention: an untouched pin under a CHANGED config is advisory; same config honors it") {
+    import graft.crawl.{RetentionConfig, RetentionPolicy}
+    val t1 = 1700000000000L
+    val fix = tmp("pincfg")
+    val (warc1, cdx1) = writeRound(s"$fix/r1", round1, t1)
+    val work = tmp("pincfgwork")
+    CrawlCorpusLoop.runArchiveWave(spark, work, 0, warc1, cdx1)
+    val armed = RetentionConfig(maxAgeMs = Some(0L)) // everything expires
+    def plantPin(): Unit = {
+      // the crash shape: sweep derived + pinned ONE candidate and died
+      // before Takedown wrote any journal entry (_PLAN) — nothing
+      // references the slot yet
+      val cands = RetentionPolicy.candidates(spark, work, armed, t1 + 1L)
+        .filter(col("url") === "http://c.com/c").localCheckpoint(true)
+      assert(cands.count() == 1L)
+      cands.write.mode("overwrite").parquet(s"$work/_sweep_w=1/cands")
+      graft.util.FsAtomic.writePointer(
+        new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(s"$work/_sweep_w=1"), "_CFG",
+        "gone=None age=Some(0) robots=false")
+    }
+
+    // operator DISARMED retention after the crash: the untouched pin
+    // must not force the stale delete set — re-derive (empty), no wave
+    plantPin()
+    val disarmed = RetentionPolicy.sweep(spark, work,
+      RetentionConfig(), nowMs = t1 + 2L)
+    assert(disarmed.wave == -1 && disarmed.retired == 0L, disarmed.toString)
+    assert(!new java.io.File(s"$work/_sweep_w=1").exists(),
+      "stale-config pin not discarded")
+    val urls0 = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls0.size == 3, s"disarmed sweep deleted something: $urls0")
+
+    // same config on resume: the pin IS the sweep (deterministic crash
+    // resume) — it must be read verbatim, not re-derived (re-derivation
+    // under maxAgeMs=0 would catch all 3 docs, the pin holds 1)
+    plantPin()
+    val resumed = RetentionPolicy.sweep(spark, work, armed, nowMs = t1 + 2L)
+    assert(resumed.wave == 1 && resumed.retired == 1L, resumed.toString)
+    val urls1 = CrawlCorpusLoop.corpus(spark, work)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls1 == Set("http://a.com/a", "http://a.com/b"),
+      s"pin not honored verbatim under the same config: $urls1")
+  }
 }

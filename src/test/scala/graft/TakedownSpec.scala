@@ -818,4 +818,36 @@ class TakedownSpec extends AnyFunSuite {
     assert(tombFiles == 1, s"expected one tombstone file, got $tombFiles")
     assert(SignatureIndexStore.sigsView(spark, root).count() == 58L)
   }
+
+  test("purge-scale takedown: the ids pin shards and the corpus joins shuffle above the broadcast cap") {
+    val base = tmp("purge")
+    // tiny corpus: 3 docs inside the purge set, 2 outside. Purge ids are
+    // xxhash64 of 0..N-1, so "inside" = hash of a small seed value.
+    val inSet = spark.range(3).select(expr("xxhash64(id)").as("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val corpusRows = inSet.zipWithIndex.map { case (id, i) =>
+      (id, s"purged doc number $i with enough words to shingle cleanly")
+    } ++ Seq(
+      (900001L, "surviving doc one stays in the corpus after the purge"),
+      (900002L, "surviving doc two stays in the corpus after the purge"))
+    corpusRows.toDF("doc_id", "text")
+      .write.parquet(s"$base/accepted/batch=0")
+    // a whole-source purge set: 5M hashed ids ≈ 40MB parquet — above
+    // TombBroadcastMaxBytes (32MB) and above TombIdsPerBucket x2
+    val purge = spark.range(5000000)
+      .select(expr("xxhash64(id)").as("id"))
+    val journal = s"$base/takedowns"
+    Takedown.takedown(spark, purge, "id",
+      Takedown.Targets(corpusDir = Some(s"$base/accepted")), journal)
+    // the pinned set sharded into >1 file, its bytes exceed the cap
+    val idFiles = new java.io.File(s"$journal/td=0/ids").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(idFiles.length >= 2,
+      s"5M-id pin funneled into ${idFiles.length} file(s)")
+    assert(idFiles.map(_.length).sum > StoreProtocol.TombBroadcastMaxBytes,
+      "fixture too small to exercise the shuffle branch")
+    // and the delete applied exactly: in-set docs gone, survivors whole
+    assert(corpusIds(s"$base/accepted") == Set(900001L, 900002L))
+    assert(new java.io.File(s"$journal/td=0/_DONE").exists())
+  }
 }
