@@ -57,12 +57,24 @@ object Bench {
       // otherwise lands inside the NEXT query's measurement
       System.gc()
     }
+    // stage attribution for the composite store-lifecycle gates
+    // (q101/q109/q115-q117): per-stage wall times land in the JSON so a
+    // gate regression is attributable to append/retire/compact without
+    // a bisect. Enabled only here — Verify and library paths are
+    // untouched.
+    graft.util.StageTimer.enabled = true
+    val stageMap =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Double)]]
     def timed(name: String): Double = {
       dropLeftoverBlocks()
+      graft.util.StageTimer.drain() // discard leftovers from warmups
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stages = graft.util.StageTimer.drain()
+      if (stages.nonEmpty) stageMap(name) = stages
+      sec
     }
     // Noise canary: a fixed sentinel query timed before and after the
     // suite. Same code + same data twice in one JVM should agree; a
@@ -100,7 +112,13 @@ object Bench {
     // sf LABEL, not the dir path: ScaleUp-derived dirs (target/bench-sf1)
     // must read as "sf1" in artifacts, the reader-confusion nit from r9
     val sfLabel = new java.io.File(sfDir).getName.stripPrefix("bench-")
+    // per-stage breakdown of the lifecycle gates (last timed run of each)
+    val stagesJson = stageMap.map { case (q, st) =>
+      "\"" + q + "\":" + st.map { case (k, v) =>
+        f""""$k%s":$v%.3f""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stages":$stagesJson,""" +
       s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
       s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
       s""""noisy":$noisy,"sf":"$sfLabel","sf_dir":"$sfDir"}"""

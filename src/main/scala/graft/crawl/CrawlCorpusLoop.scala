@@ -172,8 +172,8 @@ object CrawlCorpusLoop {
     onStage(wave, "ingested")
 
     // 4. accepted docs become the corpus slice; the wave marker commits
+    // (payload passthrough in ingestIndexed carries `url` through)
     accepted
-      .join(docs.select("doc_id", "url"), Seq("doc_id"))
       .select("doc_id", "url", "text")
       .write.mode("overwrite").parquet(corpusDir)
     val n = spark.read.parquet(corpusDir).count()
@@ -323,9 +323,9 @@ object CrawlCorpusLoop {
       labelsRoot = if (lineage) Some(s"$workDir/labels") else None)
     onStage(wave, "ingested")
 
-    // 4. corpus slice + sidecar pointer + wave marker
+    // 4. corpus slice + sidecar pointer + wave marker (payload
+    // passthrough in ingestIndexed carries `url` through)
     accepted
-      .join(docs.select("doc_id", "url"), Seq("doc_id"))
       .select("doc_id", "url", "text")
       .write.mode("overwrite").parquet(corpusDir)
     val n = spark.read.parquet(corpusDir).count()

@@ -221,7 +221,27 @@ object CorpusIngest {
     // 5. index append: survivors' signatures only
     val updated = index.unionByName(
       accepted.select("doc_id", "sig"))
-    Result(accepted.drop("sig"), updated, audit.toSeq)
+    Result(withPayload(batch, idCol, textCol, accepted.drop("sig")),
+      updated, audit.toSeq)
+  }
+
+  /** Re-attach the batch's PAYLOAD columns (everything besides
+    * `idCol`/`textCol` — capture times, urls, source metadata) to the
+    * accepted survivors: a training-data corpus slice is more than
+    * (id, text), and retention rules like [[eventTimeFeed]] read the
+    * payload (capture time) from the slices. One batch-sized equi-join,
+    * skipped when the batch carries no payload; ids are assumed unique
+    * per batch (the pipeline's standing assumption — dedup is by content
+    * fingerprint, not id).
+    */
+  private def withPayload(
+      batch: DataFrame, idCol: String, textCol: String,
+      accepted: DataFrame): DataFrame = {
+    val payload = batch.columns.filterNot(c => c == idCol || c == textCol)
+    if (payload.isEmpty) accepted
+    else accepted.join(
+      batch.select(col(idCol).as("doc_id") +: payload.map(col): _*),
+      Seq("doc_id"))
   }
 
   /** [[ingest]] against a durable [[SignatureIndexStore]] instead of an
@@ -309,7 +329,8 @@ object CorpusIngest {
       LabelStore.applyBatch(spark, lr, allPairs, "id_a", "id_b", retired,
         batchId, LabelStore.Meta(indexBuckets(cfg)))
     }
-    (finalAccepted.drop("sig"), audit.toSeq)
+    (withPayload(batch, idCol, textCol, finalAccepted.drop("sig")),
+      audit.toSeq)
   }
 
   /** The [[AnnGate]] stage: embed the signature-accepted docs, drop those
@@ -573,9 +594,23 @@ object CorpusIngest {
             .localCheckpoint(true)
           val spark = b.sparkSession
           graft.util.SliceRewrite.gcStale(spark, acceptedDir, "batch")
+          // slice-hinted rewrite: a feed that knows WHICH slices hold
+          // its ids (rollingWindowFeed/eventTimeFeed journal a
+          // `srcBatch` column) bounds this pass to the expiring band —
+          // without the hint, finding affected slices is a column-pruned
+          // scan of EVERY prior slice, a per-batch cost that grows with
+          // stream age (measured: +30% batch wall over 40 batches,
+          // RollingWindowBench). Arbitrary takedown feeds without the
+          // column keep the full scan.
+          val hinted =
+            if (!ids.columns.contains("srcBatch")) None
+            else Some(ids.select(col("srcBatch").cast("long")).distinct()
+              .collect().map(_.getLong(0)).toSet)
           val names = graft.util.SliceRewrite
             .sliceNames(spark, acceptedDir, "batch")
             .filter(_.stripPrefix("batch=").toLong < batchId)
+            .filter(n => hinted.forall(
+              _.contains(n.stripPrefix("batch=").toLong)))
           graft.util.SliceRewrite.read(spark, acceptedDir, "batch", names)
             .foreach { all =>
               val hit = all
@@ -689,8 +724,13 @@ object CorpusIngest {
           }
         if (band.isEmpty) None
         else {
+          // journal (id, srcBatch): the ids to retire plus WHICH slices
+          // they came from — the rewrite hint streamingIndexed uses to
+          // bound its pass to the expiring band
           SliceRewrite.read(spark, acceptedDir, "batch", band).get
-            .select(col(idCol).cast("long").as("id")).distinct()
+            .select(col(idCol).cast("long").as("id"),
+              col("batch").cast("long").as("srcBatch"))
+            .distinct()
             .write.mode("overwrite").parquet(jdir)
           FsAtomic.writePointer(f, new Path(retireRoot), "_EXPIRED_UPTO",
             (hi - 1L).toString)
@@ -708,5 +748,110 @@ object CorpusIngest {
     // a journaled-empty set (expired slices held zero docs) stays None
     // on first firing AND replay — the batch commits as pure data
     journaled.filter(_.head(1).nonEmpty)
+  }
+
+  /** EVENT-TIME retention for the always-on loop — the sibling of
+    * [[rollingWindowFeed]] keyed on the data's own capture times instead
+    * of batch distance: a `retireFeed` for [[streamingIndexed]] that, at
+    * micro-batch `b`, retires every doc living in an accepted slice
+    * whose NEWEST `timeCol` value is older than `ttlMs` behind the
+    * stream's event clock. A pipeline with irregular micro-batch cadence
+    * gets a real "older than T" rule — a quiet hour expires its backlog
+    * in one firing, a burst of tiny batches expires nothing early.
+    *
+    * Clock: the newest recorded slice time across slices `< b` — the
+    * stream's own event-time watermark, never the wall clock (replays
+    * must re-derive identically). The batch's OWN slice is excluded by
+    * construction: it is written AFTER this feed runs, so a crashed
+    * attempt's leftover slice must not advance the clock between
+    * attempts (a replay would then derive a set the already-committed
+    * pure-data store marker refuses — the wedge the journal contract
+    * exists to prevent).
+    *
+    * Per-slice time sidecars (`acceptedDir/_times/t_batch=<k>`, pointer
+    * files) are recorded the first time a slice is seen — its max
+    * `timeCol`, read once with column pruning — so steady-state cost is
+    * one sidecar write for the previous batch's slice plus one listing;
+    * unexpired slices are never re-read. Expired slices get an
+    * `expired_batch=<k>` marker (written after the journal commit, and
+    * healed on the replay branch from the journal's `srcBatch` column)
+    * so they leave the candidate set permanently; their sidecars stay —
+    * they ARE the clock history.
+    *
+    * Journal/replay contract: identical to [[rollingWindowFeed]] (same
+    * `_retire/batch=<b>` layout — one retire feed per loop): first
+    * firing derives + persists, replays read verbatim, derived-empty
+    * journals nothing and stays None.
+    */
+  def eventTimeFeed(
+      spark: SparkSession, acceptedDir: String, idCol: String,
+      timeCol: String, ttlMs: Long): Long => Option[DataFrame] = { batchId =>
+    import graft.util.{FsAtomic, SliceRewrite, StoreProtocol}
+    import org.apache.hadoop.fs.Path
+    val f = StoreProtocol.fs(spark, acceptedDir)
+    val retireRoot = s"$acceptedDir/_retire"
+    val timesRoot = new Path(s"$acceptedDir/_times")
+    val jdir = s"$retireRoot/batch=$batchId"
+
+    def markExpired(bs: Iterable[Long]): Unit = bs.foreach { k =>
+      if (!f.exists(new Path(timesRoot, s"expired_batch=$k")))
+        FsAtomic.writePointer(f, timesRoot, s"expired_batch=$k", "expired")
+    }
+
+    val out =
+      if (f.exists(new Path(jdir, "_SUCCESS"))) {
+        val j = spark.read.parquet(jdir)
+        // heal markers a crash-after-journal skipped (idempotent)
+        markExpired(j.select("srcBatch").distinct()
+          .collect().map(_.getLong(0)))
+        Some(j) // (id, srcBatch) — srcBatch is the rewrite's slice hint
+      } else {
+        f.mkdirs(timesRoot)
+        val listed = Option(f.listStatus(timesRoot)).getOrElse(Array.empty)
+          .map(_.getPath.getName)
+        var haveTimes = listed.filter(_.startsWith("t_batch="))
+          .map(_.stripPrefix("t_batch=").toLong).toSet
+        val expired = listed.filter(_.startsWith("expired_batch="))
+          .map(_.stripPrefix("expired_batch=").toLong).toSet
+        val live = SliceRewrite.sliceNames(spark, acceptedDir, "batch")
+          .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
+        // record missing sidecars (new slices since the last firing)
+        live.filterNot(haveTimes).filterNot(expired).sorted.foreach { k =>
+          val row = spark.read.parquet(
+              SliceRewrite.liveReadPath(f, s"$acceptedDir/batch=$k"))
+            .agg(max(col(timeCol).cast("long"))).head()
+          val v = if (row.isNullAt(0)) "empty" else row.getLong(0).toString
+          FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", v)
+          haveTimes += k
+        }
+        def timeOf(k: Long): Option[Long] =
+          StoreProtocol.readSmall(f, new Path(timesRoot, s"t_batch=$k"))
+            .map(_.trim).filter(_ != "empty").map(_.toLong)
+        val clock = haveTimes.iterator.flatMap(timeOf).maxOption
+        val band = clock.toSeq.flatMap { now =>
+          live.filterNot(expired)
+            .filter(k => timeOf(k).exists(_ <= now - ttlMs)).sorted
+        }
+        if (band.isEmpty) None
+        else {
+          SliceRewrite.read(spark, acceptedDir, "batch",
+              band.map(k => s"batch=$k")).get
+            .select(col(idCol).cast("long").as("id"),
+              col("batch").cast("long").as("srcBatch"))
+            .distinct()
+            .write.mode("overwrite").parquet(jdir)
+          markExpired(band)
+          // journals of earlier (committed) batches are replay-dead
+          f.listStatus(new Path(retireRoot)).map(_.getPath).foreach { p =>
+            val n = p.getName
+            if (n.startsWith("batch=") &&
+                n.stripPrefix("batch=").toLong < batchId)
+              f.delete(p, true)
+          }
+          Some(spark.read.parquet(jdir)) // (id, srcBatch)
+        }
+      }
+    // journaled-empty (expired slices held zero docs): pure-data batch
+    out.filter(_.head(1).nonEmpty)
   }
 }

@@ -389,9 +389,12 @@ object TextQueries {
         .createTempDirectory("graft_labelstore_q_").toString
       val root = base + "/store"
       val meta = LabelStore.Meta(buckets = 8)
-      LabelStore.fold(s, root, oldPairs, "a", "b", batchId = 1L, meta)
-      LabelStore.fold(s, root, newPairs, "a", "b", batchId = 2L, meta)
-      LabelStore.compact(s, root, keepNewest = 1)
+      graft.util.StageTimer.time("fold_b1")(
+        LabelStore.fold(s, root, oldPairs, "a", "b", batchId = 1L, meta))
+      graft.util.StageTimer.time("fold_b2")(
+        LabelStore.fold(s, root, newPairs, "a", "b", batchId = 2L, meta))
+      graft.util.StageTimer.time("compact")(
+        LabelStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(LabelStore.labels(s, root)) {
         deleteRecursively(base)
       }
@@ -604,16 +607,23 @@ object TextQueries {
       val sigs = CorpusIngest.signatureIndex(all, "doc_id", "text", cfg)
         .localCheckpoint(true)
       def sigsOf(f: org.apache.spark.sql.Column) = sigs.filter(f)
-      SignatureIndexStore.append(s, root,
-        sigsOf(col("doc_id") % 2 === 0), 0L, meta)
-      SignatureIndexStore.append(s, root,
-        sigsOf(col("doc_id") % 2 === 1), 1L, meta)
-      SignatureIndexStore.retire(s, root,
-        all.filter(col("doc_id") % 10 === 0).select("doc_id"),
-        "doc_id", 2L)
-      SignatureIndexStore.append(s, root,
-        sigsOf(col("doc_id") % 20 === 0), 3L, meta)
-      SignatureIndexStore.compact(s, root, keepNewest = 1)
+      // stage attribution (StageTimer; Bench-only): four store commits
+      // + compaction + read behind one timed query
+      graft.util.StageTimer.time("append_b0")(
+        SignatureIndexStore.append(s, root,
+          sigsOf(col("doc_id") % 2 === 0), 0L, meta))
+      graft.util.StageTimer.time("append_b1")(
+        SignatureIndexStore.append(s, root,
+          sigsOf(col("doc_id") % 2 === 1), 1L, meta))
+      graft.util.StageTimer.time("retire")(
+        SignatureIndexStore.retire(s, root,
+          all.filter(col("doc_id") % 10 === 0).select("doc_id"),
+          "doc_id", 2L))
+      graft.util.StageTimer.time("resurrect_b3")(
+        SignatureIndexStore.append(s, root,
+          sigsOf(col("doc_id") % 20 === 0), 3L, meta))
+      graft.util.StageTimer.time("compact")(
+        SignatureIndexStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(
         SignatureIndexStore.sigsView(s, root)
           .select(col("doc_id"),
@@ -633,15 +643,20 @@ object TextQueries {
       val base = java.nio.file.Files
         .createTempDirectory("graft-q116").toString
       val root = base + "/store"
-      AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1)
-      AnnIndexStore.append(s, root,
-        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L)
-      AnnIndexStore.retire(s, root,
-        e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id", 2L)
-      AnnIndexStore.append(s, root,
-        e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 3L)
-      AnnIndexStore.compact(s, root, keepNewest = 1)
+      graft.util.StageTimer.time("build")(
+        AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1))
+      graft.util.StageTimer.time("append_b1")(
+        AnnIndexStore.append(s, root,
+          e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L))
+      graft.util.StageTimer.time("retire")(
+        AnnIndexStore.retire(s, root,
+          e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id", 2L))
+      graft.util.StageTimer.time("resurrect_b3")(
+        AnnIndexStore.append(s, root,
+          e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 3L))
+      graft.util.StageTimer.time("compact")(
+        AnnIndexStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(
         AnnIndexStore.query(s, root, e.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", k = 5, nprobe = 8)
@@ -671,10 +686,14 @@ object TextQueries {
         .createTempDirectory("graft-q117").toString
       val root = base + "/store"
       val meta = LabelStore.Meta(buckets = 8)
-      LabelStore.fold(s, root, oldPairs, "a", "b", 1L, meta)
-      LabelStore.retire(s, root, retired, "id", 2L)
-      LabelStore.fold(s, root, newPairs, "a", "b", 3L, meta)
-      LabelStore.compact(s, root, keepNewest = 1)
+      graft.util.StageTimer.time("fold_b1")(
+        LabelStore.fold(s, root, oldPairs, "a", "b", 1L, meta))
+      graft.util.StageTimer.time("retire")(
+        LabelStore.retire(s, root, retired, "id", 2L))
+      graft.util.StageTimer.time("fold_b3")(
+        LabelStore.fold(s, root, newPairs, "a", "b", 3L, meta))
+      graft.util.StageTimer.time("compact")(
+        LabelStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(LabelStore.labels(s, root)) {
         deleteRecursively(base)
       }
@@ -690,11 +709,12 @@ object TextQueries {
       val all = docs(s, d)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q101").toString
-      SignatureIndexStore.append(s, root,
-        CorpusIngest.signatureIndex(
-          all.filter(col("doc_id") % 2 === 0), "doc_id", "text", cfg),
-        0L, SignatureIndexStore.Meta(
-          cfg.indexBuckets, cfg.numHashes, cfg.bandSize))
+      graft.util.StageTimer.time("append_b0")(
+        SignatureIndexStore.append(s, root,
+          CorpusIngest.signatureIndex(
+            all.filter(col("doc_id") % 2 === 0), "doc_id", "text", cfg),
+          0L, SignatureIndexStore.Meta(
+            cfg.indexBuckets, cfg.numHashes, cfg.bandSize)))
       SignatureIndexStore.matches(s, root,
         CorpusIngest.signatureIndex(
           all.filter(col("doc_id") % 2 === 1), "doc_id", "text", cfg),

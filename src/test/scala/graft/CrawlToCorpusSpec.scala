@@ -115,8 +115,8 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     val a = crawlDocs("a.com")
     val (accA, _) = CorpusIngest.ingestIndexed(
       a, "doc_id", "text", root, 0L, cfgI)
-    val urlsA = accA.join(a.select("doc_id", "url"), Seq("doc_id"))
-      .select("url").collect().map(_.getString(0)).toSet
+    // ingestIndexed passes payload columns (url) through since round 14
+    val urlsA = accA.select("url").collect().map(_.getString(0)).toSet
     // token floor eats tiny, repetition eats spam; the rest is admitted
     assert(urlsA == Set("http://a.com/", "http://a.com/article",
       "http://a.com/fr"), urlsA.toString)
@@ -124,8 +124,7 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     val b = crawlDocs("b.com")
     val (accB, auditB) = CorpusIngest.ingestIndexed(
       b, "doc_id", "text", root, 1L, cfgI)
-    val urlsB = accB.join(b.select("doc_id", "url"), Seq("doc_id"))
-      .select("url").collect().map(_.getString(0)).toSet
+    val urlsB = accB.select("url").collect().map(_.getString(0)).toSet
     assert(urlsB == Set("http://b.com/"), s"$urlsB audit=$auditB")
     // the mirror fell at CROSS dedup (standing index), not earlier
     val am = auditB.toMap
@@ -172,8 +171,7 @@ class CrawlToCorpusSpec extends AnyFunSuite {
     val c = crawlDocs("c.com")
     val (accC, auditC) = CorpusIngest.ingestIndexed(
       c, "doc_id", "text", root, 1L, cfgI, Some(gate))
-    val urlsC = accC.join(c.select("doc_id", "url"), Seq("doc_id"))
-      .select("url").collect().map(_.getString(0)).toSet
+    val urlsC = accC.select("url").collect().map(_.getString(0)).toSet
     assert(urlsC == Set("http://c.com/"), s"$urlsC audit=$auditC")
     val am = auditC.toMap
     // the paraphrase SURVIVED the signature cross-dedup...

@@ -82,4 +82,27 @@ class SliceRewriteSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"stale plain files survived: ${leftover.toSeq}")
     assert(ids(root) == Set(2L))
   }
+
+  test("a reader racing the post-flip delete fails loudly; the RETRY sees the complete new version") {
+    val root = tmp() + "/corpus"
+    Seq(1L, 2L, 3L, 4L).toDF("id").write.parquet(s"$root/batch=0")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reader resolves the CURRENT live version (plain files) but has not
+    // finished scanning when the takedown rewrites the slice
+    val stalePath = SliceRewrite.liveReadPath(f, s"$root/batch=0")
+    val staleDf = spark.read.parquet(stalePath)
+    SliceRewrite.replaceSlice(spark, root, "batch=0",
+      Seq(1L, 2L).toDF("id")) // survivors; flip + delete superseded
+    // the stale handle fails LOUDLY — never a silent partial result
+    val e = intercept[Exception](staleDf.collect())
+    assert(e.toString.toLowerCase.contains("file") ||
+      e.getCause != null, s"expected a loud read failure, got $e")
+    // the retry (re-resolve live path) sees the COMPLETE new version
+    val retried = spark.read
+      .parquet(SliceRewrite.liveReadPath(f, s"$root/batch=0"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(retried == Set(1L, 2L),
+      s"retried reader saw an incomplete version: $retried")
+  }
 }

@@ -850,4 +850,61 @@ class TakedownSpec extends AnyFunSuite {
     assert(corpusIds(s"$base/accepted") == Set(900001L, 900002L))
     assert(new java.io.File(s"$journal/td=0/_DONE").exists())
   }
+
+  test("event-time feed: slices expire by TIME under irregular cadence, not by count; replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("ttlwin")
+    val input = MemoryStream[(Long, String, Long)]
+    val feed = CorpusIngest.eventTimeFeed(
+      spark, s"$dir/accepted", "doc_id", "captureMs", ttlMs = 1000L)
+    val q = CorpusIngest.streamingIndexed(
+      input.toDS().toDF("doc_id", "text", "captureMs"), "doc_id", "text",
+      s"$dir/index", s"$dir/accepted", retireFeed = feed)
+    def acceptedIds(): Set[Long] =
+      CorpusIngest.accepted(spark, s"$dir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // burst of three quick batches inside one TTL: a COUNT window of 1
+      // would be evicting already — time says everything stays
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river", 10000L),
+        (2L, "a careful study of historical documents reveals many patterns", 10050L)))
+      q.processAllAvailable() // batch 0, captures ~10000
+      input.addData(Seq(
+        (11L, "novel observations about glacier movement and seasonal melt", 10100L)))
+      q.processAllAvailable() // batch 1: clock 10050, nothing older than 1s
+      input.addData(Seq(
+        (21L, "completely unrelated text about cooking pasta with tomatoes", 10900L)))
+      q.processAllAvailable() // batch 2: clock 10100, still nothing
+      assert(acceptedIds() == Set(1L, 2L, 11L, 21L), acceptedIds().toString)
+
+      // a quiet gap: the next batch's PREVIOUS slices now span the TTL —
+      // batches 0 AND 1 expire together (time, not one-per-batch count),
+      // batch 2 (10900) stays inside the window
+      input.addData(Seq(
+        (31L, "fresh arrival after the long quiet gap in the stream", 11500L)))
+      q.processAllAvailable() // batch 3: clock 10900 — nothing yet (clock lags one batch)
+      input.addData(Seq(
+        (41L, "another capture keeps the stream moving well past the gap", 11600L)))
+      q.processAllAvailable() // batch 4: clock 11500 → slices 0,1 (10050/10100) expire
+      assert(acceptedIds() == Set(21L, 31L, 41L), acceptedIds().toString)
+
+      // replay determinism: re-invoking the feed for batch 4 AFTER its
+      // slice rewrites returns the JOURNALED set verbatim
+      val replayed = feed(4L)
+      assert(replayed.isDefined, "replay lost the journaled retire set")
+      assert(replayed.get.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L))
+      assert(SignatureIndexStore.sigsView(spark, s"$dir/index")
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(21L, 31L, 41L), "expired docs still live in the standing index")
+
+      // expired content re-submitted is NOT a dup and re-enters under a
+      // NEW capture time
+      input.addData(Seq(
+        (51L, "the quick brown fox jumps over the lazy dog near the river", 11700L)))
+      q.processAllAvailable() // batch 5
+      assert(acceptedIds() == Set(21L, 31L, 41L, 51L), acceptedIds().toString)
+    } finally q.stop()
+  }
 }
