@@ -698,6 +698,48 @@ object TextQueries {
         deleteRecursively(base)
       }
     }),
+    "q120_event_ttl" -> ((s, d) => {
+      // EVENT-TIME streaming retention (CorpusIngest.eventTimeFeed)
+      // behind an oracle: 8 corpus slices with quadratically-spaced
+      // capture times, the feed fired for batches 1..8. The oracle
+      // recomputes the full expiry SCHEDULE — clock = newest slice time
+      // below the firing batch; a slice fires ONCE, at the first batch
+      // whose clock is a TTL past its newest capture. The quadratic
+      // spacing makes slices 0-2 fire TOGETHER at batch 4 (time, not
+      // count) and slice 7 never fire — both behind the hash.
+      import graft.operators.CorpusIngest
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q120").toString
+      val dir = base + "/accepted"
+      val sliced = docs(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).cast("long").as("src_batch"),
+        (pmod(col("doc_id"), lit(8L)) * pmod(col("doc_id"), lit(8L)) * 100L
+          + pmod(col("doc_id"), lit(7L))).cast("long").as("t"))
+        .localCheckpoint(true)
+      (0 until 8).foreach { k =>
+        sliced.filter(col("src_batch") === k)
+          .select(col("doc_id"), col("t"))
+          .write.mode("overwrite").parquet(s"$dir/batch=$k")
+      }
+      val feed = CorpusIngest.eventTimeFeed(s, dir, "doc_id", "t",
+        ttlMs = 500L)
+      // fire in order, pinning each journaled set before the next call
+      // reclaims earlier journals
+      val pieces = (1 to 8).flatMap { b =>
+        feed(b.toLong).map(df => df.select(col("id").as("doc_id"),
+          col("srcBatch").as("src_batch"),
+          lit(b.toLong).as("fired_at")).localCheckpoint(true))
+      }
+      val out = pieces.reduceOption(_ unionByName _).getOrElse {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("src_batch", LongType),
+            StructField("fired_at", LongType))))
+      }
+      materializedWithCleanup(out) { deleteRecursively(base) }
+    }),
     "q101_store_dedup" -> ((s, d) => {
       // q62's incremental-dedup semantics driven through the DURABLE
       // bucketed SignatureIndexStore (append → bucket-pruned matches)
@@ -1212,6 +1254,25 @@ object TextQueries {
         |  SELECT e.u, wk.label FROM e2 e JOIN walk2 wk ON wk.u = e.w)
         |SELECT u AS id, MIN(label) AS component FROM walk2
         |GROUP BY u""".stripMargin,
+    "q120_event_ttl" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 8) + 8) % 8 AS src_batch,
+        |         (((doc_id % 8) + 8) % 8) * (((doc_id % 8) + 8) % 8) * 100
+        |           + ((doc_id % 7) + 7) % 7 AS t
+        |  FROM documents),
+        |s AS (SELECT src_batch, max(t) AS maxt FROM d GROUP BY src_batch),
+        |b AS (SELECT DISTINCT src_batch + 1 AS b FROM s),
+        |clock AS (
+        |  SELECT b.b AS b, max(s.maxt) AS clk
+        |  FROM b JOIN s ON s.src_batch < b.b GROUP BY b.b),
+        |fired AS (
+        |  SELECT s.src_batch, min(c.b) AS fired_at
+        |  FROM s JOIN clock c ON c.b > s.src_batch AND s.maxt <= c.clk - 500
+        |  GROUP BY s.src_batch)
+        |SELECT d.doc_id AS doc_id, d.src_batch AS src_batch,
+        |       f.fired_at AS fired_at
+        |FROM d JOIN fired f USING (src_batch)""".stripMargin,
     "q101_store_dedup" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
          |  FROM documents),
