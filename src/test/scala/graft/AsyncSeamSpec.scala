@@ -181,4 +181,34 @@ class AsyncSeamSpec extends AnyFunSuite {
     val rc = AsyncSeamCounters.retention.get()
     assert(rc == 2, s"robots re-fetched $rc times for 2 hosts")
   }
+
+  test("live-crawl micro-batch seam drains pooled: single-partition batch ≈ poolSize-wide") {
+    import spark.implicits._
+    val latency = 50L
+    val g = WebGraph(
+      (1 to 40).map(i => s"live.com/p$i" -> Seq.empty[String]): _*)
+    val pf = new SlowFetcher(new WebGraphFetcher(g), latency)
+    val rf = new MapRobotsFetcher(Map.empty) // robots cached once per scope
+    val batch = (1 to 40)
+      .map(i => (s"http://live.com/p$i", "live.com", 1.0f))
+      .toDF("url", "pld", "score")
+      .repartition(1) // force ONE partition: the pool is the only width
+    // untimed warmup (plan codegen + first-collect overhead), tiny batch
+    graft.streaming.LiveCrawl.fetchParseBatch(
+      spark, batch.limit(1), pf, rf,
+      CrawlConfig(fetchThreads = 10, robotsThreads = 10),
+      runScope = java.util.UUID.randomUUID().toString).collect()
+    val t0 = System.nanoTime()
+    val out = graft.streaming.LiveCrawl.fetchParseBatch(
+      spark, batch, pf, rf,
+      CrawlConfig(fetchThreads = 10, robotsThreads = 10),
+      runScope = java.util.UUID.randomUUID().toString).collect()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // every url produced its terminal status row
+    assert(out.count(_.status == FS.FETCHED) == 40, out.mkString(","))
+    // serial floor = 40 x 50ms = 2s in the one task; 10-wide ≈ 0.2s —
+    // bound generous for job overhead, impossible serially
+    assert(wallMs < 1500,
+      s"single-partition live-fetch took ${wallMs}ms — seam not pooled")
+  }
 }
