@@ -807,49 +807,106 @@ object CorpusIngest {
         Some(j) // (id, srcBatch) — srcBatch is the rewrite's slice hint
       } else {
         f.mkdirs(timesRoot)
+        // bounded metadata: without GC, `_times/` grows two pointer
+        // files per slice FOREVER (10^6 batches = 2M files in one
+        // directory — an object-store listing hazard). Two pointers
+        // bound it: `_CLOCK` is the running max of every sidecar time
+        // ever recorded (monotone, so expired slices' sidecars can be
+        // deleted without losing the clock), and `_EXPIRED_PREFIX` is
+        // the contiguous expired prefix [0..p] (per-slice markers and
+        // sidecars at or below it are reclaimed; out-of-order expiry
+        // beyond it keeps its per-slice marker until the prefix catches
+        // up). Steady-state listing = window size + exceptions.
+        val prefix = StoreProtocol
+          .readSmall(f, new Path(timesRoot, "_EXPIRED_PREFIX"))
+          .map(_.trim.toLong).getOrElse(-1L)
         val listed = Option(f.listStatus(timesRoot)).getOrElse(Array.empty)
           .map(_.getPath.getName)
+        // leftover sweep: a crash between the prefix flip and its file
+        // deletes leaves covered pointers behind — reclaim on sight
+        listed.foreach { n =>
+          val covered =
+            (n.startsWith("t_batch=") &&
+              n.stripPrefix("t_batch=").toLong <= prefix) ||
+            (n.startsWith("expired_batch=") &&
+              n.stripPrefix("expired_batch=").toLong <= prefix)
+          if (covered) f.delete(new Path(timesRoot, n), true)
+        }
         var haveTimes = listed.filter(_.startsWith("t_batch="))
-          .map(_.stripPrefix("t_batch=").toLong).toSet
-        val expired = listed.filter(_.startsWith("expired_batch="))
-          .map(_.stripPrefix("expired_batch=").toLong).toSet
-        val live = SliceRewrite.sliceNames(spark, acceptedDir, "batch")
+          .map(_.stripPrefix("t_batch=").toLong).filter(_ > prefix).toSet
+        var expired = listed.filter(_.startsWith("expired_batch="))
+          .map(_.stripPrefix("expired_batch=").toLong).filter(_ > prefix)
+          .toSet ++ (0L to prefix)
+        val liveAll = SliceRewrite.sliceNames(spark, acceptedDir, "batch")
           .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
-        // record missing sidecars (new slices since the last firing)
+        val live = liveAll.filter(_ > prefix)
+        // record missing sidecars (new slices since the last firing);
+        // fold each into the monotone clock pointer, and expire
+        // zero-row slices immediately (nothing to retire, and an
+        // inexpirable empty slice would stall the prefix forever)
+        var clockV = StoreProtocol
+          .readSmall(f, new Path(timesRoot, "_CLOCK"))
+          .map(_.trim.toLong)
         live.filterNot(haveTimes).filterNot(expired).sorted.foreach { k =>
           val row = spark.read.parquet(
               SliceRewrite.liveReadPath(f, s"$acceptedDir/batch=$k"))
             .agg(max(col(timeCol).cast("long"))).head()
-          val v = if (row.isNullAt(0)) "empty" else row.getLong(0).toString
-          FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", v)
+          if (row.isNullAt(0)) {
+            FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", "empty")
+            markExpired(Seq(k))
+            expired += k
+          } else {
+            val t = row.getLong(0)
+            FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", t.toString)
+            if (clockV.forall(_ < t)) {
+              clockV = Some(t)
+              FsAtomic.writePointer(f, timesRoot, "_CLOCK", t.toString)
+            }
+          }
           haveTimes += k
         }
         def timeOf(k: Long): Option[Long] =
           StoreProtocol.readSmall(f, new Path(timesRoot, s"t_batch=$k"))
             .map(_.trim).filter(_ != "empty").map(_.toLong)
-        val clock = haveTimes.iterator.flatMap(timeOf).maxOption
-        val band = clock.toSeq.flatMap { now =>
+        val band = clockV.toSeq.flatMap { now =>
           live.filterNot(expired)
             .filter(k => timeOf(k).exists(_ <= now - ttlMs)).sorted
         }
-        if (band.isEmpty) None
-        else {
-          SliceRewrite.read(spark, acceptedDir, "batch",
-              band.map(k => s"batch=$k")).get
-            .select(col(idCol).cast("long").as("id"),
-              col("batch").cast("long").as("srcBatch"))
-            .distinct()
-            .write.mode("overwrite").parquet(jdir)
-          markExpired(band)
-          // journals of earlier (committed) batches are replay-dead
-          f.listStatus(new Path(retireRoot)).map(_.getPath).foreach { p =>
-            val n = p.getName
-            if (n.startsWith("batch=") &&
-                n.stripPrefix("batch=").toLong < batchId)
-              f.delete(p, true)
+        val fired =
+          if (band.isEmpty) None
+          else {
+            SliceRewrite.read(spark, acceptedDir, "batch",
+                band.map(k => s"batch=$k")).get
+              .select(col(idCol).cast("long").as("id"),
+                col("batch").cast("long").as("srcBatch"))
+              .distinct()
+              .write.mode("overwrite").parquet(jdir)
+            markExpired(band)
+            expired ++= band
+            // journals of earlier (committed) batches are replay-dead
+            f.listStatus(new Path(retireRoot)).map(_.getPath).foreach { p =>
+              val n = p.getName
+              if (n.startsWith("batch=") &&
+                  n.stripPrefix("batch=").toLong < batchId)
+                f.delete(p, true)
+            }
+            Some(spark.read.parquet(jdir)) // (id, srcBatch)
           }
-          Some(spark.read.parquet(jdir)) // (id, srcBatch)
+        // advance the expired prefix over expired slices AND ids with no
+        // slice dir (takedown-style slot gaps must not stall it), then
+        // reclaim the covered per-slice pointers
+        val liveSet = liveAll.toSet
+        var p = prefix
+        while (p + 1 < batchId &&
+            (expired.contains(p + 1) || !liveSet.contains(p + 1))) p += 1
+        if (p > prefix) {
+          FsAtomic.writePointer(f, timesRoot, "_EXPIRED_PREFIX", p.toString)
+          ((prefix + 1) to p).foreach { k =>
+            f.delete(new Path(timesRoot, s"t_batch=$k"), true)
+            f.delete(new Path(timesRoot, s"expired_batch=$k"), true)
+          }
         }
+        fired
       }
     // journaled-empty (expired slices held zero docs): pure-data batch
     out.filter(_.head(1).nonEmpty)

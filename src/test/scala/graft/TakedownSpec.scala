@@ -907,4 +907,39 @@ class TakedownSpec extends AnyFunSuite {
       assert(acceptedIds() == Set(21L, 31L, 41L, 51L), acceptedIds().toString)
     } finally q.stop()
   }
+
+  test("event-time feed GC: _times metadata stays window-bounded; the clock survives reclamation") {
+    val base = tmp("ttlgc")
+    val dir = s"$base/accepted"
+    def writeSlice(k: Int): Unit =
+      (0 until 3).map(i => (k * 10L + i, k * 1000L))
+        .toDF("doc_id", "t").write.parquet(s"$dir/batch=$k")
+    (0 to 11).foreach(writeSlice)
+    val feed = CorpusIngest.eventTimeFeed(spark, dir, "doc_id", "t",
+      ttlMs = 2500L)
+    // fire 1..12: at firing b the clock is (b-1)*1000, so slice k
+    // expires once k <= b-4 — by b=12 slices 0..8 are expired and the
+    // contiguous prefix GC must have reclaimed their per-slice pointers
+    val fired = (1 to 12).flatMap(b =>
+      feed(b.toLong).map(df =>
+        df.select("srcBatch").distinct()
+          .collect().map(_.getLong(0)).toSet).toSeq)
+    assert(fired.flatten.toSet == (0L to 8L).toSet, fired.toString)
+    val files = new java.io.File(s"$dir/_times").listFiles().map(_.getName)
+    val prefix = scala.io.Source
+      .fromFile(s"$dir/_times/_EXPIRED_PREFIX").mkString.trim.toLong
+    assert(prefix == 8L, s"prefix $prefix")
+    val sidecars = files.filter(_.startsWith("t_batch="))
+    assert(sidecars.toSet == Set("t_batch=9", "t_batch=10", "t_batch=11"),
+      s"sidecars not window-bounded: ${sidecars.mkString(",")}")
+    assert(!files.exists(_.startsWith("expired_batch=")),
+      s"expired markers not reclaimed: ${files.mkString(",")}")
+    // the clock survives the reclaimed sidecars (_CLOCK pointer): a new
+    // slice advances it and slice 9 expires on schedule
+    writeSlice(12)
+    val next = feed(13L).map(_.select("id").collect()
+      .map(_.getLong(0)).toSet)
+    assert(next.contains(Set(90L, 91L, 92L)),
+      s"post-GC firing wrong: $next")
+  }
 }
