@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+
+import graft.plans.ZOrderExpressions
+import graft.util.{Pooled, StoreProtocol}
+
+/** Multi-column data skipping: Z-order clustering at write time plus a
+  * file-level min-max statistics sidecar consulted at read time, so a
+  * selective multi-column range predicate opens only the files whose
+  * ranges intersect it — the layout-level scan cutter Spark itself does
+  * not have (vanilla Spark prunes partitions by directory value and row
+  * groups by pushed filters, but always LISTS-AND-OPENS every file of a
+  * non-partitioned table; Delta/Iceberg-class engines add exactly this
+  * file-stats layer — see the Delta Lake paper §4.2 "data skipping",
+  * VLDB 2020 — and this module is that layer re-expressed over plain
+  * parquet + the [[graft.util.StoreProtocol]] filesystem idioms).
+  *
+  * Why Z-order and not a plain sort: a single-column sort makes min-max
+  * ranges tight on ONE column — a predicate on any other column matches
+  * every file. Interleaving the bit-ranks of 2-3 key columns
+  * ([[graft.plans.ZOrderCodegen]]) keeps every keyed column's per-file
+  * range narrow, so a 5%×5% rectangle touches O(boundary) files instead
+  * of all of them. At 100 TB this is the difference between opening a
+  * few hundred files and a million.
+  *
+  * The stats sidecar is built from parquet FOOTERS — a metadata-only
+  * pass (one footer read per file, pooled through [[Pooled.ordered]]),
+  * never a second scan of the data. Readers that ignore the sidecar see
+  * a perfectly ordinary parquet directory (the `_SKIP` sidecar and the
+  * `_z` clustering column are both convention-invisible: underscore
+  * paths are skipped by Spark's file index, and [[prunedRead]] drops
+  * `_z`); readers that use [[prunedRead]] get the same rows a full scan
+  * + filter would return, minus the files that provably hold none.
+  *
+  * Scale shape: the sidecar is one atomically-flipped text file of
+  * (files × keyed columns) lines — pure metadata, tens of MB at 10^6
+  * files, read and filtered driver-side in one pass (the same class of
+  * driver metadata Spark's own file listing already holds for such a
+  * table). Row-group pruning inside the surviving files still applies on
+  * top (the range filters are pushed to the parquet reader as usual).
+  *
+  * Supported key types: integral (int/long) and timestamp — the realistic
+  * skipping keys (ids, event times, sizes). Ranges are expressed in the
+  * column's long form (timestamps: epoch MICROS, matching both
+  * `unix_micros` and the parquet INT64 physical stats).
+  */
+object DataSkipping {
+
+  /** Inclusive range over one keyed column, in long form (timestamps in
+    * epoch micros).
+    */
+  case class ColRange(col: String, lo: Long, hi: Long)
+
+  /** What the skip layer did: `filesRead` of `filesTotal` survived. */
+  case class PruneInfo(filesTotal: Int, filesRead: Int)
+
+  private val StatsDir = "_SKIP"
+
+  /** The column's long form: the SAME mapping is used for rank
+    * normalization at write time, the footer stats (INT64 physical for
+    * both longs and micros timestamps), and the read-side predicate — so
+    * a range never straddles a representation change.
+    */
+  private def asLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case LongType | IntegerType => col(c).cast(LongType)
+      case TimestampType => unix_micros(col(c))
+      // NTZ (how Spark 4 reads non-UTC-adjusted parquet timestamps):
+      // the cast to TimestampType is identity under the engine's UTC
+      // session timezone, and parquet stores both as INT64 micros — one
+      // long form either way
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"data-skipping key $c: unsupported type $other " +
+          "(integral and timestamp columns only)")
+    }
+
+  /** Write `df` Z-order-clustered on `zCols` (2 or 3 columns) into
+    * `nFiles` files under `dir`, and record the per-file min-max sidecar.
+    *
+    * One pass over the data: per-column global bounds (one small agg
+    * job), bit-rank each key against its bounds, Morton-interleave into
+    * `_z`, range-partition + sort on it, write. Then the metadata-only
+    * footer sweep builds `_SKIP`. Null keys rank as the column minimum —
+    * they cluster at the curve's origin and never widen other files'
+    * ranges.
+    */
+  def writeZOrdered(
+      df: DataFrame, dir: String, zCols: Seq[String], nFiles: Int): Unit = {
+    require(zCols.size == 2 || zCols.size == 3,
+      s"z-order supports 2 or 3 key columns, got ${zCols.size}")
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val spark = df.sparkSession
+    val longs = zCols.map(c => asLong(df, c))
+    val aggs = longs.zipWithIndex.flatMap { case (l, i) =>
+      Seq(min(l).as(s"lo$i"), max(l).as(s"hi$i")) }
+    val boundsRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = if (zCols.size == 2) 31 else 21
+    val mask = (1L << bits) - 1L
+    val ranks = longs.zipWithIndex.map { case (l, i) =>
+      // empty input or all-null column: rank 0 everywhere
+      if (boundsRow.isNullAt(2 * i)) lit(0L)
+      else {
+        val lo = boundsRow.getLong(2 * i)
+        val hi = boundsRow.getLong(2 * i + 1)
+        val span = hi - lo
+        if (span <= 0L) lit(0L)
+        else ((coalesce(l, lit(lo)) - lit(lo)).cast("double") *
+          lit(mask.toDouble / span)).cast(LongType)
+      }
+    }
+    // INT96 parquet timestamps carry no footer statistics — pin the
+    // stats-bearing INT64-micros physical type for this write (restored
+    // after; consulted per-write, same runtime-conf idiom as
+    // Tables.events' nanos flag)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      df.withColumn("_z", ZOrderExpressions.zvalue(ranks: _*))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite").parquet(dir)
+    } finally prior match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    writeStats(spark, dir, zCols)
+  }
+
+  /** Footer-derived per-file min-max sidecar for `cols`, written to
+    * `dir/_SKIP` as tab-separated lines `file col lo hi` (empty lo/hi =
+    * "no stats, never prune this file"), flipped atomically
+    * ([[graft.util.FsAtomic.writePointer]] — readers see the old complete
+    * sidecar or the new one, never a partial). Metadata-only: one pooled
+    * footer read per file. Public so a layout produced by other writers
+    * (e.g. an externally sorted corpus) can adopt the skip layer too.
+    */
+  def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = StoreProtocol.fs(spark, dir)
+    val files = dataFiles(fs, dir)
+    val rows: Seq[String] =
+      Pooled.ordered(files, threads = 16, name = "skipstats") { p =>
+        fileMinMax(conf, p, cols).map { case (c, mm) =>
+          s"${p.getName}\t$c\t${mm.map(_._1.toString).getOrElse("")}" +
+            s"\t${mm.map(_._2.toString).getOrElse("")}"
+        }
+      }.flatten
+    graft.util.FsAtomic.writePointer(
+      fs, new Path(dir), StatsDir, rows.mkString("\n"))
+  }
+
+  private def dataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] =
+    fs.listStatus(new Path(dir))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+
+  /** One file's min-max per keyed column, from its parquet footer: fold
+    * the row-group column-chunk statistics (INT64/INT32 physical — the
+    * types [[asLong]] admits). `None` = stats absent for some row group —
+    * the file must never be pruned.
+    */
+  private def fileMinMax(
+      conf: org.apache.hadoop.conf.Configuration, p: Path,
+      cols: Seq[String]): Seq[(String, Option[(Long, Long)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      cols.map { c =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var ok = true
+        blocks.asScala.foreach { b =>
+          if (b.getRowCount > 0L) {
+            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) ok = false
+                else if (st.hasNonNullValue) {
+                  // chunks that are entirely null contribute no range
+                  // (and exclude none); chunks without stats poison the
+                  // file into never-prune
+                  val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                    case (a: java.lang.Long, b2: java.lang.Long) =>
+                      (a.longValue(), b2.longValue())
+                    case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                      (a.longValue(), b2.longValue())
+                    case other => throw new IllegalArgumentException(
+                      s"data-skipping stats for $c: unsupported physical " +
+                        s"stats $other")
+                  }
+                  if (mn < lo) lo = mn
+                  if (mx > hi) hi = mx
+                }
+              // all-null chunks carry no min/max but exclude no range
+              case None => ok = false
+            }
+          }
+        }
+        (c, if (ok && lo <= hi) Some((lo, hi)) else None)
+      }
+    } finally reader.close()
+  }
+
+  /** Read `dir` under the conjunction of `ranges` (inclusive, long form —
+    * timestamps in epoch micros), opening only the files whose sidecar
+    * ranges intersect every predicate. Returns the filtered frame (the
+    * `_z` clustering column dropped; the same rows a full scan + filter
+    * yields) plus the prune accounting for callers that assert on it.
+    *
+    * Files with absent stats for a queried column are conservatively
+    * kept; files whose sidecar row is missing entirely cannot happen by
+    * construction ([[writeStats]] emits a row per file × col, nullable).
+    */
+  def prunedRead(
+      spark: SparkSession, dir: String,
+      ranges: Seq[ColRange]): (DataFrame, PruneInfo) = {
+    require(ranges.nonEmpty, "prunedRead needs at least one column range")
+    val stats = readStats(spark, dir)
+    val all = stats.keys.map(_._1).toSeq.distinct.sorted
+    // a file is pruned iff SOME queried column provably misses its range;
+    // absent stats (no sidecar row, or an empty lo/hi) never prune
+    val survivors = all.filter { file =>
+      ranges.forall { r =>
+        stats.get((file, r.col)).flatten
+          .forall { case (lo, hi) => hi >= r.lo && lo <= r.hi }
+      }
+    }
+    val base =
+      if (survivors.isEmpty)
+        // schema-complete empty frame: plan over the full dir, keep zero
+        // (metadata-only — no file contents are read under limit(0))
+        spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(survivors.map(f => s"$dir/$f"): _*)
+    val filtered = ranges.foldLeft(base) { (d, r) =>
+      d.filter(predicate(base, r))
+    }
+    (filtered.drop("_z"), PruneInfo(all.size, survivors.size))
+  }
+
+  /** Parse the `_SKIP` sidecar: (file, col) → Some(lo, hi) when the
+    * footer had stats, None when it did not (never-prune).
+    */
+  def readStats(
+      spark: SparkSession,
+      dir: String): Map[(String, String), Option[(Long, Long)]] = {
+    val fs = StoreProtocol.fs(spark, dir)
+    val body = StoreProtocol.readSmall(fs, new Path(dir, StatsDir))
+      .getOrElse(throw new IllegalStateException(
+        s"no $StatsDir sidecar under $dir — writeStats it first"))
+    body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t", -1)
+      val mm =
+        if (parts(2).isEmpty || parts(3).isEmpty) None
+        else Some((parts(2).toLong, parts(3).toLong))
+      (parts(0), parts(1)) -> mm
+    }.toMap
+  }
+
+  /** The range predicate in the column's native type (so it pushes down
+    * to the parquet scan and prunes row groups inside survivor files).
+    */
+  private def predicate(df: DataFrame, r: ColRange): Column =
+    df.schema(r.col).dataType match {
+      case TimestampType =>
+        col(r.col) >= timestamp_micros(lit(r.lo)) &&
+          col(r.col) <= timestamp_micros(lit(r.hi))
+      case TimestampNTZType =>
+        // native NTZ literals keep the comparison pushable to the scan
+        col(r.col) >= lit(ntz(r.lo)) && col(r.col) <= lit(ntz(r.hi))
+      case _ => col(r.col) >= lit(r.lo) && col(r.col) <= lit(r.hi)
+    }
+
+  private def ntz(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+}

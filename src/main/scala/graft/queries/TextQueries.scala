@@ -740,6 +740,32 @@ object TextQueries {
       }
       materializedWithCleanup(out) { deleteRecursively(base) }
     }),
+    "q121_zorder_skip" -> ((s, d) => {
+      // Z-order layout + footer-stats file skipping (DataSkipping)
+      // behind an oracle: lay the events table out Morton-clustered on
+      // (user_id, ts) — 32 files, per-file min/max sidecar from the
+      // parquet footers — then answer a 2-D rectangle aggregation
+      // through prunedRead. The skip layer decides which files are
+      // opened at all; the result must still be value-identical to the
+      // oracle's full-scan filter (prune soundness IS the gate — the
+      // files-read fraction is pinned in DataSkippingSpec).
+      import graft.operators.DataSkipping
+      import graft.operators.DataSkipping.ColRange
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q121").toString
+      val dir = base + "/events_z"
+      DataSkipping.writeZOrdered(
+        Tables.events(s, d), dir, Seq("user_id", "ts"), nFiles = 32)
+      // 2024-01-08T00:00:00Z .. 2024-01-22T00:00:00Z, epoch micros
+      val (df, _) = DataSkipping.prunedRead(s, dir, Seq(
+        ColRange("user_id", 3L, 9L),
+        ColRange("ts", 1704672000000000L, 1705881600000000L)))
+      materializedWithCleanup(
+        df.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))) { deleteRecursively(base) }
+    }),
     "q101_store_dedup" -> ((s, d) => {
       // q62's incremental-dedup semantics driven through the DURABLE
       // bucketed SignatureIndexStore (append → bucket-pruned matches)
@@ -1273,6 +1299,13 @@ object TextQueries {
         |SELECT d.doc_id AS doc_id, d.src_batch AS src_batch,
         |       f.fired_at AS fired_at
         |FROM d JOIN fired f USING (src_batch)""".stripMargin,
+    "q121_zorder_skip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND epoch_us(ts) BETWEEN 1704672000000000 AND 1705881600000000
+        |GROUP BY 1""".stripMargin,
     "q101_store_dedup" ->
       s"""WITH sigs AS (SELECT doc_id, ${dMinhash(dHashedShingles, 16)} AS sig
          |  FROM documents),

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataSkipping
+import graft.operators.DataSkipping.{ColRange, PruneInfo}
+import graft.plans.ZOrderCodegen
+
+/** Z-order layout + footer-stats file skipping: the Morton kernel's
+  * order properties, sidecar-vs-data agreement, prune soundness (pruned
+  * reads return EXACTLY the full-scan answer), and the reason the layout
+  * exists — a 2-D rectangle must open a small fraction of the files
+  * where the same data sorted on ONE column opens all of them for an
+  * off-column predicate.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_skip").toString
+
+  test("morton kernel: per-dimension monotonicity and bit-exact interleave") {
+    // fixing one coordinate, the code is strictly monotone in the other
+    val ys = Seq(0L, 1L, 5L, 1000L, 0x7fffffffL)
+    for (y <- ys) {
+      val codes = (0L to 64L).map(x => ZOrderCodegen.interleave2(x, y))
+      assert(codes == codes.sorted && codes.distinct.size == codes.size,
+        s"not monotone in x at y=$y")
+    }
+    // bit-exact spot checks: z(x,y) places bit i of x at 2i, of y at 2i+1
+    assert(ZOrderCodegen.interleave2(0L, 0L) == 0L)
+    assert(ZOrderCodegen.interleave2(1L, 0L) == 1L)
+    assert(ZOrderCodegen.interleave2(0L, 1L) == 2L)
+    assert(ZOrderCodegen.interleave2(3L, 3L) == 15L)
+    assert(ZOrderCodegen.interleave2(0x7fffffffL, 0x7fffffffL) ==
+      0x3fffffffffffffffL)
+    // out-of-range clamps to the curve ends instead of wrapping
+    assert(ZOrderCodegen.interleave2(-5L, 7L) ==
+      ZOrderCodegen.interleave2(0L, 7L))
+    assert(ZOrderCodegen.interleave2(Long.MaxValue, 7L) ==
+      ZOrderCodegen.interleave2(0x7fffffffL, 7L))
+    // 3-D: bit i of each dim lands at 3i + dimIndex
+    assert(ZOrderCodegen.interleave3(1L, 0L, 0L) == 1L)
+    assert(ZOrderCodegen.interleave3(0L, 1L, 0L) == 2L)
+    assert(ZOrderCodegen.interleave3(0L, 0L, 1L) == 4L)
+    assert(ZOrderCodegen.interleave3(0x1fffffL, 0x1fffffL, 0x1fffffL) ==
+      0x7fffffffffffffffL)
+  }
+
+  private def grid(n: Int) =
+    spark.range(n.toLong).select(
+      (col("id") % 1000L).as("x"),
+      expr("(id div 1000) * 7 % 1000").as("y"),
+      col("id").as("payload"))
+
+  test("pruned read returns exactly the full-scan answer, reading a small fraction of files") {
+    val dir = tmp() + "/zgrid"
+    val df = grid(200000)
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 64)
+    val ranges = Seq(ColRange("x", 100, 149), ColRange("y", 300, 349))
+    val (got, info) = DataSkipping.prunedRead(spark, dir, ranges)
+    val expect = df.filter(col("x").between(100, 149) &&
+      col("y").between(300, 349))
+    assert(got.columns.toSet == Set("x", "y", "payload"), "layout column leaked")
+    val gotSet = got.select("payload").collect().map(_.getLong(0)).toSet
+    val expSet = expect.select("payload").collect().map(_.getLong(0)).toSet
+    assert(gotSet == expSet, "pruned read diverged from full scan")
+    assert(info.filesTotal == 64)
+    // a 5% x 5% rectangle over a Z-clustered 64-file layout: the curve
+    // bounds the touched files to the rectangle's neighborhood
+    assert(info.filesRead <= 16,
+      s"z-order read ${info.filesRead}/64 files for a 5%x5% rectangle")
+  }
+
+  test("z-order skips where a single-column sort cannot (off-column predicate)") {
+    val dir = tmp()
+    val df = grid(200000)
+    // same data, sorted on x only — y ranges are wide in every file
+    val linear = dir + "/linear"
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(linear)
+    DataSkipping.writeStats(spark, linear, Seq("x", "y"))
+    val zdir = dir + "/z"
+    DataSkipping.writeZOrdered(df, zdir, Seq("x", "y"), nFiles = 64)
+    val yOnly = Seq(ColRange("y", 300, 349))
+    val (gotL, infoL) = DataSkipping.prunedRead(spark, linear, yOnly)
+    val (gotZ, infoZ) = DataSkipping.prunedRead(spark, zdir, yOnly)
+    val exp = df.filter(col("y").between(300, 349))
+      .select("payload").collect().map(_.getLong(0)).toSet
+    assert(gotL.select("payload").collect().map(_.getLong(0)).toSet == exp)
+    assert(gotZ.select("payload").collect().map(_.getLong(0)).toSet == exp)
+    assert(infoZ.filesRead < infoL.filesRead,
+      s"z ${infoZ.filesRead} vs linear ${infoL.filesRead}: the interleave " +
+        "should keep off-column ranges narrow")
+    assert(infoZ.filesRead <= 32,
+      s"5% band on the second dimension read ${infoZ.filesRead}/64")
+  }
+
+  test("sidecar stats agree with the actual per-file min/max") {
+    val dir = tmp() + "/zsmall"
+    DataSkipping.writeZOrdered(grid(20000), dir, Seq("x", "y"), nFiles = 8)
+    val stats = DataSkipping.readStats(spark, dir)
+      .collect { case (k, Some(mm)) => k -> mm }
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    files.foreach { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+      val row = d.agg(min("x"), max("x"), min("y"), max("y")).head()
+      assert(stats((f.getName, "x")) == ((row.getLong(0), row.getLong(1))))
+      assert(stats((f.getName, "y")) == ((row.getLong(2), row.getLong(3))))
+    }
+  }
+
+  test("timestamp keys: micros ranges prune and filter consistently") {
+    val dir = tmp() + "/zts"
+    val base = 1704672000000000L // 2024-01-08T00:00:00Z in micros
+    val df = spark.range(50000L).select(
+      (col("id") % 500L).as("k"),
+      timestamp_micros(col("id") * 60000000L + lit(base)).as("ts"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("k", "ts"), nFiles = 16)
+    val lo = base + 5000L * 60000000L
+    val hi = base + 9999L * 60000000L
+    val (got, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("k", 0, 499), ColRange("ts", lo, hi)))
+    val exp = df.filter(unix_micros(col("ts")).between(lo, hi))
+      .select("payload").collect().map(_.getLong(0)).toSet
+    assert(got.select("payload").collect().map(_.getLong(0)).toSet == exp)
+    assert(got.count() == 5000L)
+    assert(info.filesRead < info.filesTotal,
+      s"a 10% time band read every file (${info.filesRead}/${info.filesTotal})")
+  }
+
+  test("disjoint range reads zero files and keeps the schema; null keys rank low and stay readable") {
+    val dir = tmp() + "/znull"
+    val df = spark.range(1000L).select(
+      when(col("id") % 10L === 0L, lit(null)).otherwise(col("id") % 100L)
+        .cast("long").as("x"),
+      (col("id") % 50L).as("y"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 4)
+    val (empty, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 5000, 6000)))
+    assert(info.filesRead == 0 && empty.isEmpty)
+    assert(empty.columns.toSet == Set("x", "y", "payload"))
+    // the full x-range returns every NON-NULL-x row (range predicates are
+    // null-rejecting, same as the equivalent SQL filter)
+    val (allX, _) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 0, 99)))
+    assert(allX.count() == 900L)
+  }
+}
