@@ -223,12 +223,25 @@ object DataSkipping {
     * kept; files whose sidecar row is missing entirely cannot happen by
     * construction ([[writeStats]] emits a row per file × col, nullable).
     */
+  /** Freshness contract: files ABSENT from the sidecar are read unpruned
+    * (safe to append data without re-running [[writeStats]] — you lose
+    * skipping on the new files, never rows), but a same-named file
+    * REWRITTEN in place under a stale sidecar may prune wrongly — rewrite
+    * protocols must refresh the sidecar (Spark writers never reuse part
+    * file names across overwrites, so the dir-overwrite idiom is safe:
+    * the old names vanish, the new names are sidecar-absent).
+    */
   def prunedRead(
       spark: SparkSession, dir: String,
       ranges: Seq[ColRange]): (DataFrame, PruneInfo) = {
     require(ranges.nonEmpty, "prunedRead needs at least one column range")
     val stats = readStats(spark, dir)
-    val all = stats.keys.map(_._1).toSeq.distinct.sorted
+    // the file universe is what's ON DISK, not what the sidecar knows:
+    // a file written after the last writeStats (foreign appender) has no
+    // sidecar row and must be read UNPRUNED, never silently dropped; a
+    // sidecar row whose file is gone prunes nothing by construction
+    val all = dataFiles(StoreProtocol.fs(spark, dir), dir)
+      .map(_.getName)
     // a file is pruned iff SOME queried column provably misses its range;
     // absent stats (no sidecar row, or an empty lo/hi) never prune
     val survivors = all.filter { file =>

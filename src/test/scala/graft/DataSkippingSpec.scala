@@ -153,4 +153,24 @@ class DataSkippingSpec extends AnyFunSuite {
       Seq(ColRange("x", 0, 99)))
     assert(allX.count() == 900L)
   }
+
+  test("a file appended after writeStats is read unpruned, never dropped") {
+    val dir = tmp() + "/zappend"
+    val df = spark.range(1000L).select(
+      (col("id") % 100L).as("x"), (col("id") % 50L).as("y"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 4)
+    // a foreign appender adds rows OUTSIDE every existing file's range
+    // without refreshing the sidecar
+    spark.range(5000L, 5010L).select(
+      (col("id") % 100L + 200L).as("x"), (col("id") % 50L).as("y"),
+      col("id").as("payload"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (got, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 200, 299)))
+    assert(got.count() == 10L,
+      "sidecar-absent file was dropped instead of read unpruned")
+    assert(info.filesTotal == 5 && info.filesRead == 1,
+      s"expected only the appended file to survive, got $info")
+  }
 }
