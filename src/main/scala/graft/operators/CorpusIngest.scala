@@ -848,15 +848,27 @@ object CorpusIngest {
           .readSmall(f, new Path(timesRoot, "_CLOCK"))
           .map(_.trim.toLong)
         live.filterNot(haveTimes).filterNot(expired).sorted.foreach { k =>
-          val row = spark.read.parquet(
-              SliceRewrite.liveReadPath(f, s"$acceptedDir/batch=$k"))
-            .agg(max(col(timeCol).cast("long"))).head()
-          if (row.isNullAt(0)) {
+          val slicePath = SliceRewrite.liveReadPath(
+            f, s"$acceptedDir/batch=$k")
+          // footer-stats fast path: for integral time columns the slice's
+          // max is exact in the parquet footers — metadata-only, no
+          // column scan of a possibly-TB slice. Undeterminable (non-
+          // integral column, absent stats) falls back to the scan;
+          // either path yields the identical value, so replays mix
+          // them freely.
+          val mx: Option[Long] = DataSkipping
+            .footerMax(spark, slicePath, timeCol)
+            .getOrElse {
+              val row = spark.read.parquet(slicePath)
+                .agg(max(col(timeCol).cast("long"))).head()
+              if (row.isNullAt(0)) None else Some(row.getLong(0))
+            }
+          if (mx.isEmpty) {
             FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", "empty")
             markExpired(Seq(k))
             expired += k
           } else {
-            val t = row.getLong(0)
+            val t = mx.get
             FsAtomic.writePointer(f, timesRoot, s"t_batch=$k", t.toString)
             if (clockV.forall(_ < t)) {
               clockV = Some(t)

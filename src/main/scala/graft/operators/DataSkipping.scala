@@ -155,12 +155,25 @@ object DataSkipping {
       fs, new Path(dir), StatsDir, rows.mkString("\n"))
   }
 
+  /** The directory's parquet data files. Accepts the two path shapes the
+    * engine hands around: a plain directory, or a `*.parquet`-suffixed
+    * glob (what [[graft.util.SliceRewrite.liveReadPath]] returns for
+    * unversioned slices).
+    */
   private def dataFiles(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] =
-    fs.listStatus(new Path(dir))
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") &&
-        p.getName.endsWith(".parquet"))
+    (if (dir.exists("*?[{".contains(_)))
+       Option(fs.globStatus(new Path(dir))).getOrElse(Array.empty)
+         .map(_.getPath)
+         .filter { p =>
+           val n = p.getName
+           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+         }
+     else
+       fs.listStatus(new Path(dir))
+         .map(_.getPath)
+         .filter(p => p.getName.startsWith("part-") &&
+           p.getName.endsWith(".parquet")))
       .sortBy(_.getName).toSeq
 
   /** One file's min-max per keyed column, from its parquet footer: fold
@@ -260,6 +273,83 @@ object DataSkipping {
       d.filter(predicate(base, r))
     }
     (filtered.drop("_z"), PruneInfo(all.size, survivors.size))
+  }
+
+  /** Exact MAX of an integral column from parquet footers alone — the
+    * metadata-only form of `read.agg(max(col.cast("long")))` for columns
+    * whose physical+logical type makes the footer stats value-identical
+    * to the cast (plain INT32/INT64, NOT timestamps: Spark's
+    * timestamp→long cast yields seconds while the stats hold micros).
+    * Used by [[CorpusIngest.eventTimeFeed]]'s per-slice time sidecars: a
+    * new slice's clock entry costs footer reads, not a column scan of a
+    * possibly-TB slice.
+    *
+    * Tri-state: `None` = undeterminable from footers (non-integral
+    * column, absent stats, column missing from some file) — caller must
+    * fall back to the scan; `Some(None)` = determined, and the column is
+    * all-null/empty; `Some(Some(v))` = determined max.
+    */
+  def footerMax(
+      spark: SparkSession, dir: String, c: String): Option[Option[Long]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dataFiles(StoreProtocol.fs(spark, dir), dir)
+    if (files.isEmpty) return Some(None)
+    val perFile: Seq[Option[Option[Long]]] =
+      Pooled.ordered(files, threads = 16, name = "footermax") { p =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val idx = schema.getFields.asScala.indexWhere(_.getName == c)
+          val okType = idx >= 0 && schema.getType(idx).isPrimitive && {
+            val pt = schema.getType(idx).asPrimitiveType()
+            val phys = pt.getPrimitiveTypeName
+            val logical = pt.getLogicalTypeAnnotation
+            (phys == PrimitiveTypeName.INT64 ||
+              phys == PrimitiveTypeName.INT32) &&
+            (logical == null || logical.isInstanceOf[
+              LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+          }
+          if (!okType) None
+          else {
+            var best: Option[Long] = Some(Long.MinValue)
+            var any = false
+            reader.getFooter.getBlocks.asScala
+              .filter(_.getRowCount > 0L).foreach { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                  case Some(cc) =>
+                    val st = cc.getStatistics
+                    if (st == null || st.isEmpty) best = None
+                    else if (st.hasNonNullValue) {
+                      st.genericGetMax match {
+                        case l: java.lang.Long =>
+                          if (best.exists(l.longValue() > _))
+                            best = Some(l.longValue())
+                          any = true
+                        case i: java.lang.Integer =>
+                          if (best.exists(i.longValue() > _))
+                            best = Some(i.longValue())
+                          any = true
+                        case _ => best = None
+                      }
+                    }
+                  case None => best = None
+                }
+              }
+            best match {
+              case None => None // stats absent somewhere: undeterminable
+              case Some(_) if !any => Some(None) // all-null/empty file
+              case Some(v) => Some(Some(v))
+            }
+          }
+        } finally reader.close()
+      }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.flatten.maxOption)
   }
 
   /** Parse the `_SKIP` sidecar: (file, col) → Some(lo, hi) when the

@@ -154,6 +154,26 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(allX.count() == 900L)
   }
 
+  test("footerMax: exact for integral columns, empty-determined for all-null, fallback-None otherwise") {
+    val dir = tmp() + "/fm"
+    spark.range(10000L).select(
+      col("id").as("t"), (col("id") % 100L).cast("int").as("i"),
+      when(lit(true), lit(null)).cast("long").as("allnull"),
+      col("id").cast("string").as("s"),
+      timestamp_micros(col("id")).as("ts"))
+      .repartition(4).write.parquet(dir)
+    assert(DataSkipping.footerMax(spark, dir, "t") == Some(Some(9999L)))
+    assert(DataSkipping.footerMax(spark, dir, "i") == Some(Some(99L)))
+    assert(DataSkipping.footerMax(spark, dir, "allnull") == Some(None))
+    // strings: not the cast semantics footerMax promises — undeterminable
+    assert(DataSkipping.footerMax(spark, dir, "s").isEmpty)
+    // timestamps: footer stats are micros, cast("long") is seconds —
+    // the type gate must refuse
+    assert(DataSkipping.footerMax(spark, dir, "ts").isEmpty)
+    // missing column
+    assert(DataSkipping.footerMax(spark, dir, "nope").isEmpty)
+  }
+
   test("a file appended after writeStats is read unpruned, never dropped") {
     val dir = tmp() + "/zappend"
     val df = spark.range(1000L).select(
