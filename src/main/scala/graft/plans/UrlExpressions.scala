@@ -125,5 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => DotProduct(exprs.head, exprs(1)))
     inject("vec_lsh_bucket", classOf[LshBucketExpr],
       VectorExpressions.lshSqlBuilder)
+    inject("zvalue2", classOf[ZValue2Expr], ZOrderExpressions.sqlBuilder2)
+    inject("zvalue3", classOf[ZValue3Expr], ZOrderExpressions.sqlBuilder3)
   }
 }

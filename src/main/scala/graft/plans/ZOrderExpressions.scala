@@ -99,6 +99,19 @@ case class ZValue3Expr(first: Expression, second: Expression, third: Expression)
 }
 
 object ZOrderExpressions {
+
+  /** SQL builders (runtime registration + [[GraftExtensions]]): integral
+    * arguments widen to long here — the expressions themselves take long
+    * children (the Column API always passes ranks as longs).
+    */
+  def sqlBuilder2(exprs: Seq[Expression]): Expression =
+    ZValue2Expr(widen(exprs.head), widen(exprs(1)))
+  def sqlBuilder3(exprs: Seq[Expression]): Expression =
+    ZValue3Expr(widen(exprs.head), widen(exprs(1)), widen(exprs(2)))
+  private def widen(e: Expression): Expression =
+    if (e.dataType == LongType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+
   /** Morton code of 2 or 3 long rank columns (the only arities a 64-bit
     * code supports at useful resolution — 31 and 21 bits per dimension).
     */

@@ -102,7 +102,9 @@ class UrlExpressionsSpec extends AnyFunSuite {
           |  vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
           |  vec_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT)), 8) AS b,
-          |  nfc_normalize_native(concat('cafe', '́')) AS nfc
+          |  nfc_normalize_native(concat('cafe', '́')) AS nfc,
+          |  zvalue2(3, 3) AS z2,
+          |  zvalue3(1, 1, 1) AS z3
           |""".stripMargin).collect().head
       assert(row.getAs[Long]("h") == UrlFunctions.urlHash64("http://a.com/x"))
       assert(row.getAs[String]("n") == UrlFunctions.normalizeUrl("HTTP://A.com/x"))
@@ -116,6 +118,8 @@ class UrlExpressionsSpec extends AnyFunSuite {
       assert(row.getAs[String]("nfc") == "caf" + '\u00e9',
         row.getAs[String]("nfc").map(_.toInt).mkString(","))
       assert(row.getAs[String]("nfc").length == 4)
+      assert(row.getAs[Long]("z2") == 15L)
+      assert(row.getAs[Long]("z3") == 7L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
