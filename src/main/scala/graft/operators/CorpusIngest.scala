@@ -232,12 +232,18 @@ object CorpusIngest {
     * payload (capture time) from the slices. One batch-sized equi-join,
     * skipped when the batch carries no payload; ids are assumed unique
     * per batch (the pipeline's standing assumption — dedup is by content
-    * fingerprint, not id).
+    * fingerprint, not id). Payload columns whose names collide with the
+    * accepted frame's own (a stray `doc_id`/`text` when idCol/textCol
+    * are named differently) are dropped rather than producing an
+    * ambiguous-reference failure — the survivor frame's names are the
+    * slice schema contract.
     */
   private def withPayload(
       batch: DataFrame, idCol: String, textCol: String,
       accepted: DataFrame): DataFrame = {
-    val payload = batch.columns.filterNot(c => c == idCol || c == textCol)
+    val taken = accepted.columns.toSet
+    val payload = batch.columns.filterNot(c =>
+      c == idCol || c == textCol || taken.contains(c))
     if (payload.isEmpty) accepted
     else accepted.join(
       batch.select(col(idCol).as("doc_id") +: payload.map(col): _*),
@@ -844,23 +850,50 @@ object CorpusIngest {
         // fold each into the monotone clock pointer, and expire
         // zero-row slices immediately (nothing to retire, and an
         // inexpirable empty slice would stall the prefix forever)
+        def timeOfName(n: String): Option[Long] =
+          StoreProtocol.readSmall(f, new Path(timesRoot, n))
+            .map(_.trim).filter(_ != "empty").map(_.toLong)
         var clockV = StoreProtocol
           .readSmall(f, new Path(timesRoot, "_CLOCK"))
           .map(_.trim.toLong)
+        // crash-heal the clock: the sidecar and _CLOCK are two writes —
+        // a kill between them leaves a recorded slice the clock never
+        // absorbed, and the recording loop below skips already-recorded
+        // slices. Fold every SURVIVING sidecar back in (window-bounded:
+        // prefix GC reclaims covered ones, and an expired slice's time
+        // is ≤ the clock that expired it by construction).
+        val healed = listed.filter(_.startsWith("t_batch="))
+          .filter(n => n.stripPrefix("t_batch=").toLong > prefix)
+          .flatMap(timeOfName) ++ clockV
+        if (healed.nonEmpty && clockV.forall(_ < healed.max)) {
+          clockV = Some(healed.max)
+          FsAtomic.writePointer(f, timesRoot, "_CLOCK", healed.max.toString)
+        }
         live.filterNot(haveTimes).filterNot(expired).sorted.foreach { k =>
           val slicePath = SliceRewrite.liveReadPath(
             f, s"$acceptedDir/batch=$k")
           // footer-stats fast path: for integral time columns the slice's
           // max is exact in the parquet footers — metadata-only, no
-          // column scan of a possibly-TB slice. Undeterminable (non-
-          // integral column, absent stats) falls back to the scan;
-          // either path yields the identical value, so replays mix
-          // them freely.
+          // column scan of a possibly-TB slice. Undeterminable (absent
+          // stats) falls back to the scan; either path yields the
+          // identical value, so replays mix them freely.
           val mx: Option[Long] = DataSkipping
             .footerMax(spark, slicePath, timeCol)
             .getOrElse {
-              val row = spark.read.parquet(slicePath)
-                .agg(max(col(timeCol).cast("long"))).head()
+              val d = spark.read.parquet(slicePath)
+              // integral time columns only: a TimestampType here would
+              // cast to epoch SECONDS while ttlMs and the sidecars are
+              // in the column's own (ms) unit — refuse loudly instead
+              // of silently stretching the TTL 1000×
+              d.schema(timeCol).dataType match {
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType => ()
+                case other => throw new IllegalArgumentException(
+                  s"eventTimeFeed timeCol $timeCol: unsupported type " +
+                    s"$other — pass an integral epoch column (e.g. " +
+                    "unix_millis(ts)) whose unit matches ttlMs")
+              }
+              val row = d.agg(max(col(timeCol).cast("long"))).head()
               if (row.isNullAt(0)) None else Some(row.getLong(0))
             }
           if (mx.isEmpty) {
@@ -877,9 +910,7 @@ object CorpusIngest {
           }
           haveTimes += k
         }
-        def timeOf(k: Long): Option[Long] =
-          StoreProtocol.readSmall(f, new Path(timesRoot, s"t_batch=$k"))
-            .map(_.trim).filter(_ != "empty").map(_.toLong)
+        def timeOf(k: Long): Option[Long] = timeOfName(s"t_batch=$k")
         val band = clockV.toSeq.flatMap { now =>
           live.filterNot(expired)
             .filter(k => timeOf(k).exists(_ <= now - ttlMs)).sorted

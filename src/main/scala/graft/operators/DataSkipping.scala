@@ -107,10 +107,15 @@ object DataSkipping {
       else {
         val lo = boundsRow.getLong(2 * i)
         val hi = boundsRow.getLong(2 * i + 1)
-        val span = hi - lo
-        if (span <= 0L) lit(0L)
-        else ((coalesce(l, lit(lo)) - lit(lo)).cast("double") *
-          lit(mask.toDouble / span)).cast(LongType)
+        // double-domain normalization: hashed 64-bit keys legitimately
+        // span more than Long.MaxValue (lo ≈ -2^63, hi ≈ 2^63), where
+        // long subtraction overflows — both the span here and the
+        // per-row (v - lo) below. Doubles lose low bits at that scale,
+        // which is irrelevant for a 2^21/2^31-granular RANK.
+        val spanD = hi.toDouble - lo.toDouble
+        if (spanD <= 0d) lit(0L)
+        else ((coalesce(l, lit(lo)).cast("double") - lit(lo.toDouble)) *
+          lit(mask.toDouble / spanD)).cast(LongType)
       }
     }
     // INT96 parquet timestamps carry no footer statistics — pin the
@@ -170,10 +175,15 @@ object DataSkipping {
            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
          }
      else
+       // every non-hidden parquet file, not just Spark's part-* naming:
+       // the freshness contract promises a foreign writer's files are
+       // read unpruned, so they must be in the universe at all
        fs.listStatus(new Path(dir))
          .map(_.getPath)
-         .filter(p => p.getName.startsWith("part-") &&
-           p.getName.endsWith(".parquet")))
+         .filter { p =>
+           val n = p.getName
+           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+         })
       .sortBy(_.getName).toSeq
 
   /** One file's min-max per keyed column, from its parquet footer: fold

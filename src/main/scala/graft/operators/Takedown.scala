@@ -95,9 +95,7 @@ object Takedown {
     // funneling the write through one task
     val norm = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
-    val nShards = math.min(1024L,
-      (norm.count().max(1L) + StoreProtocol.TombIdsPerBucket - 1)
-        / StoreProtocol.TombIdsPerBucket).toInt
+    val nShards = StoreProtocol.tombShards(norm.count())
     (if (nShards == 1) norm.coalesce(1)
      else norm.repartition(nShards, col("id")))
       .write.mode("overwrite").parquet(s"$td/ids")

@@ -98,7 +98,8 @@ object RollingWindowBench {
       f""""batch_second_half_mean_s":$h2%.3f,""" +
       f""""batch_ratio":${h2 / math.max(h1, 1e-9)}%.3f,""" +
       f""""feed_mean_s":${mean(feedSec.drop(keepBatches + 1).toSeq)}%.3f,""" +
-      f""""feed_max_s":${feedSec.drop(keepBatches + 1).max}%.3f}""")
+      f""""feed_max_s":${feedSec.drop(keepBatches + 1)
+        .maxOption.getOrElse(0.0)}%.3f}""")
     spark.stop()
   }
 }

@@ -44,6 +44,15 @@ object Pooled {
 
   private val poolSeq = new AtomicInteger(0)
 
+  // driver-side leak guard: outside a Spark task there is no TaskContext
+  // listener, so an ABANDONED drain (caller stops consuming early) would
+  // pin its worker threads for the JVM's life. The Cleaner reclaims the
+  // pool once the iterator is unreachable; registered per-drain, fires
+  // only when neither exhaustion nor the task listener already shut the
+  // pool down.
+  private val cleaner = java.lang.ref.Cleaner.create(
+    daemonFactory("cleaner"))
+
   private def daemonFactory(name: String): ThreadFactory = new ThreadFactory {
     private val n = new AtomicInteger(0)
     override def newThread(r: Runnable): Thread = {
@@ -73,7 +82,7 @@ object Pooled {
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => pool.shutdownNow())
 
-    new Iterator[B] {
+    val out = new Iterator[B] {
       private var inFlight = 0
       private var failed: Throwable = null
 
@@ -110,6 +119,10 @@ object Pooled {
         r
       }
     }
+    // the cleanup action must not capture `out` (it would never become
+    // unreachable) — `pool` alone is enough
+    cleaner.register(out, () => pool.shutdownNow())
+    out
   }
 
   /** Order-preserving variant for callers that zip results positionally

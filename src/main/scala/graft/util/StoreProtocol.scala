@@ -166,6 +166,15 @@ object StoreProtocol {
     */
   val TombBroadcastMaxBytes: Long = 32L << 20
 
+  /** Shards for an `n`-id delete-set write — ONE for the common takedown
+    * size, hashed shards above [[TombIdsPerBucket]], capped at 1024. The
+    * single sizing policy for every delete-set pin ([[writeTombstones]]
+    * and Takedown's journal ids), so the two write paths cannot drift.
+    */
+  def tombShards(n: Long): Int =
+    math.min(1024L,
+      (n.max(1L) + TombIdsPerBucket - 1) / TombIdsPerBucket).toInt
+
   /** Write batch `batchId`'s tombstone set (the ids retired by this
     * batch) under hashed `bucket=` partitions — ONE file for the common
     * delete-set size, sharded above [[TombIdsPerBucket]] so a massive
@@ -187,8 +196,7 @@ object StoreProtocol {
       case x: java.lang.Long => x.longValue()
       case _                 => 0L
     }
-    val nb = math.min(1024L, (n.max(1L) + TombIdsPerBucket - 1)
-      / TombIdsPerBucket).toInt
+    val nb = tombShards(n)
     val rows = norm.withColumn("batch", lit(batchId))
     (if (nb == 1) rows.withColumn("bucket", lit(0)).coalesce(1)
      else rows

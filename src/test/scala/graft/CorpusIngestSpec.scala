@@ -10,6 +10,28 @@ class CorpusIngestSpec extends AnyFunSuite {
 
   private val cfg = CorpusIngest.Config(minTokens = 3, maxRepRatio = 0.9)
 
+  test("payload passthrough: a stray column named doc_id never collides with the renamed id") {
+    // idCol != "doc_id" and the batch ALSO carries a payload column
+    // literally named doc_id: the survivor frame's names are the slice
+    // schema contract, so the stray column is dropped (not an
+    // ambiguous-reference crash, not a silent shadow)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val index = CorpusIngest.signatureIndex(corpus, "doc_id", "text", cfg)
+      .localCheckpoint(true)
+    val batch = Seq(
+      (21L, "completely novel sentences about astronomy and tidal forces",
+        999L, "http://a.com/x"))
+      .toDF("id", "body", "doc_id", "url")
+    val r = CorpusIngest.ingest(batch, "id", "body", index, cfg)
+    assert(r.accepted.columns.toSet == Set("doc_id", "text", "url"),
+      r.accepted.columns.mkString(","))
+    val row = r.accepted.collect().head
+    assert(row.getAs[Long]("doc_id") == 21L, "stray payload doc_id shadowed the id")
+    assert(row.getAs[String]("url") == "http://a.com/x")
+  }
+
   test("one batch: every stage fires on its planted victim, index grows by survivors") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river"),

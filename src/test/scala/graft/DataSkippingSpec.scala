@@ -154,6 +154,27 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(allX.count() == 900L)
   }
 
+  test("hashed 64-bit keys spanning the full long range still cluster and prune") {
+    // lo ≈ -2^63, hi ≈ 2^63: the span exceeds Long.MaxValue, so the rank
+    // normalization must run in the double domain — a long-subtraction
+    // overflow would silently collapse the rank to 0 and defeat skipping
+    val dir = tmp() + "/zhash"
+    val df = spark.range(100000L).select(
+      xxhash64(col("id")).as("h"), (col("id") % 100L).as("y"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("h", "y"), nFiles = 16)
+    // a narrow band of the hash space (top ~3%)
+    val lo = Long.MaxValue / 32L * 30L
+    val (got, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("h", lo, Long.MaxValue)))
+    val exp = df.filter(col("h") >= lo)
+      .select("payload").collect().map(_.getLong(0)).toSet
+    assert(got.select("payload").collect().map(_.getLong(0)).toSet == exp)
+    assert(exp.nonEmpty)
+    assert(info.filesRead < info.filesTotal,
+      s"full-range keys defeated skipping: $info")
+  }
+
   test("footerMax: exact for integral columns, empty-determined for all-null, fallback-None otherwise") {
     val dir = tmp() + "/fm"
     spark.range(10000L).select(

@@ -942,4 +942,39 @@ class TakedownSpec extends AnyFunSuite {
     assert(next.contains(Set(90L, 91L, 92L)),
       s"post-GC firing wrong: $next")
   }
+
+  test("event-time feed: a lost _CLOCK write is healed from the surviving sidecars") {
+    // the sidecar and _CLOCK are two writes; a kill between them leaves
+    // a recorded slice the clock never absorbed — and the recording loop
+    // skips already-recorded slices. The heal folds surviving sidecars
+    // back in, so a late-arrival slice with a SMALLER time cannot drag
+    // the clock (and the expiry schedule) backwards.
+    val base = tmp("ttlheal")
+    val dir = s"$base/accepted"
+    // slice 0 carries the NEWEST time (5000), slice 1 a late small one
+    Seq((1L, 5000L)).toDF("doc_id", "t").write.parquet(s"$dir/batch=0")
+    Seq((2L, 100L)).toDF("doc_id", "t").write.parquet(s"$dir/batch=1")
+    val feed = CorpusIngest.eventTimeFeed(spark, dir, "doc_id", "t",
+      ttlMs = 1000L)
+    assert(feed(1L).isEmpty) // records t_batch=0 + _CLOCK=5000
+    // crash shape: the sidecar landed, the clock write did not
+    assert(new java.io.File(s"$dir/_times/_CLOCK").delete())
+    val fired = feed(2L) // without the heal: clock=100, nothing expires
+    assert(fired.isDefined, "lost clock write stalled the expiry schedule")
+    assert(fired.get.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L), "healed clock must expire the late small-time slice")
+    assert(scala.io.Source.fromFile(s"$dir/_times/_CLOCK").mkString.trim
+      == "5000", "heal must re-persist the recovered clock")
+  }
+
+  test("event-time feed: a timestamp timeCol is refused, not silently unit-mismatched") {
+    val base = tmp("ttltype")
+    val dir = s"$base/accepted"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-08 00:00:00")))
+      .toDF("doc_id", "ts").write.parquet(s"$dir/batch=0")
+    val feed = CorpusIngest.eventTimeFeed(spark, dir, "doc_id", "ts",
+      ttlMs = 1000L)
+    val e = intercept[IllegalArgumentException] { feed(1L) }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }
