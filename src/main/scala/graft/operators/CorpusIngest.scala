@@ -840,9 +840,13 @@ object CorpusIngest {
         }
         var haveTimes = listed.filter(_.startsWith("t_batch="))
           .map(_.stripPrefix("t_batch=").toLong).filter(_ > prefix).toSet
+        // keys AT or below the prefix are never queried (live, the
+        // recording loop, the band, and the prefix-advance all operate
+        // strictly above it), so the set stays window-sized — a
+        // materialized (0..prefix) union would grow with stream age
         var expired = listed.filter(_.startsWith("expired_batch="))
           .map(_.stripPrefix("expired_batch=").toLong).filter(_ > prefix)
-          .toSet ++ (0L to prefix)
+          .toSet
         val liveAll = SliceRewrite.sliceNames(spark, acceptedDir, "batch")
           .map(_.stripPrefix("batch=").toLong).filter(_ < batchId)
         val live = liveAll.filter(_ > prefix)
@@ -856,15 +860,18 @@ object CorpusIngest {
         var clockV = StoreProtocol
           .readSmall(f, new Path(timesRoot, "_CLOCK"))
           .map(_.trim.toLong)
+        // one read per surviving sidecar per firing: this map serves the
+        // crash-heal AND the band computation below (the recording loop
+        // adds its own entries as it writes)
+        val times = scala.collection.mutable.Map.empty[Long, Option[Long]]
+        haveTimes.foreach(k => times(k) = timeOfName(s"t_batch=$k"))
         // crash-heal the clock: the sidecar and _CLOCK are two writes —
         // a kill between them leaves a recorded slice the clock never
         // absorbed, and the recording loop below skips already-recorded
         // slices. Fold every SURVIVING sidecar back in (window-bounded:
         // prefix GC reclaims covered ones, and an expired slice's time
         // is ≤ the clock that expired it by construction).
-        val healed = listed.filter(_.startsWith("t_batch="))
-          .filter(n => n.stripPrefix("t_batch=").toLong > prefix)
-          .flatMap(timeOfName) ++ clockV
+        val healed = times.values.flatten ++ clockV
         if (healed.nonEmpty && clockV.forall(_ < healed.max)) {
           clockV = Some(healed.max)
           FsAtomic.writePointer(f, timesRoot, "_CLOCK", healed.max.toString)
@@ -908,9 +915,11 @@ object CorpusIngest {
               FsAtomic.writePointer(f, timesRoot, "_CLOCK", t.toString)
             }
           }
+          times(k) = mx
           haveTimes += k
         }
-        def timeOf(k: Long): Option[Long] = timeOfName(s"t_batch=$k")
+        def timeOf(k: Long): Option[Long] =
+          times.getOrElse(k, timeOfName(s"t_batch=$k"))
         val band = clockV.toSeq.flatMap { now =>
           live.filterNot(expired)
             .filter(k => timeOf(k).exists(_ <= now - ttlMs)).sorted

@@ -160,36 +160,113 @@ object DataSkipping {
       fs, new Path(dir), StatsDir, rows.mkString("\n"))
   }
 
-  /** The directory's parquet data files. Accepts the two path shapes the
-    * engine hands around: a plain directory, or a `*.parquet`-suffixed
-    * glob (what [[graft.util.SliceRewrite.liveReadPath]] returns for
-    * unversioned slices).
+  /** The directory's parquet data files: every non-hidden `.parquet`
+    * (not just Spark's `part-*` naming — the freshness contract promises
+    * a foreign writer's files are read unpruned, so they must be in the
+    * universe at all). Accepts the two path shapes the engine hands
+    * around: a plain directory, or that directory with the literal
+    * `.parquet`-wildcard suffix [[graft.util.SliceRewrite.liveReadPath]]
+    * returns for unversioned slices — handled by stripping the suffix
+    * and listing literally, never by glob expansion (a directory NAME
+    * containing glob metacharacters would silently empty a globStatus
+    * universe).
     */
   private def dataFiles(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] =
-    (if (dir.exists("*?[{".contains(_)))
-       Option(fs.globStatus(new Path(dir))).getOrElse(Array.empty)
-         .map(_.getPath)
-         .filter { p =>
-           val n = p.getName
-           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-         }
-     else
-       // every non-hidden parquet file, not just Spark's part-* naming:
-       // the freshness contract promises a foreign writer's files are
-       // read unpruned, so they must be in the universe at all
-       fs.listStatus(new Path(dir))
-         .map(_.getPath)
-         .filter { p =>
-           val n = p.getName
-           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-         })
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] = {
+    val plain =
+      if (dir.endsWith("/*.parquet")) dir.dropRight("/*.parquet".length)
+      else dir
+    fs.listStatus(new Path(plain))
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
       .sortBy(_.getName).toSeq
+  }
 
-  /** One file's min-max per keyed column, from its parquet footer: fold
-    * the row-group column-chunk statistics (INT64/INT32 physical — the
-    * types [[asLong]] admits). `None` = stats absent for some row group —
-    * the file must never be pruned.
+  /** ONE per-column statistics fold over a file's footer — the single
+    * stats-semantics authority shared by the sidecar writer
+    * ([[fileMinMax]]) and the read-side max ([[footerMax]]), so a gate
+    * fix lands in both.
+    *
+    * Tri-state: `None` = undeterminable (column absent or non-integral,
+    * stats missing on some non-empty row group, unsigned/narrow int
+    * annotation — whose raw stats are NOT the value Spark's long cast
+    * yields); `Some(None)` = determinable and all-null/empty;
+    * `Some(Some((lo, hi)))` = the fold.
+    *
+    * `timestampMicrosOk`: the sidecar path ([[fileMinMax]]) compares in
+    * epoch MICROS (`asLong` = `unix_micros`), so INT64 TIMESTAMP(MICROS)
+    * stats are the right value there — but [[footerMax]] stands in for
+    * `cast("long")` (SECONDS for timestamps) and must refuse them.
+    * TIMESTAMP(MILLIS/NANOS) is refused on both paths: its raw stats are
+    * not micros.
+    */
+  private def fileColStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      c: String, timestampMicrosOk: Boolean): Option[Option[(Long, Long)]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val schema = footer.getFileMetaData.getSchema
+    val idx = schema.getFields.asScala.indexWhere(_.getName == c)
+    val okType = idx >= 0 && schema.getType(idx).isPrimitive && {
+      val pt = schema.getType(idx).asPrimitiveType()
+      val phys = pt.getPrimitiveTypeName
+      (phys == PrimitiveTypeName.INT64 ||
+        phys == PrimitiveTypeName.INT32) &&
+      (pt.getLogicalTypeAnnotation match {
+        case null => true
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          // signed 32/64 only: UINT32 raw stats sign-extend to the wrong
+          // long, INT(16)/INT(8) are types the scan path refuses
+          i.isSigned && (i.getBitWidth == 32 || i.getBitWidth == 64)
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          timestampMicrosOk &&
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      })
+    }
+    if (!okType) None
+    else {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var ok = true
+      var any = false
+      footer.getBlocks.asScala.filter(_.getRowCount > 0L).foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty) ok = false
+            else if (st.hasNonNullValue) {
+              // all-null chunks contribute no range (and exclude none);
+              // chunks without stats poison the file into never-prune
+              (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b2: java.lang.Long) =>
+                  if (a.longValue() < lo) lo = a.longValue()
+                  if (b2.longValue() > hi) hi = b2.longValue()
+                  any = true
+                case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                  if (a.longValue() < lo) lo = a.longValue()
+                  if (b2.longValue() > hi) hi = b2.longValue()
+                  any = true
+                case _ => ok = false
+              }
+            }
+          case None => ok = false
+        }
+      }
+      if (!ok) None
+      else if (!any) Some(None)
+      else Some(Some((lo, hi)))
+    }
+  }
+
+  /** One file's min-max per keyed column, from its parquet footer.
+    * `None` = no usable stats for that column — the sidecar records an
+    * empty range and the file is never pruned on it (all-null files fold
+    * to `None` too: same safe outcome, no rows lost).
     */
   private def fileMinMax(
       conf: org.apache.hadoop.conf.Configuration, p: Path,
@@ -198,41 +275,9 @@ object DataSkipping {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
-      val blocks = reader.getFooter.getBlocks
-      import scala.jdk.CollectionConverters._
-      cols.map { c =>
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        var ok = true
-        blocks.asScala.foreach { b =>
-          if (b.getRowCount > 0L) {
-            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
-              case Some(cc) =>
-                val st = cc.getStatistics
-                if (st == null || st.isEmpty) ok = false
-                else if (st.hasNonNullValue) {
-                  // chunks that are entirely null contribute no range
-                  // (and exclude none); chunks without stats poison the
-                  // file into never-prune
-                  val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-                    case (a: java.lang.Long, b2: java.lang.Long) =>
-                      (a.longValue(), b2.longValue())
-                    case (a: java.lang.Integer, b2: java.lang.Integer) =>
-                      (a.longValue(), b2.longValue())
-                    case other => throw new IllegalArgumentException(
-                      s"data-skipping stats for $c: unsupported physical " +
-                        s"stats $other")
-                  }
-                  if (mn < lo) lo = mn
-                  if (mx > hi) hi = mx
-                }
-              // all-null chunks carry no min/max but exclude no range
-              case None => ok = false
-            }
-          }
-        }
-        (c, if (ok && lo <= hi) Some((lo, hi)) else None)
-      }
+      val footer = reader.getFooter
+      cols.map(c =>
+        (c, fileColStats(footer, c, timestampMicrosOk = true).flatten))
     } finally reader.close()
   }
 
@@ -303,60 +348,15 @@ object DataSkipping {
       spark: SparkSession, dir: String, c: String): Option[Option[Long]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val files = dataFiles(StoreProtocol.fs(spark, dir), dir)
     if (files.isEmpty) return Some(None)
     val perFile: Seq[Option[Option[Long]]] =
       Pooled.ordered(files, threads = 16, name = "footermax") { p =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try {
-          val schema = reader.getFooter.getFileMetaData.getSchema
-          val idx = schema.getFields.asScala.indexWhere(_.getName == c)
-          val okType = idx >= 0 && schema.getType(idx).isPrimitive && {
-            val pt = schema.getType(idx).asPrimitiveType()
-            val phys = pt.getPrimitiveTypeName
-            val logical = pt.getLogicalTypeAnnotation
-            (phys == PrimitiveTypeName.INT64 ||
-              phys == PrimitiveTypeName.INT32) &&
-            (logical == null || logical.isInstanceOf[
-              LogicalTypeAnnotation.IntLogicalTypeAnnotation])
-          }
-          if (!okType) None
-          else {
-            var best: Option[Long] = Some(Long.MinValue)
-            var any = false
-            reader.getFooter.getBlocks.asScala
-              .filter(_.getRowCount > 0L).foreach { b =>
-                b.getColumns.asScala.find(_.getPath.toDotString == c) match {
-                  case Some(cc) =>
-                    val st = cc.getStatistics
-                    if (st == null || st.isEmpty) best = None
-                    else if (st.hasNonNullValue) {
-                      st.genericGetMax match {
-                        case l: java.lang.Long =>
-                          if (best.exists(l.longValue() > _))
-                            best = Some(l.longValue())
-                          any = true
-                        case i: java.lang.Integer =>
-                          if (best.exists(i.longValue() > _))
-                            best = Some(i.longValue())
-                          any = true
-                        case _ => best = None
-                      }
-                    }
-                  case None => best = None
-                }
-              }
-            best match {
-              case None => None // stats absent somewhere: undeterminable
-              case Some(_) if !any => Some(None) // all-null/empty file
-              case Some(v) => Some(Some(v))
-            }
-          }
-        } finally reader.close()
+        try fileColStats(reader.getFooter, c, timestampMicrosOk = false)
+          .map(_.map(_._2))
+        finally reader.close()
       }
     if (perFile.exists(_.isEmpty)) None
     else Some(perFile.flatten.flatten.maxOption)

@@ -100,29 +100,32 @@ case class ZValue3Expr(first: Expression, second: Expression, third: Expression)
 
 object ZOrderExpressions {
 
-  /** SQL builders (runtime registration + [[GraftExtensions]]): integral
-    * arguments widen to long here — the expressions themselves take long
-    * children (the Column API always passes ranks as longs).
+  /** SQL builders (runtime registration + [[GraftExtensions]]): the
+    * expressions take long children, so arguments widen through an
+    * UNCONDITIONAL Cast — a builder runs while its arguments may still
+    * be unresolved, so it must not consult `e.dataType` (that throws
+    * UnresolvedException mid-analysis); SimplifyCasts erases the
+    * redundant long→long case after resolution.
     */
   def sqlBuilder2(exprs: Seq[Expression]): Expression =
     ZValue2Expr(widen(exprs.head), widen(exprs(1)))
   def sqlBuilder3(exprs: Seq[Expression]): Expression =
     ZValue3Expr(widen(exprs.head), widen(exprs(1)), widen(exprs(2)))
   private def widen(e: Expression): Expression =
-    if (e.dataType == LongType) e
-    else org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+    org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
 
-  /** Morton code of 2 or 3 long rank columns (the only arities a 64-bit
-    * code supports at useful resolution — 31 and 21 bits per dimension).
+  /** Morton code of 2 or 3 rank columns (the only arities a 64-bit code
+    * supports at useful resolution — 31 and 21 bits per dimension).
+    * Non-long ranks widen through the same Cast as the SQL surface.
     */
   def zvalue(ranks: Column*): Column = ranks match {
     case Seq(a, b) =>
       ColumnBridge.column(ZValue2Expr(
-        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+        widen(ColumnBridge.expression(a)), widen(ColumnBridge.expression(b))))
     case Seq(a, b, c) =>
       ColumnBridge.column(ZValue3Expr(
-        ColumnBridge.expression(a), ColumnBridge.expression(b),
-        ColumnBridge.expression(c)))
+        widen(ColumnBridge.expression(a)), widen(ColumnBridge.expression(b)),
+        widen(ColumnBridge.expression(c))))
     case other => throw new IllegalArgumentException(
       s"zvalue supports 2 or 3 dimensions, got ${other.size}")
   }

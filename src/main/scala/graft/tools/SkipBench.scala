@@ -68,12 +68,13 @@ object SkipBench {
         (d, r) => d.filter(col(r.col).between(r.lo, r.hi))
       }
       val row = d.agg(count(lit(1)), sum($"payload")).head()
-      (row.getLong(0), row.getLong(1))
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     def skipped(dir: String, ranges: Seq[ColRange]): ((Long, Long), Int) = {
       val (d, info) = DataSkipping.prunedRead(spark, dir, ranges)
       val row = d.agg(count(lit(1)), sum($"payload")).head()
-      ((row.getLong(0), row.getLong(1)), info.filesRead)
+      ((row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)),
+        info.filesRead)
     }
 
     // warm (listing, codegen), assert identical answers across layouts
