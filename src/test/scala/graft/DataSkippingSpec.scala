@@ -154,6 +154,24 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(allX.count() == 900L)
   }
 
+  test("the range predicate is pushed to the parquet scan of the survivors") {
+    // file-level skipping composes with Spark's own row-group pruning:
+    // prunedRead's filter must reach the scan as PushedFilters, not sit
+    // above it as a post-scan Filter only
+    val dir = tmp() + "/zpush"
+    DataSkipping.writeZOrdered(grid(20000), dir, Seq("x", "y"), nFiles = 8)
+    // grid(20000) spans y in [0, 133] — the rectangle must intersect it
+    val (got, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 100, 149), ColRange("y", 28, 84)))
+    assert(got.collect().nonEmpty && info.filesRead > 0)
+    val s = got.queryExecution.executedPlan.toString
+    // PushedFilters pins the pushdown; the y bound is asserted through
+    // DataFilters because the PushedFilters list renders truncated
+    assert(s.contains("PushedFilters: [IsNotNull(x), IsNotNull(y), " +
+      "GreaterThanOrEqual(x,100)") && s.contains("<= 84)"),
+      s"range filters not pushed to the scan:\n$s")
+  }
+
   test("hashed 64-bit keys spanning the full long range still cluster and prune") {
     // lo ≈ -2^63, hi ≈ 2^63: the span exceeds Long.MaxValue, so the rank
     // normalization must run in the double domain — a long-subtraction
