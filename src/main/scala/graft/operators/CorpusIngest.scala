@@ -776,9 +776,11 @@ object CorpusIngest {
     *
     * Per-slice time sidecars (`acceptedDir/_times/t_batch=<k>`, pointer
     * files) are recorded the first time a slice is seen — its max
-    * `timeCol`, read once with column pruning — so steady-state cost is
-    * one sidecar write for the previous batch's slice plus one listing;
-    * unexpired slices are never re-read. Expired slices get an
+    * `timeCol`, derived from the slice's parquet FOOTERS
+    * ([[DataSkipping.footerMax]], metadata-only; column-pruned scan
+    * fallback when stats are unusable) — so steady-state cost is one
+    * sidecar write for the previous batch's slice plus one listing;
+    * unexpired slices' DATA is never re-read. Expired slices get an
     * `expired_batch=<k>` marker (written after the journal commit, and
     * healed on the replay branch from the journal's `srcBatch` column)
     * so they leave the candidate set permanently; their sidecars stay —
