@@ -180,21 +180,37 @@ object RetentionPolicy {
               // (5xx, unreachable) — indeterminate NEVER revokes (see
               // RetentionConfig.robotsFetcher); a malformed journal url
               // is likewise not a candidate (it was never fetchable).
-              // The drain is pooled (cfg.robotsThreads): partitions are
-              // host-colocated, so the memo is computeIfAbsent on a
-              // concurrent map — per-host single-flight, one fetch per
-              // (host, sweep) even under a same-host burst.
+              // The drain is pooled (cfg.robotsThreads): the memo is a
+              // per-host single-flight inflight-future map (the
+              // RobotsCache pattern) — one fetch per (host, sweep) under
+              // a same-host burst, and NO fetch ever runs under a map
+              // lock (computeIfAbsent would hold its bin lock for the
+              // fetch's duration, serializing unrelated hosts that hash
+              // to the same bin and defeating the pool).
               val memo = new java.util.concurrent.ConcurrentHashMap[
-                String, Option[RobotsRules]]()
+                String, java.util.concurrent.CompletableFuture[
+                  Option[RobotsRules]]]()
+              def rulesOf(rUrl: String): Option[RobotsRules] = {
+                val mine = new java.util.concurrent.CompletableFuture[
+                  Option[RobotsRules]]()
+                val winner = memo.putIfAbsent(rUrl, mine)
+                if (winner != null) winner.join()
+                else
+                  try {
+                    val r = RobotsRules.fromPage(Fetcher.safeFetch(rf, rUrl))
+                    mine.complete(r)
+                    r
+                  } finally {
+                    // a throw (hostile page shape) must release waiters:
+                    // indeterminate, which never revokes
+                    if (!mine.isDone) mine.complete(None)
+                  }
+              }
               graft.util.Pooled.unordered(
                   it, cfg.robotsThreads, name = "retention-robots") {
                 case (url, since) =>
                   val keep = scala.util.Try {
-                    val rules = memo.computeIfAbsent(
-                      UrlFunctions.robotsUrl(url),
-                      rUrl => RobotsRules.fromPage(
-                        Fetcher.safeFetch(rf, rUrl)))
-                    rules.exists(r =>
+                    rulesOf(UrlFunctions.robotsUrl(url)).exists(r =>
                       !r.isAllowed(UrlFunctions.robotsPath(url)))
                   }.getOrElse(false)
                   (url, since, keep)
@@ -217,29 +233,6 @@ object RetentionPolicy {
         }
     }
 
-  /** Run one retention sweep at logical time `nowMs`: derive the
-    * candidates and, when non-empty, fire [[CrawlCorpusLoop
-    * .takedownWave]] in the next free wave slot (corpus slices + all
-    * standing stores + frontier purge). Returns the slot used and how
-    * many urls were retired (wave -1 / 0 when nothing fired — the
-    * common, zero-cost case: one frontier read, no writes).
-    *
-    * Crash-safe like the waves themselves: the candidate set is PINNED
-    * under the slot (`_sweep_w=<w>/cands`) before anything fires, so a
-    * kill anywhere inside the takedown wave re-fires into the same
-    * still-unmarked slot with the IDENTICAL delete set — the stores'
-    * digest-guarded retire re-runs are no-ops. Without the pin, a
-    * re-derivation could legitimately differ (the robots rule answers
-    * from the LIVE web; a site reverting its robots.txt between crash
-    * and resume would change the set), and a different digest under the
-    * committed batch id would wedge the takedown journal permanently.
-    * A kill after the slot marker but before the frontier purge
-    * re-derives into a FRESH slot instead (re-retiring already-dead ids
-    * is harmless); completed slots' pins are reclaimed on the next
-    * sweep. The marker lands right after the store-consuming step
-    * precisely so a tombstoned batch id can never be handed to a later
-    * data wave.
-    */
   /** Semantic fingerprint of a retention config — the fields that shape
     * the CANDIDATE SET (pool width doesn't; the fetcher can't be
     * fingerprinted, so armed/disarmed is the recorded fact). Stored
@@ -269,6 +262,29 @@ object RetentionPolicy {
       }
   }
 
+  /** Run one retention sweep at logical time `nowMs`: derive the
+    * candidates and, when non-empty, fire [[CrawlCorpusLoop
+    * .takedownWave]] in the next free wave slot (corpus slices + all
+    * standing stores + frontier purge). Returns the slot used and how
+    * many urls were retired (wave -1 / 0 when nothing fired — the
+    * common, zero-cost case: one frontier read, no writes).
+    *
+    * Crash-safe like the waves themselves: the candidate set is PINNED
+    * under the slot (`_sweep_w=<w>/cands`) before anything fires, so a
+    * kill anywhere inside the takedown wave re-fires into the same
+    * still-unmarked slot with the IDENTICAL delete set — the stores'
+    * digest-guarded retire re-runs are no-ops. Without the pin, a
+    * re-derivation could legitimately differ (the robots rule answers
+    * from the LIVE web; a site reverting its robots.txt between crash
+    * and resume would change the set), and a different digest under the
+    * committed batch id would wedge the takedown journal permanently.
+    * A kill after the slot marker but before the frontier purge
+    * re-derives into a FRESH slot instead (re-retiring already-dead ids
+    * is harmless); completed slots' pins are reclaimed on the next
+    * sweep. The marker lands right after the store-consuming step
+    * precisely so a tombstoned batch id can never be handed to a later
+    * data wave.
+    */
   def sweep(
       spark: SparkSession, workDir: String, cfg: RetentionConfig,
       nowMs: Long, annRoot: Option[String] = None,

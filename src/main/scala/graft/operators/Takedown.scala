@@ -84,18 +84,36 @@ object Takedown {
         */
       retireBatchId: Option[Long] = None): Long = {
     resume(spark, targets, journalDir) // drain anything pending first
+    val f = fs(spark, journalDir)
+    // reclaim _PLAN-less td dirs: a crash between the (possibly
+    // multi-shard, GB-scale) ids write and the _PLAN commit leaves a
+    // dead delete-set copy that resume correctly skips but nothing
+    // committed — without this prelude every crashed attempt would
+    // permanently consume a journal id and its bytes (single-writer
+    // journal by protocol, so nothing concurrent is in that window)
+    tdDirs(spark, journalDir).foreach { k =>
+      val d = new Path(s"$journalDir/td=$k")
+      if (!f.exists(new Path(d, "_PLAN"))) f.delete(d, true)
+    }
     val tid = tdDirs(spark, journalDir).lastOption.getOrElse(-1L) + 1L
     val td = s"$journalDir/td=$tid"
-    val f = fs(spark, journalDir)
     f.mkdirs(new Path(td))
     // the pinned delete set shards above TombIdsPerBucket, mirroring
     // StoreProtocol.writeTombstones: a takedown-sized set stays ONE
     // file (one task, cheap resume reads), a whole-source purge
     // (10^7-10^8 ids) spreads across hashed shards instead of
-    // funneling the write through one task
+    // funneling the write through one task. Like writeTombstones, the
+    // count rides the pinning job as an observed metric — no separate
+    // count() job.
+    val obs = new org.apache.spark.sql.Observation()
     val norm = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val nShards = StoreProtocol.tombShards(norm.count())
+    val n = obs.get.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
+    val nShards = StoreProtocol.tombShards(n)
     (if (nShards == 1) norm.coalesce(1)
      else norm.repartition(nShards, col("id")))
       .write.mode("overwrite").parquet(s"$td/ids")
@@ -211,7 +229,9 @@ object Takedown {
   private def rewriteCorpus(
       spark: SparkSession, corpusDir: String, idCol: String,
       partCol: String, ids: DataFrame, td: String,
-      idBytes: Long = 0L): Unit = {
+      // required, not defaulted: a 0 default would silently select
+      // broadcast — the every-task-OOM shape for a whole-source purge
+      idBytes: Long): Unit = {
     // size-switched delete-set side: broadcast for takedown-sized sets,
     // shuffled join above TombBroadcastMaxBytes (whole-source purges
     // must not broadcast 10^8 ids to every task)
