@@ -59,9 +59,13 @@ object MediaIngest {
     val f = fetcher
     media.select(col("media_url")).distinct().as[String]
       .mapPartitions { it =>
-        // pooled unordered drain (graft.util.Pooled); the backpressure
-        // window also bounds how many fetched media bodies buffer at once
-        graft.util.Pooled.unordered(it, threads, name = "media") { url =>
+        // pooled unordered drain (graft.util.Pooled). Unlike the
+        // small-payload seams this one buffers MEDIA BODIES (MB-scale),
+        // so the backpressure window is pinned to the pool width — at
+        // most `threads` bodies in flight+queued per task, not the
+        // 4×threads item-count default
+        graft.util.Pooled.unordered(
+            it, threads, maxOutstanding = threads, name = "media") { url =>
           val page = Fetcher.safeFetch(f, url)
           if (page.statusCode < 200 || page.statusCode > 299) None
           else {

@@ -108,7 +108,6 @@ object RobotsCache {
             // transiently-down robots.txt must not open disallowed paths
             // to the crawler.
             val page = Fetcher.safeFetch(fetcher, robotsUrl)
-            fetchCount.incrementAndGet()
             val rules = RobotsRules.fromPage(page)
               .getOrElse(RobotsRules.allowNone)
             cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
@@ -127,8 +126,4 @@ object RobotsCache {
     }
   }
 
-  /** Number of distinct fetches that went through (test observability:
-    * single-flight means a concurrent burst for one host counts once).
-    */
-  private[crawl] val fetchCount = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -86,24 +86,15 @@ object SkipBench {
     require(skipped(s"$base/z", band)._1 == expBand)
 
     def best3[T](f: => T): Double = (1 to 3).map(_ => timed(f)._2).min
+    // one measurement protocol for every (layout, ranges) cell
+    def measure(dir: String, rs: Seq[ColRange]): (Double, Int) =
+      (best3(skipped(dir, rs)), skipped(dir, rs)._2)
     val tFullRect = best3(fullScan(rect))
-    val (tLinRect, fLinRect) = {
-      val files = skipped(s"$base/linear", rect)._2
-      (best3(skipped(s"$base/linear", rect)), files)
-    }
-    val (tZRect, fZRect) = {
-      val files = skipped(s"$base/z", rect)._2
-      (best3(skipped(s"$base/z", rect)), files)
-    }
+    val (tLinRect, fLinRect) = measure(s"$base/linear", rect)
+    val (tZRect, fZRect) = measure(s"$base/z", rect)
     val tFullBand = best3(fullScan(band))
-    val (tLinBand, fLinBand) = {
-      val files = skipped(s"$base/linear", band)._2
-      (best3(skipped(s"$base/linear", band)), files)
-    }
-    val (tZBand, fZBand) = {
-      val files = skipped(s"$base/z", band)._2
-      (best3(skipped(s"$base/z", band)), files)
-    }
+    val (tLinBand, fLinBand) = measure(s"$base/linear", band)
+    val (tZBand, fZBand) = measure(s"$base/z", band)
 
     println(
       s"""{"bench":"skip","n":$n,"files":$nFiles,""" +

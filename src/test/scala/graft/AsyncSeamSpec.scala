@@ -64,6 +64,11 @@ class AsyncSeamSpec extends AnyFunSuite {
 
   test("pooled fetch seams hide injected latency; crawl facts identical to serial") {
     val latency = 100L // 80 pages + robots: ~4s serial sleep per pld partition
+    // warm the whole path once (codegen/classloader/first-listing costs)
+    // so the serial-vs-pooled differential measures ONLY the seams —
+    // without this, first-run warmup lands entirely in whichever run
+    // goes first and could mask a seam regressed to serial
+    crawl(0L, threads = 1)
     val (serial, serialMs) = crawl(latency, threads = 1)
     val (pooled, pooledMs) = crawl(latency, threads = 10)
 

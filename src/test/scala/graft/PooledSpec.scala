@@ -96,6 +96,53 @@ class PooledSpec extends AnyFunSuite {
       "pool threads still alive after the iterator drained")
   }
 
+  test("a throwing drain tears the pool down (shutdownNow), not just the iterator") {
+    val tag = s"fail-${System.nanoTime()}"
+    val it = Pooled.unordered(
+        (1 to 50).iterator, threads = 4, name = tag) { i =>
+      if (i == 10) throw new IllegalStateException("die")
+      Thread.sleep(5); i
+    }
+    intercept[IllegalStateException] { while (it.hasNext) it.next() }
+    assert(Pooled.noLiveWorkers(tag),
+      "pool threads still alive after a failed drain")
+  }
+
+  test("a downstream limit that abandons the iterator inside a Spark task does not leak the pool") {
+    val spark = SparkTestSession.spark
+    val tag = s"tasklim-${System.nanoTime()}"
+    // mapPartitions drain of 500 items; take(1) abandons the iterator
+    // mid-drain — the TaskContext completion listener must reap the pool
+    val one = spark.sparkContext.parallelize(1 to 500, 1)
+      .mapPartitions { it =>
+        graft.util.Pooled.unordered(it, threads = 4, name = tag) { i =>
+          Thread.sleep(2); i
+        }
+      }
+      .take(1)
+    assert(one.length == 1)
+    assert(Pooled.noLiveWorkers(tag),
+      "task ended but the abandoned drain's pool threads survived")
+  }
+
+  test("a driver-side abandoned drain is reclaimed by the Cleaner once unreachable") {
+    val tag = s"gcleak-${System.nanoTime()}"
+    def abandon(): Unit = {
+      val it = Pooled.unordered(
+          (1 to 1000).iterator, threads = 3, name = tag) { i =>
+        Thread.sleep(1); i
+      }
+      it.next() // started, then dropped without exhausting
+    }
+    abandon()
+    // the iterator is unreachable now; pump GC until the Cleaner fires
+    val deadline = System.nanoTime() + 15000000000L
+    while (!Pooled.noLiveWorkers(tag, timeoutMs = 200) &&
+        System.nanoTime() < deadline) System.gc()
+    assert(Pooled.noLiveWorkers(tag, timeoutMs = 200),
+      "abandoned driver-side drain's pool was never reclaimed")
+  }
+
   test("ordered variant preserves positional order under jittered latency") {
     val in = (1 to 100).map(i => s"k$i")
     val rnd = new java.util.Random(7)
