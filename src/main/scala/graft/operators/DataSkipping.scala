@@ -118,22 +118,25 @@ object DataSkipping {
           lit(mask.toDouble / spanD)).cast(LongType)
       }
     }
-    // INT96 parquet timestamps carry no footer statistics — pin the
-    // stats-bearing INT64-micros physical type for this write (restored
-    // after; consulted per-write, same runtime-conf idiom as
-    // Tables.events' nanos flag)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prior = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // INT96 parquet timestamps carry no footer statistics — the write
+    // must use the stats-bearing INT64-micros physical type. The conf is
+    // session-scoped (no DataFrameWriter option exists for it), so the
+    // override lives in a CLONED session: the clustered plan is published
+    // as a global temp view and written through `spark.newSession()` with
+    // the conf set there — a concurrent write on the caller's session
+    // never sees the flip, and there is no restore to clobber anyone.
+    val clustered = df.withColumn("_z", ZOrderExpressions.zvalue(ranks: _*))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+    val view = "graft_zwrite_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    clustered.createOrReplaceGlobalTempView(view)
     try {
-      df.withColumn("_z", ZOrderExpressions.zvalue(ranks: _*))
-        .repartitionByRange(nFiles, col("_z"))
-        .sortWithinPartitions("_z")
-        .write.mode("overwrite").parquet(dir)
-    } finally prior match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+      val writer = spark.newSession()
+      writer.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      writer.table(s"global_temp.$view").write.mode("overwrite").parquet(dir)
+    } finally spark.catalog.dropGlobalTempView(view)
     writeStats(spark, dir, zCols)
   }
 
@@ -160,28 +163,33 @@ object DataSkipping {
       fs, new Path(dir), StatsDir, rows.mkString("\n"))
   }
 
-  /** The directory's parquet data files: every non-hidden `.parquet`
-    * (not just Spark's `part-*` naming — the freshness contract promises
-    * a foreign writer's files are read unpruned, so they must be in the
-    * universe at all). Accepts the two path shapes the engine hands
-    * around: a plain directory, or that directory with the literal
-    * `.parquet`-wildcard suffix [[graft.util.SliceRewrite.liveReadPath]]
-    * returns for unversioned slices — handled by stripping the suffix
-    * and listing literally, never by glob expansion (a directory NAME
-    * containing glob metacharacters would silently empty a globStatus
-    * universe).
+  /** The directory's data files — the SAME universe the full-scan
+    * baseline reads, so the freshness contract ("a foreign writer's
+    * files are read unpruned") can never silently drop rows. For a plain
+    * directory that is every non-hidden regular FILE regardless of
+    * extension (`spark.read.parquet(dir)` reads extension-less parts
+    * too — a foreign writer's unsuffixed file must be in the universe,
+    * unprunable because it has no sidecar row, not excluded). For the
+    * `.parquet`-wildcard suffix shape
+    * ([[graft.util.SliceRewrite.liveReadPath]] for unversioned slices)
+    * the baseline IS the glob, so the extension filter applies there —
+    * handled by stripping the suffix and listing literally, never by
+    * glob expansion (a directory NAME containing glob metacharacters
+    * would silently empty a globStatus universe).
     */
   private def dataFiles(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Path] = {
+    val globbed = dir.endsWith("/*.parquet")
     val plain =
-      if (dir.endsWith("/*.parquet")) dir.dropRight("/*.parquet".length)
+      if (globbed) dir.dropRight("/*.parquet".length)
       else dir
     fs.listStatus(new Path(plain))
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          (!globbed || n.endsWith(".parquet"))
       }
+      .map(_.getPath)
       .sortBy(_.getName).toSeq
   }
 
@@ -273,7 +281,13 @@ object DataSkipping {
       cols: Seq[String]): Seq[(String, Option[(Long, Long)])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    // a universe file whose footer can't be read (foreign non-parquet
+    // bytes) records empty stats — never pruned, surfaced by the actual
+    // scan if it truly isn't parquet — rather than failing the sidecar
+    val reader =
+      try ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      catch { case _: java.io.IOException |
+                   _: RuntimeException => return cols.map((_, None)) }
     try {
       val footer = reader.getFooter
       cols.map(c =>
@@ -310,6 +324,15 @@ object DataSkipping {
     // sidecar row whose file is gone prunes nothing by construction
     val all = dataFiles(StoreProtocol.fs(spark, dir), dir)
       .map(_.getName)
+    // a sidecar with ZERO data files on disk (everything deleted/GC'd
+    // since writeStats) has no schema to build even an empty frame from —
+    // name the condition instead of surfacing Spark's opaque
+    // "unable to infer schema" from the limit(0) fallback below
+    if (all.isEmpty)
+      throw new IllegalStateException(
+        s"prunedRead: $dir has a $StatsDir sidecar but no data files — " +
+          "the data was removed after writeStats; rewrite the directory " +
+          "(or writeStats it again once it has files)")
     // a file is pruned iff SOME queried column provably misses its range;
     // absent stats (no sidecar row, or an empty lo/hi) never prune
     val survivors = all.filter { file =>
@@ -353,10 +376,17 @@ object DataSkipping {
     if (files.isEmpty) return Some(None)
     val perFile: Seq[Option[Option[Long]]] =
       Pooled.ordered(files, threads = 16, name = "footermax") { p =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-        try fileColStats(reader.getFooter, c, timestampMicrosOk = false)
-          .map(_.map(_._2))
-        finally reader.close()
+        // unreadable footer (foreign non-parquet file in the universe):
+        // undeterminable — the caller's scan fallback owns the error
+        val readerOpt =
+          try Some(ParquetFileReader.open(HadoopInputFile.fromPath(p, conf)))
+          catch { case _: java.io.IOException |
+                       _: RuntimeException => None }
+        readerOpt.flatMap { reader =>
+          try fileColStats(reader.getFooter, c, timestampMicrosOk = false)
+            .map(_.map(_._2))
+          finally reader.close()
+        }
       }
     if (perFile.exists(_.isEmpty)) None
     else Some(perFile.flatten.flatten.maxOption)

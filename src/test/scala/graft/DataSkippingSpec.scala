@@ -213,6 +213,81 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(DataSkipping.footerMax(spark, dir, "nope").isEmpty)
   }
 
+  test("an extension-less foreign data file is in the universe and read unpruned") {
+    // spark.read.parquet(dir) — the full-scan baseline — reads every
+    // non-hidden file regardless of extension; the prune universe must
+    // match or a foreign writer's unsuffixed part file is silently DROPPED
+    val dir = tmp() + "/znoext"
+    val df = spark.range(1000L).select(
+      (col("id") % 100L).as("x"), (col("id") % 50L).as("y"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 4)
+    val side = tmp() + "/side"
+    spark.range(9000L, 9010L).select(
+      (col("id") % 100L + 500L).as("x"), (col("id") % 50L).as("y"),
+      col("id").as("payload")).coalesce(1).write.parquet(side)
+    val part = new java.io.File(side).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "foreign-0000"))
+    val (got, info) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 500, 599)))
+    assert(got.count() == 10L,
+      "extension-less sidecar-absent file was dropped from the universe")
+    assert(info.filesTotal == 5 && info.filesRead == 1, s"got $info")
+    // and the sidecar writer handles it too: refresh makes it prunable
+    DataSkipping.writeStats(spark, dir, Seq("x", "y"))
+    val (_, info2) = DataSkipping.prunedRead(spark, dir,
+      Seq(ColRange("x", 0, 99)))
+    assert(info2.filesRead == 4,
+      s"refreshed sidecar should prune the foreign file on an off-range: $info2")
+  }
+
+  test("writeZOrdered never mutates the caller session's timestamp conf") {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(tsKey)
+    try {
+      // pin the caller's session to the stats-free INT96 form; the write
+      // must neither read it back differently nor flip it — yet the
+      // written files must still carry INT64-micros footer stats (the
+      // cloned-session override), proven by the time band pruning files
+      spark.conf.set(tsKey, "INT96")
+      val dir = tmp() + "/zconf"
+      val base = 1704672000000000L
+      val df = spark.range(20000L).select(
+        (col("id") % 200L).as("k"),
+        timestamp_micros(col("id") * 60000000L + lit(base)).as("ts"),
+        col("id").as("payload"))
+      DataSkipping.writeZOrdered(df, dir, Seq("k", "ts"), nFiles = 8)
+      assert(spark.conf.get(tsKey) == "INT96",
+        "writeZOrdered clobbered the shared session conf")
+      val (got, info) = DataSkipping.prunedRead(spark, dir, Seq(
+        ColRange("ts", base, base + 999L * 60000000L)))
+      assert(got.count() == 1000L)
+      assert(info.filesRead < info.filesTotal,
+        s"no pruning — the micros override did not reach the write: $info")
+    } finally prior match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+  }
+
+  test("a sidecar over zero data files fails loudly, naming the condition") {
+    val dir = tmp() + "/zgone"
+    val df = spark.range(100L).select(
+      (col("id") % 10L).as("x"), (col("id") % 5L).as("y"))
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 2)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .foreach(f => assert(f.delete()))
+    val e = intercept[IllegalStateException] {
+      DataSkipping.prunedRead(spark, dir, Seq(ColRange("x", 0, 9)))
+    }
+    assert(e.getMessage.contains("no data files"), e.getMessage)
+  }
+
   test("a file appended after writeStats is read unpruned, never dropped") {
     val dir = tmp() + "/zappend"
     val df = spark.range(1000L).select(
