@@ -51,10 +51,22 @@ object Fetcher {
   val invalidUrlError: FetchedPage = FetchedPage(-2, "", "text/plain")
   val abortedError: FetchedPage = FetchedPage(-3, "", "text/plain")
 
+  /** A fetch aborted by the fetcher's own settings — oversized declared
+    * body, disallowed mime type (reference AbortedFetchException with
+    * CONTENT_SIZE / INVALID_MIMETYPE, ExceptionUtils.java:64-83). Mapped
+    * to ABORTED_FETCH by [[safeFetch]].
+    */
+  final class AbortedFetchException(msg: String)
+    extends java.io.IOException(msg)
+
   /** The one fetch entry point the topologies use: a throwing fetcher
     * becomes a synthetic error page instead of failing the Spark task —
     * one bad URL must never abort a round (batch) or kill the streaming
-    * query (live). The exception is logged (warn) and mapped by kind.
+    * query (live). The exception is logged (warn) and mapped by kind with
+    * parity to the reference's ExceptionUtils.java:64-120: bad URL →
+    * ERROR_INVALID_URL; whole-fetch timeout, slow/stalled body, interrupt,
+    * or settings-abort → ABORTED_FETCH; connect-timeout, connect-refused,
+    * DNS, TLS, and every other transport failure → ERROR_IOEXCEPTION.
     */
   def safeFetch(f: Fetcher, url: String): FetchedPage =
     try f.fetch(url)
@@ -64,7 +76,13 @@ object Fetcher {
         e match {
           case _: java.net.MalformedURLException |
                _: java.net.URISyntaxException => invalidUrlError
-          case _: java.net.SocketTimeoutException |
+          // connect-timeout is an IO-class failure (reference
+          // IOFetchException), NOT a slow-response abort — it must match
+          // before its HttpTimeoutException parent
+          case _: java.net.http.HttpConnectTimeoutException => ioError
+          case _: java.net.http.HttpTimeoutException |
+               _: AbortedFetchException |
+               _: java.net.SocketTimeoutException |
                _: java.io.InterruptedIOException => abortedError
           case _ => ioError
         }
