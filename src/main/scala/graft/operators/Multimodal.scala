@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling: media travel as opaque
-  * `binary` columns with typed metadata alongside. Real decode libraries
-  * are not available in this environment, so the decode step is a
-  * deterministic [[StubDecoder]] behind the [[MediaDecoder]] seam — the
-  * Spark-side plumbing (schema, batch shape, partition balancing, frame
-  * explosion) is real and tested, and a production decoder drops in
-  * without touching any plan.
+  * `binary` columns with typed metadata alongside. IMAGES decode for real
+  * ([[ImageIoDecoder]] — JDK `javax.imageio`: PNG/JPEG/GIF/BMP width,
+  * height, format, frame count from stream metadata, plus a true pixel
+  * resample). Audio/video codecs are not available in this environment,
+  * so those fall through to the deterministic [[StubDecoder]] behind the
+  * same [[MediaDecoder]] seam — the Spark-side plumbing (schema, batch
+  * shape, partition balancing, frame explosion) is identical either way,
+  * and a production A/V decoder drops in without touching any plan.
   *
   * Scale notes: decode runs in `mapPartitions` so a partition amortizes
   * decoder init; media rows are salted into even partitions by byte size
@@ -26,10 +28,19 @@ object Multimodal {
     */
   trait MediaDecoder extends Serializable {
     def decode(bytes: Array[Byte]): MediaMeta
+
+    /** True pixel resample to fit (targetWidth, targetHeight), returning
+      * (encodedBytes, outWidth, outHeight) — or None when this decoder
+      * cannot resample the payload (then [[Multimodal.resize]] falls back
+      * to its deterministic byte-stride downsample).
+      */
+    def resample(bytes: Array[Byte], targetWidth: Int,
+        targetHeight: Int): Option[(Array[Byte], Int, Int)] = None
   }
 
-  /** Deterministic fake decode derived only from the bytes — stands in for
-    * an image/audio library (STUB: replace with a real decoder).
+  /** Deterministic fake decode derived only from the bytes — the seam
+    * filler for the formats this environment has no codecs for (STUB:
+    * audio/video only — images decode for real via [[ImageIoDecoder]]).
     */
   final class StubDecoder extends MediaDecoder {
     override def decode(bytes: Array[Byte]): MediaMeta = {
@@ -41,6 +52,99 @@ object Multimodal {
         format = if (head % 2 == 0) "png" else "jpeg",
         durationMs = n.toLong * 10,
         nFrames = 1 + n % 16)
+    }
+  }
+
+  /** Real image decode on the JDK's `javax.imageio` — no external codec
+    * needed for PNG/JPEG/GIF/BMP(/WBMP): exact width/height from the
+    * stream header (no pixel decode), container format name, frame count
+    * (animated GIFs report their true frame total). Non-image payloads —
+    * audio, video, garbage — delegate to `fallback` (default
+    * [[StubDecoder]]), so one decoder instance serves a mixed media column.
+    *
+    * Stateless and serializable; ImageIO's disk cache is disabled
+    * JVM-wide (pure in-memory streams — an executor must never write
+    * scratch files per record).
+    */
+  final class ImageIoDecoder(
+      fallback: MediaDecoder = new StubDecoder) extends MediaDecoder {
+
+    override def decode(bytes: Array[Byte]): MediaMeta = {
+      ImageIoDecoder.withReader(bytes) { reader =>
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val fmt = reader.getFormatName
+          .toLowerCase(java.util.Locale.ROOT) match {
+          case "jpg" => "jpeg"
+          case f => f
+        }
+        // allowSearch=true: exact frame total (scans GIF frame headers,
+        // metadata-only; stills answer 1 immediately)
+        val frames =
+          try math.max(1, reader.getNumImages(true))
+          catch { case _: Exception => 1 }
+        MediaMeta(w, h, fmt, durationMs = 0L, nFrames = frames)
+      }.getOrElse(fallback.decode(bytes))
+    }
+
+    /** Aspect-preserving fit inside (targetWidth, targetHeight), bilinear,
+      * re-encoded as PNG (lossless, always-available writer). None for
+      * non-image payloads — the caller's stride fallback owns those.
+      */
+    override def resample(bytes: Array[Byte], targetWidth: Int,
+        targetHeight: Int): Option[(Array[Byte], Int, Int)] = {
+      import java.awt.image.BufferedImage
+      require(targetWidth > 0 && targetHeight > 0,
+        s"resample target must be positive, got ${targetWidth}x$targetHeight")
+      ImageIoDecoder.withReader(bytes) { reader =>
+        val src = reader.read(0)
+        val scale = math.min(
+          math.min(targetWidth.toDouble / src.getWidth,
+            targetHeight.toDouble / src.getHeight), 1.0)
+        val ow = math.max(1, math.round(src.getWidth * scale).toInt)
+        val oh = math.max(1, math.round(src.getHeight * scale).toInt)
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (bos.toByteArray, ow, oh)
+      }
+    }
+  }
+
+  object ImageIoDecoder {
+    // in-memory streams only: never a temp-file cache on an executor
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Run `f` with a positioned ImageReader for `bytes`, or None when no
+      * installed reader recognizes the payload or it is corrupt — the
+      * caller's fallback path owns those.
+      */
+    private def withReader[A](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => A): Option[A] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            Some(f(reader))
+          } catch {
+            // recognized magic bytes but a corrupt stream: fall back, the
+            // record stays a row (same discipline as Fetcher.safeFetch)
+            case _: java.io.IOException | _: RuntimeException => None
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     }
   }
 
@@ -137,11 +241,14 @@ object Multimodal {
       extractFeatures(df, idCol, binCol, dim).toDF(),
       "id", "features", dim, numPlanes, threshold)
 
-  /** Resize/downsample the media payload (STUB: deterministic byte-stride
-    * stand-in for a pixel resampler). The Spark-side contract is the real
-    * part: binary in, smaller binary + new dimensions out, partition-
-    * batched so a real resampler amortizes its init, output size bounded
-    * by `targetWidth x targetHeight` regardless of input skew.
+  /** Resize/downsample the media payload: the decoder's own
+    * [[MediaDecoder.resample]] when it can (a REAL pixel resample for
+    * images under [[ImageIoDecoder]]), else the deterministic byte-stride
+    * downsample (STUB: the stand-in for formats without a codec here —
+    * audio/video). The Spark-side contract is identical either way:
+    * binary in, smaller binary + new dimensions out, partition-batched so
+    * a resampler amortizes its init, output size bounded by
+    * `targetWidth x targetHeight` regardless of input skew.
     */
   def resize(
       df: DataFrame, idCol: String, binCol: String,
@@ -153,16 +260,22 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val m = decoder.decode(r.content)
-          val budget = math.max(1, targetWidth * targetHeight)
-          // ceil-divide so the output never exceeds the byte budget
-          val stride = math.max(1, (r.content.length + budget - 1) / budget)
-          val out = new Array[Byte]((r.content.length + stride - 1) / stride)
-          var i = 0
-          while (i < out.length) { out(i) = r.content(i * stride); i += 1 }
-          ResizedRecord(r.id,
-            math.min(m.width, targetWidth), math.min(m.height, targetHeight),
-            out)
+          decoder.resample(r.content, targetWidth, targetHeight) match {
+            case Some((out, ow, oh)) => ResizedRecord(r.id, ow, oh, out)
+            case None =>
+              val m = decoder.decode(r.content)
+              val budget = math.max(1, targetWidth * targetHeight)
+              // ceil-divide so the output never exceeds the byte budget
+              val stride =
+                math.max(1, (r.content.length + budget - 1) / budget)
+              val out =
+                new Array[Byte]((r.content.length + stride - 1) / stride)
+              var i = 0
+              while (i < out.length) { out(i) = r.content(i * stride); i += 1 }
+              ResizedRecord(r.id,
+                math.min(m.width, targetWidth),
+                math.min(m.height, targetHeight), out)
+          }
         }
       }
   }
