@@ -93,6 +93,100 @@ object Sinks {
   def writeWarcContent(
       content: DataFrame, path: String,
       maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
+    val frame = contentRecordFrame(content)
+    val writer = frame
+      .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
+  }
+
+  /** Member-per-record gzip WARC segments (reference WARCFileWriter
+    * .java:96-170: each record is its OWN gzip member, members
+    * concatenated — the archive-ecosystem `.warc.gz` convention, which
+    * lets replay tools seek to a record offset and decompress just that
+    * member; file-level gzip cannot). Same record rendering and append
+    * discipline as [[writeWarcContent]]; [[graft.sources.WarcSource]]
+    * reads both forms transparently (Hadoop's gzip codec decompresses
+    * concatenated members).
+    *
+    * Write protocol: one task per partition streams records through a
+    * per-record gzip member into rolling `part-*-N.warc.gz` segments
+    * (rolled every `maxRecordsPerFile`), each written under an
+    * `.inprogress` name and renamed on completion — readers (which match
+    * only `*.warc.gz`-suffixed names via the text reader's non-hidden
+    * listing) never see a torn segment. Single-writer archive discipline
+    * (the engine's StoreProtocol norm): run one archive write at a time;
+    * a failed attempt leaves only `.inprogress` litter, overwritten on
+    * retry by attempt-unique names.
+    */
+  def writeWarcContentGzipMembers(
+      content: DataFrame, path: String,
+      maxRecordsPerFile: Long = 100000): Unit = {
+    val frame = contentRecordFrame(content)
+    val records = frame
+      .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
+    val spark = records.sparkSession
+    import spark.implicits._
+    graft.util.StoreProtocol.fs(spark, path)
+      .mkdirs(new org.apache.hadoop.fs.Path(path))
+    records.as[String].foreachPartition { it: Iterator[String] =>
+      if (it.hasNext) {
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tc = org.apache.spark.TaskContext.get()
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var current: org.apache.hadoop.fs.Path = null
+        var seq = 0
+        var n = 0L
+        def open(): Unit = {
+          current = new org.apache.hadoop.fs.Path(dir,
+            f"part-${tc.partitionId()}%05d-${tc.taskAttemptId()}-$seq%04d" +
+              ".warc.gz.inprogress")
+          out = fs.create(current, true)
+          n = 0L
+        }
+        def closeSegment(): Unit = if (out != null) {
+          out.close()
+          fs.rename(current, new org.apache.hadoop.fs.Path(dir,
+            current.getName.stripSuffix(".inprogress")))
+          out = null
+          seq += 1
+        }
+        try {
+          it.foreach { record =>
+            if (out == null) open()
+            val gz = new MemberGzipStream(out)
+            gz.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.finishMember()
+            n += 1
+            if (n >= maxRecordsPerFile) closeSegment()
+          }
+          closeSegment()
+        } finally if (out != null) out.close()
+      }
+    }
+  }
+
+  /** One gzip member on a shared stream: `finishMember` flushes the
+    * trailer and releases the Deflater's native buffer WITHOUT closing
+    * the underlying segment stream — a 100k-record segment must not hold
+    * 100k live Deflaters until GC.
+    */
+  private final class MemberGzipStream(out: java.io.OutputStream)
+    extends java.util.zip.GZIPOutputStream(out) {
+    def finishMember(): Unit = {
+      finish()
+      `def`.end()
+    }
+  }
+
+  /** The shared contentSink-frame projection of [[writeWarcContent]] and
+    * [[writeWarcContentGzipMembers]]: body decoded with the
+    * response-header charset (headers outrank the contentType field),
+    * status/redirect surfaced for replay.
+    */
+  private def contentRecordFrame(content: DataFrame): DataFrame = {
     val decode = udf {
       (bytes: Array[Byte], headers: Map[String, Seq[String]], ct: String) =>
         new String(bytes,
@@ -101,15 +195,10 @@ object Sinks {
     val redirect =
       if (content.columns.contains("redirectedTo")) col("redirectedTo")
       else lit("")
-    val frame = content.select(
+    content.select(
       col("url"), col("contentType"),
       decode(col("content"), col("headers"), col("contentType")).as("content"),
       col("fetchTimeMs"), col("statusCode"), redirect.as("redirectedTo"))
-    val writer = frame
-      .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
   }
 
   /** Tab-separated `url<TAB>text` lines with tabs/newlines scrubbed
