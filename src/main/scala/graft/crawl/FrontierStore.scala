@@ -97,6 +97,34 @@ object FrontierStore {
       }
     }
 
+  /** The journal columns every bucket version records a `_SKIP` sidecar
+    * for at commit time: the two time axes the engine's scans band on
+    * (retention age rules filter statusTime; schedules filter
+    * nextFetchTime).
+    */
+  private val StatsCols = Seq("statusTime", "nextFetchTime")
+
+  /** [[read]] restricted to the conjunction of `ranges` (inclusive, long
+    * form), opening only the bucket FILES whose `_SKIP` ranges intersect
+    * — the time-banded scan path ([[graft.crawl.RetentionPolicy]]'s age
+    * rules). Buckets written before the sidecar hook read unpruned
+    * (lenient adoption); rows returned equal [[read]] + the same filters
+    * exactly. Returns the prune accounting alongside for benches/specs.
+    */
+  def readBanded(
+      spark: SparkSession, root: String,
+      ranges: Seq[graft.operators.DataSkipping.ColRange])
+      : Option[(DataFrame, graft.operators.DataSkipping.PruneInfo)] =
+    latestVersion(spark, root).flatMap { v =>
+      val (_, manifest) = readManifest(spark, root, v)
+      if (manifest.isEmpty) None
+      else {
+        val paths = manifest.toSeq.sorted
+          .map { case (b, ver) => bucketPath(root, b, ver) }
+        Some(graft.operators.DataSkipping.prunedReadDirs(spark, paths, ranges))
+      }
+    }
+
   /** Merge `updates` (CrawlStateUrl rows) into the stored frontier and
     * commit a new version, rewriting only the buckets the updates touch.
     * Returns the merged frontier.
@@ -159,6 +187,15 @@ object FrontierStore {
         throw new java.io.IOException(
           s"failed to commit bucket $b to $dst — aborting before the " +
             "manifest so the previous version stays intact")
+      // file-skipping sidecar for the NEW bucket version (metadata-only,
+      // footer-derived): time-banded scans — the retention candidate
+      // rules' statusTime age bands, due-before-now schedules — open only
+      // the bucket files whose range intersects ([[readBanded]]).
+      // Freshness holds by construction: bucket versions are new-named
+      // dirs, so a sidecar can never describe rewritten files; buckets
+      // from before this hook simply have no sidecar and read unpruned
+      graft.operators.DataSkipping.writeStats(
+        spark, dst.toString, StatsCols)
     }
     f.delete(new Path(staging), true)
 

@@ -153,14 +153,28 @@ object RetentionPolicy {
         // armed rule re-runs the merge-on-read scan instead — at most
         // three bounded passes over bucket files, usually one or two
         val fr = frontier.select("url", "status", "statusTime")
-        val goneAged = cfg.goneGraceMs.map(grace => fr
-          .filter(col("status") === FS.HTTP_GONE &&
-            lit(nowMs) - col("statusTime") >= grace)
+        // the two AGE rules are time-banded scans ("statusTime older
+        // than the cutoff"): route them through the store's `_SKIP`
+        // sidecars so bucket files whose whole statusTime range is
+        // fresher than the cutoff are never OPENED — on a frontier
+        // where most buckets churn recently, the sweep's steady-state
+        // read drops from every-bucket-file to the old-holding few
+        // (sidecar-less buckets read unpruned; rows are identical to
+        // the unbanded filter by prunedReadDirs' soundness contract)
+        def agedBand(cutoff: Long): DataFrame =
+          FrontierStore.readBanded(spark, frontierRoot, Seq(
+            graft.operators.DataSkipping
+              .ColRange("statusTime", Long.MinValue, cutoff)))
+            .map(_._1.select("url", "status", "statusTime"))
+            .getOrElse(fr.filter(col("statusTime") <= cutoff))
+        val goneAged = cfg.goneGraceMs.map(grace =>
+          agedBand(nowMs - grace)
+          .filter(col("status") === FS.HTTP_GONE)
           .select(col("url"), col("statusTime").as("since"))
           .withColumn("reason", lit("gone_aged")))
-        val expired = cfg.maxAgeMs.map(age => fr
-          .filter(col("status") === FS.FETCHED &&
-            lit(nowMs) - col("statusTime") >= age)
+        val expired = cfg.maxAgeMs.map(age =>
+          agedBand(nowMs - age)
+          .filter(col("status") === FS.FETCHED)
           .select(col("url"), col("statusTime").as("since"))
           .withColumn("reason", lit("expired")))
         val revoked = cfg.robotsFetcher.map { rf =>

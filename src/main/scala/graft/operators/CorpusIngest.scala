@@ -572,7 +572,15 @@ object CorpusIngest {
         * slices once compaction folds it) — batch delete sets up and
         * retire them in one feed firing rather than one id at a time.
         */
-      retireFeed: Long => Option[DataFrame] = _ => None)
+      retireFeed: Long => Option[DataFrame] = _ => None,
+      /** Columns (integral/timestamp) to record a per-slice `_SKIP`
+        * file-stats sidecar for on every slice accept AND rewrite
+        * ([[DataSkipping.writeStats]], footer-derived, metadata-only) —
+        * so time-banded corpus scans prune at the file level the same
+        * way [[graft.crawl.FrontierStore.readBanded]] does. Empty =
+        * no sidecars (the pre-adoption layout).
+        */
+      sliceStatsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .outputMode("append")
@@ -583,6 +591,9 @@ object CorpusIngest {
             labelsRoot, retireIds = retire)
         accepted.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
+        if (sliceStatsCols.nonEmpty)
+          DataSkipping.writeStats(b.sparkSession,
+            s"$acceptedDir/batch=$batchId", sliceStatsCols)
         // the accepted-dir slices are plain parquet, not a tombstone
         // store: physically drop retired ids from earlier slices via the
         // SliceRewrite protocol — write survivors as a new sv= version,
@@ -633,6 +644,13 @@ object CorpusIngest {
                   .join(broadcast(r), col(idCol) === r("id"), "left_anti")
                 graft.util.SliceRewrite
                   .replaceSlice(spark, acceptedDir, name, survivors)
+                // sidecar-refresh-on-rewrite: the superseded version's
+                // sidecar died with its dir (deleteStale); the new live
+                // sv= dir gets a fresh one — never a stale sidecar over
+                // rewritten files
+                if (sliceStatsCols.nonEmpty)
+                  DataSkipping.writeStats(spark, graft.util.SliceRewrite
+                    .liveLeaf(f, s"$acceptedDir/$name"), sliceStatsCols)
               }
             }
         }
@@ -675,6 +693,27 @@ object CorpusIngest {
             StructField(textCol, StringType),
             StructField("batch", LongType))))
       }
+
+  /** [[accepted]] restricted to the conjunction of `ranges` (inclusive,
+    * long form) — the time-banded corpus scan: with `sliceStatsCols`
+    * sidecars recorded by the loop, only the slice FILES whose recorded
+    * range intersects are opened ([[DataSkipping.prunedReadDirs]];
+    * sidecar-less slices read unpruned). Returns rows identical to
+    * `accepted(...).filter(band)` minus the `batch` partition column
+    * (the banded read lists live leaf files explicitly, which is also
+    * what lets plain and rewritten slices share ONE scan).
+    */
+  def acceptedBanded(
+      spark: SparkSession, acceptedDir: String,
+      ranges: Seq[DataSkipping.ColRange])
+      : Option[(DataFrame, DataSkipping.PruneInfo)] = {
+    val f = graft.util.StoreProtocol.fs(spark, acceptedDir)
+    val names = graft.util.SliceRewrite.sliceNames(spark, acceptedDir, "batch")
+    if (names.isEmpty) None
+    else Some(DataSkipping.prunedReadDirs(spark,
+      names.map(n => graft.util.SliceRewrite
+        .liveReadPath(f, s"$acceptedDir/$n")), ranges))
+  }
 
   /** Rolling-window retention for the always-on loop — the streaming
     * counterpart of [[graft.crawl.RetentionPolicy]]'s age rule, keyed on

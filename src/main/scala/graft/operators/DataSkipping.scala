@@ -353,6 +353,62 @@ object DataSkipping {
     (filtered.drop("_z"), PruneInfo(all.size, survivors.size))
   }
 
+  /** Lenient multi-directory pruned read — the STORE adoption form of
+    * [[prunedRead]] ([[graft.crawl.FrontierStore.readBanded]], corpus
+    * slice scans): each dir's `_SKIP` sidecar prunes its own files; a dir
+    * WITHOUT a sidecar contributes every file unpruned (stores adopt the
+    * layer incrementally — old bucket versions written before the hook
+    * simply don't skip), and the union reads as ONE parquet scan with the
+    * range predicates pushed down, never a per-dir plan union.
+    *
+    * Same soundness shape as [[prunedRead]]: the file universe is what's
+    * on disk, absent stats never prune, and the returned rows equal a
+    * full scan + filter of all `dirs`.
+    */
+  def prunedReadDirs(
+      spark: SparkSession, dirs: Seq[String],
+      ranges: Seq[ColRange]): (DataFrame, PruneInfo) = {
+    require(ranges.nonEmpty, "prunedReadDirs needs at least one column range")
+    require(dirs.nonEmpty, "prunedReadDirs needs at least one directory")
+    val perDir = dirs.map { dir =>
+      val fs = StoreProtocol.fs(spark, dir)
+      val all = dataFiles(fs, dir)
+      val plain =
+        if (dir.endsWith("/*.parquet")) dir.dropRight("/*.parquet".length)
+        else dir
+      val stats = tryReadStats(spark, plain)
+      val survivors = all.filter { p =>
+        ranges.forall { r =>
+          stats.get((p.getName, r.col)).flatten
+            .forall { case (lo, hi) => hi >= r.lo && lo <= r.hi }
+        }
+      }
+      (all.size, survivors.map(_.toString))
+    }
+    val total = perDir.map(_._1).sum
+    val survivorPaths = perDir.flatMap(_._2)
+    val base =
+      if (survivorPaths.isEmpty)
+        // schema-complete empty frame off the first non-empty dir's plan
+        spark.read.parquet(dirs: _*).limit(0)
+      else spark.read.parquet(survivorPaths: _*)
+    val filtered = ranges.foldLeft(base) { (d, r) =>
+      d.filter(predicate(base, r))
+    }
+    (filtered.drop("_z"), PruneInfo(total, survivorPaths.size))
+  }
+
+  /** [[readStats]] that treats an absent sidecar as "no stats for any
+    * file" (lenient adoption), instead of failing.
+    */
+  private def tryReadStats(
+      spark: SparkSession,
+      dir: String): Map[(String, String), Option[(Long, Long)]] = {
+    val fs = StoreProtocol.fs(spark, dir)
+    if (!fs.exists(new Path(dir, StatsDir))) Map.empty
+    else readStats(spark, dir)
+  }
+
   /** Exact MAX of an integral column from parquet footers alone — the
     * metadata-only form of `read.agg(max(col.cast("long")))` for columns
     * whose physical+logical type makes the footer stats value-identical

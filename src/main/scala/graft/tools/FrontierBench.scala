@@ -108,6 +108,44 @@ object FrontierBench {
         .count())
     }
 
+    // file-skipping payoff on the time-banded sweep: in a drifting crawl
+    // the OLD rows concentrate in the buckets whose domains went quiet;
+    // buckets whose every file is fresher than the cutoff are never
+    // OPENED by the banded age scan (bucket-commit `_SKIP` sidecars).
+    // Scenario: an old cohort localized to buckets 0-7 (domains that
+    // stopped), then a full-width fresh cohort — the sweep should read
+    // ~1/8 of the journal's files.
+    def cohort(rows: Long, prefix: String, t: Long) =
+      spark.range(rows).select(
+        concat(lit(s"http://$prefix"), col("id") % (rows / 10 + 1),
+          lit(".com/p"), col("id") % 7).as("url"),
+        concat(lit(prefix), col("id") % (rows / 10 + 1), lit(".com")).as("pld"),
+        lit("FETCHED").as("status"),
+        (lit(t) + col("id") % 1000).as("statusTime"),
+        lit(1.0f).as("score"), lit(0L).as("nextFetchTime"))
+    val root2 = java.nio.file.Files
+      .createTempDirectory("frontier_band").toString
+    val oldCohort = cohort(n / 8, "olddom", 1700000000000L)
+      .filter(pmod(xxhash64(col("pld")), lit(64)) < 8)
+    time("banded-sweep setup: old cohort (buckets 0-7) + fresh full-width") {
+      FrontierStore.mergeInto(spark, root2, oldCohort)
+      FrontierStore.mergeInto(spark, root2,
+        cohort(n, "newdom", 1705000000000L))
+    }
+    val bandCutoff = 1700000001000L
+    time("age sweep, banded (sidecar file skipping)") {
+      val Some((banded, info)) = FrontierStore.readBanded(spark, root2,
+        Seq(graft.operators.DataSkipping
+          .ColRange("statusTime", Long.MinValue, bandCutoff)))
+      println(s"  rows: ${banded.count()}  files opened: " +
+        s"${info.filesRead}/${info.filesTotal}")
+    }
+    time("age sweep, full scan (same predicate, no skipping)") {
+      println("  rows: " + FrontierStore.read(spark, root2).get
+        .filter(col("statusTime") <= bandCutoff).count())
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root2))
+
     // BASELINE.md scheduler target: drain a 10k-entry top-K selection per
     // round inside the reference's 200 ms average cadence budget. Same
     // plan shape as CrawlTopology's candidates block (eligibility gate,
