@@ -683,6 +683,7 @@ object Crawler {
     import graft.crawl.FrontierStore
     val base = java.nio.file.Files
       .createTempDirectory("graft-q118").toString
+    TextQueries.guardGate(base) {
     val root = base + "/frontier"
     FrontierStore.mergeInto(spark, root, syntheticFrontier(spark, dir),
       buckets = 16)
@@ -701,6 +702,7 @@ object Crawler {
     }
     rm(java.nio.file.Path.of(base))
     out
+    }
   }
 
   val frontierRetireSql: String =
@@ -728,6 +730,7 @@ object Crawler {
     import graft.crawl.{FrontierStore, RetentionConfig, RetentionPolicy}
     val base = java.nio.file.Files
       .createTempDirectory("graft-q119").toString
+    TextQueries.guardGate(base) {
     // collision-free url space (one row per order): the q16 mod-40
     // fixture saturates terminal recency as SF grows (every url's max
     // statusTime drifts to the dataset max), which empties both time
@@ -760,6 +763,7 @@ object Crawler {
     }
     rm(java.nio.file.Path.of(base))
     out
+    }
   }
 
   val retentionCandidatesSql: String =

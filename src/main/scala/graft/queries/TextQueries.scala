@@ -45,6 +45,19 @@ object TextQueries {
     }
   }
 
+  /** Failure-path reclamation for the temp-dir gates: the success path
+    * cleans up via [[materializedWithCleanup]] AFTER pinning values, but
+    * a THROW anywhere inside the gate body would strand the fixture —
+    * multi-GB at sf1. Guards rethrow after best-effort deletion.
+    */
+  private[graft] def guardGate[A](base: String)(body: => A): A =
+    try body
+    catch {
+      case t: Throwable =>
+        try deleteRecursively(base) catch { case _: Throwable => () }
+        throw t
+    }
+
   // DuckDB-dialect builders mirroring TextOps/Similarity formulas
   private val dTokens = """string_split_regex(trim(text), '\s+')"""
   private val dShingles =
@@ -387,6 +400,7 @@ object TextQueries {
         .union(Seq((2000L, 2001L)).toDF("a", "b"))
       val base = java.nio.file.Files
         .createTempDirectory("graft_labelstore_q_").toString
+      TextQueries.guardGate(base) {
       val root = base + "/store"
       val meta = LabelStore.Meta(buckets = 8)
       graft.util.StageTimer.time("fold_b1")(
@@ -397,6 +411,7 @@ object TextQueries {
         LabelStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(LabelStore.labels(s, root)) {
         deleteRecursively(base)
+      }
       }
     }),
     "q108_bucketed_join" -> ((s, d) => {
@@ -410,6 +425,7 @@ object TextQueries {
       val tag = java.util.UUID.randomUUID.toString.replace("-", "")
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucketed_").toString
+      TextQueries.guardGate(base) {
       val ta = s"graft_docs_$tag"
       val tb = s"graft_embs_$tag"
       CorpusLayout.writeBucketed(
@@ -428,6 +444,7 @@ object TextQueries {
         s.sql(s"DROP TABLE IF EXISTS $ta")
         s.sql(s"DROP TABLE IF EXISTS $tb")
         deleteRecursively(base)
+      }
       }
     }),
     "q107_incr_components" -> ((s, d) => {
@@ -600,6 +617,7 @@ object TextQueries {
       val all = docs(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft-q115").toString
+      TextQueries.guardGate(base) {
       val root = base + "/store"
       val meta = SignatureIndexStore.Meta(
         cfg.indexBuckets, cfg.numHashes, cfg.bandSize)
@@ -630,6 +648,7 @@ object TextQueries {
             concat_ws(",", col("sig").cast("array<string>")).as("sig"))) {
         deleteRecursively(base)
       }
+      }
     }),
     "q116_ann_retire" -> ((s, d) => {
       // retirement through the durable ANN index: grow the store the way
@@ -642,6 +661,7 @@ object TextQueries {
       val e = embs(s, d)
       val base = java.nio.file.Files
         .createTempDirectory("graft-q116").toString
+      TextQueries.guardGate(base) {
       val root = base + "/store"
       graft.util.StageTimer.time("build")(
         AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
@@ -662,6 +682,7 @@ object TextQueries {
           "vec_id", "embedding", k = 5, nprobe = 8)
           .select("query_id", "neighbor_id", "cos", "rn")) {
         deleteRecursively(base)
+      }
       }
     }),
     "q117_label_retire" -> ((s, d) => {
@@ -684,6 +705,7 @@ object TextQueries {
         .select((col("doc_id") + 1).as("a"), (col("doc_id") + 6).as("b"))
       val base = java.nio.file.Files
         .createTempDirectory("graft-q117").toString
+      TextQueries.guardGate(base) {
       val root = base + "/store"
       val meta = LabelStore.Meta(buckets = 8)
       graft.util.StageTimer.time("fold_b1")(
@@ -696,6 +718,7 @@ object TextQueries {
         LabelStore.compact(s, root, keepNewest = 1))
       materializedWithCleanup(LabelStore.labels(s, root)) {
         deleteRecursively(base)
+      }
       }
     }),
     "q120_event_ttl" -> ((s, d) => {
@@ -710,6 +733,7 @@ object TextQueries {
       import graft.operators.CorpusIngest
       val base = java.nio.file.Files
         .createTempDirectory("graft-q120").toString
+      TextQueries.guardGate(base) {
       val dir = base + "/accepted"
       val sliced = docs(s, d).select(col("doc_id"),
         pmod(col("doc_id"), lit(8L)).cast("long").as("src_batch"),
@@ -739,6 +763,7 @@ object TextQueries {
             StructField("fired_at", LongType))))
       }
       materializedWithCleanup(out) { deleteRecursively(base) }
+      }
     }),
     "q121_zorder_skip" -> ((s, d) => {
       // Z-order layout + footer-stats file skipping (DataSkipping)
@@ -753,6 +778,7 @@ object TextQueries {
       import graft.operators.DataSkipping.ColRange
       val base = java.nio.file.Files
         .createTempDirectory("graft-q121").toString
+      TextQueries.guardGate(base) {
       val dir = base + "/events_z"
       DataSkipping.writeZOrdered(
         Tables.events(s, d), dir, Seq("user_id", "ts"), nFiles = 32)
@@ -765,6 +791,7 @@ object TextQueries {
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("sum_value"))) { deleteRecursively(base) }
+      }
     }),
     "q101_store_dedup" -> ((s, d) => {
       // q62's incremental-dedup semantics driven through the DURABLE
@@ -777,6 +804,7 @@ object TextQueries {
       val all = docs(s, d)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q101").toString
+      TextQueries.guardGate(root) {
       graft.util.StageTimer.time("append_b0")(
         SignatureIndexStore.append(s, root,
           CorpusIngest.signatureIndex(
@@ -787,6 +815,7 @@ object TextQueries {
         CorpusIngest.signatureIndex(
           all.filter(col("doc_id") % 2 === 1), "doc_id", "text", cfg),
         cfg.threshold)
+      }
     }),
     "q103_ann_ingest_gate" -> ((s, d) => {
       // the round-10 loop composition: a standing ANN index GROWN the way
@@ -801,6 +830,7 @@ object TextQueries {
       val e = embs(s, d)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q103").toString
+      TextQueries.guardGate(root) {
       AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
         "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1)
       AnnIndexStore.append(s, root,
@@ -809,6 +839,7 @@ object TextQueries {
         "vec_id", "embedding", k = 1, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           (col("cos") >= 0.3).cast("bigint").as("is_dup"))
+      }
     }),
     "q104_semantic_keepers" -> ((s, d) => {
       // the within-batch SemDeDup keeper SET (CorpusIngest.annStage's
@@ -909,6 +940,7 @@ object TextQueries {
       val e = embs(s, d)
       val root = java.nio.file.Files
         .createTempDirectory("graft-q102").toString
+      TextQueries.guardGate(root) {
       // one Lloyd round: training quality is irrelevant under
       // exhaustive probing (cells partition candidates, never drop them)
       AnnIndexStore.build(s, root, e, "vec_id", "embedding",
@@ -916,6 +948,7 @@ object TextQueries {
       AnnIndexStore.query(s, root, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, nprobe = 8)
         .select("query_id", "neighbor_id", "cos", "rn")
+      }
     }),
     "q28_ann_lsh" -> ((s, d) => {
       val e = embs(s, d)

@@ -17,7 +17,7 @@ import graft.operators.CorpusIngest
   * write). Prints one JSON line.
   *
   * args: [batches=40] [docsPerBatch=5000] [keepBatches=8] [feed=count|time]
-  *       [compactEvery=10]
+  *       [compactEvery=10] [autoCompact=32 — used when compactEvery=0]
   */
 object RollingWindowBench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +26,7 @@ object RollingWindowBench {
     val keepBatches = args.lift(2).map(_.toInt).getOrElse(8)
     val feedKind = args.lift(3).getOrElse("count")
     val compactEvery = args.lift(4).map(_.toInt).getOrElse(10)
+    val autoCompact = args.lift(5).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -70,7 +71,7 @@ object RollingWindowBench {
     val q = CorpusIngest.streamingIndexed(
       input.toDS().toDF("doc_id", "text", "captureMs"), "doc_id", "text",
       s"$dir/index", s"$dir/accepted", retireFeed = feed,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery, autoCompactBatches = autoCompact)
     val wall = new Array[Double](batches)
     val feedSec = new Array[Double](batches)
     try {
@@ -93,6 +94,7 @@ object RollingWindowBench {
     println(s"""{"bench":"rolling_window","feed":"$feedKind",""" +
       s""""batches":$batches,"docs_per_batch":$docsPerBatch,""" +
       s""""keep_batches":$keepBatches,"compact_every":$compactEvery,""" +
+      s""""auto_compact":$autoCompact,""" +
       s""""standing_docs":$standing,""" +
       f""""batch_first_half_mean_s":$h1%.3f,""" +
       f""""batch_second_half_mean_s":$h2%.3f,""" +
