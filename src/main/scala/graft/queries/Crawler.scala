@@ -786,7 +786,117 @@ object Crawler {
       |   OR (status = 'FETCHED'
       |       AND 900000000000 - statusTime >= 50000000000)""".stripMargin
 
+  /** WARC member-per-record gzip round trip (W1's gzip form — reference
+    * WARCFileWriter.java:96-170): archive a synthesized content frame
+    * through [[graft.sinks.Sinks.writeWarcContentGzipMembers]] (one gzip
+    * member per record, rolling segments) and read it back through the
+    * one [[graft.sources.WarcSource]] — the gate is value-identity of
+    * status, redirect target, millisecond stamp, and the BODY (multi-byte
+    * text plus embedded blank lines, the Content-Length octet-walk case)
+    * after a real gzip+parse round trip. Upgrades the gzip-member path
+    * from spec-tier to oracle-gated.
+    */
+  def warcGzipRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q122").toString
+    TextQueries.guardGate(base) {
+      val o = col("o_orderkey")
+      val content = t(spark, dir, "orders").select(
+        concat(lit("http://d"), col("o_custkey") % 20, lit(".com/o/"), o)
+          .as("url"),
+        when(o % 7 === 0, 301).otherwise(200).as("statusCode"),
+        lit("text/html; charset=UTF-8").as("contentType"),
+        map(lit("Content-Type"), array(lit("text/html; charset=UTF-8")))
+          .as("headers"),
+        encode(concat(lit("page "), o, lit(" body é\r\n\r\nsecond line")),
+          "UTF-8").as("content"),
+        (lit(1700000000000L) + o * 1000).as("fetchTimeMs"),
+        when(o % 7 === 0, concat(lit("http://t.com/m"), o))
+          .otherwise(lit("")).as("redirectedTo"))
+      graft.sinks.Sinks.writeWarcContentGzipMembers(content, s"$base/warc")
+      val out = graft.sources.WarcSource.read(spark, s"$base/warc")
+        .select(col("url"), col("statusCode").cast("long").as("status"),
+          col("content"), col("redirectedTo").as("redirect"),
+          col("fetchTimeMs"))
+        .localCheckpoint(true) // pin, then reclaim the archive fixture
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(java.nio.file.Path.of(base))
+      out
+    }
+  }
+
+  val warcGzipRoundTripSql: String =
+    """SELECT
+      |  'http://d' || (o_custkey % 20) || '.com/o/' || o_orderkey AS url,
+      |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 301 ELSE 200 END AS BIGINT)
+      |    AS status,
+      |  'page ' || o_orderkey || ' body é' || chr(13) || chr(10) ||
+      |    chr(13) || chr(10) || 'second line' AS content,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'http://t.com/m' || o_orderkey
+      |       ELSE '' END AS redirect,
+      |  CAST(1700000000000 + o_orderkey * 1000 AS BIGINT) AS fetchTimeMs
+      |FROM orders""".stripMargin
+
+  /** Time-banded frontier read through the `_SKIP` sidecar layer
+    * ([[graft.crawl.FrontierStore.readBanded]] over bucket commits that
+    * recorded footer-stats sidecars): the store is built through the
+    * real merge path, then read under a statusTime band — the gate is
+    * value-identity with the plain filter (prune SOUNDNESS; the
+    * files-opened fraction is pinned in DataSkippingStoreSpec and
+    * measured in FrontierBench). Same unique-url fixture discipline as
+    * q119, so the merge is row-preserving and the oracle is a pure
+    * projection + filter.
+    */
+  def frontierBandedRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawl.FrontierStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q123").toString
+    TextQueries.guardGate(base) {
+      val fr = t(spark, dir, "orders").select(
+        concat(lit("http://d"), col("o_custkey") % 20, lit(".com/q"),
+          col("o_orderkey")).as("url"),
+        concat(lit("d"), col("o_custkey") % 20, lit(".com")).as("pld"),
+        when(col("o_orderstatus") === "F", FS.FETCHED)
+          .when(col("o_orderstatus") === "O", FS.UNFETCHED)
+          .otherwise(FS.QUEUED).as("status"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("statusTime"),
+        col("o_totalprice").cast(dec).as("score"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) + 1000L)
+          .as("nextFetchTime"))
+      FrontierStore.mergeInto(spark, s"$base/frontier", fr, buckets = 16)
+      val cutoff = 893462400000L // 1998-04-25T00:00:00Z, the median orderdate
+      val (banded, _) = FrontierStore.readBanded(spark, s"$base/frontier",
+        Seq(graft.operators.DataSkipping
+          .ColRange("statusTime", Long.MinValue, cutoff))).get
+      val out = banded.select(col("url"), col("status"), col("statusTime"))
+        .localCheckpoint(true) // pin, then reclaim the store fixture
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(java.nio.file.Path.of(base))
+      out
+    }
+  }
+
+  val frontierBandedReadSql: String =
+    """SELECT
+      |  'http://d' || (o_custkey % 20) || '.com/q' || o_orderkey AS url,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'FETCHED'
+      |       WHEN o_orderstatus = 'O' THEN 'UNFETCHED'
+      |       ELSE 'QUEUED' END AS status,
+      |  epoch_ms(o_orderdate) AS statusTime
+      |FROM orders
+      |WHERE epoch_ms(o_orderdate) <= 893462400000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_warc_gzip" -> (warcGzipRoundTrip _),
+    "q123_frontier_banded" -> (frontierBandedRead _),
     "q118_frontier_retire" -> (frontierRetire _),
     "q119_retention" -> (retentionCandidates _),
     "q14_url_normalize" -> (urlNormalize _),
@@ -808,6 +918,8 @@ object Crawler {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q122_warc_gzip" -> warcGzipRoundTripSql,
+    "q123_frontier_banded" -> frontierBandedReadSql,
     "q118_frontier_retire" -> frontierRetireSql,
     "q119_retention" -> retentionCandidatesSql,
     "q14_url_normalize" -> urlNormalizeSql,
