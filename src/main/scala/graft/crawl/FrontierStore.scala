@@ -193,9 +193,17 @@ object FrontierStore {
       // the bucket files whose range intersects ([[readBanded]]).
       // Freshness holds by construction: bucket versions are new-named
       // dirs, so a sidecar can never describe rewritten files; buckets
-      // from before this hook simply have no sidecar and read unpruned
-      graft.operators.DataSkipping.writeStats(
+      // from before this hook simply have no sidecar and read unpruned.
+      // Best-effort: a failed stats write must NOT abort a data commit
+      // whose renames already landed — an absent sidecar is merely
+      // unpruned (the lenient-read contract), never wrong
+      try graft.operators.DataSkipping.writeStats(
         spark, dst.toString, StatsCols)
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.crawl.FrontierStore")
+          .warn(s"skip-stats sidecar for $dst failed (bucket reads " +
+            s"unpruned until the next rewrite): $e")
+      }
     }
     f.delete(new Path(staging), true)
 

@@ -117,9 +117,23 @@ final class HttpFetcher(
         s"Content-Length ${declaredLen.get} exceeds " +
           s"maxContentBytes=${cfg.maxContentBytes} for $url")
     }
-    val (bytes, truncated) =
+    val (raw, truncated) =
       HttpFetcher.readCapped(resp.body(), cfg.maxContentBytes,
         deadlineNanos, url)
+    // some servers compress unasked (we send no Accept-Encoding):
+    // a gzip/deflate body must not reach parse as binary garbage.
+    // Decompression is CAPPED at maxContentBytes (a zip bomb costs at
+    // most the configured budget) and best-effort: a truncated or
+    // malformed stream keeps the raw bytes (the parse stage's problem,
+    // same as any other corrupt body).
+    val bytes = UrlFunctions.headerFirst(headers, "Content-Encoding")
+      .map(_.trim.toLowerCase(Locale.ROOT)) match {
+      case Some("gzip") if !truncated =>
+        HttpFetcher.inflateCapped(raw, cfg.maxContentBytes, gzip = true)
+      case Some("deflate") if !truncated =>
+        HttpFetcher.inflateCapped(raw, cfg.maxContentBytes, gzip = false)
+      case _ => raw
+    }
     val code = resp.statusCode()
     val redirect =
       if (code >= 300 && code < 400)
@@ -183,6 +197,42 @@ object HttpFetcher {
     if (uri.getHost == null)
       throw new URISyntaxException(url, "missing or unparsable host")
     uri
+  }
+
+  /** Best-effort capped decompression of a complete gzip/deflate body:
+    * at most `max` bytes out (bomb-bounded), raw bytes back on any
+    * malformation. `deflate` tries zlib-wrapped first, then the raw
+    * stream some servers send despite the name.
+    */
+  private def inflateCapped(
+      raw: Array[Byte], max: Int, gzip: Boolean): Array[Byte] = {
+    def drain(in: java.io.InputStream): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream(math.min(max, 16384))
+      val chunk = new Array[Byte](8192)
+      try {
+        var n = in.read(chunk)
+        while (n >= 0 && buf.size() < max) {
+          buf.write(chunk, 0, math.min(n, max - buf.size()))
+          n = if (buf.size() < max) in.read(chunk) else -1
+        }
+      } finally in.close()
+      buf.toByteArray
+    }
+    def tryWith(mk: => java.io.InputStream): Option[Array[Byte]] =
+      try Some(drain(mk))
+      catch { case _: java.io.IOException |
+                   _: java.util.zip.ZipException => None }
+    val out =
+      if (gzip)
+        tryWith(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw)))
+      else
+        tryWith(new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(raw)))
+          .orElse(tryWith(new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(raw),
+            new java.util.zip.Inflater(true))))
+    out.filter(_.nonEmpty).getOrElse(raw)
   }
 
   /** Read at most `max` bytes; returns (bytes, truncated). The watchdog

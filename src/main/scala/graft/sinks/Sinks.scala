@@ -148,8 +148,13 @@ object Sinks {
         }
         def closeSegment(): Unit = if (out != null) {
           out.close()
-          fs.rename(current, new org.apache.hadoop.fs.Path(dir,
-            current.getName.stripSuffix(".inprogress")))
+          val done = new org.apache.hadoop.fs.Path(dir,
+            current.getName.stripSuffix(".inprogress"))
+          // a silent rename failure would LOSE the segment (readers match
+          // only *.warc.gz) — fail the task instead, Spark retries it
+          if (!fs.rename(current, done))
+            throw new java.io.IOException(
+              s"failed to commit WARC segment $current -> $done")
           out = null
           seq += 1
         }

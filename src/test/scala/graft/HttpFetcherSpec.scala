@@ -1,5 +1,6 @@
 package graft
 
+import java.io.ByteArrayOutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
@@ -108,6 +109,29 @@ class HttpFetcherSpec extends AnyFunSuite with BeforeAndAfterAll {
       respond(ex, 301, Array.empty,
         "Location" -> s"http://127.0.0.1:$port/lengthened")
     })
+    server.createContext("/gzipped", handler { ex =>
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("unzipped text é".getBytes(StandardCharsets.UTF_8))
+      gz.close()
+      respond(ex, 200, bos.toByteArray,
+        "Content-Type" -> "text/plain; charset=UTF-8",
+        "Content-Encoding" -> "gzip")
+    })
+    server.createContext("/lying-gzip", handler { ex =>
+      respond(ex, 200, "actually plain".getBytes(StandardCharsets.UTF_8),
+        "Content-Type" -> "text/plain",
+        "Content-Encoding" -> "gzip")
+    })
+    server.createContext("/deflated", handler { ex =>
+      val bos = new ByteArrayOutputStream()
+      val df = new java.util.zip.DeflaterOutputStream(bos)
+      df.write("deflated text".getBytes(StandardCharsets.UTF_8))
+      df.close()
+      respond(ex, 200, bos.toByteArray,
+        "Content-Type" -> "text/plain",
+        "Content-Encoding" -> "deflate")
+    })
     server.start()
   }
 
@@ -214,6 +238,18 @@ class HttpFetcherSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (bad <- Seq("ftp://example.com/x", "http:///nohost", "not a url"))
       assert(Fetcher.safeFetch(fetcher, bad).statusCode == -2,
         s"$bad should be ERROR_INVALID_URL")
+  }
+
+  test("unsolicited Content-Encoding is decompressed, capped, and never trusted blindly") {
+    // no Accept-Encoding is sent, but some servers compress anyway —
+    // the body must reach parse as text, not binary garbage
+    val g = fetcher.fetch(base("/gzipped"))
+    assert(g.content == "unzipped text é", s"got '${g.content}'")
+    val d = fetcher.fetch(base("/deflated"))
+    assert(d.content == "deflated text")
+    // a header that LIES (says gzip, body plain) keeps the raw bytes
+    val l = fetcher.fetch(base("/lying-gzip"))
+    assert(l.content == "actually plain")
   }
 
   test("the lengthener resolves shorteners through the live fetcher") {
