@@ -37,6 +37,8 @@ object ArchiveFetch {
       .when(code === 404, FS.HTTP_NOTFOUND)
       .when(code === 410, FS.HTTP_GONE)
       .when(code === 429, FS.HTTP_TOO_MANY_REQUESTS)
+      .when(code.between(300, 399), FS.HTTP_REDIRECTED)
+      .when(code.between(400, 499), FS.HTTP_CLIENT_ERROR)
       .when(code >= 500, FS.HTTP_SERVER_ERROR)
       .when(code === -2, FS.ERROR_INVALID_URL)
       .when(code === -3, FS.ABORTED_FETCH)
@@ -54,6 +56,7 @@ object ArchiveFetch {
       .when(status === FS.HTTP_NOTFOUND, 404)
       .when(status === FS.HTTP_GONE, 410)
       .when(status === FS.HTTP_TOO_MANY_REQUESTS, 429)
+      .when(status === FS.HTTP_CLIENT_ERROR, 400)
       .when(status === FS.HTTP_SERVER_ERROR, 500)
       .when(status === FS.ERROR_INVALID_URL, -2)
       .when(status === FS.ABORTED_FETCH, -3)

@@ -34,6 +34,10 @@ object FetchStatus {
   val HTTP_UNAUTHORIZED = "HTTP_UNAUTHORIZED"
   val HTTP_SERVER_ERROR = "HTTP_SERVER_ERROR"
   val HTTP_TOO_MANY_REQUESTS = "HTTP_TOO_MANY_REQUESTS"
+  // the reference's generic 4xx bucket (ExceptionUtils.java:51-52) —
+  // unnamed client errors (400, 451, …) are a terminal HTTP outcome,
+  // not an IO exception
+  val HTTP_CLIENT_ERROR = "HTTP_CLIENT_ERROR"
   val HTTP_GONE = "HTTP_GONE"
   val HTTP_MOVED = "HTTP_MOVED"
   val HTTP_REDIRECTED = "HTTP_REDIRECTED"
@@ -93,6 +97,7 @@ object FetchStatus {
     case HTTP_NOTFOUND => 404
     case HTTP_GONE => 410
     case HTTP_TOO_MANY_REQUESTS => 429
+    case HTTP_CLIENT_ERROR => 400
     case HTTP_SERVER_ERROR => 500
     case ERROR_INVALID_URL => -2
     case ABORTED_FETCH => -3
@@ -109,6 +114,11 @@ object FetchStatus {
     case 404 => HTTP_NOTFOUND
     case 410 => HTTP_GONE
     case 429 => HTTP_TOO_MANY_REQUESTS
+    // generic buckets, reference ExceptionUtils.java:46-56: unnamed 3xx
+    // are redirection-class, unnamed 4xx client-error-class — neither is
+    // an IO exception (a live web serves 300/304/400/451 routinely)
+    case c if c >= 300 && c < 400 => HTTP_REDIRECTED
+    case c if c >= 400 && c < 500 => HTTP_CLIENT_ERROR
     case c if c >= 500 => HTTP_SERVER_ERROR
     case -2 => ERROR_INVALID_URL
     case -3 => ABORTED_FETCH

@@ -315,12 +315,21 @@ class ArchiveFetchSpec extends AnyFunSuite {
 
   test("httpStatusToFetchStatusCol matches the scalar mapping") {
     import spark.implicits._
-    val codes = Seq(200, 204, 301, 302, 308, 401, 403, 404, 410, 429, 500, 503, 100)
+    val codes = Seq(200, 204, 301, 302, 308, 401, 403, 404, 410, 429,
+      // generic redirection/client-error buckets (300/304/400/451) —
+      // terminal HTTP outcomes, never ERROR_IOEXCEPTION
+      300, 304, 400, 451, 500, 503, 100)
     val got = codes.toDF("code")
       .select(ArchiveFetch.httpStatusToFetchStatusCol(col("code")).as("s"))
       .collect().map(_.getString(0))
     val want = codes.map(graft.schema.FetchStatus.fromHttpStatus)
     assert(got.toSeq == want)
+    import graft.schema.{FetchStatus => F}
+    assert(F.fromHttpStatus(400) == F.HTTP_CLIENT_ERROR &&
+      F.fromHttpStatus(304) == F.HTTP_REDIRECTED)
+    // WARC replay round trip holds for the new bucket too
+    assert(F.fromHttpStatus(F.toHttpStatus(F.HTTP_CLIENT_ERROR)) ==
+      F.HTTP_CLIENT_ERROR)
   }
 }
 
