@@ -187,21 +187,27 @@ object FrontierStore {
         throw new java.io.IOException(
           s"failed to commit bucket $b to $dst — aborting before the " +
             "manifest so the previous version stays intact")
-      // file-skipping sidecar for the NEW bucket version (metadata-only,
-      // footer-derived): time-banded scans — the retention candidate
-      // rules' statusTime age bands, due-before-now schedules — open only
-      // the bucket files whose range intersects ([[readBanded]]).
-      // Freshness holds by construction: bucket versions are new-named
-      // dirs, so a sidecar can never describe rewritten files; buckets
-      // from before this hook simply have no sidecar and read unpruned.
-      // Best-effort: a failed stats write must NOT abort a data commit
-      // whose renames already landed — an absent sidecar is merely
-      // unpruned (the lenient-read contract), never wrong
+    }
+    // file-skipping sidecars for the NEW bucket versions (metadata-only,
+    // footer-derived): time-banded scans — the retention candidate
+    // rules' statusTime age bands, due-before-now schedules — open only
+    // the bucket files whose range intersects ([[readBanded]]).
+    // Freshness holds by construction: bucket versions are new-named
+    // dirs, so a sidecar can never describe rewritten files; buckets
+    // from before this hook simply have no sidecar and read unpruned.
+    // One pooled pass ACROSS buckets (each bucket holds few files, so
+    // the per-dir pool would idle; sequential dirs would serialize the
+    // round trips — the cost that matters on object storage). Best-
+    // effort: a failed stats write must NOT abort a data commit whose
+    // renames already landed — an absent sidecar is merely unpruned
+    // (the lenient-read contract), never wrong
+    graft.util.Pooled.ordered(
+        present.toSeq, threads = 16, name = "bucketstats") { b =>
       try graft.operators.DataSkipping.writeStats(
-        spark, dst.toString, StatsCols)
+        spark, bucketPath(root, b, next), StatsCols, threads = 1)
       catch { case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger("graft.crawl.FrontierStore")
-          .warn(s"skip-stats sidecar for $dst failed (bucket reads " +
+          .warn(s"skip-stats sidecar for bucket $b v$next failed (reads " +
             s"unpruned until the next rewrite): $e")
       }
     }

@@ -148,12 +148,13 @@ object DataSkipping {
     * footer read per file. Public so a layout produced by other writers
     * (e.g. an externally sorted corpus) can adopt the skip layer too.
     */
-  def writeStats(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+  def writeStats(spark: SparkSession, dir: String, cols: Seq[String],
+      threads: Int = 16): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = StoreProtocol.fs(spark, dir)
     val files = dataFiles(fs, dir)
     val rows: Seq[String] =
-      Pooled.ordered(files, threads = 16, name = "skipstats") { p =>
+      Pooled.ordered(files, threads = threads, name = "skipstats") { p =>
         fileMinMax(conf, p, cols).map { case (c, mm) =>
           s"${p.getName}\t$c\t${mm.map(_._1.toString).getOrElse("")}" +
             s"\t${mm.map(_._2.toString).getOrElse("")}"
