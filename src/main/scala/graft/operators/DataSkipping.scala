@@ -318,7 +318,14 @@ object DataSkipping {
       spark: SparkSession, dir: String,
       ranges: Seq[ColRange]): (DataFrame, PruneInfo) = {
     require(ranges.nonEmpty, "prunedRead needs at least one column range")
-    val stats = readStats(spark, dir)
+    // the glob-suffix shape ([[graft.util.SliceRewrite.liveReadPath]])
+    // restricts the file universe inside dataFiles; every OTHER path —
+    // the sidecar, survivor file paths, the empty fallback's plan — wants
+    // the plain directory
+    val plain =
+      if (dir.endsWith("/*.parquet")) dir.dropRight("/*.parquet".length)
+      else dir
+    val stats = readStats(spark, plain)
     // the file universe is what's ON DISK, not what the sidecar knows:
     // a file written after the last writeStats (foreign appender) has no
     // sidecar row and must be read UNPRUNED, never silently dropped; a
@@ -344,10 +351,10 @@ object DataSkipping {
     }
     val base =
       if (survivors.isEmpty)
-        // schema-complete empty frame: plan over the full dir, keep zero
-        // (metadata-only — no file contents are read under limit(0))
+        // schema-complete empty frame: plan over the full universe, keep
+        // zero (metadata-only — no file contents are read under limit(0))
         spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(survivors.map(f => s"$dir/$f"): _*)
+      else spark.read.parquet(survivors.map(f => s"$plain/$f"): _*)
     val filtered = ranges.foldLeft(base) { (d, r) =>
       d.filter(predicate(base, r))
     }

@@ -288,6 +288,30 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no data files"), e.getMessage)
   }
 
+  test("prunedRead accepts the *.parquet glob shape (liveReadPath form) end to end") {
+    // plain (never-rewritten) slices hand reads around as dir/*.parquet
+    // (SliceRewrite.liveReadPath) — the sidecar, the survivor paths, and
+    // the empty fallback must all resolve against the plain dir while
+    // the universe honors the glob's .parquet restriction
+    val dir = tmp() + "/zglob"
+    val df = spark.range(2000L).select(
+      (col("id") % 100L).as("x"), (col("id") % 50L).as("y"),
+      col("id").as("payload"))
+    DataSkipping.writeZOrdered(df, dir, Seq("x", "y"), nFiles = 8)
+    val glob = s"$dir/*.parquet"
+    val (got, info) = DataSkipping.prunedRead(spark, glob,
+      Seq(ColRange("x", 0, 9)))
+    val exp = df.filter(col("x").between(0, 9))
+      .select("payload").collect().map(_.getLong(0)).toSet
+    assert(got.select("payload").collect().map(_.getLong(0)).toSet == exp)
+    assert(info.filesTotal == 8 && info.filesRead < 8, s"$info")
+    // disjoint band through the glob shape: schema-complete empty
+    val (empty, zero) = DataSkipping.prunedRead(spark, glob,
+      Seq(ColRange("x", 5000, 6000)))
+    assert(zero.filesRead == 0 && empty.isEmpty &&
+      empty.columns.contains("payload"))
+  }
+
   test("a file appended after writeStats is read unpruned, never dropped") {
     val dir = tmp() + "/zappend"
     val df = spark.range(1000L).select(
