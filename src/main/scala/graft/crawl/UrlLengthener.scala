@@ -42,7 +42,11 @@ final class UrlLengthener(
       val cached = memo.synchronized(memo.get(url))
       if (cached != null) cached
       else {
-        val page = fetcher.fetch(UrlFunctions.normalizeUrl(url))
+        // safeFetch: a dead/slow shortener must not fail the task — the
+        // error page carries no redirect, so the url passes through
+        // unchanged (reference SimpleUrlLengthener.java:104-111 returns
+        // the original url on any fetch failure)
+        val page = Fetcher.safeFetch(fetcher, UrlFunctions.normalizeUrl(url))
         val target = page.redirectedTo.getOrElse(url)
         memo.synchronized(memo.put(url, target))
         target

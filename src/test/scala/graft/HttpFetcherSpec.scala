@@ -265,5 +265,11 @@ class HttpFetcherSpec extends AnyFunSuite with BeforeAndAfterAll {
     seen.clear()
     assert(lengthener.lengthen(base("/short"), memo) == base("/lengthened"))
     assert(!seen.containsKey("/short"), "memo miss — refetched a cached URL")
+    // a DEAD shortener (connect refused) passes the url through instead
+    // of failing the task (reference SimpleUrlLengthener failure path)
+    val deadHost = new UrlLengthener(
+      fetcher, shortenerHosts = Set("127.0.0.1"), threads = 2)
+    assert(deadHost.lengthen("http://127.0.0.1:1/s", UrlLengthener.newMemo(4))
+      == "http://127.0.0.1:1/s")
   }
 }
