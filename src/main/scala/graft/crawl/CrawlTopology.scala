@@ -19,8 +19,26 @@ final case class CrawlConfig(
     minFetchScore: Float = 0.0f,
     maxOutlinksPerPage: Int = 50,
     defaultCrawlDelayMs: Long = 0L,
+    // forced > robots > default (reference CrawlToolOptions
+    // -forcecrawldelay → CheckUrlWithRobotsFunction.processUrl's
+    // _forceCrawlDelay override): when set, every allowed URL carries
+    // THIS delay even if robots.txt provides something else
+    forceCrawlDelayMs: Option[Long] = None,
     roundTickMs: Long = 1000L,         // logical clock advance per round
+    // LIVE-web pacing: when true, each round's `now` is the wall clock
+    // (System.currentTimeMillis) instead of round*roundTickMs, and the
+    // per-domain politeness clocks advance from the actual fetch
+    // completion time — so "no two hits to a domain inside its crawl
+    // delay" holds in REAL time at the socket, not just in tick units.
+    // Mock/spec crawls keep the deterministic logical clock (default).
+    wallClockRounds: Boolean = false,
     deferBlockedMs: Long = 100000000L, // reference: now + 100_000 s
+    // retry interval for SKIPPED_DEFERRED (robots UNREACHABLE, not
+    // forbidding): aligned with RobotsCache.ErrorTtlMs so by the time
+    // the URL re-arms the rules cache is willing to refetch robots —
+    // the shorter-than-blocked retry the reference leaves as its
+    // issue-53 FUTURE (CheckUrlWithRobotsFunction.java:217-221)
+    deferRetryMs: Long = RobotsCache.ErrorTtlMs,
     singleDomain: Option[String] = None,
     // focused crawling: scale each domain's per-round fetch quota by its
     // moving-average page score relative to the global mean (the reference's
@@ -149,7 +167,13 @@ final case class FetchOutcome(
     redirectedTo: String,
     // response headers (reference FetchResultUrl.java:6-109); the parse
     // stage resolves the decode charset from these BEFORE contentType
-    headers: Map[String, Seq[String]] = Map.empty)
+    headers: Map[String, Seq[String]] = Map.empty,
+    // wall-clock fetch COMPLETION time, stamped only under
+    // CrawlConfig.wallClockRounds: the politeness clock must advance
+    // from when the domain was actually hit, not from the round's start
+    // snapshot — otherwise a fetch late in round R plus an early round
+    // R+1 squeezes two hits closer than the crawl delay (0 = unstamped)
+    fetchedAtMs: Long = 0L)
 final case class RobotsVerdict(
     url: String, pld: String, score: Float,
     verdict: String, // ALLOWED | BLOCKED
@@ -191,7 +215,12 @@ object CrawlTopology {
       // pluggable fetch stage (e.g. ArchiveFetch.stage for snapshot joins);
       // defaults to per-URL mapPartitions calls through `pageFetcher`
       fetchStage: Option[Dataset[RobotsVerdict] => Dataset[FetchOutcome]] = None,
-      lengthener: Option[UrlLengthener] = None): CrawlResult = {
+      lengthener: Option[UrlLengthener] = None,
+      // sitemaps are XML, so a page fetcher restricted by mime allow-list
+      // (--htmlonly) must not gate them — the reference builds a SEPARATE
+      // sitemap fetcher (CrawlTool.java:89 getSitemapFetcherBuilder).
+      // Defaults to the page fetcher.
+      sitemapFetcher: Option[Fetcher] = None): CrawlResult = {
     import spark.implicits._
 
     // namespaces the JVM-wide robots cache for this run (tests and long
@@ -293,7 +322,9 @@ object CrawlTopology {
         !cfg.terminator.exists(_.isTerminated())) {
       round += 1
       val roundT0 = System.nanoTime()
-      val now = round * cfg.roundTickMs
+      val now =
+        if (cfg.wallClockRounds) System.currentTimeMillis()
+        else round * cfg.roundTickMs
 
       // --- domain quotas: moving average of the last `scoreWindow` page
       // scores per PLD (G1), scaled against the global mean into a fetch
@@ -327,8 +358,13 @@ object CrawlTopology {
       // --- schedule: FetchQueue semantics (per-domain fairness + global
       // top-K by score with min-score gate; UrlDBFunction/FetchQueue)
       val rawEligible = {
+        // SKIPPED_DEFERRED rows re-arm once their (short) retry interval
+        // passes — the whole point of defer-vs-block: by then the robots
+        // cache's error TTL has expired and the rules get refetched
         val base = frontier.filter(
-          col("status") === FS.UNFETCHED && col("nextFetchTime") <= now)
+          (col("status") === FS.UNFETCHED ||
+            col("status") === FS.SKIPPED_DEFERRED) &&
+            col("nextFetchTime") <= now)
         val refetch = cfg.recrawlIntervalMs.map { interval =>
           val f = frontier.filter(col("status") === FS.FETCHED)
           cfg.adaptiveRecrawl match {
@@ -409,19 +445,29 @@ object CrawlTopology {
               val rules = RobotsCache.rulesFor(rUrl, rf, scope = runScope)
               val path = UrlFunctions.robotsPath(c.url)
               if (!rules.isAllowed(path))
-                RobotsVerdict(c.url, c.pld, c.score, "BLOCKED", 0L, rules.sitemaps)
+                // unreachable robots (5xx/exception) DEFERS the visit —
+                // retryable on the error TTL — instead of blocking it
+                RobotsVerdict(c.url, c.pld, c.score,
+                  if (rules.deferVisits) "DEFERRED" else "BLOCKED",
+                  0L, rules.sitemaps)
               else
                 RobotsVerdict(c.url, c.pld, c.score, "ALLOWED",
-                  rules.crawlDelayMs.getOrElse(cfg.defaultCrawlDelayMs),
+                  cfg.forceCrawlDelayMs.getOrElse(
+                    rules.crawlDelayMs.getOrElse(cfg.defaultCrawlDelayMs)),
                   rules.sitemaps)
             }
           }
           .localCheckpoint(true)
 
         val blocked = verdicts
-          .filter(_.verdict == "BLOCKED")
-          .map(v => CrawlStateUrl(v.url, v.pld, FS.SKIPPED_BLOCKED, now,
-            v.score, now + cfg.deferBlockedMs))
+          .filter(v => v.verdict == "BLOCKED" || v.verdict == "DEFERRED")
+          .map(v =>
+            if (v.verdict == "DEFERRED")
+              CrawlStateUrl(v.url, v.pld, FS.SKIPPED_DEFERRED, now,
+                v.score, now + cfg.deferRetryMs)
+            else
+              CrawlStateUrl(v.url, v.pld, FS.SKIPPED_BLOCKED, now,
+                v.score, now + cfg.deferBlockedMs))
           .toDF()
         journal(round, "robots", blocked.select(col("url"), col("status")))
 
@@ -429,6 +475,7 @@ object CrawlTopology {
         // the anti-join against seenSitemaps keeps an active domain's
         // sitemap from being refetched every round for the crawl's life
         val pf = pageFetcher
+        val smf = sitemapFetcher.getOrElse(pageFetcher)
         val sitemapFetches = verdicts
           .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
           .distinct()
@@ -442,7 +489,7 @@ object CrawlTopology {
             graft.util.Pooled.unordered(
                 it, cfg.fetchThreads, name = "sitemap") {
               case (_, sitemapUrl) =>
-                val page = Fetcher.safeFetch(pf, sitemapUrl)
+                val page = Fetcher.safeFetch(smf, sitemapUrl)
                 val links =
                   if (page.statusCode == 200)
                     HtmlParser.parseSitemap(page.content)
@@ -475,6 +522,7 @@ object CrawlTopology {
         // --- fetch (FetchUrlsFunction): politeness is already enforced by
         // the per-domain schedule cap; redirects surface as HTTP_MOVED with
         // the target re-entering the loop as a new URL
+        val stampWall = cfg.wallClockRounds
         val liveFetch: Dataset[RobotsVerdict] => Dataset[FetchOutcome] =
           allowed => allowed.mapPartitions { it =>
             // pooled unordered drain (FetchUrlsFunction's thread pool):
@@ -510,7 +558,13 @@ object CrawlTopology {
                   }
                 else page.headers
               FetchOutcome(v.url, v.pld, status, v.score, v.crawlDelay,
-                body, ct, page.redirectedTo.getOrElse(""), headers)
+                body, ct, page.redirectedTo.getOrElse(""), headers,
+                // completion stamp AFTER the fetch returned: the server
+                // was hit no later than this, so clock-from-here spaces
+                // real hits by >= crawlDelay (wall mode only — logical
+                // crawls must stay deterministic)
+                fetchedAtMs =
+                  if (stampWall) System.currentTimeMillis() else 0L)
             }
           }
         // in-round crawl-delay enforcement: a domain with a positive delay
@@ -567,11 +621,15 @@ object CrawlTopology {
             .localCheckpoint(true)
         }
 
-        // advance the politeness clocks for delayed domains
+        // advance the politeness clocks for delayed domains — from the
+        // latest actual fetch completion when wall-paced (fetchedAtMs is
+        // 0 on logical crawls and archive stages, so greatest() degrades
+        // to the round snapshot there)
         val newClocks = fetched.toDF()
           .filter(col("crawlDelay") > 0)
           .groupBy(col("pld"))
-          .agg((lit(now) + max(col("crawlDelay"))).as("nextAllowed"))
+          .agg((greatest(max(col("fetchedAtMs")), lit(now)) +
+            max(col("crawlDelay"))).as("nextAllowed"))
         domainClocks = domainClocks.unionByName(newClocks)
           .groupBy(col("pld"))
           .agg(max(col("nextAllowed")).as("nextAllowed"))

@@ -101,7 +101,14 @@ final class HttpFetcher(
       }.toMap
     val contentType = UrlFunctions.headerFirst(headers, "Content-Type")
       .getOrElse("application/octet-stream")
-    if (cfg.validMimeTypes.nonEmpty) {
+    val code = resp.statusCode()
+    val isRedirect = code >= 300 && code < 400
+    // content validation applies to TERMINAL content only: a 3xx hop's
+    // body is an incidental error page — aborting on its mime type (or a
+    // bogus Content-Length) would lose the Location target and the
+    // redirect would never re-enter the loop (the reference's mime filter
+    // runs on fetched content, not redirect hops)
+    if (!isRedirect && cfg.validMimeTypes.nonEmpty) {
       val mime = contentType.split(";")(0).trim.toLowerCase(Locale.ROOT)
       if (!cfg.validMimeTypes.contains(mime)) {
         resp.body().close()
@@ -111,7 +118,7 @@ final class HttpFetcher(
     }
     val declaredLen = UrlFunctions.headerFirst(headers, "Content-Length")
       .flatMap(_.trim.toLongOption)
-    if (declaredLen.exists(_ > cfg.maxContentBytes.toLong)) {
+    if (!isRedirect && declaredLen.exists(_ > cfg.maxContentBytes.toLong)) {
       resp.body().close()
       throw new Fetcher.AbortedFetchException(
         s"Content-Length ${declaredLen.get} exceeds " +
@@ -134,9 +141,8 @@ final class HttpFetcher(
         HttpFetcher.inflateCapped(raw, cfg.maxContentBytes, gzip = false)
       case _ => raw
     }
-    val code = resp.statusCode()
     val redirect =
-      if (code >= 300 && code < 400)
+      if (isRedirect)
         UrlFunctions.headerFirst(headers, "Location").flatMap { loc =>
           // relative Location resolves against the request URI; a Location
           // the resolver rejects is kept only if it is itself absolute

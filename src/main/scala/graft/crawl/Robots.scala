@@ -15,7 +15,13 @@ package graft.crawl
 final case class RobotsRules(
     rules: Seq[(String, Boolean)],
     crawlDelayMs: Option[Long],
-    sitemaps: Seq[String]) extends Serializable {
+    sitemaps: Seq[String],
+    // rules synthesized from an INDETERMINATE robots fetch (5xx /
+    // exception): visits are DEFERRED, not blocked — crawler-commons'
+    // isDeferVisits(), which the reference maps to SKIPPED_DEFERRED
+    // instead of SKIPPED_BLOCKED (CheckUrlWithRobotsFunction.java:224)
+    // so the URL retries once the short error TTL re-fetches robots
+    deferVisits: Boolean = false) extends Serializable {
 
   @transient private lazy val compiled: Seq[(java.util.regex.Pattern, Boolean, Int)] =
     rules.map { case (pat, allow) =>
@@ -50,6 +56,15 @@ object RobotsRules {
     * than crawling unguarded.
     */
   val allowNone: RobotsRules = RobotsRules(Seq("/" -> false), None, Nil)
+
+  /** [[allowNone]] with the defer flag: the stance for a robots.txt that
+    * is UNREACHABLE rather than forbidding — don't fetch now, but mark
+    * the skip SKIPPED_DEFERRED so it re-arms on the error TTL instead of
+    * the long blocked interval (reference CheckUrlWithRobotsFunction
+    * .java:224 via crawler-commons failedFetch/isDeferVisits).
+    */
+  val deferAll: RobotsRules =
+    RobotsRules(Seq("/" -> false), None, Nil, deferVisits = true)
 
   /** Back-compat helper: plain Disallow prefixes. */
   def disallowing(prefixes: String*): RobotsRules =

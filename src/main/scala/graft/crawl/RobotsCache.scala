@@ -103,13 +103,16 @@ object RobotsCache {
             // like a 5xx. Status semantics per RFC 9309 + the reference
             // (CheckUrlWithRobotsFunction.java:137-142, crawler-commons):
             // 2xx → parse; 4xx (no robots.txt) → allow-all; 5xx /
-            // exception / anything else (unreachable) → assume full
-            // disallow under the short error TTL, retried on expiry — a
+            // exception / anything else (unreachable) → DEFER all visits
+            // under the short error TTL, retried on expiry — a
             // transiently-down robots.txt must not open disallowed paths
-            // to the crawler.
+            // to the crawler, but the skips it causes are SKIPPED_DEFERRED
+            // (retryable), not SKIPPED_BLOCKED (reference
+            // CheckUrlWithRobotsFunction.java:186-228 + crawler-commons
+            // failedFetch/isDeferVisits).
             val page = Fetcher.safeFetch(fetcher, robotsUrl)
             val rules = RobotsRules.fromPage(page)
-              .getOrElse(RobotsRules.allowNone)
+              .getOrElse(RobotsRules.deferAll)
             cache.put(key, Entry(rules, nowMs + ttlFor(page.statusCode)))
             mine.complete(rules)
             rules
@@ -117,10 +120,10 @@ object RobotsCache {
         } finally {
           inflight.remove(key, mine)
           // a throw above (fromPage on a hostile page shape) must release
-          // waiters — fail-closed (allowNone, the same stance as the
+          // waiters — fail-closed (deferAll, the same stance as the
           // error TTL) rather than hang them
           if (!mine.isDone)
-            mine.complete(RobotsRules.allowNone)
+            mine.complete(RobotsRules.deferAll)
         }
       }
     }

@@ -680,6 +680,16 @@ object CorpusIngest {
               .count(_ > covered) >= autoCompactBatches
           }
         if (doCompact) {
+          // auto-compaction is ON BY DEFAULT (autoCompactBatches=32) —
+          // loops that previously relied on compactEvery=0 meaning
+          // "never" now get periodic driver-side passes; announce each
+          // one so operators can attribute the pause (and spot a
+          // collision with any external compactor of the same store)
+          if (compactEvery <= 0)
+            org.slf4j.LoggerFactory.getLogger("graft.operators.CorpusIngest")
+              .info(s"auto-compact firing at batch $batchId for $indexRoot " +
+                s"(uncompacted committed batches >= $autoCompactBatches; " +
+                "set autoCompactBatches=0 to disable)")
           SignatureIndexStore.compact(b.sparkSession, indexRoot)
           ann.filter(g =>
               AnnIndexStore.readMeta(b.sparkSession, g.root).isDefined)

@@ -461,14 +461,20 @@ object TextQueries {
       val oldPairs = ids.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("a"),
           (col("doc_id") - col("doc_id") % 5).as("b"))
-      val standing = Components.connectedComponents(oldPairs, "a", "b")
+      // stage attribution (StageTimer; Bench-only): the from-scratch base
+      // CC over the old batch is the data-proportional stage; the
+      // incremental fold's cost tracks the TOUCHED subgraph, not the
+      // corpus — the separation the sf1 scaling number needs
+      val standing = graft.util.StageTimer.time("base_cc")(
+        Components.connectedComponents(oldPairs, "a", "b"))
       val newPairs = ids.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("a"), (col("doc_id") + 5).as("b"))
         .union(ids.filter(col("doc_id") % 100 === 0)
           .select((col("doc_id") + 1000).as("a"), (col("doc_id") + 1).as("b")))
         .union(Seq((2000L, 2001L)).toDF("a", "b"))
-      Components.incrementalComponents(
-        standing, "id", "component", newPairs, "a", "b")
+      graft.util.StageTimer.time("incremental")(
+        Components.incrementalComponents(
+          standing, "id", "component", newPairs, "a", "b"))
     }),
     "q106_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: the BM25 integer-core lexical arm (q69
@@ -831,10 +837,16 @@ object TextQueries {
       val root = java.nio.file.Files
         .createTempDirectory("graft-q103").toString
       TextQueries.guardGate(root) {
-      AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1)
-      AnnIndexStore.append(s, root,
-        e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L)
+      // stage attribution (StageTimer; Bench-only): the standing-store
+      // BUILD (quantizer + first commit) and APPEND are the
+      // data-proportional stages; the residual (total minus stages) is
+      // the lazy size-switched query + gate projection
+      graft.util.StageTimer.time("build")(
+        AnnIndexStore.build(s, root, e.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", dim = 64, numCentroids = 8, lloydRounds = 1))
+      graft.util.StageTimer.time("append")(
+        AnnIndexStore.append(s, root,
+          e.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", 1L))
       AnnIndexStore.query(s, root, e.filter(col("vec_id") % 3 === 0),
         "vec_id", "embedding", k = 1, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"), col("cos"),

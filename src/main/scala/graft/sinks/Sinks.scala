@@ -53,8 +53,16 @@ object Sinks {
       body, lit("\r\n\r\n"))
   }
 
+  /** The software name stamped into warcinfo headers. */
+  val WarcSoftware = "graft-crawler/1.0"
+
   /** One-time warcinfo header record (reference
-    * CreateWARCWritableFunction.java:55-86).
+    * CreateWARCWritableFunction.java:55-86 writes one per WARC file;
+    * standard WARC tooling expects it). Both content writers emit it —
+    * the gzip-member writer as the FIRST member of every segment, the
+    * row-based writer as the first record of every written partition.
+    * [[graft.sources.WarcSource]] surfaces it only under
+    * `keepAllTypes = true`; the resource-record read path skips it.
     */
   def warcInfoRecord(crawler: String, timeMs: Long): String = {
     val date = java.time.Instant.ofEpochMilli(timeMs).toString
@@ -94,8 +102,18 @@ object Sinks {
       content: DataFrame, path: String,
       maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
     val frame = contentRecordFrame(content)
+    val spark = frame.sparkSession
+    import spark.implicits._
+    // warcinfo leads each written partition (segment rolls within a
+    // partition via maxRecordsPerFile share their partition's header —
+    // the row-based writer cannot see file boundaries; the gzip-member
+    // writer below stamps every segment exactly)
+    val info = warcInfoRecord(WarcSoftware, System.currentTimeMillis())
     val writer = frame
       .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
+      .as[String]
+      .mapPartitions(it => if (it.hasNext) Iterator(info) ++ it else it)
+      .toDF("value")
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (gzip) writer.option("compression", "gzip") else writer).text(path)
@@ -110,15 +128,21 @@ object Sinks {
     * reads both forms transparently (Hadoop's gzip codec decompresses
     * concatenated members).
     *
-    * Write protocol: one task per partition streams records through a
-    * per-record gzip member into rolling `part-*-N.warc.gz` segments
-    * (rolled every `maxRecordsPerFile`), each written under an
-    * `.inprogress` name and renamed on completion — readers (which match
-    * only `*.warc.gz`-suffixed names via the text reader's non-hidden
-    * listing) never see a torn segment. Single-writer archive discipline
-    * (the engine's StoreProtocol norm): run one archive write at a time;
-    * a failed attempt leaves only `.inprogress` litter, overwritten on
-    * retry by attempt-unique names.
+    * Write protocol — task-scoped two-phase commit. Each task streams
+    * records through a per-record gzip member into rolling segments
+    * written under HIDDEN `.part-<pid>-<run>-<attempt>-<seq>.warc.gz
+    * .inprogress` names (the leading dot keeps them out of Spark's file
+    * index and every reader's non-hidden listing), then — only after the
+    * whole partition iterator is drained — renames ALL of them to their
+    * final visible names in one commit step. A failure anywhere before
+    * that step leaves only hidden litter; a task retry (or a later run
+    * over the same dir) deletes this run's stale files for its partition
+    * on open, so no record can be committed by two attempts. The
+    * run-unique token keeps that cleanup from touching segments a
+    * PREVIOUS append run committed. (Speculative execution of this
+    * foreachPartition must stay off — two live attempts racing the
+    * commit step need a cluster commit coordinator this sink does not
+    * use; Spark's default has it off.)
     */
   def writeWarcContentGzipMembers(
       content: DataFrame, path: String,
@@ -130,44 +154,72 @@ object Sinks {
     import spark.implicits._
     graft.util.StoreProtocol.fs(spark, path)
       .mkdirs(new org.apache.hadoop.fs.Path(path))
+    // executors must see the session's spark.hadoop.* (object-store
+    // credentials, fs impls) — a fresh Configuration() drops them
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    // warcinfo leads EVERY segment as its own gzip member (reference
+    // WARCFileWriter writes one per file via CreateWARCWritableFunction
+    // .java:55-86): member count per segment = records + 1
+    val info = warcInfoRecord(WarcSoftware, System.currentTimeMillis())
     records.as[String].foreachPartition { it: Iterator[String] =>
       if (it.hasNext) {
         val dir = new org.apache.hadoop.fs.Path(path)
-        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = dir.getFileSystem(hconf.value)
         val tc = org.apache.spark.TaskContext.get()
+        val stem = f"part-${tc.partitionId()}%05d-$run"
+        // phase 0: a retry of this (run, partition) reclaims the failed
+        // attempt's files — hidden in-progress AND any visible segments a
+        // commit step renamed before failing — so retries never duplicate
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          // this attempt has written nothing yet, so every (run,
+          // partition) match is a failed prior attempt's leftover
+          if (name.startsWith(stem) || name.startsWith(s".$stem"))
+            fs.delete(st.getPath, false)
+        }
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        var current: org.apache.hadoop.fs.Path = null
         var seq = 0
         var n = 0L
+        val pending = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.Path]
+        def writeMember(record: String): Unit = {
+          val gz = new MemberGzipStream(out)
+          gz.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          gz.finishMember()
+        }
         def open(): Unit = {
-          current = new org.apache.hadoop.fs.Path(dir,
-            f"part-${tc.partitionId()}%05d-${tc.taskAttemptId()}-$seq%04d" +
-              ".warc.gz.inprogress")
-          out = fs.create(current, true)
+          val p = new org.apache.hadoop.fs.Path(dir,
+            f".$stem-${tc.taskAttemptId()}-$seq%04d.warc.gz.inprogress")
+          out = fs.create(p, true)
+          pending += p
           n = 0L
+          writeMember(info)
         }
         def closeSegment(): Unit = if (out != null) {
           out.close()
-          val done = new org.apache.hadoop.fs.Path(dir,
-            current.getName.stripSuffix(".inprogress"))
-          // a silent rename failure would LOSE the segment (readers match
-          // only *.warc.gz) — fail the task instead, Spark retries it
-          if (!fs.rename(current, done))
-            throw new java.io.IOException(
-              s"failed to commit WARC segment $current -> $done")
           out = null
           seq += 1
         }
         try {
           it.foreach { record =>
             if (out == null) open()
-            val gz = new MemberGzipStream(out)
-            gz.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            gz.finishMember()
+            writeMember(record)
             n += 1
             if (n >= maxRecordsPerFile) closeSegment()
           }
           closeSegment()
+          // phase 1: the iterator is fully drained — commit every segment.
+          // A rename failure fails the task (Spark retries; phase 0 then
+          // reclaims both the renamed and the still-hidden files)
+          pending.foreach { p =>
+            val done = new org.apache.hadoop.fs.Path(dir, p.getName
+              .stripPrefix(".").stripSuffix(".inprogress"))
+            if (!fs.rename(p, done))
+              throw new java.io.IOException(
+                s"failed to commit WARC segment $p -> $done")
+          }
         } finally if (out != null) out.close()
       }
     }

@@ -204,9 +204,16 @@ object LiveCrawl {
             try UrlFunctions.robotsPath(url)
             catch { case _: Exception => "/" }
           if (!rules.isAllowed(path))
-            Vector(CrawlStateUrl(
-              url, pld, FS.SKIPPED_BLOCKED, now, score,
-              now + cfg.deferBlockedMs))
+            // unreachable robots (deferVisits) → retryable DEFER on the
+            // short interval, not a long-lived block (CrawlTopology's
+            // batch gate makes the same split)
+            Vector(
+              if (rules.deferVisits)
+                CrawlStateUrl(url, pld, FS.SKIPPED_DEFERRED, now, score,
+                  now + cfg.deferRetryMs)
+              else
+                CrawlStateUrl(url, pld, FS.SKIPPED_BLOCKED, now, score,
+                  now + cfg.deferBlockedMs))
           else {
             // a fetcher failure must stay a STATUS, not a query failure:
             // the reference maps fetch exceptions to error FetchStatuses
@@ -217,8 +224,8 @@ object LiveCrawl {
             val status = FS.fromHttpStatus(page.statusCode)
             val statusRow = CrawlStateUrl(
               url, pld, status, now, score,
-              now + math.max(
-                rules.crawlDelayMs.getOrElse(0L), cfg.defaultCrawlDelayMs))
+              now + cfg.forceCrawlDelayMs.getOrElse(math.max(
+                rules.crawlDelayMs.getOrElse(0L), cfg.defaultCrawlDelayMs)))
             // redirects feed the target back as a fresh sighting (same as
             // CrawlTopology.redirectTargets) — without this, pages behind
             // 3xx are silently lost to the live loop

@@ -259,7 +259,10 @@ object UrlDbProcessor {
       scala.collection.mutable.ArrayBuffer.empty[(Long, CrawlStateUrl)]
     it.foreach { case e @ (_, s) =>
       if (s.status == FS.QUEUED) queued += e
-      else if (s.status == FS.UNFETCHED) {
+      // SKIPPED_DEFERRED (robots was unreachable) re-arms once its short
+      // retry interval has passed — deferred means retry, not blocked
+      else if (s.status == FS.UNFETCHED ||
+          (s.status == FS.SKIPPED_DEFERRED && s.nextFetchTime <= nowMs)) {
         // insertion into a ≤ k buffer, worst dropped
         var i = best.length
         while (i > 0 && better(s, best(i - 1)._2)) i -= 1

@@ -65,28 +65,36 @@ object ScaleUp {
 
     // vowel rotation per copy: copy 0 is the original; each other copy
     // rewrites most words, so cross-copy shingle/minhash/simhash overlap
-    // vanishes like it would in genuinely larger data
-    // two independent rotations (vowels by i mod 5, consonants by i div 5)
-    // so all `copies` variants are pairwise distinct — no vowel-twin copy
-    // pair reintroducing jaccard-1.0 clone pairs
+    // vanishes like it would in genuinely larger data.
+    // THREE independent rotations — vowels by i mod 5, one consonant
+    // group by i/5 mod 5, a second by i/25 mod 4 — give 100 pairwise-
+    // distinct transforms, so even the sf10 derivation (copies=100) never
+    // reintroduces jaccard-1.0 clone pairs across copies
     val vowels = "aeiou"
     val cons = "rstln"
+    val cons2 = "dmcp"
+    require(copies <= 100,
+      s"text mutation supports 100 distinct copies, asked for $copies")
     replicate("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else {
         val vrot = (vowels + vowels).substring(i % 5, i % 5 + 5)
         val crot = (cons + cons).substring(i / 5 % 5, i / 5 % 5 + 5)
+        val c2rot = (cons2 + cons2).substring(i / 25 % 4, i / 25 % 4 + 4)
         d.withColumn("text",
-          translate(col("text"), vowels + cons, vrot + crot))
+          translate(col("text"), vowels + cons + cons2, vrot + crot + c2rot))
       }
     }
 
     // deterministic per-(copy, dim) jitter keeps vectors distinct without
-    // changing their scale; labels untouched
+    // changing their scale; labels untouched. The (1 + i/100) magnitude
+    // factor makes every copy's jitter UNIQUE even where the mod-7
+    // residue pattern repeats (copies 7 apart) — no exact-duplicate
+    // vectors at any supported copy count
     replicate("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",
-        expr(s"transform(embedding, (x, j) -> x + cast(((j * 31 + $i * 17) % 7 - 3) as float) * 0.01f)"))
+        expr(s"transform(embedding, (x, j) -> x + cast(((j * 31 + $i * 17) % 7 - 3) as float) * 0.01f * (1.0f + $i / 100.0f))"))
     }
 
     spark.stop()

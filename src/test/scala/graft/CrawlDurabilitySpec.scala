@@ -190,9 +190,9 @@ class CrawlDurabilitySpec extends AnyFunSuite {
     assert(statuses.get("http://ok.com/bomb").contains(FS.ERROR_IOEXCEPTION),
       s"throwing page fetch must journal, got $statuses")
     assert(statuses.get("http://ok.com/good").contains(FS.FETCHED))
-    assert(statuses.get("http://throwy.com/").contains(FS.SKIPPED_BLOCKED),
-      "throwing robots fetch must defer the domain (assume disallow), " +
-        s"got $statuses")
+    assert(statuses.get("http://throwy.com/").contains(FS.SKIPPED_DEFERRED),
+      "throwing robots fetch must DEFER the domain (retryable skip, " +
+        s"reference CheckUrlWithRobotsFunction.java:224), got $statuses")
   }
 
   test("RobotsCache: throwing fetcher caches allow-NONE under the error TTL") {
@@ -208,6 +208,9 @@ class CrawlDurabilitySpec extends AnyFunSuite {
       "http://err.com/robots.txt", boom, nowMs = 1000L, scope = scope)
     assert(!rules.isAllowed("/anything"),
       "unreachable robots.txt must defer the domain (RFC 9309), not crawl it")
+    assert(rules.deferVisits,
+      "error-path rules must carry the defer flag (SKIPPED_DEFERRED, " +
+        "not SKIPPED_BLOCKED, downstream)")
     assert(calls == 1)
     // within the error TTL: served from cache, no refetch
     RobotsCache.rulesFor(
@@ -238,6 +241,8 @@ class CrawlDurabilitySpec extends AnyFunSuite {
       "http://dn.com/robots.txt", fixed(503), nowMs = 1000L, scope = scope)
     assert(!down.isAllowed("/page"),
       "5xx (unreachable) must assume full disallow per RFC 9309")
+    assert(down.deferVisits && !missing.deferVisits,
+      "only the indeterminate (5xx) stance defers; 4xx allow-all does not")
     RobotsCache.clearScope(scope)
   }
 

@@ -38,7 +38,13 @@ class LoopbackCrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
     "domain1.com/rtarget" -> Seq.empty,
     "domain1.com/sitemapped" -> Seq.empty,
     "domain2.com" -> Seq("domain2.com/page1"),
-    "domain2.com/page1" -> Seq("domain2.com/missing"))
+    "domain2.com/page1" -> Seq("domain2.com/missing"),
+    // unlinked from the 4-domain web: only the robots-5xx deferral test
+    // seeds it, so the mock-parity run never sees it
+    "flaky.com/p" -> Seq.empty)
+
+  /** When true, flaky.com's robots.txt answers 503 (server error). */
+  @volatile private var flakyRobotsDown = true
   private val redirects =
     Map("http://domain1.com/short" -> "http://domain1.com/rtarget")
   private val sitemapUrl = "http://domain1.com/sitemap.xml"
@@ -90,7 +96,12 @@ class LoopbackCrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (body.nonEmpty) ex.getResponseBody.write(body)
       ex.close()
     }
-    if (original.endsWith("/robots.txt"))
+    if (original == "http://flaky.com/robots.txt") {
+      if (flakyRobotsDown) respond(503, Array.empty, "")
+      else respond(200, "User-agent: *\nDisallow:\n"
+        .getBytes(StandardCharsets.UTF_8), "text/plain; charset=UTF-8")
+    }
+    else if (original.endsWith("/robots.txt"))
       robotsBodies.get(original) match {
         case Some(b) =>
           respond(200, b.getBytes(StandardCharsets.UTF_8),
@@ -178,5 +189,51 @@ class LoopbackCrawlSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("http://domain1.com/blocked", graft.schema.FetchStatus.SKIPPED_BLOCKED)))
     assert(httpFrontier.contains(
       ("http://domain1.com/sitemapped", graft.schema.FetchStatus.FETCHED)))
+  }
+
+  test("robots 5xx over live HTTP defers (SKIPPED_DEFERRED), re-arms after the retry interval") {
+    import graft.schema.{FetchStatus => FS}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_defer").toString + "/frontier"
+    val http = new HttpFetcher(HttpFetcherConfig(
+      userAgent = "graft-e2e/0.1", connectTimeoutMs = 5000L,
+      fetchTimeoutMs = 10000L))
+    val routed = new Routed(port, http)
+    val seeds = Seq(("flaky.com/p", 1.0f))
+    def stateOf(r: CrawlResult): (String, Long, Long) = {
+      val row = r.frontier
+        .filter(col("url") === "http://flaky.com/p")
+        .select("status", "statusTime", "nextFetchTime")
+        .collect()
+      assert(row.length == 1, s"expected 1 frontier row, got ${row.length}")
+      (row(0).getString(0), row(0).getLong(1), row(0).getLong(2))
+    }
+    // phase 1: robots.txt is DOWN (503) — the visit is DEFERRED, not
+    // blocked: SKIPPED_DEFERRED re-arming after deferRetryMs, NOT the
+    // 100,000 s blocked interval (reference CheckUrlWithRobotsFunction
+    // .java:186-228)
+    flakyRobotsDown = true
+    val cfg1 = CrawlConfig(maxRounds = 5, frontierRoot = Some(root),
+      deferRetryMs = 1500L)
+    val r1 = CrawlTopology.run(spark, seeds, routed, routed, cfg1)
+    val (st1, t1, next1) = stateOf(r1)
+    assert(st1 == FS.SKIPPED_DEFERRED,
+      s"503 robots must defer, not block: got $st1")
+    assert(next1 - t1 == 1500L,
+      s"deferred row must re-arm at deferRetryMs, got ${next1 - t1}")
+    // phase 2: resume BEFORE the retry interval elapses (logical round 1
+    // = 1000 < 2500) — the deferred row must NOT be retried yet
+    val r2 = CrawlTopology.run(spark, seeds, routed, routed, cfg1)
+    assert(stateOf(r2)._1 == FS.SKIPPED_DEFERRED,
+      "deferred row retried before its interval elapsed")
+    assert(r2.journal.filter(col("stage") === "fetch").count() == 0)
+    // phase 3: robots heals; resume with the logical clock past the
+    // retry point (tick 10000 > 2500). The fresh run's robots scope
+    // plays the expired error TTL: rules are refetched, the URL fetches.
+    flakyRobotsDown = false
+    val r3 = CrawlTopology.run(spark, seeds, routed, routed,
+      cfg1.copy(roundTickMs = 10000L))
+    assert(stateOf(r3)._1 == FS.FETCHED,
+      s"deferred URL must fetch once robots heals and the interval passes")
   }
 }

@@ -59,28 +59,41 @@ class WarcGzipSpec extends AnyFunSuite {
         (gz -- plain).take(3) + "\n only-plain: " + (plain -- gz).take(3))
   }
 
-  test("each record is its own gzip member (seekable .warc.gz convention)") {
+  private def countMembers(f: java.io.File): Int = {
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // java's GZIPOutputStream emits a fixed member header prefix
+    // (1f 8b 08, flags 0, mtime 0, xfl 0; the OS byte varies by JDK) —
+    // count member starts by the 9 fixed bytes
+    val sig = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0)
+    bytes.indices.count(i =>
+      i + sig.length <= bytes.length &&
+        sig.indices.forall(j => bytes(i + j) == sig(j)))
+  }
+
+  test("each record is its own gzip member, warcinfo leading each segment") {
     val dir = tmp() + "/members"
     Sinks.writeWarcContentGzipMembers(
       contentFrame(0 until 12).coalesce(1), dir)
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".warc.gz"))
     assert(files.length == 1)
-    val bytes = java.nio.file.Files.readAllBytes(files(0).toPath)
-    // java's GZIPOutputStream emits a fixed member header prefix
-    // (1f 8b 08, flags 0, mtime 0, xfl 0; the OS byte varies by JDK) —
-    // count member starts by the 9 fixed bytes
-    val sig = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0)
-    val members = bytes.indices.count(i =>
-      i + sig.length <= bytes.length &&
-        sig.indices.forall(j => bytes(i + j) == sig(j)))
-    assert(members == 12, s"expected 12 gzip members, found $members")
-    // and no torn-segment litter remains
+    // external-tooling shape: members = records + 1 (the warcinfo header
+    // record standard WARC tools expect, reference
+    // CreateWARCWritableFunction.java:55-86)
+    val members = countMembers(files(0))
+    assert(members == 13, s"expected 12 records + 1 warcinfo, found $members")
+    // the warcinfo is a real record: visible under keepAllTypes, first
+    // in the file, invisible to the resource read
+    val all = WarcSource.read(spark, dir, keepAllTypes = true).collect()
+    assert(all.count(_.getString(0) == "warcinfo") == 1)
+    assert(readBack(dir).size == 12,
+      "resource read must skip the warcinfo record")
+    // and no torn-segment litter remains (hidden or visible)
     assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.endsWith(".inprogress")))
+      .exists(_.getName.contains("inprogress")))
   }
 
-  test("segments roll at maxRecordsPerFile") {
+  test("segments roll at maxRecordsPerFile, each with its own warcinfo") {
     val dir = tmp() + "/rolled"
     Sinks.writeWarcContentGzipMembers(
       contentFrame(0 until 25).coalesce(1), dir, maxRecordsPerFile = 10)
@@ -88,6 +101,34 @@ class WarcGzipSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".warc.gz"))
     assert(segs.length == 3, s"25 records / cap 10 should roll 3 segments")
     assert(readBack(dir).size == 25)
+    // every segment leads with a warcinfo member: 10+1, 10+1, 5+1
+    assert(segs.map(countMembers).sorted.toSeq == Seq(6, 11, 11),
+      s"per-segment members: ${segs.map(countMembers).toSeq}")
+  }
+
+  test("WarcSource tolerates foreign record types (warcinfo, request, metadata)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_foreign")
+    def rec(typ: String, uri: String, body: String): String = {
+      val n = body.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: $n\r\n\r\n$body\r\n\r\n"
+    }
+    // a foreign-tool archive: warcinfo + request + metadata records
+    // interleaved with the resources we care about
+    val text = Sinks.warcInfoRecord("other-crawler/9.9", 1700000000000L) +
+      rec("request", "http://f.com/a", "GET /a HTTP/1.1") +
+      rec("resource", "http://f.com/a", "body A") +
+      rec("metadata", "http://f.com/a", "via: seed") +
+      rec("resource", "http://f.com/b", "body B")
+    java.nio.file.Files.write(dir.resolve("foreign.warc"),
+      text.getBytes("UTF-8"))
+    val rows = WarcSource.read(spark, dir.toString)
+      .select("url", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set("http://f.com/a" -> "body A",
+      "http://f.com/b" -> "body B"),
+      s"foreign records must be skipped, resources kept: $rows")
   }
 
   test("a directory mixing plain and gzip-member segments reads as one archive") {
