@@ -227,6 +227,15 @@ object CrawlTopology {
     // -lived drivers run many topologies per JVM)
     val crawlRunId = java.util.UUID.randomUUID().toString
 
+    // network-seam parallelism: the robots gate and the page fetch are
+    // LATENCY-bound, so their task count must follow the cluster's slot
+    // count, not the data size — AQE sees a few hundred KB of candidate
+    // rows and coalesces an implicit shuffle to ONE partition, collapsing
+    // crawl concurrency from slots × fetchThreads to a single task's pool
+    // (LiveCrawlBench measured exactly fetchThreads in-flight before
+    // this). An EXPLICIT partition count is exempt from AQE coalescing.
+    val seamParts = spark.sparkContext.defaultParallelism
+
     val gauges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
 
     // journal/parsed accumulate incrementally with periodic lineage
@@ -431,7 +440,7 @@ object CrawlTopology {
         val rf = robotsFetcher
         val runScope = crawlRunId
         val verdicts = candidates
-          .repartition(col("pld"))
+          .repartition(seamParts, col("pld"))
           .mapPartitions { it =>
             // executor-singleton TTL cache: rules survive across rounds and
             // tasks on the same executor (CheckUrlWithRobotsFunction TTLs),
@@ -482,6 +491,7 @@ object CrawlTopology {
           .toDF("pld", "sitemapUrl")
           .join(broadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
           .select(col("pld"), col("sitemapUrl"))
+          .repartition(seamParts, col("sitemapUrl"))
           .as[(String, String)]
           .mapPartitions { it =>
             // pooled like the page fetch (the reference routes sitemaps
@@ -524,7 +534,18 @@ object CrawlTopology {
         // the target re-entering the loop as a new URL
         val stampWall = cfg.wallClockRounds
         val liveFetch: Dataset[RobotsVerdict] => Dataset[FetchOutcome] =
-          allowed => allowed.mapPartitions { it =>
+          allowed => allowed
+            // slot-count partitions regardless of byte size (see
+            // seamParts): fetch wall ≈ Σ latencies / (tasks × threads).
+            // Keyed by URL, NOT pld: the in-round ranking window just
+            // hash-partitioned by pld, so a pld-keyed exchange here is
+            // optimizer-removed as redundant — and the window's own
+            // ENSURE_REQUIREMENTS shuffle then coalesces to ONE task
+            // under AQE (PartitionProbe pins all three shapes). URL also
+            // spreads a quota-boosted domain's URLs across tasks.
+            .repartition(seamParts, col("url"))
+            .as[RobotsVerdict]
+            .mapPartitions { it =>
             // pooled unordered drain (FetchUrlsFunction's thread pool):
             // per-partition wall ≈ Σ latencies / fetchThreads. Politeness
             // is already enforced upstream — a crawl-delayed domain sends
@@ -585,6 +606,11 @@ object CrawlTopology {
 
         val fetched = fetchStage.getOrElse(liveFetch)(allowedNow)
           .localCheckpoint(true)
+        // seam-shape gauge: the fetch stage's TASK count — at 1 the crawl
+        // concurrency has collapsed to a single pool (the AQE-coalescing
+        // failure LiveCrawlBench exists to catch)
+        gauges += ((round, "fetch_tasks",
+          fetched.rdd.getNumPartitions.toLong))
         journal(round, "fetch", fetched.toDF().select(col("url"), col("status")))
 
         // content tap: every fetch ATTEMPT (with response headers) flows

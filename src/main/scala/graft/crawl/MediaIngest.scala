@@ -57,7 +57,14 @@ object MediaIngest {
     val spark = media.sparkSession
     import spark.implicits._
     val f = fetcher
-    media.select(col("media_url")).distinct().as[String]
+    media.select(col("media_url")).distinct()
+      // slot-count partitions EXPLICITLY: the media fetch is latency-
+      // bound, and AQE coalesces a small distinct()'s shuffle to one
+      // task — capping concurrency at one task's pool (the crawl seams
+      // pin theirs the same way, see CrawlTopology.seamParts)
+      .repartition(
+        spark.sparkContext.defaultParallelism, col("media_url"))
+      .as[String]
       .mapPartitions { it =>
         // pooled unordered drain (graft.util.Pooled). Unlike the
         // small-payload seams this one buffers MEDIA BODIES (MB-scale),

@@ -185,8 +185,12 @@ object RetentionPolicy {
             // robots.txt once (per-partition memo below — NOT the
             // JVM-wide RobotsCache: a sweep must see the CURRENT rules,
             // and per-sweep scopes would leak entries into the global
-            // map forever)
-            .repartition(pldUdf(col("url")))
+            // map forever). Slot-count partitions EXPLICITLY: this seam
+            // is latency-bound (live robots fetches), and AQE would
+            // coalesce a small sweep's shuffle to one task, capping the
+            // sweep at robotsThreads total concurrency
+            .repartition(
+              spark.sparkContext.defaultParallelism, pldUdf(col("url")))
             .as[(String, Long)]
             .mapPartitions { it =>
               // robotsUrl → Some(rules) when the answer is DEFINITIVE

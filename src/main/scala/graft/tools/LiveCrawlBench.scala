@@ -37,9 +37,17 @@ object LiveCrawlBench {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // args 6+: extra LiveCrawlTool options as key=value (e.g.
+    // maxurlsperdomain=5 frontierbuckets=16)
+    val extra = args.drop(5).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
     val m = run(spark, FleetConfig(
       domains = domains, pagesPerDomain = pages, latencyMs = latency),
-      rounds = rounds, fetchThreads = threads)
+      rounds = rounds, fetchThreads = threads, extraOpts = extra)
     println(m.json)
     spark.stop()
   }
@@ -68,7 +76,8 @@ object LiveCrawlBench {
     */
   def run(
       spark: SparkSession, fleet: FleetConfig, rounds: Int,
-      fetchThreads: Int = 10, seeds: Int = 8): Metrics = {
+      fetchThreads: Int = 10, seeds: Int = 8,
+      extraOpts: Map[String, String] = Map.empty): Metrics = {
     val f = new LoopbackFleet(fleet)
     f.start()
     try {
@@ -86,10 +95,15 @@ object LiveCrawlBench {
         "fetchthreads" -> fetchThreads.toString,
         "frontierroot" -> s"$dir/frontier",
         "wallclock" -> "true",
-        "nolengthen" -> "true"))
+        "nolengthen" -> "true") ++ extraOpts)
       val wall = (System.nanoTime() - t0) / 1e9
       val roundMs = result.gauges
         .collect { case (r, "round_ms", v) => (r, v) }.sortBy(_._1)
+      val fetchTasks = result.gauges
+        .collect { case (_, "fetch_tasks", v) => v }
+      System.err.println(s"[live-bench] fetch task counts: " +
+        s"min=${if (fetchTasks.isEmpty) 0 else fetchTasks.min} " +
+        s"max=${if (fetchTasks.isEmpty) 0 else fetchTasks.max}")
       val n = roundMs.length
       def mean(xs: Seq[Long]): Double =
         if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length

@@ -29,6 +29,8 @@ import graft.crawl._
   * --fetchtimeout <ms>      whole-fetch deadline         [100000]
   * --fetchthreads <n>       pooled fetchers per task     [10]
   * --maxoutlinks <n>        outlinks kept per page       [50]
+  * --maxurlsperdomain <n>   fetches per domain per round [1]
+  * --frontierbuckets <n>    durable-frontier bucket count [64]
   * --maxdurationsec <s>     wall-clock terminator
   * --timeout <s>            max IDLE time before self-termination
   *                          (reference CrawlToolOptions.java:140 → the
@@ -125,6 +127,9 @@ object LiveCrawlTool {
       forceCrawlDelayMs = opts.get("forcecrawldelay").map(_.toLong),
       wallClockRounds = opts.contains("wallclock"),
       maxOutlinksPerPage = opts.get("maxoutlinks").map(_.toInt).getOrElse(50),
+      maxUrlsPerDomainPerRound =
+        opts.get("maxurlsperdomain").map(_.toInt).getOrElse(1),
+      frontierBuckets = opts.get("frontierbuckets").map(_.toInt).getOrElse(64),
       fetchThreads = opts.get("fetchthreads").map(_.toInt).getOrElse(10),
       terminator = terminator,
       frontierRoot = opts.get("frontierroot"),

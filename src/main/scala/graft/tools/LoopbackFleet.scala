@@ -51,6 +51,7 @@ final class LoopbackFleet(cfg: FleetConfig) {
   private val lastPageHit = new ConcurrentHashMap[String, java.lang.Long]()
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
   var port: Int = 0
 
   def minGapMs: Double =
@@ -89,7 +90,8 @@ final class LoopbackFleet(cfg: FleetConfig) {
   def start(): Unit = {
     server = HttpServer.create(new InetSocketAddress("0.0.0.0", 0), 1024)
     port = server.getAddress.getPort
-    server.setExecutor(Executors.newFixedThreadPool(cfg.serverThreads))
+    pool = Executors.newFixedThreadPool(cfg.serverThreads)
+    server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => {
       val cur = inFlight.incrementAndGet()
       maxInFlight.accumulateAndGet(cur, math.max)
@@ -103,7 +105,12 @@ final class LoopbackFleet(cfg: FleetConfig) {
     server.start()
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // HttpServer.stop does NOT shut down a user-provided executor; its
+    // non-daemon workers would pin the JVM after main returns
+    if (pool != null) pool.shutdownNow()
+  }
 
   private def serve(ex: HttpExchange): Unit = {
     val host = ex.getLocalAddress.getAddress.getHostAddress

@@ -19,6 +19,8 @@ import graft.schema.{FetchStatus => FS}
 object AsyncSeamCounters {
   val robots = new java.util.concurrent.atomic.AtomicInteger(0)
   val retention = new java.util.concurrent.atomic.AtomicInteger(0)
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  val peak = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class AsyncSeamSpec extends AnyFunSuite {
@@ -26,13 +28,19 @@ class AsyncSeamSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   /** Fetcher wrapper that sleeps `latencyMs` per request — the mocked
-    * form of a real network round trip.
+    * form of a real network round trip — and tracks the PEAK number of
+    * concurrent in-flight fetches (JVM-static: closures are task-
+    * serialized even in local mode).
     */
   private final class SlowFetcher(inner: Fetcher, latencyMs: Long)
     extends Fetcher {
     override def fetch(url: String): FetchedPage = {
-      Thread.sleep(latencyMs)
-      inner.fetch(url)
+      val cur = AsyncSeamCounters.inFlight.incrementAndGet()
+      AsyncSeamCounters.peak.accumulateAndGet(cur, math.max)
+      try {
+        Thread.sleep(latencyMs)
+        inner.fetch(url)
+      } finally AsyncSeamCounters.inFlight.decrementAndGet()
     }
   }
 
@@ -63,14 +71,20 @@ class AsyncSeamSpec extends AnyFunSuite {
   }
 
   test("pooled fetch seams hide injected latency; crawl facts identical to serial") {
-    val latency = 100L // 80 pages + robots: ~4s serial sleep per pld partition
+    val latency = 100L // 80 pages: ~2s of sequential sleep per fetch task
     // warm the whole path once (codegen/classloader/first-listing costs)
     // so the serial-vs-pooled differential measures ONLY the seams —
     // without this, first-run warmup lands entirely in whichever run
     // goes first and could mask a seam regressed to serial
     crawl(0L, threads = 1)
-    val (serial, serialMs) = crawl(latency, threads = 1)
-    val (pooled, pooledMs) = crawl(latency, threads = 10)
+    def peaked(latencyMs: Long, threads: Int): (CrawlResult, Long, Int) = {
+      AsyncSeamCounters.inFlight.set(0)
+      AsyncSeamCounters.peak.set(0)
+      val (r, ms) = crawl(latencyMs, threads)
+      (r, ms, AsyncSeamCounters.peak.get())
+    }
+    val (serial, serialMs, serialPeak) = peaked(latency, threads = 1)
+    val (pooled, pooledMs, pooledPeak) = peaked(latency, threads = 10)
 
     // identical facts: same per-url terminal status either way (pooling
     // reorders completion, never outcomes)
@@ -86,10 +100,21 @@ class AsyncSeamSpec extends AnyFunSuite {
     assert(serial.metrics == pooled.metrics,
       s"journal shape drifted: ${serial.metrics} vs ${pooled.metrics}")
 
-    // latency hiding: the serial run carries ~6s of sequential sleep the
-    // pooled run overlaps 10-wide. Differential so Spark per-round
-    // overhead (identical in both runs) cancels.
-    assert(pooledMs < serialMs - 2500,
+    // concurrency, pinned DIRECTLY via peak in-flight fetches: with
+    // threads=1 the seam degrades to a serial map, so concurrency is
+    // capped by the slot count (local[4]); with threads=10 each of the
+    // (explicitly slot-count-partitioned, see CrawlTopology.seamParts)
+    // fetch tasks drains 10-wide — the crawl must exceed what task
+    // parallelism alone can deliver
+    val slots = spark.sparkContext.defaultParallelism
+    assert(serialPeak <= slots,
+      s"threads=1 should cap in-flight at the $slots slots, saw $serialPeak")
+    assert(pooledPeak >= 2 * slots + 2,
+      s"pooled peak $pooledPeak never exceeded task-level parallelism " +
+        s"($slots slots x 10 threads configured) — seam not pooled")
+    // latency hiding follows: the pooled run overlaps the sleep the
+    // serial run pays sequentially (~20 urls x 100 ms per task)
+    assert(pooledMs < serialMs - 1000,
       s"pooled ${pooledMs}ms did not beat serial ${serialMs}ms by the " +
         "injected-latency margin — seam not actually concurrent")
     // and the reference envelope holds WITH latency injected
