@@ -88,14 +88,20 @@ object LiveCrawlBench {
         (0 until math.min(seeds, fleet.domains))
           .map(i => f.url(i, "/p0")).mkString("", "\n", "\n"))
       val t0 = System.nanoTime()
-      val result = LiveCrawlTool.run(spark, Map(
+      // nofrontier=true drops the durable store (in-memory frontier) so
+      // an A/B of the two isolates the per-round commit cost
+      val base = Map(
         "seedurls" -> s"$dir/seeds.txt",
         "maxrounds" -> rounds.toString,
         "defaultcrawldelay" -> "0",
         "fetchthreads" -> fetchThreads.toString,
         "frontierroot" -> s"$dir/frontier",
         "wallclock" -> "true",
-        "nolengthen" -> "true") ++ extraOpts)
+        "nolengthen" -> "true") ++ extraOpts
+      val opts =
+        if (base.contains("nofrontier")) base - "frontierroot" - "nofrontier"
+        else base
+      val result = LiveCrawlTool.run(spark, opts)
       val wall = (System.nanoTime() - t0) / 1e9
       val roundMs = result.gauges
         .collect { case (r, "round_ms", v) => (r, v) }.sortBy(_._1)

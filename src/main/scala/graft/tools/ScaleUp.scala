@@ -93,8 +93,16 @@ object ScaleUp {
     // vectors at any supported copy count
     replicate("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding",
-        expr(s"transform(embedding, (x, j) -> x + cast(((j * 31 + $i * 17) % 7 - 3) as float) * 0.01f * (1.0f + $i / 100.0f))"))
+      else {
+        // whole jitter cast to float in ONE place: mixing int/float
+        // arithmetic inside the lambda promotes to double, silently
+        // turning the column into array<double> — which the ANN store's
+        // on-disk float contract rejects
+        val mag = 1.0 + i / 100.0
+        d.withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> x + cast(" +
+            s"((j * 31 + $i * 17) % 7 - 3) * 0.01 * $mag as float))"))
+      }
     }
 
     spark.stop()
