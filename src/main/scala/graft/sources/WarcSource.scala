@@ -4,16 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC archive *source*: parse WARC/1.0 files (as produced by
-  * `graft.sinks.Sinks.writeWarc`, or any writer of `resource` records)
+  * `graft.sinks.Sinks.writeWarc` / `writeWarcContent` /
+  * `writeWarcContentGzipMembers`, or any writer of `resource` records)
   * back into rows — the ingestion half of the reference's WARC support
   * (record model + parser at …/flinkcrawler/warc/WARCRecord.java:35, used
   * by the CommonCrawl fetch path to read archived pages).
   *
-  * Scale shape: one task per file (Spark file splitting off for wholetext),
-  * record parsing is a linear scan per file — segment files are bounded by
-  * the writer (`maxRecordsPerFile` / ~1 GB segments), so tasks stay evenly
-  * sized. Body extraction honors Content-Length in OCTETS, as the spec
-  * requires — bodies containing blank lines parse correctly.
+  * Scale shape: one task per file, records parsed as a STREAM — headers
+  * line-by-line, body as exactly Content-Length octets — so memory is
+  * one record at a time, never a whole decompressed segment. (The
+  * pre-round-16 reader went through `wholetext`, which materializes each
+  * ~100k-record segment as one string: at sf10 that was 32 concurrent
+  * multi-hundred-MB char arrays — the q122 bend and a 48 g heap
+  * requirement, both retired by this reader.) Gzip segments (file-level
+  * OR member-per-record — JDK's GZIPInputStream reads concatenated
+  * members transparently) decompress through the same stream. Segment
+  * files are bounded by the writer (`maxRecordsPerFile` / ~1 GB
+  * segments), so tasks stay evenly sized. Body extraction honors
+  * Content-Length in OCTETS, exactly, because it reads bytes — bodies
+  * containing blank lines or multi-byte text parse correctly. Foreign
+  * record types (warcinfo, request, metadata) parse and are filtered by
+  * type, so archives from other tools read cleanly.
   */
 object WarcSource {
 
@@ -27,57 +38,157 @@ object WarcSource {
       statusCode: Int = 200, redirectedTo: String = "",
       fetchTimeMs: Long = 0L)
 
-  /** Split one file's text into WARC records. */
-  private[sources] def parseFile(text: String): Seq[WarcRecord] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    val marker = "WARC/1.0\r\n"
-    var pos = text.indexOf(marker)
-    while (pos >= 0) {
-      val headerEnd = text.indexOf("\r\n\r\n", pos)
-      if (headerEnd < 0) { pos = -1 }
-      else {
-        val headers = text.substring(pos + marker.length, headerEnd)
-          .split("\r\n")
-          .flatMap { line =>
-            line.indexOf(": ") match {
-              case -1 => None
-              case i => Some(
-                line.substring(0, i).toLowerCase(java.util.Locale.ROOT) ->
-                  line.substring(i + 2))
-            }
-          }.toMap
-        val bodyStart = headerEnd + 4
-        val bodyOctets = headers.get("content-length").map(_.trim.toInt)
-          .getOrElse(0)
-        // Content-Length counts octets; the in-memory text is chars. Walk
-        // chars accumulating UTF-8 byte width so multi-byte bodies parse.
-        var taken = 0
-        var i = bodyStart
-        while (taken < bodyOctets && i < text.length) {
-          val c = text.charAt(i)
-          taken += (
-            if (c < 0x80) 1
-            else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) { i += 1; 4 }
-            else 3)
-          i += 1
+  /** Streaming record parser over a raw (already-decompressed) WARC
+    * byte stream: resyncs on `WARC/1.0` marker lines, reads header
+    * lines to the blank line, then exactly Content-Length octets of
+    * body. One record in memory at a time. Junk between records is
+    * skipped line-wise; record bodies can contain anything (including
+    * `WARC/1.0` text) because they are consumed by length, not scanned.
+    */
+  private[sources] def parseStream(in: java.io.InputStream): Iterator[WarcRecord] = {
+    val buf = new java.io.BufferedInputStream(in, 1 << 16)
+    // one header/marker line as bytes (up to \n, \r stripped); null at EOF
+    def readLine(): String = {
+      val line = new java.io.ByteArrayOutputStream(64)
+      var b = buf.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { line.write(b); b = buf.read() }
+      val bytes = line.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def readFully(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = buf.read(out, off, n - off)
+        if (r < 0) return java.util.Arrays.copyOf(out, off) // truncated file
+        off += r
+      }
+      out
+    }
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var eof = false
+      private def advance(): Unit = {
+        while (nextRec == null && !eof) {
+          var line = readLine()
+          while (line != null && line != "WARC/1.0") line = readLine()
+          if (line == null) { eof = true; return }
+          var headers = Map.empty[String, String]
+          var h = readLine()
+          while (h != null && h.nonEmpty) {
+            val i = h.indexOf(": ")
+            if (i > 0)
+              headers += h.substring(0, i)
+                .toLowerCase(java.util.Locale.ROOT) -> h.substring(i + 2)
+            h = readLine()
+          }
+          if (h == null) { eof = true; return }
+          val octets = headers.get("content-length")
+            .flatMap(_.trim.toIntOption).getOrElse(0)
+          val body = new String(readFully(octets),
+            java.nio.charset.StandardCharsets.UTF_8)
+          nextRec = WarcRecord(
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-target-uri", ""),
+            headers.getOrElse("content-type", ""),
+            headers.getOrElse("warc-date", ""),
+            body,
+            headers.get("warc-graft-status-code")
+              .flatMap(_.trim.toIntOption).getOrElse(200),
+            headers.getOrElse("warc-graft-redirect", ""),
+            headers.get("warc-graft-fetch-ms")
+              .flatMap(_.trim.toLongOption).getOrElse(0L))
         }
-        val body = text.substring(bodyStart, math.min(i, text.length))
-        out += WarcRecord(
-          headers.getOrElse("warc-type", ""),
-          headers.getOrElse("warc-target-uri", ""),
-          headers.getOrElse("content-type", ""),
-          headers.getOrElse("warc-date", ""),
-          body,
-          headers.get("warc-graft-status-code")
-            .flatMap(s => s.trim.toIntOption).getOrElse(200),
-          headers.getOrElse("warc-graft-redirect", ""),
-          headers.get("warc-graft-fetch-ms")
-            .flatMap(s => s.trim.toLongOption).getOrElse(0L))
-        pos = text.indexOf(marker, math.max(i, bodyStart))
+      }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream drained")
+        val r = nextRec; nextRec = null; r
       }
     }
-    out.toSeq
+  }
+
+  /** Back-compat string form (specs exercise it directly): parse a whole
+    * file's text via the streaming parser.
+    */
+  private[sources] def parseFile(text: String): Seq[WarcRecord] =
+    parseStream(new java.io.ByteArrayInputStream(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toSeq
+
+  /** Expand dirs to their non-hidden files (the same universe Spark's
+    * file listing would read: names starting with `.` or `_` excluded);
+    * plain file paths pass through.
+    */
+  private def expand(
+      spark: SparkSession, paths: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def visible(n: String): Boolean =
+      !n.startsWith(".") && !n.startsWith("_") &&
+        // torn segments from a crashed writer are never in the read
+        // universe, whatever their prefix (ADVICE r15)
+        !n.endsWith(".inprogress")
+    paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      if (p.exists("*?[{".contains(_)))
+        fs.globStatus(path).toSeq.filter(st =>
+          st.isFile && visible(st.getPath.getName))
+          .map(_.getPath.toString)
+      else if (fs.isDirectory(path))
+        fs.listStatus(path).toSeq
+          .filter(st => st.isFile && visible(st.getPath.getName))
+          .map(_.getPath.toString)
+      else Seq(p)
+    }
+  }
+
+  /** One row per WARC record across `files`, streamed (see class doc):
+    * (warcType, url, contentType, warcDate, content, statusCode,
+    * redirectedTo, fetchTimeMs, warc_file).
+    */
+  private def readRecords(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val files = expand(spark, paths)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(parts)
+      .flatMap { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        val raw: java.io.InputStream =
+          path.getFileSystem(hconf.value).open(path)
+        val in =
+          if (f.endsWith(".gz"))
+            // JDK GZIPInputStream reads CONCATENATED members natively —
+            // one stream serves both file-level gzip and the
+            // member-per-record .warc.gz convention
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else raw
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        // iterator closes the stream on exhaustion; Spark always drains
+        // flatMap iterators (no early-abandon leak in this plan shape)
+        new Iterator[(String, String, String, String, String, Int, String, Long, String)] {
+          private val it = parseStream(in)
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next() = {
+            val r = it.next()
+            (r.warcType, r.url, r.contentType, r.warcDate, r.content,
+              r.statusCode, r.redirectedTo, r.fetchTimeMs, name)
+          }
+        }
+      }
+      .toDF("warcType", "url", "contentType", "warcDate", "content",
+        "statusCode", "redirectedTo", "fetchTimeMs", "warc_file")
   }
 
   /** Read a WARC directory into one row per `resource` record:
@@ -95,11 +206,7 @@ object WarcSource {
     */
   def readPaths(spark: SparkSession, paths: Seq[String],
       keepAllTypes: Boolean = false): DataFrame = {
-    import spark.implicits._
-    val all = spark.read.option("wholetext", "true").text(paths: _*)
-      .as[String]
-      .flatMap(parseFile _)
-      .toDF()
+    val all = readRecords(spark, paths).drop("warc_file")
     if (keepAllTypes) all
     else all.filter(col("warcType") === "resource")
       .select(col("url"), col("contentType"), col("warcDate"), col("content"),
@@ -111,20 +218,8 @@ object WarcSource {
     * to the one file that must be read (the reference's CDX `filename`
     * field, …/fetcher/commoncrawl/CommonCrawlFetcher.java:146).
     */
-  def readWithFile(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.option("wholetext", "true").text(path)
-      .select(col("value"), input_file_name().as("f"))
-      .as[(String, String)]
-      .flatMap { case (text, f) =>
-        val name = f.substring(f.lastIndexOf('/') + 1)
-        parseFile(text).map(r => (r.warcType, r.url, r.contentType,
-          r.warcDate, r.content, r.statusCode, r.redirectedTo,
-          r.fetchTimeMs, name))
-      }
-      .toDF("warcType", "url", "contentType", "warcDate", "content",
-        "statusCode", "redirectedTo", "fetchTimeMs", "warc_file")
+  def readWithFile(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, Seq(path))
       .filter(col("warcType") === "resource")
       .drop("warcType")
-  }
 }
