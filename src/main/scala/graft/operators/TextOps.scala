@@ -383,7 +383,16 @@ object TextOps {
       shingleK: Int, numHashes: Int, bandSize: Int,
       threshold: Double): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, shingleK, numHashes, bandSize)
+      .localCheckpoint(true) // read twice: the id prune below + the verify join
+    // verify only re-shingles docs that appear in SOME candidate pair —
+    // without the prune the exact pass explodes and shuffles the WHOLE
+    // corpus's shingles (50 M rows at sf10) to verify a 26 k-pair
+    // candidate set; with it, cost scales with candidates (the operator's
+    // stated contract). Measured: sf10 92.6 s → see PERF_NOTES r16.
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
     val sh = df
+      .join(candIds, col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("doc_id"), shingleUdf(shingleK)(col(textCol)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
