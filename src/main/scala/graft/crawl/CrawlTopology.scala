@@ -661,9 +661,18 @@ object CrawlTopology {
           .agg(max(col("nextAllowed")).as("nextAllowed"))
           .localCheckpoint(true)
 
+        // per-URL re-arm time: a fetch row's crawlDelay already carries
+        // the forced > robots > default precedence (resolved at the
+        // robots gate above), so when a force is configured it is used
+        // AS-IS — max-ing with the default would silently override a
+        // forced delay smaller than defaultCrawlDelayMs (ADVICE r16).
+        // Without a force, the max() floors rows whose delay arrived 0
+        // from non-robots paths at the configured default.
+        val forced = cfg.forceCrawlDelayMs.isDefined
         val statusUpdates = fetched
           .map(f => CrawlStateUrl(f.url, f.pld, f.status, now, f.score,
-            now + math.max(f.crawlDelay, cfg.defaultCrawlDelayMs)))
+            now + (if (forced) f.crawlDelay
+                   else math.max(f.crawlDelay, cfg.defaultCrawlDelayMs))))
           .toDF()
 
         // --- parse (ParseFunction): title/text/outlinks; outlink top-K per

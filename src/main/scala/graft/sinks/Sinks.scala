@@ -58,10 +58,10 @@ object Sinks {
 
   /** One-time warcinfo header record (reference
     * CreateWARCWritableFunction.java:55-86 writes one per WARC file;
-    * standard WARC tooling expects it). Both content writers emit it —
-    * the gzip-member writer as the FIRST member of every segment, the
-    * row-based writer as the first record of every written partition.
-    * [[graft.sources.WarcSource]] surfaces it only under
+    * standard WARC tooling expects it). Both content writers emit it as
+    * the FIRST record of EVERY rolled segment file — plain, file-gzip
+    * and member-gzip forms all route through the same task-scoped
+    * segment writer. [[graft.sources.WarcSource]] surfaces it only under
     * `keepAllTypes = true`; the resource-record read path skips it.
     */
   def warcInfoRecord(crawler: String, timeMs: Long): String = {
@@ -97,27 +97,15 @@ object Sinks {
     * .fromWarc]]. Status code and redirect target travel in the record's
     * extension fields so non-200 outcomes replay faithfully (frames from
     * older taps without `redirectedTo` still write, as 200s-only did).
+    * Routed through [[writeWarcSegments]], so every rolled segment FILE
+    * leads with its own warcinfo record; `gzip = true` produces
+    * whole-file-gzipped `.warc.gz` segments.
     */
   def writeWarcContent(
       content: DataFrame, path: String,
-      maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit = {
-    val frame = contentRecordFrame(content)
-    val spark = frame.sparkSession
-    import spark.implicits._
-    // warcinfo leads each written partition (segment rolls within a
-    // partition via maxRecordsPerFile share their partition's header —
-    // the row-based writer cannot see file boundaries; the gzip-member
-    // writer below stamps every segment exactly)
-    val info = warcInfoRecord(WarcSoftware, System.currentTimeMillis())
-    val writer = frame
-      .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
-      .as[String]
-      .mapPartitions(it => if (it.hasNext) Iterator(info) ++ it else it)
-      .toDF("value")
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (gzip) writer.option("compression", "gzip") else writer).text(path)
-  }
+      maxRecordsPerFile: Long = 100000, gzip: Boolean = false): Unit =
+    writeWarcSegments(contentRecordFrame(content), path, maxRecordsPerFile,
+      if (gzip) SegmentCodec.FileGzip else SegmentCodec.Plain)
 
   /** Member-per-record gzip WARC segments (reference WARCFileWriter
     * .java:96-170: each record is its OWN gzip member, members
@@ -126,28 +114,57 @@ object Sinks {
     * member; file-level gzip cannot). Same record rendering and append
     * discipline as [[writeWarcContent]]; [[graft.sources.WarcSource]]
     * reads both forms transparently (Hadoop's gzip codec decompresses
-    * concatenated members).
-    *
-    * Write protocol — task-scoped two-phase commit. Each task streams
-    * records through a per-record gzip member into rolling segments
-    * written under HIDDEN `.part-<pid>-<run>-<attempt>-<seq>.warc.gz
-    * .inprogress` names (the leading dot keeps them out of Spark's file
-    * index and every reader's non-hidden listing), then — only after the
-    * whole partition iterator is drained — renames ALL of them to their
-    * final visible names in one commit step. A failure anywhere before
-    * that step leaves only hidden litter; a task retry (or a later run
-    * over the same dir) deletes this run's stale files for its partition
-    * on open, so no record can be committed by two attempts. The
-    * run-unique token keeps that cleanup from touching segments a
-    * PREVIOUS append run committed. (Speculative execution of this
-    * foreachPartition must stay off — two live attempts racing the
-    * commit step need a cluster commit coordinator this sink does not
-    * use; Spark's default has it off.)
+    * concatenated members). Write protocol (task-scoped two-phase
+    * commit, warcinfo per segment) is [[writeWarcSegments]]'s.
     */
   def writeWarcContentGzipMembers(
       content: DataFrame, path: String,
-      maxRecordsPerFile: Long = 100000): Unit = {
-    val frame = contentRecordFrame(content)
+      maxRecordsPerFile: Long = 100000): Unit =
+    writeWarcSegments(contentRecordFrame(content), path, maxRecordsPerFile,
+      SegmentCodec.MemberGzip)
+
+  /** How a segment file encodes its records. */
+  private[sinks] sealed trait SegmentCodec {
+    /** File extension (decides the reader's gzip detection). */
+    def ext: String
+  }
+  private[sinks] object SegmentCodec {
+    /** Raw WARC text, `.warc`. */
+    case object Plain extends SegmentCodec { val ext = ".warc" }
+    /** One gzip stream per segment file, `.warc.gz`. */
+    case object FileGzip extends SegmentCodec { val ext = ".warc.gz" }
+    /** One gzip MEMBER per record (the archive-ecosystem `.warc.gz`
+      * convention — replay tools can seek to a record offset and
+      * decompress just that member; file-level gzip cannot).
+      */
+    case object MemberGzip extends SegmentCodec { val ext = ".warc.gz" }
+  }
+
+  /** The shared WARC segment writer — task-scoped two-phase commit.
+    * Each task streams rendered records into rolling segments written
+    * under HIDDEN `.part-<pid>-<run>-<attempt>-<seq><ext>.inprogress`
+    * names (the leading dot keeps them out of Spark's file index and
+    * every reader's non-hidden listing), then — only after the whole
+    * partition iterator is drained — renames ALL of them to their final
+    * visible names in one commit step. A failure anywhere before that
+    * step leaves only hidden litter; a task retry (or a later run over
+    * the same dir) deletes this run's stale files for its partition on
+    * open, so no record can be committed by two attempts. The run-unique
+    * token keeps that cleanup from touching segments a PREVIOUS append
+    * run committed. (Speculative execution of this foreachPartition must
+    * stay off — two live attempts racing the commit step need a cluster
+    * commit coordinator this sink does not use; Spark's default has it
+    * off.)
+    *
+    * Every rolled segment FILE leads with a warcinfo record (reference
+    * WARCFileWriter writes one per file via CreateWARCWritableFunction
+    * .java:55-86) — in MemberGzip form as its own gzip member (member
+    * count per segment = records + 1), in Plain/FileGzip form as the
+    * first record of the file.
+    */
+  private def writeWarcSegments(
+      frame: DataFrame, path: String, maxRecordsPerFile: Long,
+      codec: SegmentCodec): Unit = {
     val records = frame
       .select(warcRecordCol(col("statusCode"), col("redirectedTo")).as("value"))
     val spark = records.sparkSession
@@ -159,9 +176,6 @@ object Sinks {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val run = java.util.UUID.randomUUID().toString.take(8)
-    // warcinfo leads EVERY segment as its own gzip member (reference
-    // WARCFileWriter writes one per file via CreateWARCWritableFunction
-    // .java:55-86): member count per segment = records + 1
     val info = warcInfoRecord(WarcSoftware, System.currentTimeMillis())
     records.as[String].foreachPartition { it: Iterator[String] =>
       if (it.hasNext) {
@@ -180,24 +194,35 @@ object Sinks {
             fs.delete(st.getPath, false)
         }
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        // FileGzip keeps one gzip stream open for the whole segment
+        var segGz: java.util.zip.GZIPOutputStream = null
         var seq = 0
         var n = 0L
         val pending = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.hadoop.fs.Path]
-        def writeMember(record: String): Unit = {
-          val gz = new MemberGzipStream(out)
-          gz.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          gz.finishMember()
+        def writeRecord(record: String): Unit = {
+          val bytes = record.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          codec match {
+            case SegmentCodec.MemberGzip =>
+              val gz = new MemberGzipStream(out)
+              gz.write(bytes)
+              gz.finishMember()
+            case SegmentCodec.FileGzip => segGz.write(bytes)
+            case SegmentCodec.Plain => out.write(bytes)
+          }
         }
         def open(): Unit = {
           val p = new org.apache.hadoop.fs.Path(dir,
-            f".$stem-${tc.taskAttemptId()}-$seq%04d.warc.gz.inprogress")
+            f".$stem-${tc.taskAttemptId()}-$seq%04d${codec.ext}.inprogress")
           out = fs.create(p, true)
+          if (codec == SegmentCodec.FileGzip)
+            segGz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
           pending += p
           n = 0L
-          writeMember(info)
+          writeRecord(info)
         }
         def closeSegment(): Unit = if (out != null) {
+          if (segGz != null) { segGz.finish(); segGz = null }
           out.close()
           out = null
           seq += 1
@@ -205,7 +230,7 @@ object Sinks {
         try {
           it.foreach { record =>
             if (out == null) open()
-            writeMember(record)
+            writeRecord(record)
             n += 1
             if (n >= maxRecordsPerFile) closeSegment()
           }

@@ -38,6 +38,12 @@ object WarcSource {
       statusCode: Int = 200, redirectedTo: String = "",
       fetchTimeMs: Long = 0L)
 
+  /** Largest body a single record may claim (writer segments are bounded
+    * at ~1 GiB, so no conforming record exceeds this); larger claims are
+    * treated as corruption and resynced past.
+    */
+  private[sources] val MaxRecordOctets: Int = 1 << 30
+
   /** Streaming record parser over a raw (already-decompressed) WARC
     * byte stream: resyncs on `WARC/1.0` marker lines, reads header
     * lines to the blank line, then exactly Content-Length octets of
@@ -86,8 +92,18 @@ object WarcSource {
             h = readLine()
           }
           if (h == null) { eof = true; return }
+          // Content-Length is untrusted input: a negative value would
+          // throw in the array allocation, and an absurd one (up to
+          // Int.MaxValue) would be a ~2 GB single allocation from one
+          // corrupt/hostile record. Clamp negatives to 0 and treat
+          // anything beyond the writer's segment bound (1 GiB — no
+          // conforming record from our writers can exceed its segment)
+          // as corrupt: read no body and let the line-wise resync find
+          // the next WARC/1.0 marker.
           val octets = headers.get("content-length")
-            .flatMap(_.trim.toIntOption).getOrElse(0)
+            .flatMap(_.trim.toIntOption)
+            .map(n => if (n < 0 || n > MaxRecordOctets) 0 else n)
+            .getOrElse(0)
           val body = new String(readFully(octets),
             java.nio.charset.StandardCharsets.UTF_8)
           nextRec = WarcRecord(
@@ -114,7 +130,7 @@ object WarcSource {
   /** Back-compat string form (specs exercise it directly): parse a whole
     * file's text via the streaming parser.
     */
-  private[sources] def parseFile(text: String): Seq[WarcRecord] =
+  private[graft] def parseFile(text: String): Seq[WarcRecord] =
     parseStream(new java.io.ByteArrayInputStream(
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toSeq
 
@@ -134,8 +150,10 @@ object WarcSource {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
       if (p.exists("*?[{".contains(_)))
-        fs.globStatus(path).toSeq.filter(st =>
-          st.isFile && visible(st.getPath.getName))
+        // globStatus returns NULL (not empty) when the glob's parent
+        // directory doesn't exist — surface that as "no files"
+        Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(st => st.isFile && visible(st.getPath.getName))
           .map(_.getPath.toString)
       else if (fs.isDirectory(path))
         fs.listStatus(path).toSeq
@@ -170,14 +188,23 @@ object WarcSource {
             new java.util.zip.GZIPInputStream(raw, 1 << 16)
           else raw
         val name = f.substring(f.lastIndexOf('/') + 1)
-        // iterator closes the stream on exhaustion; Spark always drains
-        // flatMap iterators (no early-abandon leak in this plan shape)
+        // Close discipline: Spark abandons partially-consumed flatMap
+        // iterators under limit/take/show plans, and a parse exception
+        // skips exhaustion entirely — so the authoritative close is a
+        // task-completion listener (fires on success, abandonment, and
+        // failure alike). The exhaustion close below is just the eager
+        // path for fully-drained files; `closed` keeps both idempotent.
+        val closeOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeIn(): Unit =
+          if (closeOnce.compareAndSet(false, true))
+            try in.close() catch { case _: java.io.IOException => () }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeIn()))
         new Iterator[(String, String, String, String, String, Int, String, Long, String)] {
           private val it = parseStream(in)
-          private var closed = false
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !closed) { closed = true; in.close() }
+            if (!h) closeIn()
             h
           }
           override def next() = {

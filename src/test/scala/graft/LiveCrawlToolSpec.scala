@@ -131,6 +131,26 @@ class LiveCrawlToolSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fetched rows must re-arm at the forced delay, got $rearm")
   }
 
+  test("--forcecrawldelay SMALLER than --defaultcrawldelay still wins (forced > robots > default)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_livetool_force_small").toString
+    // ADVICE r16: the re-arm used max(crawlDelay, default), silently
+    // overriding a forced delay below the default — the documented
+    // precedence is forced > robots > default, unconditionally
+    val result = graft.tools.LiveCrawlTool.run(spark, Map(
+      "seedurls" -> seedsFile(dir),
+      "maxrounds" -> "4",
+      "defaultcrawldelay" -> "60000",
+      "forcecrawldelay" -> "500",
+      "nolengthen" -> "true"))
+    val rearm = result.frontier
+      .filter(col("status") === FS.FETCHED)
+      .select((col("nextFetchTime") - col("statusTime")).as("d"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rearm == Set(500L),
+      s"forced 500ms must beat the 60s default in the re-arm, got $rearm")
+  }
+
   test("--htmlonly aborts non-HTML responses at the header (INVALID_MIMETYPE parity)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_livetool_mime").toString
