@@ -76,6 +76,14 @@ final case class CrawlConfig(
     // merge-on-read table at this root and a fresh run resumes from it
     frontierRoot: Option[String] = None,
     frontierBuckets: Int = 64,
+    // rounds between bucketed-table folds of the frontier WAL: each
+    // round commits durably as ONE small WAL parquet append (crash
+    // replay-exact via the manifest watermark); the full bucketed write
+    // cycle — merge read, B bucket files, sidecars — runs on this
+    // cadence instead of every round. Higher = cheaper rounds but a
+    // longer WAL for readResolved to fold and for a resume to replay;
+    // 1 = the pre-WAL commit-every-round behavior
+    frontierCompactEvery: Int = 8,
     // driver-plan hygiene: journal/parsed accumulators are compacted
     // (lineage-truncated) every this-many appended batches so a
     // thousand-round crawl never builds a thousand-node union plan
@@ -286,12 +294,30 @@ object CrawlTopology {
       cleanUrls(spark, seeds.toDS(), 0L, cfg, lengthener).toDF())
     val initialRows = initialFrontier.fold(seedRows)(f => f.unionByName(seedRows))
     var frontier: DataFrame = null
+    // WAL bookkeeping for the durable mode: each commit is one small
+    // append; the bucketed fold runs every frontierCompactEvery commits
+    // and once more at run end (so the at-rest store needs no replay)
+    var walSeq: Long = cfg.frontierRoot
+      .map(FrontierStore.nextWalSeq(spark, _)).getOrElse(0L)
+    var walPending = 0
     def commitFrontier(updates: DataFrame): DataFrame = cfg.frontierRoot match {
       case Some(root) =>
-        // the store is the merge base (it already holds the frontier);
-        // the returned frame reads committed parquet, so lineage is O(1)
-        // per round and the crawl survives a driver restart
-        FrontierStore.mergeInto(spark, root, updates, cfg.frontierBuckets)
+        // durable round commit = ONE single-file WAL append (the full
+        // bucketed write cycle every round was the measured live-crawl
+        // limiter, PERF_NOTES r16/r17); the returned frame is the exact
+        // merged view over committed parquet — store resolved against
+        // the pending WAL with broadcast-sized joins, lineage O(WAL
+        // window) per round — and the crawl survives a driver restart
+        // at ANY point (manifest watermark makes replay exactly-once)
+        FrontierStore.appendWal(spark, root, updates, walSeq)
+        walSeq += 1
+        walPending += 1
+        if (walPending >= math.max(1, cfg.frontierCompactEvery)) {
+          FrontierStore.compactWal(spark, root, cfg.frontierBuckets)
+          walPending = 0
+        }
+        FrontierStore.readResolved(spark, root)
+          .getOrElse(updates.limit(0))
       case None =>
         // in-memory mode: merge the updates against the current frontier
         // (null only for the very first commit, before any round ran)
@@ -425,10 +451,14 @@ object CrawlTopology {
         .observe(queueObs, count(lit(1)).as("n"))
         .as[Candidate]
         .localCheckpoint(true)
-      gauges += ((round, "urls_in_queue",
-        queueObs.get.get("n").fold(0L)(_.asInstanceOf[Long])))
+      val queueDepth =
+        queueObs.get.get("n").fold(0L)(_.asInstanceOf[Long])
+      gauges += ((round, "urls_in_queue", queueDepth))
 
-      if (candidates.isEmpty) {
+      // emptiness rides the queue observation — a separate isEmpty action
+      // per round was part of the fixed driver overhead LiveCrawlBench
+      // measured (PERF_NOTES round-16)
+      if (queueDepth == 0L) {
         // distinguish "frontier exhausted" from "all ready domains are
         // inside their politeness window" — the latter just skips a tick;
         // continuous mode (recrawl) never self-terminates: pages re-arm
@@ -439,6 +469,13 @@ object CrawlTopology {
         // cache so each robots.txt is fetched once per partition per round
         val rf = robotsFetcher
         val runScope = crawlRunId
+        // sitemap presence rides the verdicts checkpoint as an observed
+        // metric: the whole sitemap stage (distinct + anti-join + fetch
+        // pass + its checkpoint) is skipped when this round surfaced no
+        // sitemap declarations at all — the common case, and 2-3 of the
+        // ~10 per-round driver actions the r16 bench attributed to fixed
+        // overhead
+        val smObs = org.apache.spark.sql.Observation()
         val verdicts = candidates
           .repartition(seamParts, col("pld"))
           .mapPartitions { it =>
@@ -466,7 +503,10 @@ object CrawlTopology {
                   rules.sitemaps)
             }
           }
+          .observe(smObs, sum(size(col("sitemaps"))).as("nsm"))
           .localCheckpoint(true)
+        val sitemapCount = smObs.get.get("nsm")
+          .collect { case n: Long => n }.getOrElse(0L)
 
         val blocked = verdicts
           .filter(v => v.verdict == "BLOCKED" || v.verdict == "DEFERRED")
@@ -482,52 +522,58 @@ object CrawlTopology {
 
         // --- sitemap discovery: fetch+parse each sitemap ONCE per crawl —
         // the anti-join against seenSitemaps keeps an active domain's
-        // sitemap from being refetched every round for the crawl's life
+        // sitemap from being refetched every round for the crawl's life.
+        // The stage only RUNS when the robots pass surfaced a sitemap
+        // declaration (sitemapCount above) — skipped, it contributes no
+        // driver actions to the round
         val pf = pageFetcher
         val smf = sitemapFetcher.getOrElse(pageFetcher)
-        val sitemapFetches = verdicts
-          .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
-          .distinct()
-          .toDF("pld", "sitemapUrl")
-          .join(broadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
-          .select(col("pld"), col("sitemapUrl"))
-          .repartition(seamParts, col("sitemapUrl"))
-          .as[(String, String)]
-          .mapPartitions { it =>
-            // pooled like the page fetch (the reference routes sitemaps
-            // through a second FetchUrlsFunction instance)
-            graft.util.Pooled.unordered(
-                it, cfg.fetchThreads, name = "sitemap") {
-              case (_, sitemapUrl) =>
-                val page = Fetcher.safeFetch(smf, sitemapUrl)
-                val links =
-                  if (page.statusCode == 200)
-                    HtmlParser.parseSitemap(page.content)
-                  else Seq.empty[String]
-                (sitemapUrl, page.statusCode, links)
+        val sitemapLinks: Dataset[(String, Float)] =
+          if (sitemapCount == 0L) spark.emptyDataset[(String, Float)]
+          else {
+            val sitemapFetches = verdicts
+              .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
+              .distinct()
+              .toDF("pld", "sitemapUrl")
+              .join(broadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
+              .select(col("pld"), col("sitemapUrl"))
+              .repartition(seamParts, col("sitemapUrl"))
+              .as[(String, String)]
+              .mapPartitions { it =>
+                // pooled like the page fetch (the reference routes sitemaps
+                // through a second FetchUrlsFunction instance)
+                graft.util.Pooled.unordered(
+                    it, cfg.fetchThreads, name = "sitemap") {
+                  case (_, sitemapUrl) =>
+                    val page = Fetcher.safeFetch(smf, sitemapUrl)
+                    val links =
+                      if (page.statusCode == 200)
+                        HtmlParser.parseSitemap(page.content)
+                      else Seq.empty[String]
+                    (sitemapUrl, page.statusCode, links)
+                }
+              }
+              .localCheckpoint(true) // one fetch pass: links + failure journal
+            if (sitemapFetches.head(1).nonEmpty) {
+              // only SUCCESSFUL fetches become "seen": a transiently failing
+              // sitemap (5xx during a restart) stays eligible and is retried
+              // next round instead of being blacked out for the crawl's life
+              seenSitemaps = seenSitemaps
+                .unionByName(
+                  sitemapFetches.filter(_._2 == 200).map(_._1).toDF("sitemapUrl"))
+                .distinct()
+                .localCheckpoint(false)
             }
+            // L7 HandleFailedSiteMapFunction (reference …/flinkcrawler/
+            // functions/HandleFailedSiteMapFunction.java:13-31): failed
+            // sitemap fetches are recorded, not silently dropped
+            journal(round, "sitemap_failed",
+              sitemapFetches
+                .filter(_._2 != 200)
+                .map(f => (f._1, FS.fromHttpStatus(f._2)))
+                .toDF("url", "status"))
+            sitemapFetches.flatMap(_._3.map(u => (u, 1.0f)))
           }
-          .localCheckpoint(true) // one fetch pass: links + failure journal
-        if (sitemapFetches.head(1).nonEmpty) {
-          // only SUCCESSFUL fetches become "seen": a transiently failing
-          // sitemap (5xx during a restart) stays eligible and is retried
-          // next round instead of being blacked out for the crawl's life
-          seenSitemaps = seenSitemaps
-            .unionByName(
-              sitemapFetches.filter(_._2 == 200).map(_._1).toDF("sitemapUrl"))
-            .distinct()
-            .localCheckpoint(true)
-        }
-        val sitemapLinks = sitemapFetches
-          .flatMap(_._3.map(u => (u, 1.0f)))
-        // L7 HandleFailedSiteMapFunction (reference …/flinkcrawler/
-        // functions/HandleFailedSiteMapFunction.java:13-31): failed sitemap
-        // fetches are recorded, not silently dropped
-        journal(round, "sitemap_failed",
-          sitemapFetches
-            .filter(_._2 != 200)
-            .map(f => (f._1, FS.fromHttpStatus(f._2)))
-            .toDF("url", "status"))
 
         // --- fetch (FetchUrlsFunction): politeness is already enforced by
         // the per-domain schedule cap; redirects surface as HTTP_MOVED with
@@ -640,11 +686,17 @@ object CrawlTopology {
               lit(round.toLong).as("capId"))
           val capRecency = Window.partitionBy(col("url"))
             .orderBy(col("capId").desc)
+          // LAZY checkpoint (like every per-round state fold below): the
+          // lineage truncates at first materialization — inside the NEXT
+          // round's consuming job — instead of costing a separate driver
+          // action now. The fold derives only from eagerly-checkpointed
+          // parents, so a recompute before the cache lands is
+          // deterministic.
           captureHistory = captureHistory.unionByName(caps)
             .withColumn("__cr", row_number().over(capRecency))
             .filter(col("__cr") <= cfg.captureWindow)
             .drop("__cr")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
 
         // advance the politeness clocks for delayed domains — from the
@@ -659,7 +711,7 @@ object CrawlTopology {
         domainClocks = domainClocks.unionByName(newClocks)
           .groupBy(col("pld"))
           .agg(max(col("nextAllowed")).as("nextAllowed"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
 
         // per-URL re-arm time: a fetch row's crawlDelay already carries
         // the forced > robots > default precedence (resolved at the
@@ -744,7 +796,7 @@ object CrawlTopology {
             .withColumn("keepRn", row_number().over(recency))
             .filter(col("keepRn") <= cfg.scoreWindow)
             .drop("keepRn")
-            .localCheckpoint(true)
+            .localCheckpoint(false)
         }
 
         val outlinkWindow = Window
@@ -782,6 +834,17 @@ object CrawlTopology {
       // compaction / score pruning / seen-sitemaps state exist to hold;
       // surfacing it as a gauge lets benches assert it directly
       gauges += ((round, "round_ms", (System.nanoTime() - roundT0) / 1000000))
+    }
+
+    // fold any WAL tail into the bucketed table: the at-rest store reads
+    // whole through FrontierStore.read (no replay needed), and the final
+    // returned frontier references no WAL files
+    cfg.frontierRoot.foreach { root =>
+      if (walPending > 0) {
+        FrontierStore.compactWal(spark, root, cfg.frontierBuckets)
+        frontier = FrontierStore.read(spark, root)
+          .getOrElse(frontier)
+      }
     }
 
     // the run's robots entries are unreachable once the scope retires —

@@ -130,6 +130,8 @@ object LiveCrawlTool {
       maxUrlsPerDomainPerRound =
         opts.get("maxurlsperdomain").map(_.toInt).getOrElse(1),
       frontierBuckets = opts.get("frontierbuckets").map(_.toInt).getOrElse(64),
+      frontierCompactEvery =
+        opts.get("frontiercompactevery").map(_.toInt).getOrElse(8),
       fetchThreads = opts.get("fetchthreads").map(_.toInt).getOrElse(10),
       terminator = terminator,
       frontierRoot = opts.get("frontierroot"),

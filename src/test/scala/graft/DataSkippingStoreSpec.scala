@@ -66,12 +66,13 @@ class DataSkippingStoreSpec extends AnyFunSuite {
       Seq(ColRange("statusTime", Long.MinValue, Long.MaxValue)))
     val urls = banded.select("url").collect().map(_.getString(0)).toSet
     assert(!urls.contains("http://a.com/page0") && urls.size == 7)
-    // and each live manifest bucket dir has its sidecar present
-    val f = new java.io.File(root).listFiles().filter(_.getName.startsWith("b"))
-    f.foreach { bdir =>
-      bdir.listFiles().filter(_.isDirectory).foreach { vdir =>
-        assert(new java.io.File(vdir, "_SKIP").exists(),
-          s"bucket version ${vdir} lacks a sidecar")
+    // and every committed bucket dir has its sidecar present
+    val f = new java.io.File(root).listFiles().filter(_.getName.startsWith("g"))
+    f.foreach { gdir =>
+      gdir.listFiles().filter(d =>
+        d.isDirectory && d.getName.startsWith("bucket=")).foreach { bdir =>
+        assert(new java.io.File(bdir, "_SKIP").exists(),
+          s"bucket dir ${bdir} lacks a sidecar")
       }
     }
   }
@@ -82,7 +83,8 @@ class DataSkippingStoreSpec extends AnyFunSuite {
       rows(Seq("x.com", "y.com", "z.com"), 4, 1000L, FS.FETCHED), buckets = 8)
     // simulate a store written before the hook: strip some sidecars
     val vdirs = new java.io.File(root).listFiles()
-      .filter(_.getName.startsWith("b")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("g")).flatMap(_.listFiles())
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
     assert(vdirs.nonEmpty)
     vdirs.take(1).foreach(v => new java.io.File(v, "_SKIP").delete())
     val Some((banded, info)) = FrontierStore.readBanded(spark, root,

@@ -721,10 +721,17 @@ class TakedownSpec extends AnyFunSuite {
     val left = FrontierStore.read(spark, root).get
       .select("url").collect().map(_.getString(0)).toSet
     assert(left == Set("http://a.com/1", "http://a.com/2"), s"left $left")
-    // the purged url's bytes are GONE from every live bucket file
-    val onDisk = spark.read.parquet(
-        new java.io.File(root).listFiles().filter(_.getName.startsWith("b"))
-          .flatMap(_.listFiles()).map(_.getPath): _*)
+    // the purged url's bytes are GONE from EVERY parquet file under the
+    // root — live generations AND any retained window (the purge path
+    // reclaims superseded locations immediately)
+    val allParquet = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    }
+    val onDisk = spark.read.parquet(allParquet: _*)
       .select("url").collect().map(_.getString(0)).toSet
     assert(!onDisk.contains("http://b.com/1"),
       s"purged url still on disk: $onDisk")

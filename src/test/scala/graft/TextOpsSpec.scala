@@ -850,7 +850,14 @@ class FrontierStoreSpec extends AnyFunSuite {
     assert(slice.length == 1 && slice.head.getAs[String]("url") == "http://a.com/x")
   }
 
-  test("old versions are retired after merges; untouched buckets keep files") {
+  /** Generation dirs under `root` mapped to their `bucket=` children. */
+  private def genBuckets(root: String): Map[String, Seq[String]] =
+    new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .map(f => f.getName -> f.list().filter(_.startsWith("bucket="))
+        .sorted.toSeq).toMap
+
+  test("superseded generations are retired after one commit; reads stay whole") {
     import spark.implicits._
     import graft.schema.CrawlStateUrl
     val root = java.nio.file.Files.createTempDirectory("graft-frontier2").toString
@@ -859,12 +866,11 @@ class FrontierStoreSpec extends AnyFunSuite {
         Seq(CrawlStateUrl(s"http://a.com/$i", "a.com", "UNFETCHED", i.toLong, 1.0f, 0L))
           .toDF(), buckets = 2)
     }
-    // all updates hit a.com's bucket: its v0 is retired (keep v1+v2)
-    val aBucket = new java.io.File(root).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .find(_.listFiles().nonEmpty).get
-    val vers = aBucket.list().sorted.toSeq
-    assert(vers == Seq("v1", "v2"), s"got $vers")
+    // all updates hit a.com's bucket: g2 owns it, g1 is the one-commit
+    // reader-retention window, g0 was reclaimed by the g2 commit
+    val gens = genBuckets(root)
+    assert(gens.keySet == Set("g1", "g2"),
+      s"retention window must keep exactly current+previous: ${gens.keySet}")
     val rows = graft.crawl.FrontierStore.read(spark, root).get.count()
     assert(rows == 3)
   }
@@ -878,20 +884,16 @@ class FrontierStoreSpec extends AnyFunSuite {
       .map(i => CrawlStateUrl(s"http://d$i.com/p", s"d$i.com", "UNFETCHED",
         1L, 1.0f, 0L)).toDF()
     graft.crawl.FrontierStore.mergeInto(spark, root, initial, buckets = 8)
-    def bucketVersions(): Map[String, Seq[String]] =
-      new java.io.File(root).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
-        .map(f => f.getName -> f.list().sorted.toSeq).toMap
-    val before = bucketVersions()
-    // one-domain update: exactly one bucket should gain a v1
+    assert(genBuckets(root)("g0").size == 8)
+    // one-domain update: the new generation holds exactly ONE bucket dir
+    // (the merge-on-read property — k/B of a full rewrite for k touched)
     val update = Seq(CrawlStateUrl("http://d5.com/p", "d5.com", "FETCHED",
       2L, 1.0f, 9L)).toDF()
     val merged = graft.crawl.FrontierStore.mergeInto(spark, root, update,
       buckets = 8)
-    val after = bucketVersions()
-    val changed = after.filter { case (b, vs) => before.get(b) != Some(vs) }
-    assert(changed.size == 1, s"expected 1 rewritten bucket: $changed")
-    assert(changed.values.head.contains("v1"))
+    val after = genBuckets(root)
+    assert(after("g1").size == 1, s"expected 1 rewritten bucket: $after")
+    assert(after("g0").size == 8, "untouched buckets must keep their files")
     // data is still complete and merged
     assert(merged.count() == 32)
     val d5 = merged.filter(col("url") === "http://d5.com/p")
@@ -901,6 +903,148 @@ class FrontierStoreSpec extends AnyFunSuite {
     val slice = graft.crawl.FrontierStore
       .domainSlice(spark, root, "d5.com").get.collect()
     assert(slice.length == 1 && slice.head.getAs[String]("status") == "FETCHED")
+  }
+
+  test("WAL: readResolved over appended batches equals the iterated per-round fold") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    def batch(i: Int) = Seq(
+      // repeated UNFETCHED sightings (score sums), a terminal overwrite,
+      // and a fresh url per batch — the merge corners that matter
+      CrawlStateUrl("http://w.com/hot", "w.com", "UNFETCHED", i * 10L, 1.0f, 0L),
+      CrawlStateUrl(s"http://w.com/p$i", "w.com", "UNFETCHED", i * 10L, 0.5f, 0L),
+      CrawlStateUrl("http://w.com/done", "w.com",
+        if (i >= 2) "FETCHED" else "UNFETCHED", i * 10L, 2.0f, i * 10L + 5))
+      .toDF()
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "status", "statusTime", "score", "nextFetchTime")
+      .collect().map(_.toSeq).toSet
+    // path A: the pre-WAL behavior — mergeInto every batch
+    val rootA = java.nio.file.Files.createTempDirectory("graft-walA").toString
+    (0 to 3).foreach(i =>
+      graft.crawl.FrontierStore.mergeInto(spark, rootA, batch(i), buckets = 4))
+    // path B: fold batch 0, append 1-3 as WAL, resolve on read
+    val rootB = java.nio.file.Files.createTempDirectory("graft-walB").toString
+    graft.crawl.FrontierStore.mergeInto(spark, rootB, batch(0), buckets = 4)
+    (1 to 3).foreach { i =>
+      val seq = graft.crawl.FrontierStore.nextWalSeq(spark, rootB)
+      graft.crawl.FrontierStore.appendWal(spark, rootB, batch(i), seq)
+    }
+    val a = snap(graft.crawl.FrontierStore.read(spark, rootA).get)
+    val b = snap(graft.crawl.FrontierStore.readResolved(spark, rootB).get)
+    assert(a == b, s"only-A: ${(a -- b).take(3)} only-B: ${(b -- a).take(3)}")
+    // and compacting path B's WAL folds to the same state
+    graft.crawl.FrontierStore.compactWal(spark, rootB, buckets = 4)
+    assert(snap(graft.crawl.FrontierStore.read(spark, rootB).get) == a)
+    // folded WAL dirs are reclaimed
+    assert(!new java.io.File(s"$rootB/_wal").exists() ||
+      new java.io.File(s"$rootB/_wal").list().isEmpty)
+  }
+
+  test("WAL: a crash between the fold and the WAL deletes cannot double-apply") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-walC").toString
+    graft.crawl.FrontierStore.mergeInto(spark, root,
+      Seq(CrawlStateUrl("http://c.com/x", "c.com", "UNFETCHED", 10L, 1.0f, 0L))
+        .toDF(), buckets = 4)
+    val wal = Seq(
+      CrawlStateUrl("http://c.com/x", "c.com", "UNFETCHED", 20L, 1.0f, 0L))
+      .toDF()
+    graft.crawl.FrontierStore.appendWal(spark, root, wal, 0L)
+    // simulate the crash shape: the fold COMMITS (manifest watermark
+    // advances) but the process dies before deleting the WAL dir
+    graft.crawl.FrontierStore.mergeInto(spark, root, wal, buckets = 4,
+      walWatermark = Some(0L))
+    assert(new java.io.File(s"$root/_wal/w0").exists(), "crash precondition")
+    // replay must SKIP the folded batch: score stays 2.0, not 3.0
+    val score = graft.crawl.FrontierStore.readResolved(spark, root).get
+      .filter(col("url") === "http://c.com/x")
+      .select("score").head().getFloat(0)
+    assert(score == 2.0f, s"watermark failed to fence the folded WAL: $score")
+    // the next compaction reclaims the leftover dir without re-applying
+    graft.crawl.FrontierStore.compactWal(spark, root, buckets = 4)
+    assert(!new java.io.File(s"$root/_wal/w0").exists())
+    val after = graft.crawl.FrontierStore.read(spark, root).get
+      .filter(col("url") === "http://c.com/x")
+      .select("score").head().getFloat(0)
+    assert(after == 2.0f)
+  }
+
+  test("WAL: a killed crawl's pending WAL replays into the resumed frontier") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-walD").toString
+    // the store knows /a FETCHED; a WAL batch from a killed run carries
+    // /b's sighting that never got folded
+    graft.crawl.FrontierStore.mergeInto(spark, root,
+      Seq(CrawlStateUrl("http://k.com/a", "k.com", "FETCHED", 10L, 1.0f, 99L))
+        .toDF(), buckets = 4)
+    graft.crawl.FrontierStore.appendWal(spark, root,
+      Seq(CrawlStateUrl("http://k.com/b", "k.com", "UNFETCHED", 20L, 1.0f, 0L))
+        .toDF(), graft.crawl.FrontierStore.nextWalSeq(spark, root))
+    val resolved = graft.crawl.FrontierStore.readResolved(spark, root).get
+      .select("url", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved == Map(
+      "http://k.com/a" -> "FETCHED", "http://k.com/b" -> "UNFETCHED"),
+      s"got $resolved")
+  }
+
+  test("a legacy b<bucket>/v<ver> store reads and migrates as commits touch it") {
+    import spark.implicits._
+    import graft.schema.CrawlStateUrl
+    val root = java.nio.file.Files.createTempDirectory("graft-frontier4").toString
+    def pldBucket(pld: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(pld)), lit(4)).cast("int")).head().getInt(0)
+    // two plds guaranteed to live in DIFFERENT buckets (the migration
+    // sweep must touch one and spare the other)
+    val pldA = "a.com"
+    val pldB = Seq("b.com", "c.com", "d.com", "e.com", "f.com")
+      .find(p => pldBucket(p) != pldBucket(pldA)).get
+    // hand-build the pre-generation layout: two buckets at v0 + a plain
+    // manifest ("<bucket> <ver>" entries, no retire lines)
+    val rows = Seq(
+      CrawlStateUrl(s"http://$pldA/x", pldA, "UNFETCHED", 100L, 1.0f, 0L),
+      CrawlStateUrl(s"http://$pldB/y", pldB, "FETCHED", 100L, 2.0f, 9L))
+    val withB = rows.toDF()
+      .withColumn("bucket", pmod(xxhash64(col("pld")), lit(4)).cast("int"))
+    val buckets = withB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    buckets.foreach { b =>
+      withB.filter(col("bucket") === b).drop("bucket")
+        .write.parquet(s"$root/b$b/v0")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_MANIFEST_v0"),
+      ("buckets 4" +: buckets.map(b => s"$b 0").toSeq).mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_LATEST"), "0")
+    // legacy store reads whole
+    val read0 = graft.crawl.FrontierStore.read(spark, root).get
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(read0 == Set(s"http://$pldA/x", s"http://$pldB/y"))
+    // a commit touching pldA migrates its bucket to the generation
+    // layout and (after the retention window) sweeps the legacy v-dirs
+    graft.crawl.FrontierStore.mergeInto(spark, root,
+      Seq(CrawlStateUrl(s"http://$pldA/x", pldA, "FETCHED", 200L, 1.0f, 9L))
+        .toDF(), buckets = 4)
+    graft.crawl.FrontierStore.mergeInto(spark, root,
+      Seq(CrawlStateUrl(s"http://$pldA/z", pldA, "UNFETCHED", 300L, 1.0f, 0L))
+        .toDF(), buckets = 4)
+    val after = graft.crawl.FrontierStore.read(spark, root).get
+      .select("url", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == Map(
+      s"http://$pldA/x" -> "FETCHED",
+      s"http://$pldB/y" -> "FETCHED",
+      s"http://$pldA/z" -> "UNFETCHED"), s"got $after")
+    // pldA's legacy v-dir was reclaimed one commit after migration;
+    // pldB's untouched legacy bucket dir survives (still referenced)
+    assert(!new java.io.File(s"$root/b${pldBucket(pldA)}/v0").exists(),
+      "migrated bucket's legacy dir must be swept after the window")
+    assert(new java.io.File(s"$root/b${pldBucket(pldB)}/v0").exists(),
+      "untouched legacy bucket dir must survive")
   }
 }
 
