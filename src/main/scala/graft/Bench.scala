@@ -82,6 +82,33 @@ object Bench {
     // suite's absolute numbers are untrustworthy (round 6: a driver run
     // recorded 311.7 s for a 46 s suite with exactly this decay shape,
     // and nothing in-band flagged it).
+    // I/O probe: a fixed commit-shaped disk microbench — write 64 small
+    // files, fsync each, rename into place, then delete — timed outside
+    // Spark entirely. Two rounds (r15/r16) of judge/driver cycles went to
+    // separating box-disk speed from code: the CPU sentinel stayed clean
+    // while the commit/IO-bound lifecycle gates doubled, which is exactly
+    // the signature this probe pins. Run before AND after the suite so a
+    // mid-run disk-load shift is visible like the sentinel's.
+    def ioProbe(): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ioprobe").toFile
+      val payload = new Array[Byte](64 * 1024)
+      java.util.Arrays.fill(payload, 0x42.toByte)
+      val t0 = System.nanoTime()
+      (0 until 64).foreach { i =>
+        val tmp = new java.io.File(dir, s".part-$i.inprogress")
+        val out = new java.io.FileOutputStream(tmp)
+        try { out.write(payload); out.getFD.sync() } finally out.close()
+        val fin = new java.io.File(dir, s"part-$i")
+        if (!tmp.renameTo(fin))
+          throw new java.io.IOException(s"io_probe rename failed: $tmp")
+      }
+      (0 until 64).foreach(i => new java.io.File(dir, s"part-$i").delete())
+      dir.delete()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioFirst = try ioProbe() catch { case _: Throwable => -1.0 }
+
     val sentinelName = "q09_join_multi_revenue"
     // one untimed sentinel pass at the TARGET SF first: the sf0.001
     // codegen warmup runs too few rows for C2 JIT tiering, so at larger
@@ -100,6 +127,7 @@ object Bench {
       name -> sec
     }
     val sentinelLast = timed(sentinelName)
+    val ioLast = try ioProbe() catch { case _: Throwable => -1.0 }
     val ratio =
       if (sentinelFirst > 0 && sentinelLast > 0)
         math.max(sentinelFirst, sentinelLast) /
@@ -121,6 +149,7 @@ object Bench {
       s""""stages":$stagesJson,""" +
       s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
       s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
+      f""""io_probe":$ioFirst%.3f,"io_probe_last":$ioLast%.3f,""" +
       s""""noisy":$noisy,"sf":"$sfLabel","sf_dir":"$sfDir"}"""
     println(json)
     // durable copy: the stdout line has been tail-truncated in round
@@ -137,6 +166,7 @@ object Bench {
     // headline total — any tail capture keeps this one
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""nq":${results.size},"sentinel_ratio":$ratio,"noisy":$noisy,""" +
+      f""""io_probe":$ioFirst%.3f,""" +
       s""""sf":"$sfLabel","artifact":"${outFile.getAbsolutePath}"}""")
     spark.stop()
   }

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata alongside. IMAGES decode for real
   * ([[ImageIoDecoder]] — JDK `javax.imageio`: PNG/JPEG/GIF/BMP width,
   * height, format, frame count from stream metadata, plus a true pixel
-  * resample). Audio/video codecs are not available in this environment,
-  * so those fall through to the deterministic [[StubDecoder]] behind the
-  * same [[MediaDecoder]] seam — the Spark-side plumbing (schema, batch
-  * shape, partition balancing, frame explosion) is identical either way,
-  * and a production A/V decoder drops in without touching any plan.
+  * resample). AUDIO headers decode for real too ([[AudioDecoder]] — JDK
+  * `javax.sound.sampled`: WAV/AIFF/AU sample rate, channels, frame
+  * count → duration). Only VIDEO has no JDK codec, so it falls through
+  * to the deterministic [[StubDecoder]] behind the same [[MediaDecoder]]
+  * seam — the Spark-side plumbing (schema, batch shape, partition
+  * balancing, frame explosion) is identical either way, and a production
+  * video decoder drops in without touching any plan.
   *
   * Scale notes: decode runs in `mapPartitions` so a partition amortizes
   * decoder init; media rows are salted into even partitions by byte size
@@ -21,7 +23,9 @@ object Multimodal {
 
   final case class MediaMeta(
       width: Int, height: Int, format: String,
-      durationMs: Long, nFrames: Int)
+      durationMs: Long, nFrames: Int,
+      // audio axes ([[AudioDecoder]]); 0 for stills/video-stub payloads
+      sampleRate: Int = 0, channels: Int = 0)
 
   /** The decode seam. Implementations must be serializable (shipped to
     * executors); init-heavy decoders should be `lazy val`s inside.
@@ -40,7 +44,8 @@ object Multimodal {
 
   /** Deterministic fake decode derived only from the bytes — the seam
     * filler for the formats this environment has no codecs for (STUB:
-    * audio/video only — images decode for real via [[ImageIoDecoder]]).
+    * VIDEO only — images decode for real via [[ImageIoDecoder]], audio
+    * headers via [[AudioDecoder]]).
     */
   final class StubDecoder extends MediaDecoder {
     override def decode(bytes: Array[Byte]): MediaMeta = {
@@ -55,19 +60,70 @@ object Multimodal {
     }
   }
 
+  /** Real audio METADATA decode on the JDK's `javax.sound.sampled` — no
+    * external codec needed for WAV/AIFF(-C)/AU/SND headers: sample rate,
+    * channel count and frame length from the file header (no sample
+    * decode), duration derived as frameLength / frameRate. Closes the
+    * no-dependency half of the A/V gap (VERDICT r16 item 5); only video
+    * remains stubbed. Non-audio payloads — video, garbage — delegate to
+    * `fallback` (default [[StubDecoder]]), so the chain
+    * `new ImageIoDecoder(new AudioDecoder())` serves a fully mixed media
+    * column: image → audio → stub, first recognizer wins.
+    *
+    * Stateless and serializable. `resample` answers None — audio
+    * downsampling is a sample-level transform this header decoder does
+    * not do; [[Multimodal.resize]]'s stride fallback owns those payloads.
+    */
+  final class AudioDecoder(
+      fallback: MediaDecoder = new StubDecoder) extends MediaDecoder {
+
+    override def decode(bytes: Array[Byte]): MediaMeta =
+      try {
+        // ByteArrayInputStream supports mark/reset, which the sound API
+        // requires for header sniffing; only the header is read
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val rate = fmt.getFrameRate
+        val durationMs =
+          if (frames > 0 && rate > 0)
+            math.round(frames.toDouble / rate * 1000.0)
+          else 0L
+        val name = aff.getType.toString
+          .toLowerCase(java.util.Locale.ROOT) match {
+          case "wave" => "wav"
+          case t => t
+        }
+        MediaMeta(
+          width = 0, height = 0, format = name,
+          durationMs = durationMs,
+          nFrames = 1,
+          sampleRate = math.round(fmt.getSampleRate),
+          channels = math.max(0, fmt.getChannels))
+      } catch {
+        // not audio, or a corrupt/truncated header: the record stays a
+        // row through the fallback (the Fetcher.safeFetch discipline)
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: RuntimeException =>
+          fallback.decode(bytes)
+      }
+  }
+
   /** Real image decode on the JDK's `javax.imageio` — no external codec
     * needed for PNG/JPEG/GIF/BMP(/WBMP): exact width/height from the
     * stream header (no pixel decode), container format name, frame count
     * (animated GIFs report their true frame total). Non-image payloads —
     * audio, video, garbage — delegate to `fallback` (default
-    * [[StubDecoder]]), so one decoder instance serves a mixed media column.
+    * [[AudioDecoder]], which itself falls through to [[StubDecoder]]),
+    * so one decoder instance serves a fully mixed media column.
     *
     * Stateless and serializable; ImageIO's disk cache is disabled
     * JVM-wide (pure in-memory streams — an executor must never write
     * scratch files per record).
     */
   final class ImageIoDecoder(
-      fallback: MediaDecoder = new StubDecoder) extends MediaDecoder {
+      fallback: MediaDecoder = new AudioDecoder()) extends MediaDecoder {
 
     override def decode(bytes: Array[Byte]): MediaMeta = {
       ImageIoDecoder.withReader(bytes) { reader =>
@@ -151,7 +207,7 @@ object Multimodal {
   final case class MediaRecord(id: Long, content: Array[Byte])
   final case class DecodedRecord(
       id: Long, nBytes: Long, width: Int, height: Int, format: String,
-      durationMs: Long, nFrames: Int)
+      durationMs: Long, nFrames: Int, sampleRate: Int, channels: Int)
   final case class FrameRecord(id: Long, frameIdx: Int, frameKey: String)
 
   /** Decode a binary column into typed metadata, one decoder instance per
@@ -168,7 +224,7 @@ object Multimodal {
         it.map { r =>
           val m = decoder.decode(r.content)
           DecodedRecord(r.id, r.content.length.toLong, m.width, m.height,
-            m.format, m.durationMs, m.nFrames)
+            m.format, m.durationMs, m.nFrames, m.sampleRate, m.channels)
         }
       }
   }

@@ -64,7 +64,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "gif" && m.nFrames == 5, s"got $m")
   }
 
-  test("non-image payloads fall through to the stub (audio/video seam)") {
+  test("non-media payloads fall through to the stub (video seam)") {
+    // a torn RIFF header: WAV magic but no parseable fmt chunk — the
+    // audio layer must REFUSE it (corrupt-payload fallback), landing in
+    // the stub like any unrecognized payload
     val fakeAudio = "RIFFxxxxWAVEfmt not really audio".getBytes("UTF-8")
     val viaStub = new StubDecoder().decode(fakeAudio)
     assert(decoder.decode(fakeAudio) == viaStub,
@@ -73,6 +76,63 @@ class MultimodalSpec extends AnyFunSuite {
     // stream — must fall back, not throw
     val corrupt = image(16, 16, "png").take(24) ++ Array.fill[Byte](40)(7)
     assert(decoder.decode(corrupt) == new StubDecoder().decode(corrupt))
+  }
+
+  /** A real audio file rendered by the JDK itself: `frames` frames of
+    * silence at `rate` Hz / `channels` ch / 16-bit PCM, written through
+    * `AudioSystem.write` in the given container type.
+    */
+  private def audio(
+      frames: Int, rate: Float, channels: Int,
+      typ: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, typ, bos)
+    bos.toByteArray
+  }
+
+  test("WAV/AIFF headers decode for real: rate, channels, duration") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val audioDecoder = new graft.operators.Multimodal.AudioDecoder()
+    // 8000 frames at 16 kHz mono = exactly 500 ms
+    val wav = audioDecoder.decode(audio(8000, 16000f, 1, Type.WAVE))
+    assert(wav.format == "wav" && wav.sampleRate == 16000 &&
+      wav.channels == 1 && wav.durationMs == 500L,
+      s"got $wav")
+    // 22050 frames at 22.05 kHz stereo = exactly 1000 ms, big-endian AIFF
+    val aiff = audioDecoder.decode(audio(22050, 22050f, 2, Type.AIFF))
+    assert(aiff.format == "aiff" && aiff.sampleRate == 22050 &&
+      aiff.channels == 2 && aiff.durationMs == 1000L,
+      s"got $aiff")
+    // audio carries no pixel axes
+    assert(wav.width == 0 && wav.height == 0)
+    // the default decode chain (image -> audio -> stub) reaches the same
+    // answer for an audio payload handed to the IMAGE decoder
+    assert(decoder.decode(audio(8000, 16000f, 1, Type.WAVE)) == wav,
+      "ImageIoDecoder's fallback chain must route audio to AudioDecoder")
+  }
+
+  test("a mixed image+audio+garbage column decodes through the one seam") {
+    import spark.implicits._
+    import javax.sound.sampled.AudioFileFormat.Type
+    val rows = Seq(
+      (1L, image(64, 48, "png")),
+      (2L, audio(4000, 8000f, 1, Type.WAVE)),
+      (3L, "definitely not media".getBytes("UTF-8")))
+    val decoded = Multimodal
+      .decodeMeta(rows.toDF("media_id", "content"), "media_id", "content",
+        new ImageIoDecoder())
+      .collect().map(r => r.id -> r).toMap
+    assert(decoded(1L).width == 64 && decoded(1L).format == "png")
+    assert(decoded(2L).format == "wav" && decoded(2L).sampleRate == 8000 &&
+      decoded(2L).channels == 1 && decoded(2L).durationMs == 500L)
+    val stub = new StubDecoder().decode(rows(2)._2)
+    assert(decoded(3L).format == stub.format &&
+      decoded(3L).sampleRate == 0)
   }
 
   test("resample: aspect-preserving fit, re-decodable output, no upscale") {

@@ -273,4 +273,90 @@ class UrlDbProcessorSpec extends AnyFunSuite {
         s"restored URL lost its priority: $order")
     } finally query.stop()
   }
+
+  test("checkpoint restore under a CHANGED shuffle-partition count: no double-emit, state intact") {
+    // the reference's flagship operator test snapshots, restarts at
+    // DIFFERENT parallelism and re-asserts scheduling invariants
+    // (UrlDBFunctionTest.java:117,181-182). Spark's analog: the state
+    // store pins its partition count in the checkpoint, so a restart
+    // under a different session spark.sql.shuffle.partitions must
+    // restore cleanly at the CHECKPOINTED layout — queued/in-flight
+    // state intact, nothing re-emitted.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rescale").toString
+    val ckpt = s"$base/ckpt"
+    val feedDir = s"$base/feedback"
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // the memory sink refuses checkpoint recovery; foreachBatch into a
+    // per-run driver buffer is the recoverable equivalent
+    val sunk = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[FetchUrl]]()
+    def startRun(name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      sunk.putIfAbsent(name,
+        new java.util.concurrent.ConcurrentLinkedQueue[FetchUrl]())
+      val (input, _) = graft.streaming.LiveCrawl.FeedbackChannel.file(
+        spark, feedDir, retainConsumed = true)
+      UrlDbProcessor.scheduleWithScores(
+          input, checkIntervalMs = 100, maxPerFiring = 1)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[FetchUrl], _: Long) =>
+            batch.collect().foreach(sunk.get(name).add)
+        }
+        .start()
+    }
+    def push(rows: CrawlStateUrl*): Unit = {
+      val ds = spark.createDataset(rows.map(UrlDbProcessor.stateInput))
+      ds.coalesce(1).write.mode("append").parquet(feedDir)
+    }
+    def emitted(name: String): Seq[FetchUrl] = {
+      import scala.jdk.CollectionConverters._
+      sunk.get(name).iterator().asScala.toSeq
+    }
+    def await(name: String, n: Int): Seq[FetchUrl] = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (emitted(name).length < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      emitted(name)
+    }
+    try {
+      // run 1 at 4 shuffle partitions: two urls drain fully, then quiesce
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q1 = startRun("rescale_run1")
+      push(
+        CrawlStateUrl("http://r.com/a", "r.com", FS.UNFETCHED, 1L, 5.0f, 0L),
+        CrawlStateUrl("http://r.com/b", "r.com", FS.UNFETCHED, 1L, 1.0f, 0L))
+      val run1 = await("rescale_run1", 2)
+      assert(run1.map(_.url) == Seq("http://r.com/a", "http://r.com/b"),
+        s"run1 order: $run1")
+      // let the emitting batches' commits land before the kill
+      Thread.sleep(1000)
+      q1.stop()
+
+      // run 2 at 13 shuffle partitions, same checkpoint: a re-sighting
+      // of /a (already QUEUED in restored state) must NOT re-emit; the
+      // new /c must
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val q2 = startRun("rescale_run2")
+      try {
+        push(
+          CrawlStateUrl("http://r.com/a", "r.com", FS.UNFETCHED, 9L, 9.0f, 0L),
+          CrawlStateUrl("http://r.com/c", "r.com", FS.UNFETCHED, 9L, 3.0f, 0L))
+        val run2 = await("rescale_run2", 1)
+        assert(run2.nonEmpty, "restored query never emitted")
+        // give a would-be erroneous /a re-emit time to surface
+        Thread.sleep(1500)
+        val finalRun2 = emitted("rescale_run2").map(_.url)
+        assert(finalRun2.contains("http://r.com/c"),
+          s"new url not scheduled after restore: $finalRun2")
+        assert(!finalRun2.contains("http://r.com/a") &&
+          !finalRun2.contains("http://r.com/b"),
+          s"restored QUEUED state was lost — double-emit: $finalRun2")
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
 }
