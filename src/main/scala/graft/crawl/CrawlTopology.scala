@@ -103,6 +103,16 @@ final case class CrawlConfig(
     // threads instead of tasks. 1 = serial (deterministic test path).
     robotsThreads: Int = 10,
     fetchThreads: Int = 10,
+    // broadcast fence for the per-round domain state (domainClocks /
+    // seenSitemaps / quotas — all pld- or sitemap-cardinality frames):
+    // they ride broadcast joins because domain cardinality is normally
+    // millions at most, but at an extreme (100 M+ PLDs) a per-round
+    // broadcast is itself the bottleneck. Past this row count the round
+    // joins drop their broadcast hint and plan as partitioned joins —
+    // the same fence discipline the stores' tombstone anti-join uses
+    // (StoreProtocol's size switch). Cardinality is re-checked every
+    // `compactEvery` rounds (one amortized count, not a per-round action)
+    broadcastStateMaxRows: Long = 10000000L,
     // URL-shape quality gate at frontier-insert time (the RefinedWeb/C4
     // URL-filtering slot, operators.UrlQuality): trap-shaped URLs (deep
     // paths, parameter explosions, digit-dominated, over-long) are
@@ -346,6 +356,14 @@ object CrawlTopology {
     // round for the crawl's lifetime)
     var seenSitemaps: DataFrame = Seq.empty[String].toDF("sitemapUrl")
 
+    // domain-state broadcast fence (CrawlConfig.broadcastStateMaxRows):
+    // true while the pld-keyed round state is broadcast-sized; flipped
+    // off permanently once its cardinality crosses the fence (domains
+    // only accumulate). Surfaced as the `domain_state_broadcast` gauge.
+    var broadcastDomainState = true
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastDomainState) broadcast(df) else df
+
     // capture history feeding adaptive recrawl (url, capture time, body
     // hash, round) — pruned to the newest captureWindow rows per URL
     var captureHistory: DataFrame = Seq.empty[(String, Long, Long, Long)]
@@ -425,7 +443,7 @@ object CrawlTopology {
           .filter(col("score") >= cfg.minFetchScore)
       }
       val eligible = rawEligible
-        .join(broadcast(domainClocks), Seq("pld"), "left")
+        .join(maybeBroadcast(domainClocks), Seq("pld"), "left")
         .filter(coalesce(col("nextAllowed"), lit(0L)) <= now)
         .drop("nextAllowed")
       val perDomain = Window
@@ -433,7 +451,7 @@ object CrawlTopology {
         .orderBy(col("score").desc, col("url").asc)
       val withQuota = quotas match {
         case Some(q) => eligible
-          .join(broadcast(q), Seq("pld"), "left")
+          .join(maybeBroadcast(q), Seq("pld"), "left")
           .withColumn("quota",
             coalesce(col("quota"), lit(cfg.maxUrlsPerDomainPerRound)))
         case None => eligible
@@ -535,7 +553,7 @@ object CrawlTopology {
               .flatMap(v => v.sitemaps.map(s => (v.pld, s)))
               .distinct()
               .toDF("pld", "sitemapUrl")
-              .join(broadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
+              .join(maybeBroadcast(seenSitemaps), Seq("sitemapUrl"), "left_anti")
               .select(col("pld"), col("sitemapUrl"))
               .repartition(seamParts, col("sitemapUrl"))
               .as[(String, String)]
@@ -834,6 +852,15 @@ object CrawlTopology {
       // compaction / score pruning / seen-sitemaps state exist to hold;
       // surfacing it as a gauge lets benches assert it directly
       gauges += ((round, "round_ms", (System.nanoTime() - roundT0) / 1000000))
+      // amortized fence re-check: one count per compactEvery rounds, and
+      // only while still broadcasting (past the fence there is nothing
+      // left to decide — domain state only grows)
+      if (broadcastDomainState && round % math.max(1, cfg.compactEvery) == 0
+          && domainClocks.count() + seenSitemaps.count()
+            > cfg.broadcastStateMaxRows)
+        broadcastDomainState = false
+      gauges += ((round, "domain_state_broadcast",
+        if (broadcastDomainState) 1L else 0L))
     }
 
     // fold any WAL tail into the bucketed table: the at-rest store reads
