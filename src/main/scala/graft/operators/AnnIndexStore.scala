@@ -372,6 +372,10 @@ object AnnIndexStore {
       VectorExpressions.norm(col(vecCol)).as("qn"))
     val pw = Window.partitionBy(col("qvid"))
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    // the cell prune set and the probe-row count ride the checkpoint's
+    // materializing job as observed metrics (the LabelStore.lookup
+    // discipline) — no separate distinct+collect and count jobs per query
+    val obs = new org.apache.spark.sql.Observation()
     val probes = q0.join(broadcast(c))
       .select(col("qvid"), col("qv"), col("qn"), col("cent_id"),
         (VectorExpressions.dot(col("qv"), col("cv")) /
@@ -379,10 +383,18 @@ object AnnIndexStore {
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nprobe)
       .select(col("qvid"), col("qv"), col("qn"), col("cent_id").as("cell"))
-      .localCheckpoint(true) // pins the prune set the collect reads
+      .observe(obs,
+        sort_array(collect_set(col("cell"))).as("cells"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true) // pins the prune set the metrics read
+    val obsRow = obs.get
     // ≤ queries × nprobe cells — the partition-prune driver set
-    val cells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val cells = obsRow.getOrElse("cells", null) match {
+      case s: Seq[_] => s.map(_.asInstanceOf[Number].longValue).toSeq
+      case null      => Seq.empty[Long]
+      case other => throw new IllegalStateException(
+        s"unexpected observed metric $other")
+    }
     // live retirements excluded merge-on-read (None in the steady state)
     val tombs = StoreProtocol.readTombstones(spark, root, batches)
     val vecs = StoreProtocol
@@ -393,8 +405,11 @@ object AnnIndexStore {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val cond =
       col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid")
-    // probes is checkpointed, so the size probe is a cheap local count
-    val probeRows = probes.count()
+    // rode the checkpoint job as an observed count (no count() job)
+    val probeRows = obsRow.getOrElse("n", null) match {
+      case x: java.lang.Long => x.longValue()
+      case _                 => 0L
+    }
     val smallIndex = probedCellBytes(spark, root, gen, batches, cells) <=
       broadcastMaxIndexBytes
     // a SMALL probed index arrives as a handful of tiny files, which the

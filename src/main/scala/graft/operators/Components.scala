@@ -72,9 +72,12 @@ object Components {
       .union(directed.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // NOT checkpointed: the init labels are consumed exactly once (by
+    // round 1's join), so materializing them separately would pay one
+    // extra driver-job round trip per CC invocation — the distinct folds
+    // into round 1's job instead, reading the checkpointed edge blocks
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -151,12 +151,16 @@ object LabelStore {
       belowBatch: Long = Long.MaxValue): DataFrame = readMeta(spark, root) match {
     case None => emptyLabels(spark)
     case Some(meta) =>
+      // the probe-bucket prune set rides the checkpoint's materializing
+      // job as an observed collect_set (the SignatureIndexStore.matches
+      // discipline) — no separate distinct+collect job per lookup
+      val obs = new org.apache.spark.sql.Observation()
       val probe = ids.select(col(idCol).cast("long").as("id")).distinct()
+        .observe(obs, sort_array(collect_set(
+          pmod(xxhash64(col("id")), lit(meta.buckets)).cast("int")))
+          .as("buckets"))
         .localCheckpoint(true)
-      val probeBuckets = probe
-        .select(pmod(xxhash64(col("id")), lit(meta.buckets)).cast("int")
-          .as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      val probeBuckets = intSetMetric(obs.get.getOrElse("buckets", null))
       val (gen, batches) = visible(spark, root, belowBatch)
       val tombs = StoreProtocol.readTombstones(spark, root, batches)
       StoreProtocol.applyTombstones(
@@ -164,6 +168,16 @@ object LabelStore {
           "id", tombs)
         .join(probe, Seq("id"), "left_semi")
         .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** An observed `collect_set` metric as a Set[Int] (empty frame → empty
+    * array, not null).
+    */
+  private def intSetMetric(v: Any): Set[Int] = v match {
+    case s: Seq[_] => s.map(_.asInstanceOf[Number].intValue).toSet
+    case null      => Set.empty
+    case other => throw new IllegalStateException(
+      s"unexpected observed metric $other")
   }
 
   /** Current members of the probe LIVE component labels (invariant 2:
@@ -175,13 +189,15 @@ object LabelStore {
       belowBatch: Long = Long.MaxValue): DataFrame = readMeta(spark, root) match {
     case None => emptyLabels(spark)
     case Some(meta) =>
+      // bucket prune set rides the checkpoint job (see lookup)
+      val obs = new org.apache.spark.sql.Observation()
       val probe = comps.select(col(compCol).cast("long").as("component"))
         .distinct()
+        .observe(obs, sort_array(collect_set(
+          pmod(xxhash64(col("component")), lit(meta.buckets)).cast("int")))
+          .as("buckets"))
         .localCheckpoint(true)
-      val probeBuckets = probe
-        .select(pmod(xxhash64(col("component")), lit(meta.buckets)).cast("int")
-          .as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      val probeBuckets = intSetMetric(obs.get.getOrElse("buckets", null))
       val (gen, batches) = visible(spark, root, belowBatch)
       val tombs = StoreProtocol.readTombstones(spark, root, batches)
       StoreProtocol.applyTombstones(
@@ -240,10 +256,19 @@ object LabelStore {
         s"label store at $root is compacted through batch $upTo; " +
           s"folding batch $batchId would be invisible to every reader")
     }
+    // the retire-set count rides the pinning job as an observed metric
+    // (no separate count() job per batch)
+    val retObs = new org.apache.spark.sql.Observation()
     val retired = retireIds.map(_.select(
         col(retireIdCol).cast("long").as("id")).distinct()
+      .observe(retObs, count(lit(1)).as("n"))
       .localCheckpoint(true))
-    val nRetired = retired.map(_.count()).getOrElse(0L)
+    val nRetired =
+      if (retired.isEmpty) 0L
+      else retObs.get.getOrElse("n", null) match {
+        case x: java.lang.Long => x.longValue()
+        case _                 => 0L
+      }
     // a pure fold must never overwrite a retirement batch's marker; a
     // retiring batch's own RETRY legitimately rewrites it
     if (nRetired == 0L) StoreProtocol.requireDataBatchId(spark, root, batchId)
@@ -368,8 +393,12 @@ object LabelStore {
         .sortWithinPartitions("bucket", keyCol)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/$table/batch=$batchId")
-    writeCopy("byid", "id")
-    writeCopy("bycomp", "component")
+    // both key-copies are independent jobs over the same pinned rows into
+    // disjoint dirs — overlap them (guide §2.6); the marker below is the
+    // commit point and is written only after both land
+    graft.util.Par.run(
+      () => writeCopy("byid", "id"),
+      () => writeCopy("bycomp", "component"))
     StoreProtocol.writeBucketMarker(spark, root, batchId, tables, extraLines)
   }
 
@@ -399,8 +428,11 @@ object LabelStore {
         .sortWithinPartitions("bucket", keyCol)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$root/$table/c$gen")
-    writeSnap("byid", "id")
-    writeSnap("bycomp", "component")
+    // independent snapshot writes into disjoint c<gen> dirs (guide §2.6);
+    // the pointer flip below stays the commit point
+    graft.util.Par.run(
+      () => writeSnap("byid", "id"),
+      () => writeSnap("bycomp", "component"))
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // post-commit cleanup: everything at/below the NEW pointer horizon
     // (heals a previous crash-after-flip's unreclaimed dirs too); the

@@ -68,8 +68,12 @@ object LinkRank {
     val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
       .repartition(col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node_id"))
-      .union(e.select(col("dst").as("node_id")))
+    // derive nodes from the CHECKPOINTED edges: withDeg holds exactly e's
+    // (src, dst) rows, so this reads the pinned blocks instead of
+    // re-running the scan+filter+distinct edge subtree a second time
+    // (no ReusedExchange fires across separate actions)
+    val nodes = withDeg.select(col("src").as("node_id"))
+      .union(withDeg.select(col("dst").as("node_id")))
       .distinct()
       .localCheckpoint(true)
     val base = scale * (dampDen - dampNum) / dampDen

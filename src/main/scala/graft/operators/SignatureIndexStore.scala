@@ -159,24 +159,29 @@ object SignatureIndexStore {
     // repartition by bucket before the partitioned write: each bucket dir
     // gets ONE file per batch (32 tasks × B buckets of splinter files
     // would make every later scan pay per-file open cost); the shuffle is
-    // batch-sized
-    pinned
-      .withColumn("bucket", docBucket(meta, col("doc_id")))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "doc_id")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/sigs/batch=$batchId")
-    pinned
-      .select(col("doc_id"),
-        explode(TextOps.bandKeysUdf(meta.numBands, meta.bandSize)(col("sig")))
-          .as("band_key"))
-      .select(col("doc_id"), xxhash64(col("band_key")).as("band_hash"))
-      .distinct()
-      .withColumn("bucket", bandBucket(meta))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "band_hash")
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$root/bands/batch=$batchId")
+    // batch-sized. The two table writes are independent jobs over the
+    // same pinned rows into disjoint dirs — run them concurrently
+    // (guide §2.6): at small batch sizes both are fixed-cost-bound
+    // (scheduling + committer renames), and overlapping them nearly
+    // halves the append's commit wall.
+    graft.util.Par.run(
+      () => pinned
+        .withColumn("bucket", docBucket(meta, col("doc_id")))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "doc_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/sigs/batch=$batchId"),
+      () => pinned
+        .select(col("doc_id"),
+          explode(TextOps.bandKeysUdf(meta.numBands, meta.bandSize)(col("sig")))
+            .as("band_key"))
+        .select(col("doc_id"), xxhash64(col("band_key")).as("band_hash"))
+        .distinct()
+        .withColumn("bucket", bandBucket(meta))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "band_hash")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$root/bands/batch=$batchId"))
     val tombBytes = retireIds.map(ids =>
       StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId))
     // record each table's written bucket set in the marker: readers then
@@ -351,26 +356,30 @@ object SignatureIndexStore {
     // batch < tb <= upTo and folds through this merge) and then dropped
     // by the cleanup — retirement becomes physical at compaction
     val coveredTombs = tombstones(spark, root, cover)
-    Seq(("bands", bandsSchema, "band_hash", "doc_id"),
-        ("sigs", sigsSchema, "doc_id", "doc_id"))
-      .foreach { case (table, schema, sortKey, tombKey) =>
-        // cover.nonEmpty does NOT imply rows exist: empty micro-batches
-        // commit markers with empty bucket lists, so every covered batch
-        // can have written zero files. Nothing to merge for this table →
-        // skip the write (readTable tolerates a missing c<gen> dir) but
-        // still advance the pointer and reclaim the covered dirs below.
-        readTable(spark, root, table, schema,
-          if (prevGen >= 0) Some(prevGen) else None, cover,
-          None, schema.map(_.name))
-          .foreach { merged =>
-            StoreProtocol.applyTombstones(merged, tombKey, coveredTombs)
-              .drop("batch")
-              .repartition(col("bucket"))
-              .sortWithinPartitions("bucket", sortKey)
-              .write.mode("overwrite").partitionBy("bucket")
-              .parquet(s"$root/$table/c$gen")
-          }
-      }
+    // the two table folds are independent read→write jobs into disjoint
+    // c<gen> dirs — run them concurrently (guide §2.6; the pointer flip
+    // below happens only after BOTH land, so the commit point is unmoved)
+    graft.util.Par.run(
+      Seq(("bands", bandsSchema, "band_hash", "doc_id"),
+          ("sigs", sigsSchema, "doc_id", "doc_id"))
+        .map { case (table, schema, sortKey, tombKey) => () =>
+          // cover.nonEmpty does NOT imply rows exist: empty micro-batches
+          // commit markers with empty bucket lists, so every covered batch
+          // can have written zero files. Nothing to merge for this table →
+          // skip the write (readTable tolerates a missing c<gen> dir) but
+          // still advance the pointer and reclaim the covered dirs below.
+          readTable(spark, root, table, schema,
+            if (prevGen >= 0) Some(prevGen) else None, cover,
+            None, schema.map(_.name))
+            .foreach { merged =>
+              StoreProtocol.applyTombstones(merged, tombKey, coveredTombs)
+                .drop("batch")
+                .repartition(col("bucket"))
+                .sortWithinPartitions("bucket", sortKey)
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(s"$root/$table/c$gen")
+            }
+        }: _*)
     StoreProtocol.writeCompactPointer(spark, root, gen, upTo)
     // reclaim EVERYTHING the new pointer supersedes (not only this
     // pass's cover — heals leftovers from a crash-after-flip), applied

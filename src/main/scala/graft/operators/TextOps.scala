@@ -513,15 +513,18 @@ object TextOps {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, term) — df is a count, not a
-    // count-distinct, so the partial aggregation combines map-side
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // count-distinct, so a window count over the term partition IS the
+    // document frequency. This replaces the old agg+self-join (which
+    // re-ran the tokenize+explode+agg subtree for each branch — no
+    // ReusedExchange fired — and shuffled tf on term twice) with ONE
+    // term-keyed shuffle of the aggregated tf frame; groups are
+    // per-term, so partition-local sorts are tiny runs.
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(df.select(
         count(lit(1)).cast("long").as("n_docs"))))
       .filter(col("df") <= col("n_docs") * maxDocFrequencyFrac)
-      .select("term", "df")
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, Seq("term"))
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= topK)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -1460,11 +1463,15 @@ object TextOps {
         col("toks"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", expr(s"slice(toks, pos + 1, $w)"))).as("whash"))
-    val dup = h.groupBy(col("whash"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select(col("whash"))
-    h.join(dup, Seq("whash")).select(col("doc_id"), col("pos"), col("whash"))
+    // one shuffle on whash and a per-group count via window, instead of
+    // agg + self-join (which re-computed the tokenize+md5 window pass for
+    // each branch — no ReusedExchange fired — and shuffled it twice).
+    // Groups are per-window-hash, so partitions sort tiny runs; the row
+    // set out is identical (every occurrence of a ≥minCount hash).
+    h.withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("whash"))))
+      .filter(col("__cnt") >= minCount)
+      .select(col("doc_id"), col("pos"), col("whash"))
   }
 
   /** Remove every token covered by a duplicated window ([[duplicatedWindows]]):
@@ -1531,9 +1538,21 @@ object TextOps {
         .filter(length(col("tok")) > 0)
         .select((expr(hash32Sql("tok")) % buckets).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // ONE tokenize pass over the corpus serves both the q-side histogram
+    // and the per-doc scoring (it previously ran twice — tokenize+hash is
+    // the dominant cost). Aggregated to (doc, bucket) first, the scoring
+    // join's probe side shrinks from n_tokens rows to ≤ docs × buckets,
+    // and Σ_tokens ratio ≡ Σ_buckets cnt·ratio exactly (integer sums
+    // reorder losslessly). The checkpoint is ≤ docs × buckets rows.
+    val docBuckets = raw.select(col(idCol).as("doc_id"),
+        explode(expr(tokensSql(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), (expr(hash32Sql("tok")) % buckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val p = bucketCounts(target, targetTextCol)
       .withColumnRenamed("cnt", "p_cnt")
-    val q = bucketCounts(raw, textCol).withColumnRenamed("cnt", "q_cnt")
+    val q = docBuckets.groupBy("bucket").agg(sum("cnt").as("q_cnt"))
     // full outer on <= buckets rows: a bucket unseen in either side still
     // gets its smoothed ratio
     val ratios = broadcast(
@@ -1541,14 +1560,11 @@ object TextOps {
         .select(col("bucket"),
           expr(s"((coalesce(p_cnt, 0) + 1) * $scale)" +
             " div (coalesce(q_cnt, 0) + 1)").as("ratio")))
-    raw.select(col(idCol).as("doc_id"),
-        explode(expr(tokensSql(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), (expr(hash32Sql("tok")) % buckets).as("bucket"))
+    docBuckets
       .join(ratios, Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("ratio")).as("dsir_score"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("ratio") * col("cnt")).as("dsir_score"))
   }
 
   /** The literal DSIR estimator: per-doc Σ count_b · ln((p_b+1)/(q_b+1))
@@ -1694,14 +1710,27 @@ object TextOps {
     */
   def noveltyScores(
       df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // (doc, shingle) rows are DISTINCT per doc by construction
+    // (shingleUdf dedups), so count per shingle IS document frequency and
+    // a df==1 shingle's unique owner is its min(doc_id). That turns the
+    // old shingle-keyed join of the exploded corpus against its own
+    // docFreq (two corpus-sized shuffles + a wide join) into two hash
+    // aggregates and one doc-keyed join of two doc-sized frames: the
+    // corpus shuffles on the shingle key exactly once. Checkpoint so the
+    // shingle UDF pass runs once, not once per consuming branch.
     val sh = df.select(col(idCol).as("doc_id"),
         explode(shingleUdf(k)(col(textCol))).as("shingle"))
-    val docFreq = sh.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-    sh.join(docFreq, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .localCheckpoint(true)
+    val uniq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1)
+      .groupBy("owner").agg(count(lit(1)).as("n_unique"))
+      .select(col("owner").as("doc_id"), col("n_unique"))
+    sh.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         expr("(100 * n_unique) div greatest(n_shingles, 1)")
           .as("novelty_pct"))

@@ -813,6 +813,16 @@ object Crawler {
         (lit(1700000000000L) + o * 1000).as("fetchTimeMs"),
         when(o % 7 === 0, concat(lit("http://t.com/m"), o))
           .otherwise(lit("")).as("redirectedTo"))
+        // CPU-seam sizing (the repo's seam discipline — CPU-bound stages
+        // size by PARALLELISM, not bytes): per-record gzip encoding is
+        // Deflater CPU work, and the orders scan is a handful of splits,
+        // so without this the whole archive funnels through a few tasks'
+        // Deflaters. Sized at the caller, not inside the writer, because
+        // segment layout (records per file) is the CALLER's contract —
+        // WarcGzipSpec pins exact segment counts from known partitioning.
+        // More write partitions also means more segments, which
+        // parallelizes the read-back half of the round trip.
+        .repartition(spark.sparkContext.defaultParallelism)
       graft.sinks.Sinks.writeWarcContentGzipMembers(content, s"$base/warc")
       val out = graft.sources.WarcSource.read(spark, s"$base/warc")
         .select(col("url"), col("statusCode").cast("long").as("status"),

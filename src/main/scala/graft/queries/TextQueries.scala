@@ -746,11 +746,14 @@ object TextQueries {
         (pmod(col("doc_id"), lit(8L)) * pmod(col("doc_id"), lit(8L)) * 100L
           + pmod(col("doc_id"), lit(7L))).cast("long").as("t"))
         .localCheckpoint(true)
-      (0 until 8).foreach { k =>
+      // 8 independent slice writes off the SAME pinned frame into
+      // disjoint dirs — overlap them (guide §2.6); each is a tiny
+      // fixed-cost-bound job, so the wall is committer latency, not data
+      graft.util.Par.run((0 until 8).map { k => () =>
         sliced.filter(col("src_batch") === k)
           .select(col("doc_id"), col("t"))
           .write.mode("overwrite").parquet(s"$dir/batch=$k")
-      }
+      }: _*)
       val feed = CorpusIngest.eventTimeFeed(s, dir, "doc_id", "t",
         ttlMs = 500L)
       // fire in order, pinning each journaled set before the next call
