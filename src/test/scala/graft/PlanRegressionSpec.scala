@@ -122,20 +122,33 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), plan.take(3000))
   }
 
-  test("q64: duplicated-window join is an equi-join, frequency a hash aggregate") {
-    // exact-substring dedup's scale contract: window hashes meet their
-    // frequency filter through a co-partitioned equi-join on whash (SMJ
-    // or SHJ — both fine, both linear) with the frequency side a
-    // partial->final hash aggregate; never a cartesian, never a window
-    // over the exploded corpus
+  test("q64: duplicated windows are one whash shuffle + per-hash window count") {
+    // exact-substring dedup's scale contract (r17 form): the corpus is
+    // tokenized+hashed ONCE and shuffled on whash ONCE; the frequency
+    // filter is a count window PARTITIONED BY whash — a maximal-
+    // cardinality key, so groups are occurrence-list-sized, never a
+    // low-cardinality window bottleneck. The pre-r17 agg + self-join
+    // form ran the tokenize+md5 subtree twice (no ReusedExchange across
+    // self-join branches) and shuffled the corpus twice. Still never a
+    // cartesian, and never a JOIN at all.
     val plan = planOf("q64_dup_spans")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      "whash join shape unexpected:\n" + plan.take(3000))
+    assert(plan.contains("Window ["),
+      "whash frequency should be a window count:\n" + plan.take(3000))
+    assert(plan.contains("windowspecdefinition(whash"),
+      "window must partition by whash (max-cardinality key):\n" +
+        plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("Window ["), plan.take(3000))
-    assert(plan.contains("HashAggregate"),
-      "frequency count should be a hash aggregate:\n" + plan.take(3000))
+    assert(!plan.contains("Join"),
+      "q64 should need no join:\n" + plan.take(3000))
+    // one corpus pass: exactly one scan of the documents table
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"corpus should be read once, saw $scans scans:\n" + plan.take(3000))
+    // one corpus shuffle: exactly one Exchange (the whash partitioning)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 Exchange (whash), saw $exchanges:\n" +
+        plan.take(3000))
   }
 
   test("q65/q66/q67: statistics passes are explode + hash aggregate, nothing else") {
