@@ -128,15 +128,21 @@ object AnnIndexStore {
     // marker (a retiring batch's own retry legitimately rewrites it)
     if (retireIds.isEmpty)
       StoreProtocol.requireDataBatchId(spark, root, batchId)
-    Similarity.ivfAssign(df, idCol, vecCol,
-        centroids(spark, root), "cent_id", "cv", meta.dim)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/vecs/batch=$batchId")
+    // the vecs write and the tombstone write (combined data+retire
+    // commit) are independent jobs into disjoint batch-scoped dirs —
+    // overlap them (guide §2.6); the marker below stays the commit point
+    var tombBytesV: Option[Long] = None
+    graft.util.Par.run(
+      () => Similarity.ivfAssign(df, idCol, vecCol,
+          centroids(spark, root), "cent_id", "cv", meta.dim)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/vecs/batch=$batchId"),
+      () => tombBytesV = retireIds.map(ids =>
+        StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)))
     retireIds match {
       case Some(ids) =>
-        val bytes =
-          StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)
+        val bytes = tombBytesV.get
         // the digest line marks this as a combined data+retire commit:
         // a later standalone retire can no-op on an exact re-run but can
         // never hijack the id with a DIFFERENT tombstone set (which

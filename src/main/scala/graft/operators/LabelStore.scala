@@ -317,8 +317,16 @@ object LabelStore {
           .agg(min("id").as("__anchor")), Seq("component"))
         .select(col("id").as("pa"), col("__anchor").as("pb"))
     }
-    val relabeled = Components
-      .connectedComponents(starEdges.union(pairs), "pa", "pb")
+    // pure retirement (no new pairs): nothing merges, so each touched
+    // component's survivors relabel DIRECTLY to its surviving minimum —
+    // the star anchor. Label propagation over the star edges would
+    // converge to exactly this in one round (min of {id, anchor} with
+    // anchor = component min), so the CC invocation (edge checkpoint +
+    // round jobs) is skipped outright. Survivor ids are unique by
+    // invariant 2 (one live row per id), so no distinct is needed.
+    val relabeled = (if (nPairs == 0L)
+        starEdges.select(col("pa").as("id"), col("pb").as("component"))
+      else Components.connectedComponents(starEdges.union(pairs), "pa", "pb"))
       .withColumn("batch", lit(batchId))
     if (nRetired > 0L) {
       // every touched row dies; survivors are rewritten below in this

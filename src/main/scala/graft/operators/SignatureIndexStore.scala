@@ -159,11 +159,13 @@ object SignatureIndexStore {
     // repartition by bucket before the partitioned write: each bucket dir
     // gets ONE file per batch (32 tasks × B buckets of splinter files
     // would make every later scan pay per-file open cost); the shuffle is
-    // batch-sized. The two table writes are independent jobs over the
-    // same pinned rows into disjoint dirs — run them concurrently
-    // (guide §2.6): at small batch sizes both are fixed-cost-bound
-    // (scheduling + committer renames), and overlapping them nearly
-    // halves the append's commit wall.
+    // batch-sized. The table writes (and the tombstone write, when this
+    // is a combined data+retire commit) are independent jobs over
+    // disjoint dirs — run them concurrently (guide §2.6): at small batch
+    // sizes each is fixed-cost-bound (scheduling + committer renames),
+    // and overlapping them nearly collapses the append's commit wall to
+    // the largest single write.
+    var tombBytes: Option[Long] = None
     graft.util.Par.run(
       () => pinned
         .withColumn("bucket", docBucket(meta, col("doc_id")))
@@ -181,9 +183,13 @@ object SignatureIndexStore {
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "band_hash")
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$root/bands/batch=$batchId"))
-    val tombBytes = retireIds.map(ids =>
-      StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId))
+        .parquet(s"$root/bands/batch=$batchId"),
+      // the tombstone set (when present) is a third independent write
+      // into its own batch-scoped dir — invisible until the marker below
+      // lands, so it overlaps the data writes safely. Par.run's get()
+      // fence makes the var visible to this thread after the join.
+      () => tombBytes = retireIds.map(ids =>
+        StoreProtocol.writeTombstones(spark, root, ids, retireIdCol, batchId)))
     // record each table's written bucket set in the marker: readers then
     // build explicit paths without listing batches × buckets directories
     // (readers parse marker CONTENT, so the write is atomic by protocol).
