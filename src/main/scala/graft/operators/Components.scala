@@ -62,9 +62,12 @@ object Components {
       maxIter: Int = 30,
       /** Rounds chained per materialization (1 = checkpoint every round,
         * the pre-round-12 behavior). Result and round count are
-        * checkpoint-cadence-independent (spec-pinned).
+        * checkpoint-cadence-independent (spec-pinned). Default 3: LSH/
+        * star-edge graphs converge by round 3 in the common case, so one
+        * materialization (plus the edge pin) covers the whole run — a
+        * driver job fewer than the old default of 2 (A/B'd r17).
         */
-      checkpointEvery: Int = 2): (DataFrame, Int) = {
+      checkpointEvery: Int = 3): (DataFrame, Int) = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
