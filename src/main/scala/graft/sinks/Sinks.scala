@@ -196,6 +196,10 @@ object Sinks {
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         // FileGzip keeps one gzip stream open for the whole segment
         var segGz: java.util.zip.GZIPOutputStream = null
+        // MemberGzip keeps ONE stream (= one native Deflater) per segment,
+        // re-armed per member — not one Deflater per record (guide §4.5:
+        // heavyweight state once per task, amortised over the rows)
+        var memberGz: MemberGzipStream = null
         var seq = 0
         var n = 0L
         val pending = scala.collection.mutable.ArrayBuffer
@@ -204,9 +208,10 @@ object Sinks {
           val bytes = record.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           codec match {
             case SegmentCodec.MemberGzip =>
-              val gz = new MemberGzipStream(out)
-              gz.write(bytes)
-              gz.finishMember()
+              if (memberGz == null) memberGz = new MemberGzipStream(out)
+              else memberGz.startMember()
+              memberGz.write(bytes)
+              memberGz.finishMember()
             case SegmentCodec.FileGzip => segGz.write(bytes)
             case SegmentCodec.Plain => out.write(bytes)
           }
@@ -223,6 +228,7 @@ object Sinks {
         }
         def closeSegment(): Unit = if (out != null) {
           if (segGz != null) { segGz.finish(); segGz = null }
+          if (memberGz != null) { memberGz.endStream(); memberGz = null }
           out.close()
           out = null
           seq += 1
@@ -245,22 +251,41 @@ object Sinks {
               throw new java.io.IOException(
                 s"failed to commit WARC segment $p -> $done")
           }
-        } finally if (out != null) out.close()
+        } finally {
+          if (memberGz != null) memberGz.endStream() // free the native buffer
+          if (out != null) out.close()
+        }
       }
     }
   }
 
-  /** One gzip member on a shared stream: `finishMember` flushes the
-    * trailer and releases the Deflater's native buffer WITHOUT closing
-    * the underlying segment stream — a 100k-record segment must not hold
-    * 100k live Deflaters until GC.
+  /** One gzip member on a shared stream, ONE native Deflater for the
+    * whole segment: `finishMember` flushes the member's trailer without
+    * closing the underlying segment stream, `startMember` re-arms the
+    * SAME deflater (reset + fresh CRC + a new fixed 10-byte gzip header —
+    * exactly the header `GZIPOutputStream`'s constructor writes, so the
+    * emitted bytes are identical to a per-record stream) and
+    * `endStream` releases the native buffer at segment close. The
+    * previous form constructed a GZIPOutputStream PER RECORD — one
+    * native zlib allocation + free per archived page, which at
+    * billions of records is pure per-row overhead (guide §4.5).
     */
   private final class MemberGzipStream(out: java.io.OutputStream)
     extends java.util.zip.GZIPOutputStream(out) {
-    def finishMember(): Unit = {
-      finish()
-      `def`.end()
+    def finishMember(): Unit = finish()
+    def startMember(): Unit = {
+      `def`.reset()
+      crc.reset()
+      out.write(MemberGzipStream.Header)
     }
+    def endStream(): Unit = `def`.end()
+  }
+  private object MemberGzipStream {
+    /** The fixed header java.util.zip.GZIPOutputStream writes: magic,
+      * CM=deflate, no flags, MTIME=0, XFL=0, OS=0.
+      */
+    private val Header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      0, 0, 0, 0, 0, 0, 0)
   }
 
   /** The shared contentSink-frame projection of [[writeWarcContent]] and
