@@ -42,8 +42,12 @@ object Bm25 {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
 
-  /** Distinct (query_id, term) pairs of the lowercased query text. */
-  private def queryTerms(
+  /** Distinct (query_id, term) pairs of the lowercased query text.
+    * `private[operators]`: [[HybridRetrieval]]'s rank kernel derives its
+    * query-term sets from THIS frame so the two paths can never drift on
+    * tokenization.
+    */
+  private[operators] def queryTerms(
       queries: DataFrame, qidCol: String, qtextCol: String): DataFrame =
     queries.select(col(qidCol).as("query_id"),
         explode(expr(

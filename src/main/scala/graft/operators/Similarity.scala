@@ -51,28 +51,151 @@ object Similarity {
        | 0L, (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
 
   /** Exact top-K cosine neighbors for each query vector. `queries` and
-    * `corpus` must both have (idCol, vecCol); queries are broadcast.
+    * `corpus` must both have (idCol, vecCol); queries are broadcast-sized
+    * (that has always been this operator's scale contract — the previous
+    * form shipped them through a BroadcastExchange).
+    *
+    * Execution (r17): the old form was `broadcast(q).join(c)` + window —
+    * a nested-loop join that MATERIALIZED every query x corpus pair as a
+    * joined row carrying both full vectors (~0.5 KB of payload memcpy per
+    * pair, guide §8's "heavy bytes moved to make a small decision"), and
+    * it inherited the corpus scan's partitioning (1-2 parquet splits),
+    * so the whole quadratic ran on 1-2 tasks. Now a per-task primitive-
+    * array kernel streams the corpus once (sized to defaultParallelism —
+    * the CPU-seam discipline) and keeps one bounded worst-first top-K
+    * buffer per query; only the per-partition survivors (≤ |Q| x K rows
+    * per task) reach the exact global window, which is unchanged.
+    * Arithmetic is bit-identical: same sequential-fold dotFF order for
+    * dot and norms, same nan-safe descending-cos / ascending-id order as
+    * the window's comparator. Long ids + float vectors (every caller);
+    * other types fall back to the join form.
     */
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, k: Int): DataFrame = {
-    // norms are per-vector, so compute them once per side, not per pair
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VectorExpressions.norm(col(vecCol)).as("qn"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorExpressions.norm(col(vecCol)).as("cn"))
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val kernelable =
+      queries.schema(idCol).dataType == LongType &&
+        corpus.schema(idCol).dataType == LongType &&
+        (queries.schema(vecCol).dataType match {
+          case ArrayType(FloatType, _) => true; case _ => false
+        }) &&
+        (corpus.schema(vecCol).dataType match {
+          case ArrayType(FloatType, _) => true; case _ => false
+        })
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q)
-      .join(c, col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        (VectorExpressions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .as("cos"))
+    val candidates =
+      if (kernelable)
+        cosineTopKCandidates(queries, corpus, idCol, vecCol, k)
+      else {
+        // fallback: the original join form (norms once per side)
+        val q = queries.select(
+          col(idCol).as("query_id"), col(vecCol).as("qv"),
+          VectorExpressions.norm(col(vecCol)).as("qn"))
+        val c = corpus.select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          VectorExpressions.norm(col(vecCol)).as("cn"))
+        broadcast(q)
+          .join(c, col("query_id") =!= col("neighbor_id"))
+          .select(
+            col("query_id"), col("neighbor_id"),
+            (VectorExpressions.dot(col("qv"), col("cv")) /
+              (col("qn") * col("cn"))).as("cos"))
+      }
+    candidates
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
+  }
+
+  /** Per-partition exact top-K candidates for [[cosineTopK]]'s kernel
+    * path: every (query, corpus-row) cosine is computed on primitive
+    * float arrays, but only each partition's K best per query are ever
+    * EMITTED as rows — a superset of the global top-K by construction
+    * (same comparator), so the window on top stays exact. The query side
+    * collects through the same bound the old BroadcastExchange enforced
+    * (it is the operator's contract that queries are broadcast-sized;
+    * the corpus is never collected).
+    */
+  private def cosineTopKCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qb = spark.sparkContext.broadcast(qRows)
+    val kk = k
+    corpus.select(col(idCol), col(vecCol))
+      // CPU-seam sizing: the kernel is pure compute, and a small parquet
+      // corpus arrives as 1-2 splits — size by parallelism, not bytes
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qb.value
+        val nq = qs.length
+        if (nq == 0) Iterator.empty
+        else {
+          // same accumulation order as VectorCodegen.dotFF
+          def dot(a: Array[Float], b: Array[Float]): Double = {
+            val n = math.min(a.length, b.length)
+            var s = 0.0; var i = 0
+            while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+            s
+          }
+          // Spark's DoubleType ordering (nan-safe; -0.0 == 0.0)
+          def cmpCos(x: Double, y: Double): Int = {
+            val xn = java.lang.Double.isNaN(x)
+            val yn = java.lang.Double.isNaN(y)
+            if ((xn && yn) || (x == y)) 0
+            else if (xn) 1 else if (yn) -1
+            else if (x > y) 1 else -1
+          }
+          val qn = new Array[Double](nq)
+          var i = 0
+          while (i < nq) { qn(i) = math.sqrt(dot(qs(i)._2, qs(i)._2)); i += 1 }
+          // worst-first sorted insertion buffers, best at slot 0
+          val cosBuf = Array.ofDim[Double](nq, kk)
+          val idBuf = Array.ofDim[Long](nq, kk)
+          val cnt = new Array[Int](nq)
+          it.foreach { case (nid, cv) =>
+            val cn = math.sqrt(dot(cv, cv))
+            var qi = 0
+            while (qi < nq) {
+              val (qid, qv) = qs(qi)
+              if (qid != nid) {
+                val cos = dot(qv, cv) / (qn(qi) * cn)
+                val n = cnt(qi)
+                // better-than = (cos greater) or (equal cos, smaller id)
+                if (n < kk || {
+                  val c = cmpCos(cos, cosBuf(qi)(n - 1))
+                  c > 0 || (c == 0 && nid < idBuf(qi)(n - 1))
+                }) {
+                  var pos = if (n < kk) n else n - 1
+                  while (pos > 0 && {
+                    val c = cmpCos(cos, cosBuf(qi)(pos - 1))
+                    c > 0 || (c == 0 && nid < idBuf(qi)(pos - 1))
+                  }) {
+                    cosBuf(qi)(pos) = cosBuf(qi)(pos - 1)
+                    idBuf(qi)(pos) = idBuf(qi)(pos - 1)
+                    pos -= 1
+                  }
+                  cosBuf(qi)(pos) = cos
+                  idBuf(qi)(pos) = nid
+                  if (n < kk) cnt(qi) = n + 1
+                }
+              }
+              qi += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until cnt(qi)).iterator
+              .map(j => (qs(qi)._1, idBuf(qi)(j), cosBuf(qi)(j)))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
   }
 
   /** Symmetric int8 quantization of an embedding (max-abs scale): the
