@@ -430,25 +430,44 @@ object AnnIndexStore {
       else vecs
     val scored =
       if (probeRows <= broadcastMaxProbes)
-        broadcast(probes.as("q")).join(vecsSpread.as("c"), cond)
-          .select(col("q.qvid").as("query_id"),
-            col("c.vid").as("neighbor_id"), col("c.cell"),
-            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
-              (col("q.qn") * col("c.n"))).as("cos"))
+        // r17 kernel (see Similarity.cosineTopK): the broadcast join
+        // materialized |probes| x |cell vectors| joined rows carrying
+        // both vectors; the kernel streams the index once with bounded
+        // per-query buffers and emits only per-partition survivors.
+        // Fallback = the original join for non-standard schemas.
+        Similarity.kernelProbes(probes) match {
+          case Some(ps) =>
+            Similarity.cellTopKCandidates(vecs, ps, k)
+          case None =>
+            broadcast(probes.as("q")).join(vecsSpread.as("c"), cond)
+              .select(col("q.qvid").as("query_id"),
+                col("c.vid").as("neighbor_id"), col("c.cell"),
+                (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+                  (col("q.qn") * col("c.n"))).as("cos"))
+        }
       else if (smallIndex)
-        // big batch vs SMALL probed index: broadcast the index side.
-        // The probe side is EXPLICITLY respread first — its checkpoint
-        // materialized behind an AQE-coalesced exchange, and a byte-
-        // light probe set collapses to one partition there, which would
-        // run the (|probes| × |cell vectors|) dot-product join on ONE
-        // task; the explicit numbered repartition is exempt from AQE
-        // coalescing and costs only the (batch-sized) probe shuffle
-        probes.repartition(spark.sparkContext.defaultParallelism).as("q")
-          .join(broadcast(vecs.as("c")), cond)
-          .select(col("q.qvid").as("query_id"),
-            col("c.vid").as("neighbor_id"), col("c.cell"),
-            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
-              (col("q.qn") * col("c.n"))).as("cos"))
+        // big batch vs SMALL probed index: the index side rides task-
+        // local (bounded by broadcastMaxIndexBytes — the bound its
+        // broadcast already implied) and the probe side streams,
+        // re-spread to the task slots (its checkpoint materialized
+        // behind an AQE-coalesced exchange, so a byte-light probe set
+        // collapses to one partition there). The kernel emits each
+        // probe's exact within-cell top-K instead of materializing
+        // (|probes| x |cell vectors|) joined rows.
+        Similarity.kernelProbes(vecs.select(
+            col("vid"), col("v"), col("n"), col("cell"))) match {
+          case Some(ix) =>
+            Similarity.indexSideTopKCandidates(
+              probes.select(col("qvid"), col("qv"), col("qn"), col("cell")),
+              ix, k)
+          case None =>
+            probes.repartition(spark.sparkContext.defaultParallelism).as("q")
+              .join(broadcast(vecs.as("c")), cond)
+              .select(col("q.qvid").as("query_id"),
+                col("c.vid").as("neighbor_id"), col("c.cell"),
+                (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+                  (col("q.qn") * col("c.n"))).as("cos"))
+        }
       else {
         // merge-hinted so the plan stays a shuffle join even when a test
         // -scale side slips under the broadcast threshold — the whole

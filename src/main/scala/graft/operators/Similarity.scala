@@ -231,18 +231,79 @@ object Similarity {
   def cosineDedupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numPlanes: Int, threshold: Double): DataFrame = {
-    val v = df.select(
-      col(idCol).as("vid"), col(vecCol).as("v"),
-      VectorExpressions.norm(col(vecCol)).as("n"),
-      VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
-      .localCheckpoint(true) // one projection feeds both join sides
-    v.as("x")
-      .join(v.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
-      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
-        (VectorExpressions.dot(col("x.v"), col("y.v")) /
-          (col("x.n") * col("y.n"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val kernelable = df.schema(idCol).dataType == LongType &&
+      (df.schema(vecCol).dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      })
+    if (kernelable)
+      // r17 kernel: the bucket self-join materialized every in-bucket
+      // pair as a joined row carrying BOTH vectors before the dot
+      // pruned it (see cosineTopK); the kernel shuffles the projection
+      // ONCE (the join shuffled it twice) and evaluates pairs on
+      // primitive arrays, emitting only pairs at/above the threshold.
+      // Bucket occupancy bounds a task's buffer — the same bound that
+      // already capped the join's per-partition group.
+      withinGroupPairs(df.select(
+        VectorExpressions.lshBucket(col(vecCol), numPlanes).as("g"),
+        col(idCol).as("vid"), col(vecCol).as("v"),
+        VectorExpressions.norm(col(vecCol)).as("n")), threshold)
+    else {
+      val v = df.select(
+        col(idCol).as("vid"), col(vecCol).as("v"),
+        VectorExpressions.norm(col(vecCol)).as("n"),
+        VectorExpressions.lshBucket(col(vecCol), numPlanes).as("bucket"))
+        .localCheckpoint(true) // one projection feeds both join sides
+      v.as("x")
+        .join(v.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+          (VectorExpressions.dot(col("x.v"), col("y.v")) /
+            (col("x.n") * col("y.n"))).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+  }
+
+  /** Within-group thresholded pairwise cosine — the kernel behind
+    * [[cosineDedupPairs]] and [[semanticDedupPairs]]: `proj` carries
+    * (g, vid, v, n); each group's vectors load into ONE task (bounded by
+    * construction — LSH buckets / k-means cells bound the quadratic,
+    * exactly the bound the join's per-partition group already had),
+    * pairs evaluate on primitive arrays in ascending-vid order and only
+    * pairs with cos >= threshold are ever EMITTED as rows. cos bits are
+    * identical to the join's (element-wise products commute; the dim-
+    * index fold order is dotFF's).
+    */
+  private[operators] def withinGroupPairs(
+      proj: DataFrame, threshold: Double): DataFrame = {
+    val spark = proj.sparkSession
+    import spark.implicits._
+    val th = threshold
+    proj.as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        (0 until rows.length).iterator.flatMap { i =>
+          val (_, via, va, na) = rows(i)
+          ((i + 1) until rows.length).iterator.flatMap { j =>
+            val (_, vib, vb, nb) = rows(j)
+            // the join paired on STRICT vid inequality
+            if (via == vib) Iterator.empty
+            else {
+              val cos = dot(va, vb) / (na * nb)
+              if (cos >= th) Iterator.single((via, vib, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
   }
 
   /** IVF (inverted-file) coarse quantization: assign every vector to its
@@ -290,33 +351,17 @@ object Similarity {
     // cells, so this only fires on degenerate hand-built centroid sets)
     val live = cents.filter(_._3 > 0.0)
     require(live.nonEmpty, "ivfAssign: all centroids have zero norm")
-    val assign = udf { (v: Seq[java.lang.Double]) =>
-      if (v.length != dim)
-        throw new IllegalArgumentException(
-          s"ivfAssign: vector has dim ${v.length}, expected $dim")
-      var vn = 0.0
-      var i = 0
-      while (i < v.length) {
-        val x = v(i)
-        if (x == null) throw new IllegalArgumentException(
-          s"ivfAssign: null element at index $i of a $dim-dim vector")
-        vn += x * x; i += 1
-      }
-      vn = math.sqrt(vn)
-      var bestId = live.head._1
-      var best = Double.NegativeInfinity
-      live.foreach { case (id, cv, cn) =>
-        var s = 0.0
-        var j = 0
-        while (j < dim) { s += v(j) * cv(j); j += 1 }
-        val cos = s / (vn * cn)
-        if (cos > best) { best = cos; bestId = id }
-      }
-      bestId
-    }
+    // r17: the per-row argmax is a codegen expression over primitive
+    // reads (graft.plans.IvfAssignExpr) — the previous Scala UDF unboxed
+    // a java.lang.Double for every (row x centroid x dim) access, which
+    // DOMINATED every IVF build at production centroid counts. Arithmetic
+    // order, tie-break and the dim/null guards are identical; the float
+    // array is widened per element exactly like the old array<double>
+    // cast.
     df.select(col(idCol).as("vid"), col(vecCol).as("v"),
       VectorExpressions.norm(col(vecCol)).as("n"),
-      assign(col(vecCol).cast("array<double>")).as("cell"))
+      VectorExpressions.ivfAssign(col(vecCol),
+        live.map(_._2), live.map(_._1), live.map(_._3), dim).as("cell"))
   }
 
   /** IVF ANN top-K with nprobe=1: each query searches only its own cell
@@ -336,17 +381,217 @@ object Similarity {
       .join(queries.select(col(idCol).as("vid")), Seq("vid"), "left_semi")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    // the query set is small by construction — broadcast it so the cell
-    // join is a map-side hash join over the streaming corpus, not an SMJ
-    broadcast(queryCells.as("q"))
-      .join(corpusCells.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vid") =!= col("c.vid"))
-      .select(col("q.vid").as("query_id"), col("c.vid").as("neighbor_id"),
-        col("q.cell").as("cell"),
-        (VectorExpressions.dot(col("q.v"), col("c.v")) /
-          (col("q.n") * col("c.n"))).as("cos"))
+    // the query set is small by construction (it was always broadcast);
+    // the r17 kernel streams the corpus once with bounded per-query
+    // buffers instead of materializing |Q| x |cell| joined pair rows
+    // (see cosineTopK). Fallback = the original broadcast join.
+    val candidates = kernelProbes(queryCells) match {
+      case Some(probes) => cellTopKCandidates(corpusCells, probes, k)
+      case None =>
+        broadcast(queryCells.as("q"))
+          .join(corpusCells.as("c"),
+            col("q.cell") === col("c.cell") && col("q.vid") =!= col("c.vid"))
+          .select(col("q.vid").as("query_id"), col("c.vid").as("neighbor_id"),
+            col("q.cell").as("cell"),
+            (VectorExpressions.dot(col("q.v"), col("c.v")) /
+              (col("q.n") * col("c.n"))).as("cos"))
+    }
+    candidates
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
+  }
+
+  /** Collect a probe frame (vid/qvid, v, n, cell) for the kernel paths —
+    * Some only when ids are longs and vectors float arrays (every
+    * caller); the frame is broadcast-sized by the operators' contract
+    * (the join forms shipped it through a BroadcastExchange).
+    */
+  private[operators] def kernelProbes(
+      probeFrame: DataFrame): Option[Array[(Long, Array[Float], Double, Long)]] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val f = probeFrame.schema.fields
+    val ok = f(0).dataType == LongType &&
+      (f(1).dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      }) && f(3).dataType == LongType
+    if (!ok) None
+    else {
+      val spark = probeFrame.sparkSession
+      import spark.implicits._
+      Some(probeFrame.as[(Long, Array[Float], Double, Long)].collect())
+    }
+  }
+
+  /** Kernel shared by the IVF/ANN query paths: corpus cells stream once
+    * (vid, v, n, cell — re-spread to the task slots, CPU-seam sizing),
+    * probes are broadcast INDEXED BY CELL, and each task keeps one
+    * bounded worst-first top-K buffer per query — only per-partition
+    * survivors (≤ |Q| x K rows per task) are emitted, a superset of the
+    * exact global top-K under the same nan-safe (cos desc, neighbor asc)
+    * order. Norms ride IN from the same frames the join form read, so
+    * every double is bit-identical to the join's.
+    */
+  private[operators] def cellTopKCandidates(
+      corpusCells: DataFrame,
+      probes: Array[(Long, Array[Float], Double, Long)],
+      k: Int): DataFrame = {
+    val spark = corpusCells.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(probes)
+    val kk = k
+    corpusCells.select(col("vid"), col("v"), col("n"), col("cell"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions { it =>
+        val ps = qb.value
+        if (ps.isEmpty) Iterator.empty
+        else {
+          def dot(a: Array[Float], b: Array[Float]): Double = {
+            val n = math.min(a.length, b.length)
+            var s = 0.0; var i = 0
+            while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+            s
+          }
+          def cmpCos(x: Double, y: Double): Int = {
+            val xn = java.lang.Double.isNaN(x)
+            val yn = java.lang.Double.isNaN(y)
+            if ((xn && yn) || (x == y)) 0
+            else if (xn) 1 else if (yn) -1
+            else if (x > y) 1 else -1
+          }
+          // dense query index (a query may probe several cells)
+          val qids: Array[Long] = ps.map(_._1).distinct
+          val qIdx = new java.util.HashMap[java.lang.Long, Integer](qids.length * 2)
+          qids.zipWithIndex.foreach { case (q, i) => qIdx.put(q, i) }
+          // cell -> probe entry indexes
+          val byCell = new java.util.HashMap[java.lang.Long, Array[Int]]()
+          ps.indices.groupBy(i => ps(i)._4).foreach { case (c, is) =>
+            byCell.put(c, is.toArray)
+          }
+          val nq = qids.length
+          val cosBuf = Array.ofDim[Double](nq, kk)
+          val idBuf = Array.ofDim[Long](nq, kk)
+          val cellBuf = Array.ofDim[Long](nq, kk)
+          val cnt = new Array[Int](nq)
+          it.foreach { case (vid, cv, cn, cell) =>
+            val here = byCell.get(cell)
+            if (here != null) {
+              var j = 0
+              while (j < here.length) {
+                val (qid, qv, qn, _) = ps(here(j))
+                if (qid != vid) {
+                  val cos = dot(qv, cv) / (qn * cn)
+                  val qi = qIdx.get(qid).intValue()
+                  val n = cnt(qi)
+                  if (n < kk || {
+                    val c = cmpCos(cos, cosBuf(qi)(n - 1))
+                    c > 0 || (c == 0 && vid < idBuf(qi)(n - 1))
+                  }) {
+                    var pos = if (n < kk) n else n - 1
+                    while (pos > 0 && {
+                      val c = cmpCos(cos, cosBuf(qi)(pos - 1))
+                      c > 0 || (c == 0 && vid < idBuf(qi)(pos - 1))
+                    }) {
+                      cosBuf(qi)(pos) = cosBuf(qi)(pos - 1)
+                      idBuf(qi)(pos) = idBuf(qi)(pos - 1)
+                      cellBuf(qi)(pos) = cellBuf(qi)(pos - 1)
+                      pos -= 1
+                    }
+                    cosBuf(qi)(pos) = cos
+                    idBuf(qi)(pos) = vid
+                    cellBuf(qi)(pos) = cell
+                    if (n < kk) cnt(qi) = n + 1
+                  }
+                }
+                j += 1
+              }
+            }
+          }
+          (0 until nq).iterator.flatMap { qi =>
+            (0 until cnt(qi)).iterator.map(j =>
+              (qids(qi), idBuf(qi)(j), cellBuf(qi)(j), cosBuf(qi)(j)))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cell", "cos")
+  }
+
+  /** The mirror kernel of [[cellTopKCandidates]] for the big-batch /
+    * small-index case ([[AnnIndexStore.query]]'s index-broadcast branch):
+    * PROBES stream (re-spread to the task slots), the INDEX rides as a
+    * task-local cell map (driver-bounded by the caller's
+    * broadcastMaxIndexBytes gate — the same bound its BroadcastExchange
+    * already implied). Each probe row is one (query, cell): its exact
+    * top-K within that cell is emitted (≤ K rows per probe), and the
+    * caller's per-query window merges across the query's probed cells.
+    */
+  private[operators] def indexSideTopKCandidates(
+      probes: DataFrame,
+      index: Array[(Long, Array[Float], Double, Long)],
+      k: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val ib = spark.sparkContext.broadcast(index)
+    val kk = k
+    probes
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions { it =>
+        val ix = ib.value
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        def cmpCos(x: Double, y: Double): Int = {
+          val xn = java.lang.Double.isNaN(x)
+          val yn = java.lang.Double.isNaN(y)
+          if ((xn && yn) || (x == y)) 0
+          else if (xn) 1 else if (yn) -1
+          else if (x > y) 1 else -1
+        }
+        val byCell = new java.util.HashMap[java.lang.Long, Array[Int]]()
+        ix.indices.groupBy(i => ix(i)._4).foreach { case (c, is) =>
+          byCell.put(c, is.toArray)
+        }
+        it.flatMap { case (qvid, qv, qn, cell) =>
+          val here = byCell.get(cell)
+          if (here == null) Iterator.empty
+          else {
+            val cosBuf = new Array[Double](kk)
+            val idBuf = new Array[Long](kk)
+            var cnt = 0
+            var j = 0
+            while (j < here.length) {
+              val (vid, cv, cn, _) = ix(here(j))
+              if (vid != qvid) {
+                val cos = dot(qv, cv) / (qn * cn)
+                if (cnt < kk || {
+                  val c = cmpCos(cos, cosBuf(cnt - 1))
+                  c > 0 || (c == 0 && vid < idBuf(cnt - 1))
+                }) {
+                  var pos = if (cnt < kk) cnt else cnt - 1
+                  while (pos > 0 && {
+                    val c = cmpCos(cos, cosBuf(pos - 1))
+                    c > 0 || (c == 0 && vid < idBuf(pos - 1))
+                  }) {
+                    cosBuf(pos) = cosBuf(pos - 1)
+                    idBuf(pos) = idBuf(pos - 1)
+                    pos -= 1
+                  }
+                  cosBuf(pos) = cos
+                  idBuf(pos) = vid
+                  if (cnt < kk) cnt += 1
+                }
+              }
+              j += 1
+            }
+            (0 until cnt).iterator.map(j => (qvid, idBuf(j), cell, cosBuf(j)))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cell", "cos")
   }
 
   /** IVF ANN with multi-cell probing (the standard recall lever): each
@@ -383,12 +628,20 @@ object Similarity {
     // pairs are already unique across the probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(probes.as("q"))
-      .join(corpusCells.as("c"),
-        col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid"))
-      .select(col("q.qvid").as("query_id"), col("c.vid").as("neighbor_id"),
-        (VectorExpressions.dot(col("q.qv"), col("c.v")) /
-          (col("q.qn") * col("c.n"))).as("cos"))
+    // r17 kernel (see cosineTopK): stream the corpus once with bounded
+    // per-query buffers instead of materializing |probes| x |cell| rows
+    val candidates = kernelProbes(probes) match {
+      case Some(ps) => cellTopKCandidates(corpusCells, ps, k).drop("cell")
+      case None =>
+        broadcast(probes.as("q"))
+          .join(corpusCells.as("c"),
+            col("q.cell") === col("c.cell") && col("q.qvid") =!= col("c.vid"))
+          .select(col("q.qvid").as("query_id"),
+            col("c.vid").as("neighbor_id"),
+            (VectorExpressions.dot(col("q.qv"), col("c.v")) /
+              (col("q.qn") * col("c.n"))).as("cos"))
+    }
+    candidates
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= k)
   }
@@ -814,16 +1067,33 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, centIdCol: String, centVecCol: String,
       dim: Int, threshold: Double): DataFrame = {
-    val cells = ivfAssign(corpus, idCol, vecCol,
-      centroids, centIdCol, centVecCol, dim)
-      .localCheckpoint(true) // one assignment pass feeds both join sides
-    cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        (VectorExpressions.dot(col("a.v"), col("b.v")) /
-          (col("a.n") * col("b.n"))).as("cos"))
-      .filter(col("cos") >= threshold)
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val kernelable = corpus.schema(idCol).dataType == LongType &&
+      (corpus.schema(vecCol).dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      })
+    if (kernelable)
+      // r17 kernel (see cosineDedupPairs): one shuffle of the assignment
+      // projection instead of a two-sided self-join materializing every
+      // in-cell pair row; cells bound a task's buffer by construction
+      // (SemDeDup's own premise). Single consumer — no checkpoint needed.
+      withinGroupPairs(
+        ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol,
+            dim)
+          .select(col("cell").as("g"), col("vid"), col("v"), col("n")),
+        threshold)
+    else {
+      val cells = ivfAssign(corpus, idCol, vecCol,
+        centroids, centIdCol, centVecCol, dim)
+        .localCheckpoint(true) // one assignment pass feeds both join sides
+      cells.as("a")
+        .join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+          (VectorExpressions.dot(col("a.v"), col("b.v")) /
+            (col("a.n") * col("b.n"))).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 
   /** Approximate top-K: candidates share the query's bucket (equi-join on

@@ -69,20 +69,26 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "neighbor_id", "rn").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // r17: both bounded-side branches run the per-task top-K KERNEL
+    // (Similarity.cellTopKCandidates / indexSideTopKCandidates) instead
+    // of a broadcast JOIN — the bounded side rides a TorrentBroadcast
+    // (plan-invisible) and the streaming side shows as MapPartitions;
+    // no join node may appear. Results must stay exactly the join's.
     val small = AnnIndexStore.query(
       spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8)
     val smallPairs = pairs(small)
     val smallPlan = small.queryExecution.executedPlan.toString
-    assert(smallPlan.contains("BroadcastExchange"), smallPlan.take(3000))
-    // big batch vs SMALL probed index: the INDEX side broadcasts — the
-    // probe side keeps its input parallelism instead of collapsing onto
-    // <= |cells| shuffle tasks under a coarse quantizer
+    assert(smallPlan.contains("MapPartitions"), smallPlan.take(3000))
+    assert(!smallPlan.contains("SortMergeJoin"), smallPlan.take(3000))
+    // big batch vs SMALL probed index: the INDEX side rides task-local —
+    // the probe side keeps its input parallelism instead of collapsing
+    // onto <= |cells| shuffle tasks under a coarse quantizer
     val mid = AnnIndexStore.query(
       spark, root, queries, "vec_id", "embedding", k = 3, nprobe = 8,
       broadcastMaxProbes = 0L)
     val midPairs = pairs(mid)
     val midPlan = mid.queryExecution.executedPlan.toString
-    assert(midPlan.contains("BroadcastExchange"), midPlan.take(3000))
+    assert(midPlan.contains("MapPartitions"), midPlan.take(3000))
     assert(!midPlan.contains("SortMergeJoin"), midPlan.take(3000))
     assert(midPairs == smallPairs,
       s"diff=${(midPairs diff smallPairs) ++ (smallPairs diff midPairs)}")
