@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line-JSON contract: the forked process's stdout must
+// reach the caller UNDECORATED. sbt's default logs forked output through
+// its logger as "[info] {...}", which no JSON parser downstream accepts —
+// 17 rounds of BENCH_r*.json carry `parsed: null` for exactly this reason.
+// StdoutOutput passes the child's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement-only passthrough (e.g. -Dgraft.frontier.phases=true for
+  // the commit-phase attribution probes); empty by default, never set by
+  // the driver — bench methodology is unaffected
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

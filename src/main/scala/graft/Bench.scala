@@ -166,21 +166,29 @@ object Bench {
       s""""noisy":$noisy,"sf":"$sfLabel","sf_dir":"$sfDir"}"""
     println(json)
     // durable copy: the stdout line has been tail-truncated in round
-    // artifacts twice; target/bench-<sf>.json is the canonical record
-    // dirs already named bench-* (ScaleUp's target/bench-sf1) would
-    // otherwise double the prefix (bench-bench-sf1.json)
-    val outFile = new java.io.File(s"target/bench-$sfLabel.json")
+    // artifacts twice; target/bench-<sf>-c<cpus>.json is the canonical
+    // record. The cpu suffix keeps the 32- and 8-core runs of the same SF
+    // from overwriting each other (r17: the noisy 8-core run clobbered
+    // the clean 32-core per-query artifact). Dirs already named bench-*
+    // (ScaleUp's target/bench-sf1) would otherwise double the prefix.
+    val outFile = new java.io.File(s"target/bench-$sfLabel-c$cpus.json")
     outFile.getParentFile.mkdirs()
+    // compact headline line (no per-query map): printed last on stdout
+    // (tail captures keep it even when the full line is truncated — r7,
+    // r8) AND appended as the artifact's last line so a dead stdout can
+    // never lose it. cpus and the skip list ride in the headline too so
+    // a non-empty skip or an off-core run is visible from the tail alone.
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""nq":${results.size},"cpus":$cpus,"sentinel_ratio":$ratio,""" +
+      f""""noisy":$noisy,"io_probe":$ioFirst%.3f,""" +
+      s""""skipped":${skip.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
+      s""""sf":"$sfLabel","artifact":"${outFile.getAbsolutePath}"}"""
     val w = new java.io.PrintWriter(outFile, "UTF-8")
-    try w.println(json) finally w.close()
+    try { w.println(json); w.println(headline) } finally w.close()
     System.err.println(s"bench JSON written to ${outFile.getAbsolutePath}")
-    // LAST stdout line = compact, complete JSON (no per-query map): round
-    // artifacts tail-truncated the full line twice (r7, r8), losing the
-    // headline total — any tail capture keeps this one
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""nq":${results.size},"sentinel_ratio":$ratio,"noisy":$noisy,""" +
-      f""""io_probe":$ioFirst%.3f,""" +
-      s""""sf":"$sfLabel","artifact":"${outFile.getAbsolutePath}"}""")
+    println(headline)
     spark.stop()
   }
 }

@@ -57,11 +57,11 @@ object HybridRetrieval {
     // broadcast bound as the join form (query terms were already
     // broadcast); matchStats itself (q69's oracle surface) is untouched.
     val candidates =
-      if (docs.schema(idCol).dataType == LongType &&
+      (if (docs.schema(idCol).dataType == LongType &&
           queries.schema(qidCol).dataType == LongType)
         lexicalCandidates(docs, idCol, textCol,
           queries, qidCol, qtextCol, k, excludeSelf)
-      else {
+      else None).getOrElse {
         val ms = Bm25.matchStats(docs, idCol, textCol, queries, qidCol, qtextCol)
         if (excludeSelf) ms.filter(col("query_id") =!= col("doc_id")) else ms
       }
@@ -77,29 +77,49 @@ object HybridRetrieval {
     * frames — tokenization cannot drift), per-query bounded buffers under
     * the exact (n_terms desc, sum_tf desc, doc_id asc) order. Emits
     * ≤ |Q| x K rows per partition — a superset of the global top-K.
+    *
+    * The doc-term frame is pre-filtered to the query VOCABULARY before
+    * the per-doc group-by (guide §2.3 shuffle fewer bytes): a term no
+    * query contains can never touch a buffer (`byTerm.get` misses), and
+    * a doc with no vocabulary term emits nothing — exactly the inner
+    * join's semantics — so with selective queries the group-by shuffles
+    * only matched rows, the same rows the join form shuffled, while the
+    * stop-phrase degenerate case (vocabulary ≈ corpus vocabulary) keeps
+    * the kernel's bounded-buffer advantage. The query-term collect is
+    * bounded (None past `spark.graft.kernel.maxProbeRows` or on null
+    * ids/terms — the caller then takes the matchStats join form).
     */
   private def lexicalCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int, excludeSelf: Boolean): DataFrame = {
+      k: Int, excludeSelf: Boolean): Option[DataFrame] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // query-term pairs are broadcast-sized by the operator's contract
-    // (the join form shipped this exact frame through a BroadcastExchange)
+    // (the join form shipped this exact frame through a BroadcastExchange);
+    // the collect is row-bounded and null-checked, None -> join fallback
+    val maxRows = spark.conf.getOption("spark.graft.kernel.maxProbeRows")
+      .map(_.toInt).getOrElse(1 << 22)
+    val qtRows = Bm25.queryTerms(queries, qidCol, qtextCol)
+      .select(col("query_id"), col("term"))
+      .limit(maxRows + 1).collect()
+    if (qtRows.length > maxRows ||
+        qtRows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+      return None
     val qt: Array[(Long, String)] =
-      Bm25.queryTerms(queries, qidCol, qtextCol)
-        .select(col("query_id"), col("term"))
-        .as[(Long, String)].collect()
+      qtRows.map(r => (r.getLong(0), r.getString(1)))
     val qb = spark.sparkContext.broadcast(qt)
     val kk = k
     val exSelf = excludeSelf
-    Bm25.docTermFreqs(docs, idCol, textCol)
+    val vocab: Seq[String] = qt.map(_._2).distinct.toSeq
+    Some(Bm25.docTermFreqs(docs, idCol, textCol)
+      .where(col("term").isInCollection(vocab))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("term"), col("tf"))).as("tts"))
       .as[(Long, Seq[(String, Long)])]
       .mapPartitions { it =>
         val pairs = qb.value
-        if (pairs.isEmpty) Iterator.empty
+        if (pairs.isEmpty || kk < 1) Iterator.empty
         else {
           // dense query index + term -> query-index postings
           val qids: Array[Long] = pairs.map(_._1).distinct
@@ -172,7 +192,7 @@ object HybridRetrieval {
           }
         }
       }
-      .toDF("query_id", "doc_id", "n_terms", "sum_tf")
+      .toDF("query_id", "doc_id", "n_terms", "sum_tf"))
   }
 
   /** Fuse two per-query rank lists with fixed-point RRF. Inputs carry

@@ -86,9 +86,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val candidates =
-      if (kernelable)
+      (if (kernelable)
         cosineTopKCandidates(queries, corpus, idCol, vecCol, k)
-      else {
+      else None).getOrElse {
         // fallback: the original join form (norms once per side)
         val q = queries.select(
           col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -108,34 +108,81 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Row/byte bound for the kernel paths' driver-side probe collects.
+    * The replaced BroadcastExchange failed LOUDLY past its threshold; a
+    * bare collect() OOMs the driver silently — so the collect is bounded
+    * (limit cap+1: the job never ships more than cap+1 rows) and a frame
+    * over the row or estimated-byte cap returns None, routing the caller
+    * to its join-form fallback. Null ids/vectors also route to the join
+    * form, which yields null-cos rows instead of an encoder NPE.
+    */
+  private def guardedProbeCollect(
+      frame: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val conf = frame.sparkSession.conf
+    val maxRows = conf.getOption("spark.graft.kernel.maxProbeRows")
+      .map(_.toInt).getOrElse(1 << 22)
+    val maxBytes = conf.getOption("spark.graft.kernel.maxProbeBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    val rows = frame.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) return None
+    var bytes = 0L
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      var f = 0
+      while (f < r.length) {
+        if (r.isNullAt(f)) return None
+        r.get(f) match {
+          case s: Seq[_] =>
+            if (s.contains(null)) return None
+            bytes += 16L + 4L * s.length
+          case _ => bytes += 8L
+        }
+        f += 1
+      }
+      i += 1
+    }
+    if (bytes > maxBytes) None else Some(rows)
+  }
+
+  /** Re-spread a frame to the task slots ONLY when it arrives narrower
+    * (a small parquet corpus coalesces to 1-2 splits — a parallelism
+    * collapse for a compute kernel on top). A frame already at or above
+    * defaultParallelism — a big index scanning wide — is never reshuffled
+    * (the shuffle would move every vector byte to save nothing).
+    */
+  private def spreadToSlots(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-partition exact top-K candidates for [[cosineTopK]]'s kernel
     * path: every (query, corpus-row) cosine is computed on primitive
     * float arrays, but only each partition's K best per query are ever
     * EMITTED as rows — a superset of the global top-K by construction
     * (same comparator), so the window on top stays exact. The query side
-    * collects through the same bound the old BroadcastExchange enforced
+    * collects through [[guardedProbeCollect]]'s explicit row/byte bound
     * (it is the operator's contract that queries are broadcast-sized;
-    * the corpus is never collected).
+    * the corpus is never collected) — None past the bound or on null
+    * ids/vectors, routing the caller to the join form.
     */
   private def cosineTopKCandidates(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int): Option[DataFrame] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Float])] = queries
-      .select(col(idCol), col(vecCol))
-      .as[(Long, Array[Float])].collect()
+    val collected = guardedProbeCollect(queries.select(col(idCol), col(vecCol)))
+    if (collected.isEmpty) return None
+    val qRows: Array[(Long, Array[Float])] = collected.get
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qb = spark.sparkContext.broadcast(qRows)
     val kk = k
-    corpus.select(col(idCol), col(vecCol))
-      // CPU-seam sizing: the kernel is pure compute, and a small parquet
-      // corpus arrives as 1-2 splits — size by parallelism, not bytes
-      .repartition(spark.sparkContext.defaultParallelism)
+    Some(spreadToSlots(corpus.select(col(idCol), col(vecCol)))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qb.value
         val nq = qs.length
-        if (nq == 0) Iterator.empty
+        if (nq == 0 || kk < 1) Iterator.empty
         else {
           // same accumulation order as VectorCodegen.dotFF
           def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -195,7 +242,7 @@ object Similarity {
           }
         }
       }
-      .toDF("query_id", "neighbor_id", "cos")
+      .toDF("query_id", "neighbor_id", "cos"))
   }
 
   /** Symmetric int8 quantization of an embedding (max-abs scale): the
@@ -266,20 +313,36 @@ object Similarity {
 
   /** Within-group thresholded pairwise cosine — the kernel behind
     * [[cosineDedupPairs]] and [[semanticDedupPairs]]: `proj` carries
-    * (g, vid, v, n); each group's vectors load into ONE task (bounded by
-    * construction — LSH buckets / k-means cells bound the quadratic,
-    * exactly the bound the join's per-partition group already had),
-    * pairs evaluate on primitive arrays in ascending-vid order and only
-    * pairs with cos >= threshold are ever EMITTED as rows. cos bits are
-    * identical to the join's (element-wise products commute; the dim-
-    * index fold order is dotFF's).
+    * (g, vid, v, n); a group's vectors load into ONE task, pairs evaluate
+    * on primitive arrays in ascending-vid order and only pairs with
+    * cos >= threshold are ever EMITTED as rows. cos bits are identical to
+    * the join's (element-wise products commute; the dim-index fold order
+    * is dotFF's).
+    *
+    * Hot-group memory bound (guide §5): LSH buckets / k-means cells are
+    * USUALLY small, but nothing caps a skewed bucket, and `it.toArray`
+    * over an unbounded group is an executor OOM where the equi-join
+    * could at least spill. So group sizes are counted first — a column-
+    * pruned aggregate (only `g` is computed per row; the shuffle carries
+    * |groups| count rows, never a vector) — and any group above
+    * `spark.graft.kernel.maxGroupRows` (default 65536) takes the
+    * spillable self-join path instead; the kernel runs only on bounded
+    * groups. Pair output is identical either way (same dot order, same
+    * strict-inequality pairing, same threshold). The size probe runs at
+    * plan-construction time (one tiny Spark job), the price of choosing
+    * the plan by data; in the steady no-hot-group state nothing else
+    * changes — single kernel shuffle, no checkpoint.
     */
   private[operators] def withinGroupPairs(
       proj: DataFrame, threshold: Double): DataFrame = {
     val spark = proj.sparkSession
     import spark.implicits._
     val th = threshold
-    proj.as[(Long, Long, Array[Float], Double)]
+    val cap = spark.conf.getOption("spark.graft.kernel.maxGroupRows")
+      .map(_.toInt).getOrElse(1 << 16)
+    val p0 = proj.toDF("g", "vid", "v", "n")
+    def kernel(src: DataFrame): DataFrame = src
+      .as[(Long, Long, Array[Float], Double)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_._2)
@@ -304,6 +367,24 @@ object Similarity {
         }
       }
       .toDF("id_a", "id_b", "cos")
+    // oversized groups: ≤ |rows|/cap of them, driver-bounded by definition
+    val hotIds: Array[Long] = p0.groupBy(col("g"))
+      .agg(count(lit(1)).as("__gn")).filter(col("__gn") > cap)
+      .select(col("g")).as[Long].collect()
+    if (hotIds.isEmpty) kernel(p0)
+    else {
+      val pc = p0.localCheckpoint(true) // one pass feeds both routes
+      val hot = pc.filter(col("g").isInCollection(hotIds))
+      val joinPairs = hot.as("x")
+        .join(hot.as("y"),
+          col("x.g") === col("y.g") && col("x.vid") < col("y.vid"))
+        .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+          (VectorExpressions.dot(col("x.v"), col("y.v")) /
+            (col("x.n") * col("y.n"))).as("cos"))
+        .filter(col("cos") >= th)
+      kernel(pc.filter(!col("g").isInCollection(hotIds)))
+        .unionByName(joinPairs)
+    }
   }
 
   /** IVF (inverted-file) coarse quantization: assign every vector to its
@@ -403,8 +484,10 @@ object Similarity {
 
   /** Collect a probe frame (vid/qvid, v, n, cell) for the kernel paths —
     * Some only when ids are longs and vectors float arrays (every
-    * caller); the frame is broadcast-sized by the operators' contract
-    * (the join forms shipped it through a BroadcastExchange).
+    * caller) AND the frame passes [[guardedProbeCollect]]'s explicit
+    * row/byte/null bound (the join forms shipped this frame through a
+    * BroadcastExchange, which failed loudly past its cap; the guarded
+    * collect falls back to that join form instead of OOMing silently).
     */
   private[operators] def kernelProbes(
       probeFrame: DataFrame): Option[Array[(Long, Array[Float], Double, Long)]] = {
@@ -415,11 +498,8 @@ object Similarity {
         case ArrayType(FloatType, _) => true; case _ => false
       }) && f(3).dataType == LongType
     if (!ok) None
-    else {
-      val spark = probeFrame.sparkSession
-      import spark.implicits._
-      Some(probeFrame.as[(Long, Array[Float], Double, Long)].collect())
-    }
+    else guardedProbeCollect(probeFrame).map(_.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2), r.getLong(3))))
   }
 
   /** Kernel shared by the IVF/ANN query paths: corpus cells stream once
@@ -439,12 +519,11 @@ object Similarity {
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(probes)
     val kk = k
-    corpusCells.select(col("vid"), col("v"), col("n"), col("cell"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadToSlots(corpusCells.select(col("vid"), col("v"), col("n"), col("cell")))
       .as[(Long, Array[Float], Double, Long)]
       .mapPartitions { it =>
         val ps = qb.value
-        if (ps.isEmpty) Iterator.empty
+        if (ps.isEmpty || kk < 1) Iterator.empty
         else {
           def dot(a: Array[Float], b: Array[Float]): Double = {
             val n = math.min(a.length, b.length)
@@ -533,10 +612,11 @@ object Similarity {
     import spark.implicits._
     val ib = spark.sparkContext.broadcast(index)
     val kk = k
-    probes
-      .repartition(spark.sparkContext.defaultParallelism)
+    spreadToSlots(probes)
       .as[(Long, Array[Float], Double, Long)]
       .mapPartitions { it =>
+        if (kk < 1) Iterator.empty
+        else {
         val ix = ib.value
         def dot(a: Array[Float], b: Array[Float]): Double = {
           val n = math.min(a.length, b.length)
@@ -589,6 +669,7 @@ object Similarity {
             }
             (0 until cnt).iterator.map(j => (qvid, idBuf(j), cell, cosBuf(j)))
           }
+        }
         }
       }
       .toDF("query_id", "neighbor_id", "cell", "cos")

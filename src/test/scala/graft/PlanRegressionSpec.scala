@@ -188,16 +188,18 @@ class PlanRegressionSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
-  test("q68: SemDeDup pair join is cell-equi, never cartesian") {
-    // the quadratic term must stay bounded by cell size: the self-join's
-    // equality on `cell` has to survive as an equi-join key (SMJ/SHJ/BHJ
-    // all fine), with `vid < vid` only as a post-join residual — a
-    // CartesianProduct or BroadcastNestedLoopJoin here means the cell
-    // bound is gone and the pair count is corpus-quadratic
+  test("q68: SemDeDup pairs stay cell-bounded — grouped kernel, never cartesian") {
+    // the quadratic term must stay bounded by cell size: the pair pass is
+    // the within-cell kernel (one Exchange on the cell key feeding a
+    // MapGroups whose task sees exactly one cell) — or, for any cell over
+    // the hot-group cap, the spillable cell-equi self-join. Either way a
+    // CartesianProduct or BroadcastNestedLoopJoin means the cell bound is
+    // gone and the pair count is corpus-quadratic
     val plan = planOf("q68_semantic_dedup")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+    assert(plan.contains("MapGroups") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"),
-      "cell join lost its equi key:\n" + plan.take(3000))
+      "cell pair pass lost both the kernel and the equi key:\n" + plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
