@@ -191,40 +191,63 @@ object FrontierStore {
         s"merging with $buckets would split per-URL state across buckets")
     val next = prev.getOrElse(-1) + 1
 
-    // pin the updates once: the bucket scan and the generation write must
-    // see the SAME rows (a nondeterministic update pipeline could
-    // otherwise emit rows into buckets the scan never saw). The affected-
-    // bucket set rides the SAME pinning action as an observed aggregate —
-    // the separate distinct().collect() pass this replaces was one of the
-    // per-round driver actions LiveCrawlBench billed to the commit.
-    val obs = org.apache.spark.sql.Observation()
-    val tagged = updates.withColumn("bucket", bucketOf(buckets))
-      .observe(obs, collect_set(col("bucket")).as("buckets"))
-      .localCheckpoint(true)
-    phase("pin")
-    val affected: Seq[Int] = obs.get.get("buckets") match {
-      case Some(s: scala.collection.Seq[_]) =>
-        s.map(_.asInstanceOf[Int]).sorted.toSeq
-      case other => throw new IllegalStateException(
-        s"bucket observation returned $other")
-    }
-    if (affected.isEmpty) {
-      // nothing to merge: leave the store's DATA untouched (committing an
-      // empty manifest on a fresh root would poison every subsequent
-      // read). A fold of all-empty WAL batches must still advance the
-      // watermark in place so those batches become reclaimable.
-      walWatermark.filter(_ > prevWalWm).foreach { wm =>
-        prev.foreach(v =>
-          writeManifest(spark, root, v, buckets, prevManifest, prevRetire, wm))
+    // merge case: pin the updates once — the bucket scan and the
+    // generation write must see the SAME rows (a nondeterministic update
+    // pipeline could otherwise emit rows into buckets the scan never
+    // saw). The affected-bucket set rides the SAME pinning action as an
+    // observed aggregate — the separate distinct().collect() pass this
+    // replaced was one of the per-round driver actions LiveCrawlBench
+    // billed to the commit.
+    //
+    // FRESH-STORE fast path (r18): with no previous manifest there are
+    // no standing buckets to merge against, so nothing needs the
+    // affected set BEFORE the write — the one generation-dir listing
+    // that already decides `written` IS the affected set. The pin job
+    // (a full materialization of the updates — at frontier scale, a
+    // second copy of the whole bootstrap corpus) and the observe are
+    // skipped; the updates flow through exactly one job, scan → merge →
+    // write. Updates must be deterministic under task retry — the same
+    // contract any un-checkpointed Spark write already imposes, and the
+    // WAL/fold/gate callers all pass deterministic frames.
+    val freshStore = prevManifest.isEmpty
+    var pinned: Option[DataFrame] = None
+    val affected: Seq[Int] =
+      if (freshStore) Seq.empty
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val tagged = updates.withColumn("bucket", bucketOf(buckets))
+          .observe(obs, collect_set(col("bucket")).as("buckets"))
+          .localCheckpoint(true)
+        phase("pin")
+        val got: Seq[Int] = obs.get.get("buckets") match {
+          case Some(s: scala.collection.Seq[_]) =>
+            s.map(_.asInstanceOf[Int]).sorted.toSeq
+          case other => throw new IllegalStateException(
+            s"bucket observation returned $other")
+        }
+        if (got.isEmpty) {
+          // nothing to merge: leave the store's DATA untouched. A fold
+          // of all-empty WAL batches must still advance the watermark in
+          // place so those batches become reclaimable.
+          walWatermark.filter(_ > prevWalWm).foreach { wm =>
+            prev.foreach(v =>
+              writeManifest(spark, root, v, buckets, prevManifest,
+                prevRetire, wm))
+          }
+          return read(spark, root).getOrElse(updates)
+        }
+        pinned = Some(tagged)
+        got
       }
-      return read(spark, root).getOrElse(updates)
-    }
     val currentAffected = affected
       .flatMap(b => prevManifest.get(b).map(tok => bucketLoc(root, b, tok)))
-    val base =
-      if (currentAffected.isEmpty) tagged.drop("bucket")
-      else spark.read.parquet(currentAffected: _*)
-        .unionByName(tagged.drop("bucket"))
+    val base = pinned match {
+      case None => updates
+      case Some(tagged) =>
+        if (currentAffected.isEmpty) tagged.drop("bucket")
+        else spark.read.parquet(currentAffected: _*)
+          .unionByName(tagged.drop("bucket"))
+    }
 
     // one job writing every rewritten bucket DIRECTLY into its final
     // generation dir (overwrite replaces any orphan a crashed attempt at
@@ -240,14 +263,22 @@ object FrontierStore {
     phase("write")
     // ONE listing decides which affected buckets wrote data; a bucket
     // whose every row was REMOVED writes no dir and leaves the manifest
-    // entirely (readers skip unmapped buckets)
+    // entirely (readers skip unmapped buckets). On the fresh-store path
+    // this listing is also where the affected set comes from.
     val written: Set[Int] = f.listStatus(new Path(genDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
-    val (present, emptied) = affected.partition(written.contains)
+    val (present, emptied) =
+      if (freshStore) (written.toSeq.sorted, Seq.empty[Int])
+      else affected.partition(written.contains)
     // a commit whose every affected bucket emptied wrote no data at all —
-    // drop the hollow generation dir (only _SUCCESS inside) now
-    if (present.isEmpty) f.delete(new Path(genDir), true)
+    // drop the hollow generation dir (only _SUCCESS inside) now. A fresh
+    // build with zero surviving rows commits nothing (an empty manifest
+    // on a fresh root would poison every subsequent read).
+    if (present.isEmpty) {
+      f.delete(new Path(genDir), true)
+      if (freshStore) return read(spark, root).getOrElse(updates.limit(0))
+    }
 
     // file-skipping sidecars for the NEW bucket dirs (metadata-only,
     // footer-derived): time-banded scans — the retention candidate
@@ -357,6 +388,10 @@ object FrontierStore {
         case Some(df) => df.schema
         case None     => return
       }
+      // no pin here: mergeInto immediately pins its bucket-tagged
+      // derivation of this frame (the store is non-fresh — retire is a
+      // no-op otherwise), so a checkpoint at this seam was a redundant
+      // extra materialization job on the purge path
       val updates = urls.select(col(urlCol).as("url")).distinct()
         .select(col("url"), pldUdf(col("url")).as("pld"),
           lit(graft.schema.FetchStatus.REMOVED).as("status"),
@@ -365,7 +400,6 @@ object FrontierStore {
           lit(Long.MaxValue).as("nextFetchTime"))
         .select(storedSchema.map(fd =>
           col(fd.name).cast(fd.dataType).as(fd.name)): _*)
-        .localCheckpoint(true)
       mergeInto(spark, root, updates, buckets)
       // privacy outranks the one-generation reader-retention window for
       // a PURGE: the superseded locations (which still carry the url's
