@@ -107,6 +107,21 @@ object Bench {
       dir.delete()
       (System.nanoTime() - t0) / 1e9
     }
+    // CPU probe: a fixed single-thread arithmetic loop, timed outside
+    // Spark. The sentinel RATIO only catches load that SHIFTS mid-run —
+    // a steadily-loaded host slows every query uniformly and leaves the
+    // ratio clean (r18 observed a 1.38x uniform slowdown at sentinel
+    // 1.03). The probe's absolute wall is box-comparable across runs
+    // and rounds: same code, same constant, no data dependence.
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var i = 0L
+      while (i < 200000000L) { s += i * 31L + (s >> 3); i += 1 }
+      if (s == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cpuFirst = try cpuProbe() catch { case _: Throwable => -1.0 }
     val ioFirst = try ioProbe() catch { case _: Throwable => -1.0 }
 
     val sentinelName = "q09_join_multi_revenue"
@@ -138,6 +153,7 @@ object Bench {
       name -> sec
     }
     val sentinelLast = timed(sentinelName)
+    val cpuLast = try cpuProbe() catch { case _: Throwable => -1.0 }
     val ioLast = try ioProbe() catch { case _: Throwable => -1.0 }
     val ratio =
       if (sentinelFirst > 0 && sentinelLast > 0)
@@ -161,6 +177,7 @@ object Bench {
       s""""sentinel":"$sentinelName","sentinel_first":$sentinelFirst,""" +
       s""""sentinel_last":$sentinelLast,"sentinel_ratio":$ratio,""" +
       f""""io_probe":$ioFirst%.3f,"io_probe_last":$ioLast%.3f,""" +
+      f""""cpu_probe":$cpuFirst%.3f,"cpu_probe_last":$cpuLast%.3f,""" +
       s""""skipped":${skip.toSeq.sorted.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
       s""""noisy":$noisy,"sf":"$sfLabel","sf_dir":"$sfDir"}"""
@@ -182,6 +199,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""nq":${results.size},"cpus":$cpus,"sentinel_ratio":$ratio,""" +
       f""""noisy":$noisy,"io_probe":$ioFirst%.3f,""" +
+      f""""cpu_probe":$cpuFirst%.3f,""" +
       s""""skipped":${skip.toSeq.sorted.map("\"" + _ + "\"")
         .mkString("[", ",", "]")},""" +
       s""""sf":"$sfLabel","artifact":"${outFile.getAbsolutePath}"}"""
